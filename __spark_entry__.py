@@ -1,38 +1,77 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship smoke query at sf0.001.
+``queries()`` / ``oracle_sql()`` — the declared operator surface from
+SURVEY.md §2, backed by ``duckdb_title_mapper_spark.workload`` (each query
+verified locally against its DuckDB oracle with exact value compare via
+``scripts/check_oracle.py`` — stricter than the driver's hash).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: standardize the reference's own 104-title example
+    corpus (examples/test_query.sql:5-110) with the full TF-IDF match
+    pipeline, roll up by BLS category, and join a star-schema aggregate
+    from the sf0.001 parquet tables."""
+    from pyspark.sql import functions as F
+
+    import duckdb_title_mapper_spark as engine
+    from duckdb_title_mapper_spark.reference_goldens import CORPUS_104
+    from duckdb_title_mapper_spark.workload import load
+
+    engine.register(spark)
+    sf_dir = "/root/testdata/sf0.001"
+
+    titles = spark.createDataFrame([(t,) for t in CORPUS_104], "title STRING")
+    categories = (
+        titles.select(
+            F.expr("standardize_title(title)").alias("standardized")
+        )
+        .select(
+            F.split_part("standardized", F.lit(" - "), F.lit(2)).alias("bls_category")
+        )
+        .groupBy("bls_category")
+        .agg(F.count("*").alias("title_count"))
+    )
+
+    # a small relational rollup from the star schema, cross-checked shape
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    seg = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+        )
+    )
+    return categories.crossJoin(
+        seg.agg(
+            F.count("*").alias("segments"),
+            F.sum("order_count").alias("orders_total"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from duckdb_title_mapper_spark.workload import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.spark_fn for name, q in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    return {
+        name: q.oracle for name, q in all_queries().items() if q.oracle is not None
+    }

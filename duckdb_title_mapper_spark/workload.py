@@ -1,0 +1,782 @@
+r"""Declared query workload: every operator from SURVEY.md §2 as a named
+query with a DuckDB-oracle SQL equivalent.
+
+This module is the single source of truth consumed by ``__spark_entry__.py``
+(the driver contract) and by ``tests/test_oracle_parity.py`` (which runs
+both sides locally and compares exact values — stricter than the driver's
+order-insensitive hash).
+
+Conventions that make the oracle hashes match:
+* every computed column is aliased identically on both sides;
+* monetary/double aggregations cast operands to DECIMAL **before**
+  summing in BOTH engines (decimal arithmetic is exact, so summation
+  order cannot perturb the hash; raw double sums would differ in the
+  last ulp between engines);
+* per-row double arithmetic is fine (same IEEE ops on same inputs);
+* timestamps are bucketed to BIGINT epoch seconds or cast to DATE
+  (events.ts is parquet timestamp[ns] — DuckDB reads TIMESTAMP_NS,
+  Spark truncates to microseconds; epoch-second buckets are identical);
+* regex literals differ per dialect (Spark SQL processes backslash
+  escapes in string literals, DuckDB does not), so regex queries carry
+  separate spark/oracle texts.
+
+The ``standardize_title`` queries run the real UDF on the reference's own
+104-title example corpus (examples/test_query.sql:5-110) and messy probes;
+their oracles inline the golden outputs (FIXTURES.md — 5 of them asserted
+by the reference's sqllogictest).  The driver's hash-match on those IS a
+golden-parity check of the whole match pipeline, not a tautology.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from .reference_goldens import AUTHORITATIVE, CORPUS_104, EDGE_CASES, MESSY_PROBES
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    spark_fn: Callable  # (spark, sf_dir) -> DataFrame
+    oracle: Optional[str]  # DuckDB SQL over the pre-registered views, or None
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def _q(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn):
+        _REGISTRY[name] = Query(name, fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    return dict(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def load(spark, sf_dir: str, name: str):
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark, sf_dir: str):
+    """events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark 4 rejects
+    outright; read it as raw nanos and rebuild a (microsecond) timestamp.
+    DuckDB reads the same column as TIMESTAMP_NS — sub-microsecond precision
+    is never observable in the declared queries (buckets are >= 1s and
+    orderings tie-break on event_id)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def register_views(spark, sf_dir: str, *names: str):
+    for n in names:
+        load(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _golden_values(mapping: dict[str, str]) -> str:
+    """(title, standardized) golden pairs as a VALUES relation."""
+    rows = ",\n      ".join(
+        f"({_sql_quote(t)}, {_sql_quote(s)})" for t, s in mapping.items()
+    )
+    return f"(VALUES\n      {rows}) AS g(title, standardized)"
+
+def _corpus_df(spark, mapping: dict[str, str]):
+    return spark.createDataFrame([(t,) for t in mapping], "title STRING")
+
+
+_ALL_GOLDENS = {**CORPUS_104, **MESSY_PROBES, **EDGE_CASES}
+
+
+def _standardized_df(spark, mapping: dict[str, str]):
+    """titles -> (title, standardized) via the registered UDF (R3)."""
+    from pyspark.sql import functions as F
+
+    import duckdb_title_mapper_spark as engine
+
+    engine.register(spark)
+    return _corpus_df(spark, mapping).select(
+        "title", F.expr("standardize_title(title)").alias("standardized")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M0: standardize_title family (oracle = reference golden outputs)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "std_titles",
+    f"SELECT title, standardized FROM {_golden_values(CORPUS_104)}",
+    "M0/R3: UDF projection over the reference's 104-title example corpus; "
+    "oracle inlines FIXTURES goldens => hash-match is golden parity.",
+)
+def std_titles(spark, sf_dir):
+    return _standardized_df(spark, CORPUS_104)
+
+
+@_q(
+    "std_probes",
+    f"SELECT title, standardized FROM {_golden_values({**MESSY_PROBES, **EDGE_CASES})}",
+    "M0 edge surface: messy README probes + OOV/empty fallbacks.",
+)
+def std_probes(spark, sf_dir):
+    return _standardized_df(spark, {**MESSY_PROBES, **EDGE_CASES})
+
+
+@_q(
+    "std_category_counts",
+    f"""SELECT split_part(standardized, ' - ', 2) AS bls_category,
+               count(*) AS job_count
+        FROM {_golden_values(_ALL_GOLDENS)}
+        GROUP BY bls_category""",
+    "R7/R10/R11: group-by on a split_part of the computed column "
+    "(README.md:259-264 workload shape).",
+)
+def std_category_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        _standardized_df(spark, _ALL_GOLDENS)
+        .select(F.split_part("standardized", F.lit(" - "), F.lit(2)).alias("bls_category"))
+        .groupBy("bls_category")
+        .agg(F.count("*").alias("job_count"))
+    )
+
+
+@_q(
+    "std_filter_like",
+    f"""SELECT title, standardized FROM {_golden_values(_ALL_GOLDENS)}
+        WHERE standardized LIKE '%Engineer%'""",
+    "R6: LIKE filter over the computed column (README.md:235-240).",
+)
+def std_filter_like(spark, sf_dir):
+    return _standardized_df(spark, _ALL_GOLDENS).where("standardized LIKE '%Engineer%'")
+
+
+@_q(
+    "std_filter_in",
+    f"""SELECT title FROM {_golden_values(_ALL_GOLDENS)}
+        WHERE split_part(standardized, ' - ', 1) IN ('Poet', 'Author', 'Biologist')""",
+    "R5: IN-list filter over the computed column (README.md:228-233).",
+)
+def std_filter_in(spark, sf_dir):
+    return (
+        _standardized_df(spark, _ALL_GOLDENS)
+        .where(
+            "split_part(standardized, ' - ', 1) IN ('Poet', 'Author', 'Biologist')"
+        )
+        .select("title")
+    )
+
+
+@_q(
+    "std_distinct_count",
+    f"""SELECT count(DISTINCT standardized) AS distinct_titles,
+               count(*) AS total
+        FROM {_golden_values(_ALL_GOLDENS)}""",
+    "R8/R13: COUNT(DISTINCT) over the computed column; deterministic UDF "
+    "makes repeated evaluation consistent.",
+)
+def std_distinct_count(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return _standardized_df(spark, _ALL_GOLDENS).agg(
+        F.countDistinct("standardized").alias("distinct_titles"),
+        F.count("*").alias("total"),
+    )
+
+
+@_q(
+    "std_view_query",
+    f"""SELECT standardized, count(*) AS n
+        FROM (SELECT title, standardized FROM {_golden_values(_ALL_GOLDENS)}) v
+        GROUP BY standardized HAVING count(*) > 1""",
+    "R12: view over computed columns, then aggregate with HAVING "
+    "(README.md:268-279).",
+)
+def std_view_query(spark, sf_dir):
+    _standardized_df(spark, _ALL_GOLDENS).createOrReplaceTempView("standardized_jobs")
+    return spark.sql(
+        "SELECT standardized, count(*) AS n FROM standardized_jobs "
+        "GROUP BY standardized HAVING count(*) > 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface over the star schema (pure Catalyst; oracle = same SQL)
+# ---------------------------------------------------------------------------
+
+def _shared(name: str, sql: str, tables: tuple[str, ...], doc: str = ""):
+    """Register a query whose SQL text is valid in BOTH dialects."""
+
+    def fn(spark, sf_dir, _sql=sql, _tables=tables):
+        register_views(spark, sf_dir, *_tables)
+        return spark.sql(_sql)
+
+    fn.__name__ = name
+    _REGISTRY[name] = Query(name, fn, sql, doc)
+    return fn
+
+
+_shared(
+    "rel_scan_project",
+    "SELECT r_regionkey, lower(r_name) AS r_name_lower FROM region",
+    ("region",),
+    "R1/R2: full scan + projection with a scalar expression.",
+)
+
+_shared(
+    "rel_filter_eq",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+       WHERE c_mktsegment = 'BUILDING'""",
+    ("customer",),
+    "R4: equality filter (pushed to the parquet scan in Spark).",
+)
+
+_shared(
+    "rel_filter_in",
+    """SELECT o_orderpriority, count(*) AS n FROM orders
+       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+       GROUP BY o_orderpriority""",
+    ("orders",),
+    "R5: IN-list filter + count.",
+)
+
+_shared(
+    "rel_filter_like",
+    """SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%widget%'""",
+    ("part",),
+    "R6: LIKE filter.",
+)
+
+_shared(
+    "rel_agg_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+              sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+              sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+       GROUP BY l_returnflag, l_linestatus""",
+    ("lineitem",),
+    "R7/R9 TPC-H Q1 shape; DECIMAL-cast-before-sum keeps both engines exact.",
+)
+
+_shared(
+    "rel_count_distinct",
+    """SELECT o_orderstatus, count(*) AS orders_count,
+              count(DISTINCT o_custkey) AS customers_count
+       FROM orders GROUP BY o_orderstatus""",
+    ("orders",),
+    "R8: COUNT(DISTINCT).",
+)
+
+_shared(
+    "rel_topk",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+       ORDER BY c_acctbal DESC, c_custkey LIMIT 10""",
+    ("customer",),
+    "R9: top-k with deterministic tie-break.",
+)
+
+_shared(
+    "rel_join_dims",
+    """SELECT r_name, count(*) AS customers,
+              sum(CAST(c_acctbal AS DECIMAL(18,2))) AS acctbal_sum
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name""",
+    ("customer", "nation", "region"),
+    "Join through two small dims (broadcast-hash-joined by Catalyst/AQE).",
+)
+
+_shared(
+    "rel_join_fact",
+    """SELECT o_orderpriority,
+              sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+              count(*) AS line_count
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority""",
+    ("lineitem", "orders"),
+    "Fact-fact join on the shuffle key + exact decimal revenue.",
+)
+
+_shared(
+    "rel_join_3way",
+    """SELECT n_name,
+              count(DISTINCT o_orderkey) AS order_count,
+              sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name""",
+    ("lineitem", "orders", "customer", "nation"),
+    "lineitem⋈orders⋈customer⋈nation rollup (SURVEY §2.3 note).",
+)
+
+_shared(
+    "rel_window_rank",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) t
+       WHERE rn = 1""",
+    ("orders",),
+    "Window rank: each customer's largest order (deterministic tie-break).",
+)
+
+_shared(
+    "rel_window_running",
+    """SELECT event_id, user_id,
+              row_number() OVER w AS seq,
+              sum(CAST(value AS DECIMAL(18,2))) OVER w AS running_value
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    ("events",),
+    "Running decimal sum per user (exact prefix aggregation).",
+)
+
+_shared(
+    "rel_union",
+    """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       UNION
+       SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
+    ("customer", "orders"),
+    "Set op: UNION (distinct).",
+)
+
+_shared(
+    "rel_except",
+    """SELECT c_custkey AS custkey FROM customer
+       EXCEPT
+       SELECT o_custkey AS custkey FROM orders""",
+    ("customer", "orders"),
+    "Set op: EXCEPT — customers with no orders.",
+)
+
+_shared(
+    "rel_intersect",
+    """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+       INTERSECT
+       SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'""",
+    ("customer", "orders"),
+    "Set op: INTERSECT.",
+)
+
+_shared(
+    "rel_semi_join",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""",
+    ("customer", "orders"),
+    "Semi join (EXISTS; Spark plans a LeftSemi).",
+)
+
+_shared(
+    "rel_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    ("customer", "orders"),
+    "Anti join (NOT EXISTS; Spark plans a LeftAnti).",
+)
+
+_shared(
+    "rel_case_buckets",
+    """SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                   WHEN o_totalprice < 300000 THEN 'medium'
+                   ELSE 'large' END AS bucket,
+              count(*) AS n,
+              min(o_totalprice) AS min_price,
+              max(o_totalprice) AS max_price
+       FROM orders GROUP BY bucket""",
+    ("orders",),
+    "CASE bucketing + min/max (order-independent double aggs are safe).",
+)
+
+_shared(
+    "rel_having",
+    """SELECT o_custkey, count(*) AS order_count FROM orders
+       GROUP BY o_custkey HAVING count(*) >= 20""",
+    ("orders",),
+    "GROUP BY ... HAVING.",
+)
+
+_shared(
+    "rel_string_funcs",
+    """SELECT p_partkey,
+              concat_ws('|', p_brand, p_type) AS brand_type,
+              length(p_name) AS name_len,
+              upper(split_part(p_name, ' ', 2)) AS item_upper,
+              substr(p_name, 1, 4) AS name_prefix
+       FROM part""",
+    ("part",),
+    "R10 + scalar string functions (split_part 1-based, '' when missing).",
+)
+
+_shared(
+    "rel_scalar_subquery",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.8""",
+    ("orders",),
+    "Scalar subquery; avg feeds a per-row comparison (identical IEEE ops).",
+)
+
+
+def _events_hourly_sql(epoch_expr: str) -> str:
+    return f"""SELECT {epoch_expr} AS hour_start_s, event_type,
+              count(*) AS n,
+              sum(CAST(value AS DECIMAL(18,2))) AS value_sum
+       FROM events GROUP BY hour_start_s, event_type"""
+
+
+_shared(
+    "rel_time_hourly",
+    _events_hourly_sql("CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)"),
+    ("events",),
+)
+# Spark has no epoch(); override the spark side with the same bucketing.
+def _rel_time_hourly_spark(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        _events_hourly_sql("CAST(date_trunc('hour', ts) AS BIGINT)")
+    )
+
+
+_REGISTRY["rel_time_hourly"] = Query(
+    "rel_time_hourly",
+    _rel_time_hourly_spark,
+    _REGISTRY["rel_time_hourly"].oracle,
+    "Hourly rollup; BIGINT epoch-second buckets sidestep ns-vs-us timestamp "
+    "precision across engines.",
+)
+
+
+def _tumbling_oracle() -> str:
+    return """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start_s,
+              count(*) AS n,
+              sum(CAST(value AS DECIMAL(18,2))) AS value_sum
+       FROM events GROUP BY window_start_s"""
+
+
+@_q(
+    "rel_tumbling_window",
+    _tumbling_oracle(),
+    "Tumbling 10-minute window via Spark's window() function; oracle uses "
+    "epoch arithmetic (identical bucket boundaries).",
+)
+def rel_tumbling_window(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").cast("bigint").alias("window_start_s"),
+            "n",
+            "value_sum",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X: LLM-data-pipeline operators over documents / embeddings
+# ---------------------------------------------------------------------------
+
+_shared(
+    "x_dedup_exact",
+    """SELECT min(doc_id) AS keeper_doc_id, count(*) AS copies,
+              min(n_chars) AS n_chars
+       FROM documents GROUP BY text""",
+    ("documents",),
+    "X1 exact dedup: one keeper per distinct text (hash group-by).",
+)
+
+_shared(
+    "x_dedup_prefix_key",
+    """SELECT split_part(text, ' ', 1) AS k1, split_part(text, ' ', 2) AS k2,
+              min(doc_id) AS keeper_doc_id, count(*) AS member_count
+       FROM documents GROUP BY k1, k2""",
+    ("documents",),
+    "X1 keyed dedup: collapse documents sharing a leading-token key "
+    "(the groupBy(key).agg(first) pattern at scale).",
+)
+
+_shared(
+    "x_fingerprint_md5",
+    """SELECT doc_id, md5(text) AS fingerprint FROM documents""",
+    ("documents",),
+    "X4 document fingerprinting (content hash, both engines' md5).",
+)
+
+
+@_q(
+    "x_token_stats",
+    r"""SELECT doc_id,
+              len(regexp_extract_all(text, '\w+')) AS token_count,
+              len(list_distinct(regexp_extract_all(text, '\w+'))) AS distinct_tokens,
+              length(text) AS char_count
+       FROM documents""",
+    "X4 token counting (regex \\w+ tokens, distinct tokens, chars).",
+)
+def x_token_stats(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        r"""SELECT doc_id,
+              size(regexp_extract_all(text, '\\w+', 0)) AS token_count,
+              size(array_distinct(regexp_extract_all(text, '\\w+', 0))) AS distinct_tokens,
+              length(text) AS char_count
+       FROM documents"""
+    )
+
+
+@_q(
+    "x_quality_score",
+    r"""SELECT doc_id,
+              len(regexp_extract_all(text, '\w+')) AS token_count,
+              CAST(length(text) AS DOUBLE)
+                / len(regexp_extract_all(text, '\w+')) AS avg_token_span,
+              len(regexp_extract_all(text, '\b(the|a|of|to|and)\b'))
+                AS stopword_hits,
+              CAST(len(regexp_extract_all(text, '\b(the|a|of|to|and)\b')) AS DOUBLE)
+                / len(regexp_extract_all(text, '\w+')) AS stopword_ratio
+       FROM documents""",
+    "X4 quality scoring: token/char/stopword ratios (identical integer "
+    "inputs => identical IEEE divisions).",
+)
+def x_quality_score(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        r"""SELECT doc_id,
+              size(regexp_extract_all(text, '\\w+', 0)) AS token_count,
+              CAST(length(text) AS DOUBLE)
+                / size(regexp_extract_all(text, '\\w+', 0)) AS avg_token_span,
+              size(regexp_extract_all(text, '\\b(the|a|of|to|and)\\b', 0))
+                AS stopword_hits,
+              CAST(size(regexp_extract_all(text, '\\b(the|a|of|to|and)\\b', 0)) AS DOUBLE)
+                / size(regexp_extract_all(text, '\\w+', 0)) AS stopword_ratio
+       FROM documents"""
+    )
+
+
+# Deterministic signal-word language scorer: votes per language wordlist,
+# argmax with a fixed language-precedence tie-break.  (The synthetic corpus'
+# `lang` column is independent of the text, so this checks operator
+# semantics, not labeling accuracy.)
+_LANG_SIGNALS = {
+    "en": "the|a|of|to|and",
+    "es": "el|la|de|que|los",
+    "fr": "le|la|les|des|une",
+    "de": "der|die|das|und|ein",
+}
+
+
+def _langid_sql(counter: Callable[[str], str]) -> str:
+    votes = ",\n              ".join(
+        f"{counter(words)} AS v_{lang}" for lang, words in _LANG_SIGNALS.items()
+    )
+    return f"""SELECT doc_id,
+           CASE GREATEST(v_en, v_es, v_fr, v_de)
+                WHEN 0 THEN 'und'
+                WHEN v_en THEN 'en'
+                WHEN v_es THEN 'es'
+                WHEN v_fr THEN 'fr'
+                ELSE 'de' END AS predicted_lang
+    FROM (SELECT doc_id, {votes} FROM documents) t"""
+
+
+@_q(
+    "x_lang_id",
+    _langid_sql(lambda w: rf"len(regexp_extract_all(lower(text), '\b({w})\b'))"),
+    "X4 language-ID: signal-word vote with deterministic precedence "
+    "tie-break (CASE compares languages in a fixed order).",
+)
+def x_lang_id(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        _langid_sql(
+            lambda w: rf"size(regexp_extract_all(lower(text), '\\b({w})\\b', 0))"
+        )
+    )
+
+
+def _minhash_exprs(dialect_min_md5: Callable[[int], str], h: int = 4) -> str:
+    return ",\n              ".join(
+        f"{dialect_min_md5(j)} AS h{j}" for j in range(h)
+    )
+
+
+@_q(
+    "x_minhash_signature",
+    rf"""SELECT doc_id,
+              {_minhash_exprs(lambda j: f"min(md5(concat('{j}:', tok)))")}
+       FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS tok
+             FROM documents) t
+       GROUP BY doc_id""",
+    "X2 MinHash signatures (4 hash functions = min over md5('j:'||token)); "
+    "true MinHash over unigram shingles, exactly reproducible in SQL.",
+)
+def x_minhash_signature(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        rf"""SELECT doc_id,
+              {_minhash_exprs(lambda j: f"min(md5(concat('{j}:', tok)))")}
+       FROM (SELECT doc_id, explode(regexp_extract_all(text, '\\w+', 0)) AS tok
+             FROM documents) t
+       GROUP BY doc_id"""
+    )
+
+
+def _minhash_sig_subquery(spark_dialect: bool) -> str:
+    if spark_dialect:
+        inner = r"""SELECT doc_id, explode(regexp_extract_all(text, '\\w+', 0)) AS tok
+                FROM documents"""
+    else:
+        inner = r"""SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS tok
+                FROM documents"""
+    exprs = _minhash_exprs(lambda j: f"min(md5(concat('{j}:', tok)))")
+    return f"SELECT doc_id, {exprs} FROM ({inner}) toks GROUP BY doc_id"
+
+
+def _near_dup_clusters_sql(spark_dialect: bool) -> str:
+    sig = _minhash_sig_subquery(spark_dialect)
+    return f"""SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY h0, h1, h2, h3) AS cluster_id
+    FROM ({sig}) s"""
+
+
+@_q(
+    "x_near_dup_clusters",
+    _near_dup_clusters_sql(False),
+    "X2 near-dup clustering: docs agreeing on the full 4-hash MinHash "
+    "signature share a cluster (cluster id = min doc_id).  O(n) output "
+    "rows — the scale-correct shape, unlike pair enumeration.",
+)
+def x_near_dup_clusters(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_near_dup_clusters_sql(True))
+
+
+def _ngram_jaccard_sql(spark_dialect: bool, n_probe: int = 25) -> str:
+    """Exact token-set Jaccard for a bounded probe set of document pairs
+    (verifying MinHash estimates with set arithmetic)."""
+    if spark_dialect:
+        toks = (
+            r"SELECT doc_id, array_distinct(regexp_extract_all(text, '\\w+', 0))"
+            " AS toks FROM documents"
+        )
+        inter = "size(array_intersect(a.toks, b.toks))"
+        uni = "size(array_union(a.toks, b.toks))"
+    else:
+        toks = (
+            r"SELECT doc_id, list_distinct(regexp_extract_all(text, '\w+'))"
+            " AS toks FROM documents"
+        )
+        inter = "len(list_intersect(a.toks, b.toks))"
+        uni = "len(list_distinct(list_concat(a.toks, b.toks)))"
+    return f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({inter} AS DOUBLE) / {uni} AS jaccard
+    FROM ({toks}) a JOIN ({toks}) b
+      ON a.doc_id < b.doc_id
+    WHERE a.doc_id < {n_probe} AND b.doc_id < {n_probe}"""
+
+
+@_q(
+    "x_ngram_jaccard",
+    _ngram_jaccard_sql(False),
+    "X2 exact Jaccard similarity over distinct-token sets for a bounded "
+    "probe block (the verify stage after LSH candidate generation).",
+)
+def x_ngram_jaccard(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_ngram_jaccard_sql(True))
+
+
+def _embed_dot(spark_dialect: bool, a: str, b: str) -> str:
+    if spark_dialect:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) ->"
+            " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _topk_sql(spark_dialect: bool, k: int = 3, nq: int = 5) -> str:
+    dot = _embed_dot(spark_dialect, "q.embedding", "c.embedding")
+    qnorm = "sqrt(" + _embed_dot(spark_dialect, "q.embedding", "q.embedding") + ")"
+    cnorm = "sqrt(" + _embed_dot(spark_dialect, "c.embedding", "c.embedding") + ")"
+    return f"""SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {dot} / ({qnorm} * {cnorm}) DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {nq}) t
+    WHERE rank <= {k}"""
+
+
+@_q(
+    "x_knn_bruteforce",
+    _topk_sql(False),
+    "X3 similarity search: brute-force cosine top-3 neighbors for the first "
+    "5 query vectors (rank output; double accumulation in list order on "
+    "both engines).",
+)
+def x_knn_bruteforce(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_topk_sql(True))
+
+
+_shared(
+    "x_embed_label_stats",
+    """SELECT label, count(*) AS n,
+              min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+       FROM embeddings GROUP BY label""",
+    ("embeddings",),
+    "Embedding table profiling rollup.",
+)

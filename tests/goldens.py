@@ -1,165 +1,10 @@
-"""Golden vectors extracted from FIXTURES.md (authoritative + validated).
+"""Re-export of the package's golden vectors (kept in the package so the
+driver-facing workload can inline them into oracle SQL)."""
 
-AUTHORITATIVE block = reference sqllogictest test/sql/title_mapper.test:16-41.
-"""
-
-AUTHORITATIVE = {
-    'robotics engineer': 'Robotics Engineer - Engineers, All Other',
-    'digital strategist': 'Data Strategist - Data Scientists',
-    'poet': 'Poet - Writers and Authors',
-    'author': 'Author - Writers and Editors',
-    'biologist': 'Biologist - Biological Scientists, All Other',
-}
-
-CORPUS_104 = {
-    'software engineer': 'Software Engineer - Software Developers',
-    'product manager': 'Production Manager - First-Line Supervisors of Production and Operating Workers',
-    'data scientist': 'Data Scientist - Mathematical Science Occupations, All Other',
-    'ux designer': 'UX Analyst - Web and Digital Interface Designers',
-    'frontend developer': 'Frontend Developer - Web Developers',
-    'backend developer': 'Backend Developer - Web Developers',
-    'devops engineer': 'DevOps Engineer - Software Developers',
-    'marketing manager': 'Marketing Manager - Marketing and Sales Managers',
-    'hr specialist': 'HR Specialist - Human Resources Assistants, Except Payroll and Timekeeping',
-    'financial analyst': 'Financial Analyst - Financial Specialists, All Other',
-    'content creator': 'Content Creator - Media and Communication Workers',
-    'sales executive': 'Sales Executive - Other Sales and Related Workers',
-    'business analyst': 'Business Analyst - Computer and Information Analysts',
-    'it consultant': 'IT Consultant - Computer Support Specialists',
-    'project manager': 'Project Manager - Project Management Specialists',
-    'quality assurance engineer': 'Quality Assurance Specialist - Food Scientists and Technologists',
-    'graphic designer': 'Graphic Designer - Designers',
-    'customer relations manager': 'Customer Relations Manager - Personal Service Managers',
-    'supply chain analyst': 'Supply Chain Analyst - Logisticians',
-    'digital strategist': 'Data Strategist - Data Scientists',
-    'machine learning engineer': 'Machine Learning Engineer - Software Developers',
-    'cybersecurity analyst': 'Cybersecurity Analyst - Information Security Analysts',
-    'network administrator': 'Network Administrator - Network and Computer Systems Administrators',
-    'database administrator': 'Database Administrator - Computer Occupations, All Other',
-    'cloud architect': 'Cloud Network Architect - Computer Network Architects',
-    'game developer': 'Game Developer - Software Developers',
-    'mobile app developer': 'Mobile App Developer - Software Developers',
-    'technical writer': 'Technical Writer - Miscellaneous Media and Communication Workers',
-    'seo specialist': 'SEO Specialist - Marketing Managers',
-    'social media manager': 'Social Media Manager - Miscellaneous Media and Communication Workers',
-    'event planner': 'Social Event Planner - Meeting, Convention, and Event Planners',
-    'legal advisor': 'Legal Advisor - Legal Occupations',
-    'operations manager': 'Operations Manager - First-Line Supervisors of Production and Operating Workers',
-    'research scientist': 'Research Scientist - Chemists',
-    'biomedical engineer': 'Biomedical Engineer - Bioengineers and Biomedical Engineers',
-    'environmental consultant': 'Environmental Consultant - Geographers',
-    'urban planner': 'Urban Planner - Geographers',
-    'civil engineer': 'Civil Engineer - Engineers',
-    'mechanical engineer': 'Mechanical Engineer - Engineers',
-    'electrical engineer': 'Electrical Engineer - Electricians',
-    'chemical engineer': 'Chemical Engineer - Chemists and Materials Scientists',
-    'aerospace engineer': 'Aerospace Engineer - Architecture and Engineering Occupations',
-    'architect': 'Architect - Architects, Except Landscape and Naval',
-    'interior designer': 'Interior Designer - Designers',
-    'fashion designer': 'Fashion Designer - Tailors, Dressmakers, and Custom Sewers',
-    'photographer': 'Photographer - Media and Communication Workers',
-    'videographer': 'Videographer - Television, Video, and Film Camera Operators and Editors',
-    'film director': 'Film Director - Producers and Directors',
-    'actor': 'Actor - Actors, Producers, and Directors',
-    'musician': 'Musician - Musicians and Singers',
-    'sound engineer': 'Sound Engineer - Sound Engineering Technicians',
-    'teacher': 'Teacher - Educational Instruction and Library Occupations',
-    'professor': 'Professor - Educational Instruction and Library Occupations',
-    'school counselor': 'School Counselor - Educational, Guidance, and Career Counselors and Advisors',
-    'librarian': 'Librarian - Librarians and Media Collections Specialists',
-    'nurse': 'Nursing Technician - Nursing Assistants, Orderlies, and Psychiatric Aides',
-    'doctor': 'Doctor - Physicians',
-    'pharmacist': 'Pharmacist - Pharmacists',
-    'veterinarian': 'Veterinarian - Veterinarians',
-    'physical therapist': 'Physical Therapist - Healthcare Diagnosing or Treating Practitioners',
-    'dietitian': 'Dietitian - Healthcare Diagnosing or Treating Practitioners',
-    'personal trainer': 'Personal Trainer - Exercise Trainers and Group Fitness Instructors',
-    'chef': 'Chef - Cooks, Restaurant',
-    'baker': 'Baker - Food Processing Workers',
-    'restaurant manager': 'Restaurant Manager - Food Preparation and Serving Related Occupations',
-    'hotel manager': 'Hotel Manager - Lodging Managers',
-    'tour guide': 'Tour Guide - Tour and Travel Guides',
-    'flight attendant': 'Flight Attendant - Air Transportation Workers',
-    'pilot': 'Pilot - Air Transportation Workers',
-    'ship captain': 'Ship Captain - Captains, Mates, and Pilots of Water Vessels',
-    'logistics coordinator': 'Logistics Coordinator - First-Line Supervisors of Transportation and Material Moving Workers',
-    'warehouse manager': 'Warehouse Manager - Transportation, Storage, and Distribution Managers',
-    'construction manager': 'Construction Manager - First-Line Supervisors of Construction Trades and Extraction Workers',
-    'real estate agent': 'Real Estate Agent - Real Estate Sales Agents',
-    'property manager': 'Property Manager - Real Estate Brokers',
-    'insurance agent': 'Insurance Agent - Insurance Sales Agents',
-    'investment banker': 'Investment Banker - Securities, Commodities, and Financial Services Sales Agents',
-    'stock trader': 'Trader - Securities, Commodities, and Financial Services Sales Agents',
-    'economist': 'Economist - Social Scientists and Related Workers',
-    'political analyst': 'Political Analyst - Political Scientists',
-    'journalist': 'Journalist - Writers and Editors',
-    'editor': 'Editor - Television, Video, and Film Camera Operators and Editors',
-    'translator': 'Translational Scientist - Medical Scientists, Except Epidemiologists',
-    'interpreter': 'Interpreter - Interpreters and Translators',
-    'software tester': 'Software Tester - Software Quality Assurance Analysts and Testers',
-    'robotics engineer': 'Robotics Engineer - Engineers, All Other',
-    'ai researcher': 'AI Researcher - Computer and Information Research Scientists',
-    'blockchain developer': 'Blockchain Consultant - Computer Occupations, All Other',
-    'quantitative analyst': 'Quantitative Analyst - Economists',
-    'statistician': 'Statistician - Mathematicians',
-    'actuary': 'Actuary - Mathematicians',
-    'biologist': 'Biologist - Biological Scientists, All Other',
-    'chemist': 'Chemist - Physical Scientists',
-    'physicist': 'Physicist - Astronomers and Physicists',
-    'astronomer': 'Astronomer - Astronomers',
-    'geologist': 'Geologist - Geoscientists, Except Hydrologists and Geographers',
-    'historian': 'Educational Historian - History Teachers, Postsecondary',
-    'archaeologist': 'Archaeologist - Historians',
-    'anthropologist': 'Anthropologist - Anthropologists and Archeologists',
-    'psychologist': 'Psychologist - Social Scientists and Related Workers',
-    'sociologist': 'Sociologist - Social Scientists and Related Workers',
-    'philosopher': 'General Worker - All Occupations',
-    'theologian': 'Theologian - Clergy',
-    'author': 'Author - Writers and Editors',
-    'poet': 'Poet - Writers and Authors',
-}
-
-MESSY_PROBES = {
-    'Sr. Software Eng': 'Software Engineer - Software Developers',
-    'Registered Nurse - ICU': 'ICU Nurse - Registered Nurses',
-    'Accountant III': 'Accountant - Accountants and Auditors',
-    'Sales Rep (B2B)': 'B2B Sales Specialist - Sales and Related Occupations',
-    'Elementary School Teacher - 3rd Grade': 'Elementary School Teacher - Elementary and Middle School Teachers',
-    'Exec. Chef': 'Chef - Cooks, Restaurant',
-    'Marketing Coordinator/Specialist': 'Marketing Coordinator - Market Research Analysts and Marketing Specialists',
-    'Licensed Practical Nurse (LPN)': 'Licensed Practical Nurse - Licensed Practical and Licensed Vocational Nurses',
-    'RN - Emergency Room': 'RN - Registered Nurses',
-    'Teacher - High School Math': 'High School Teacher - Secondary School Teachers, Except Special and Career/Technical Education',
-    'Senior Software Engineer': 'Software Engineer - Software Developers',
-    'Sales Manager': 'Sales Manager - Other Sales and Related Workers',
-    'Software Developer III': 'Software Developer - Software and Web Developers, Programmers, and Testers',
-    'Nursing Supervisor': 'Nursing Technician - Nursing Assistants, Orderlies, and Psychiatric Aides',
-    'Senior Accountant CPA': 'Certified Public Accountant (CPA) - Accountants and Auditors',
-}
-
-EDGE_CASES = {
-    '': "General Worker - All Occupations",
-    '12345': "General Worker - All Occupations",
-    'zzzzqqqq': "General Worker - All Occupations",
-}
-
-STEM_VECTORS = {
-    'robotics': 'robot',
-    'engineer': 'engin',
-    'strategist': 'strategist',
-    'digital': 'digit',
-    'nursing': 'nurs',
-    'registered': 'regist',
-    'communities': 'communiti',
-    'controllable': 'control',
-    'flying': 'fli',
-    'dying': 'die',
-    'skies': 'sky',
-    'ties': 'tie',
-    'cries': 'cri',
-    'news': 'news',
-    'generate': 'generat',
-    'generically': 'generic',
-    'consolingly': 'consol',
-    'knees': 'knee',
-}
+from duckdb_title_mapper_spark.reference_goldens import (  # noqa: F401
+    AUTHORITATIVE,
+    CORPUS_104,
+    EDGE_CASES,
+    MESSY_PROBES,
+    STEM_VECTORS,
+)
