@@ -32,7 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
     engine.register(spark)
     sf_dir = "/root/testdata/sf0.001"
 
-    titles = spark.createDataFrame([(t,) for t in CORPUS_104], "title STRING")
+    from duckdb_title_mapper_spark.workload import _corpus_df
+
+    titles = _corpus_df(spark, CORPUS_104)
     categories = (
         titles.select(
             F.expr("standardize_title(title)").alias("standardized")

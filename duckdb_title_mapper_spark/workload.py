@@ -113,7 +113,16 @@ def _golden_values(mapping: dict[str, str]) -> str:
     return f"(VALUES\n      {rows}) AS g(title, standardized)"
 
 def _corpus_df(spark, mapping: dict[str, str]):
-    return spark.createDataFrame([(t,) for t in mapping], "title STRING")
+    """Literal title corpus as a pure-JVM ``VALUES`` LocalRelation.
+
+    NOT ``spark.createDataFrame(list)``: that builds a Python-RDD-backed
+    plan whose rows are re-deserialized through a non-Arrow Python worker
+    chain on *every* action (~4 s/action measured on local[32]); the
+    LocalTableScan stays JVM-side (~0.6 s/action).  Titles are known to be
+    backslash-free (asserted in tests), so Spark's escape processing of
+    string literals cannot diverge from the raw text."""
+    vals = ",".join(f"({_sql_quote(t)})" for t in mapping)
+    return spark.sql(f"SELECT title FROM (VALUES {vals}) AS t(title)")
 
 
 _ALL_GOLDENS = {**CORPUS_104, **MESSY_PROBES, **EDGE_CASES}
