@@ -1,0 +1,177 @@
+r"""Deduplication operators for large-scale training-data pipelines.
+
+Extends the reference's only dedup behavior — the batch-level collapse of
+identical input strings in its result map (reference ``src/utils.rs:139``,
+``src/lib.rs:62-64``) — to the full dedup toolbox a 100 TB corpus needs:
+
+* **exact dedup** — hash group-by on content (X1);
+* **MinHash** signatures + banded LSH clustering (in ``workload.py``);
+* **SimHash** — a single 32-bit locality-sensitive fingerprint per document
+  (Charikar 2002): tokens vote ±1 on each bit of their 32-bit hash, the
+  sign of each bit-sum becomes the signature bit.  Near-duplicate docs have
+  low Hamming distance; grouping by the full signature is the O(n)
+  scale-correct clustering shape (no pair enumeration).
+* **rolling-hash fingerprint** — an order-sensitive polynomial hash over
+  the token-hash sequence (h = (h*31 + tok) mod 1e9+7), the classic
+  content-defined fingerprint: unlike MinHash/SimHash it distinguishes
+  permutations of the same token multiset.
+
+Every operator is expressed twice from ONE Python generator: a Spark-SQL
+text and a DuckDB-SQL text with identical integer arithmetic, so the
+driver's oracle check proves exact equality (all ops are integer-exact —
+no float divergence is possible).
+
+Token hash: the first 8 hex chars of md5(token) parsed as a 32-bit
+integer.  md5 is bit-identical everywhere; hex→int parse is
+``conv(...,16,10)`` in Spark and a ``'0x'||…`` cast in DuckDB.  Bit k of
+``h`` is extracted as ``(h div 2^k) % 2`` — integer div/mod only, exact in
+both dialects.
+
+At 100 TB: all three fingerprints are embarrassingly parallel map-side
+expressions (no shuffle until the final group-by on the signature, which
+is a plain hash aggregation with map-side partial aggregation); the
+explode only widens within a partition and Catalyst keeps the whole
+pipeline in whole-stage codegen (built-in functions, no Python).
+"""
+
+from __future__ import annotations
+
+MOD = 1_000_000_007  # fold modulus: acc*31+v < 3.3e10 << 2^63, overflow-free
+BASE = 31
+
+
+def token_hash_expr(spark_dialect: bool, tok: str = "tok") -> str:
+    """32-bit integer hash of a token via md5 prefix — identical bits in
+    both engines."""
+    if spark_dialect:
+        return f"CAST(conv(substr(md5({tok}), 1, 8), 16, 10) AS BIGINT)"
+    return f"('0x' || substr(md5({tok}), 1, 8))::BIGINT"
+
+
+def _tokens_subquery(spark_dialect: bool, table: str = "documents") -> str:
+    """(doc_id, tok) — one row per \\w+ token occurrence."""
+    if spark_dialect:
+        return (
+            r"SELECT doc_id, explode(regexp_extract_all(text, '\\w+', 0)) AS tok "
+            f"FROM {table}"
+        )
+    return (
+        r"SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS tok "
+        f"FROM {table}"
+    )
+
+
+def simhash_sql(spark_dialect: bool, bits: int = 32, table: str = "documents") -> str:
+    """SimHash signature per doc_id.
+
+    Per token the 32-bit hash votes +1/-1 on each signature bit; bit k of
+    the signature is set iff the bit-k vote sum is strictly positive
+    (ties → 0, a fixed deterministic convention).
+    """
+    h = token_hash_expr(spark_dialect)
+    div = "div" if spark_dialect else "//"
+    votes = ",\n              ".join(
+        f"sum(CASE WHEN (h {div} {1 << k}) % 2 = 1 THEN 1 ELSE -1 END) AS v{k}"
+        for k in range(bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN v{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(bits)
+    )
+    toks = _tokens_subquery(spark_dialect, table)
+    return f"""SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash
+    FROM (SELECT doc_id, {votes}
+          FROM (SELECT doc_id, {h} AS h FROM ({toks}) toks) hashed
+          GROUP BY doc_id) bitvotes"""
+
+
+def simhash_band_expr(spark_dialect: bool, col: str, band_bits: int, band: int) -> str:
+    """``band``-th ``band_bits``-wide slice of a simhash — the LSH bucket
+    key (docs agreeing on any band are near-dup candidates)."""
+    div = "div" if spark_dialect else "//"
+    return f"(({col} {div} {1 << (band * band_bits)}) % {1 << band_bits})"
+
+
+def simhash_clusters_sql(spark_dialect: bool, bits: int = 32) -> str:
+    """O(n)-output near-dup clustering: cluster id = min doc_id over docs
+    sharing the *full* simhash (the degenerate single-band case; banded
+    variants relax it)."""
+    sig = simhash_sql(spark_dialect, bits)
+    return f"""SELECT doc_id, simhash,
+           min(doc_id) OVER (PARTITION BY simhash) AS cluster_id
+    FROM ({sig}) s"""
+
+
+def rolling_fingerprint_sql(spark_dialect: bool, table: str = "documents") -> str:
+    """Order-sensitive polynomial fingerprint of the token sequence:
+    ``h_i = (h_{i-1} * 31 + tokhash_i) mod 1e9+7``, ``h_{-1} = 0``.
+
+    Spark folds with ``aggregate`` (explicit zero init); DuckDB's
+    ``list_reduce`` takes its init from the first element, so the zero is
+    ``list_prepend``-ed — both folds then perform the identical integer
+    op sequence in token order.
+    """
+    if spark_dialect:
+        tokval = token_hash_expr(True, "t")
+        return f"""SELECT doc_id,
+           aggregate(
+             transform(regexp_extract_all(text, '\\\\w+', 0), t -> {tokval}),
+             CAST(0 AS BIGINT),
+             (acc, v) -> (acc * {BASE} + v) % {MOD}) AS fingerprint
+    FROM {table}"""
+    tokval = token_hash_expr(False, "t")
+    return f"""SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(regexp_extract_all(text, '\\w+'), t -> {tokval})),
+             (acc, v) -> (acc * {BASE} + v) % {MOD}) AS fingerprint
+    FROM {table}"""
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-native wrappers (library surface; same generated expressions, so
+# they are semantics-identical to the oracle-checked SQL)
+# ---------------------------------------------------------------------------
+
+def with_simhash(df, text_col: str, id_col: str = "doc_id",
+                 out_col: str = "simhash", bits: int = 32):
+    """Append a SimHash signature column to ``df`` (joined back on
+    ``id_col``; ``df`` needs a unique id column)."""
+    from pyspark.sql import functions as F
+
+    view = "__simhash_in"
+    df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).createOrReplaceTempView(view)
+    sig = (
+        df.sparkSession.sql(simhash_sql(True, bits, table=view))
+        .withColumnRenamed("simhash", out_col)
+        .withColumnRenamed("doc_id", id_col)
+    )
+    return df.join(sig, id_col)
+
+
+def with_rolling_fingerprint(df, text_col: str, out_col: str = "fingerprint"):
+    """Append the order-sensitive rolling-hash fingerprint column."""
+    from pyspark.sql import functions as F
+
+    tokval = token_hash_expr(True, "t")
+    expr = (
+        f"aggregate(transform(regexp_extract_all({text_col}, '\\\\w+', 0),"
+        f" t -> {tokval}), CAST(0 AS BIGINT),"
+        f" (acc, v) -> (acc * {BASE} + v) % {MOD})"
+    )
+    return df.withColumn(out_col, F.expr(expr))
+
+
+def exact_dedup(df, *key_cols: str):
+    """X1 exact dedup: first row per content key (groupBy-min keeper —
+    deterministic, unlike dropDuplicates' arbitrary winner)."""
+    from pyspark.sql import Window, functions as F
+
+    order = [c for c in df.columns if c not in key_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

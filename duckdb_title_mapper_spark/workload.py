@@ -708,6 +708,36 @@ def x_near_dup_clusters(spark, sf_dir):
     return spark.sql(_near_dup_clusters_sql(True))
 
 
+from .operators.dedup import (  # noqa: E402
+    rolling_fingerprint_sql,
+    simhash_clusters_sql,
+)
+
+
+@_q(
+    "x_simhash_clusters",
+    simhash_clusters_sql(False),
+    "X2 SimHash (Charikar): 32-bit ±1-vote signature per document plus "
+    "O(n) near-dup clustering on the full signature; integer-exact in "
+    "both engines (md5-derived token hashes, div/mod bit extraction).",
+)
+def x_simhash_clusters(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(simhash_clusters_sql(True))
+
+
+@_q(
+    "x_fingerprint_rolling",
+    rolling_fingerprint_sql(False),
+    "X4 order-sensitive rolling-hash fingerprint: polynomial fold "
+    "h=(h*31+tok) mod 1e9+7 over the token-hash sequence (aggregate / "
+    "list_reduce with aligned zero-init).",
+)
+def x_fingerprint_rolling(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(rolling_fingerprint_sql(True))
+
+
 def _ngram_jaccard_sql(spark_dialect: bool, n_probe: int = 25) -> str:
     """Exact token-set Jaccard for a bounded probe set of document pairs
     (verifying MinHash estimates with set arithmetic)."""
