@@ -1,0 +1,169 @@
+r"""Similarity-search operators over embedding columns (``array<float>``).
+
+The reference's matcher is exactly this shape — cosine argmax of a query
+vector against a corpus (reference ``src/utils.rs:52-60`` cosine,
+``src/utils.rs:169-191`` argmax) — with a 17k-doc corpus small enough to
+broadcast.  These operators generalize it to corpora that do NOT fit on
+one node:
+
+* **brute-force cosine top-k** (`x_knn_bruteforce` in workload.py) — the
+  exact baseline; O(Q × N) dot products.
+* **embedding-cosine near-dup pairs** — all pairs above a cosine
+  threshold, *blocked* (here by the ``label`` column; at 100 TB by any
+  coarse partitioner: LSH bucket, shard key, cluster id) so the
+  quadratic blow-up is bounded per block and the join shuffles on the
+  block key instead of exploding row-pairs globally.
+* **LSH-bucketed ANN top-k** — the scale path: sign-random-projection
+  LSH (Charikar hyperplane hashing).  Each vector's bucket is the sign
+  pattern of its dot products with ``num_planes`` fixed hyperplanes;
+  candidates are same-bucket only, then exact cosine ranks them.  The
+  bucket join is an equi-join Catalyst shuffles on the (small-int) bucket
+  key — no crossJoin anywhere, and the candidate set shrinks ~2^planes.
+
+Hyperplanes must be identical in Spark, DuckDB, and Python with no RNG:
+component ``i`` of plane ``p`` is ±1 by the first hex digit of
+``md5("plane{p}:{i}")`` (< '8' → +1).  They are materialized as literal
+DOUBLE arrays into both SQL dialects by the same generator, so the
+driver's oracle comparison is bit-for-bit (both engines sum in index
+order with double accumulation — the pattern already proven exact by
+``x_knn_bruteforce``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+DIM = 64  # embeddings.embedding width in the driver testdata
+NUM_PLANES = 4  # 16 buckets
+
+
+def embed_dot(spark_dialect: bool, a: str, b: str) -> str:
+    """Dot product of two array columns, summed in index order (identical
+    IEEE op sequence in both engines)."""
+    if spark_dialect:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) ->"
+            " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def cosine_expr(spark_dialect: bool, a: str, b: str) -> str:
+    dot = embed_dot(spark_dialect, a, b)
+    na = "sqrt(" + embed_dot(spark_dialect, a, a) + ")"
+    nb = "sqrt(" + embed_dot(spark_dialect, b, b) + ")"
+    return f"{dot} / ({na} * {nb})"
+
+
+def hyperplane(p: int, dim: int = DIM) -> list[float]:
+    """Deterministic ±1 hyperplane: md5-derived, no RNG, reproducible in
+    any engine."""
+    return [
+        1.0
+        if hashlib.md5(f"plane{p}:{i}".encode()).hexdigest()[0] < "8"
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+def _plane_literal(spark_dialect: bool, plane: list[float]) -> str:
+    vals = ", ".join(f"{v:.1f}" for v in plane)
+    if spark_dialect:
+        return f"array({vals})"
+    return f"([{vals}]::DOUBLE[])"  # parens so `lit[i]` subscripting parses
+
+
+def lsh_bucket_expr(spark_dialect: bool, col: str,
+                    num_planes: int = NUM_PLANES, dim: int = DIM) -> str:
+    """Bucket id = sign bits of the vector's projections onto the fixed
+    hyperplanes (bit p set iff dot(v, plane_p) > 0)."""
+    bits = []
+    for p in range(num_planes):
+        lit = _plane_literal(spark_dialect, hyperplane(p, dim))
+        proj = embed_dot(spark_dialect, col, lit)
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_buckets_sql(spark_dialect: bool, num_planes: int = NUM_PLANES) -> str:
+    bucket = lsh_bucket_expr(spark_dialect, "embedding", num_planes)
+    return f"SELECT vec_id, label, {bucket} AS bucket FROM embeddings"
+
+
+def ann_lsh_topk_sql(spark_dialect: bool, k: int = 3, nq: int = 10,
+                     num_planes: int = NUM_PLANES) -> str:
+    """Approximate top-k: rank same-bucket candidates by exact cosine.
+
+    Same output shape as the brute-force baseline (query_id, neighbor_id,
+    rank) so recall can be measured by joining the two.
+    """
+    buckets = lsh_buckets_sql(spark_dialect, num_planes)
+    cos = cosine_expr(spark_dialect, "q.embedding", "c.embedding")
+    return f"""SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {cos} DESC, c.vec_id) AS rank
+        FROM (SELECT e.vec_id, e.embedding, b.bucket
+              FROM embeddings e JOIN ({buckets}) b ON e.vec_id = b.vec_id
+              WHERE e.vec_id < {nq}) q
+        JOIN (SELECT e.vec_id, e.embedding, b.bucket
+              FROM embeddings e JOIN ({buckets}) b ON e.vec_id = b.vec_id) c
+          ON c.bucket = q.bucket AND c.vec_id <> q.vec_id) ranked
+    WHERE rank <= {k}"""
+
+
+def near_dup_pairs_sql(spark_dialect: bool, threshold: float = 0.35,
+                       block_col: str = "label") -> str:
+    """All vector pairs above a cosine threshold, blocked by ``block_col``
+    to bound the quadratic pair space (the scale-out contract: pairs are
+    only enumerated within a block)."""
+    cos = cosine_expr(spark_dialect, "a.embedding", "b.embedding")
+    return f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.{block_col} AS {block_col}, {cos} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.{block_col} = b.{block_col} AND a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-native library surface
+# ---------------------------------------------------------------------------
+
+def with_lsh_bucket(df, vec_col: str = "embedding", out_col: str = "bucket",
+                    num_planes: int = NUM_PLANES, dim: int = DIM):
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        out_col, F.expr(lsh_bucket_expr(True, vec_col, num_planes, dim))
+    )
+
+
+def cosine_topk(queries_df, corpus_df, k: int,
+                vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Exact brute-force cosine top-k of every query against the corpus.
+    Broadcast the smaller side when it fits (the reference's broadcast-KB
+    shape); for corpus >> memory use `with_lsh_bucket` + an equi-join on
+    the bucket instead."""
+    from pyspark.sql import Window, functions as F
+
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus_df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    cos = cosine_expr(True, "__qv", "__cv")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.expr(cos))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

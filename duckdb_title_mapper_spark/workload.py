@@ -811,6 +811,35 @@ def x_knn_bruteforce(spark, sf_dir):
     return spark.sql(_topk_sql(True))
 
 
+from .operators.similarity import (  # noqa: E402
+    ann_lsh_topk_sql,
+    near_dup_pairs_sql,
+)
+
+
+@_q(
+    "x_ann_lsh_topk",
+    ann_lsh_topk_sql(False),
+    "X3 approximate nearest neighbors: sign-random-projection LSH buckets "
+    "(md5-derived ±1 hyperplanes as literals in both dialects), exact "
+    "cosine rank within bucket — the equi-join scale path vs brute force.",
+)
+def x_ann_lsh_topk(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(ann_lsh_topk_sql(True))
+
+
+@_q(
+    "x_embed_near_dup",
+    near_dup_pairs_sql(False),
+    "X2/X3 embedding-cosine near-dup pairs above threshold, blocked by "
+    "label so the pair space stays bounded per block.",
+)
+def x_embed_near_dup(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(near_dup_pairs_sql(True))
+
+
 _shared(
     "x_embed_label_stats",
     """SELECT label, count(*) AS n,

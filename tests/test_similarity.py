@@ -1,0 +1,54 @@
+"""Similarity operator semantics: LSH bucketing invariants and exact
+brute-force top-k ordering."""
+
+from pyspark.sql import functions as F
+
+from duckdb_title_mapper_spark.operators.similarity import (
+    NUM_PLANES,
+    cosine_topk,
+    hyperplane,
+    with_lsh_bucket,
+)
+
+
+def _vecs(spark):
+    # unit-ish vectors with known geometry in dim 64
+    rows = []
+    base = [0.0] * 64
+    a = list(base); a[0] = 1.0
+    a2 = list(base); a2[0] = 0.9; a2[1] = 0.1   # close to a
+    b = list(base); b[1] = 1.0                   # orthogonal to a
+    c = [-v for v in a]                          # opposite of a
+    for i, v in enumerate((a, a2, b, c)):
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+
+def test_hyperplane_deterministic():
+    assert hyperplane(0) == hyperplane(0)
+    assert hyperplane(0) != hyperplane(1)
+    assert set(hyperplane(2)) <= {1.0, -1.0}
+    assert len(hyperplane(3, 64)) == 64
+
+
+def test_lsh_bucket_range_and_locality(spark):
+    out = {r["vec_id"]: r["bucket"] for r in with_lsh_bucket(_vecs(spark)).collect()}
+    assert all(0 <= v < (1 << NUM_PLANES) for v in out.values())
+    # scaling a vector never changes its bucket (sign-projection invariant)
+    scaled = _vecs(spark).withColumn(
+        "embedding", F.expr("transform(embedding, x -> x * 7.5)")
+    )
+    out_scaled = {r["vec_id"]: r["bucket"] for r in with_lsh_bucket(scaled).collect()}
+    assert out == out_scaled
+
+
+def test_cosine_topk_exact_ordering(spark):
+    df = _vecs(spark)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(df, df, k=3).collect()
+    }
+    # for query 0 (=a): nearest is a2 (cos~.99), then b (0), then c (-1)
+    assert got[(0, 1)] == 1
+    assert got[(0, 2)] == 2
+    assert got[(0, 3)] == 3
