@@ -811,6 +811,78 @@ def x_knn_bruteforce(spark, sf_dir):
     return spark.sql(_topk_sql(True))
 
 
+_MEDIA_TYPE_CASE = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END"
+)
+
+
+@_q(
+    "x_multimodal_meta",
+    f"""SELECT media_type, format, count(*) AS n_media,
+           sum(n_bytes) AS total_bytes, min(width) AS min_width,
+           max(height) AS max_height
+    FROM (SELECT {_MEDIA_TYPE_CASE} AS media_type,
+                 CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                      ELSE 'mp4' END AS format,
+                 (strlen(text) * 7) % 640 + 16 AS width,
+                 (strlen(text) * 13) % 480 + 16 AS height,
+                 strlen(text) AS n_bytes
+          FROM documents) m
+    GROUP BY media_type, format""",
+    "Multimodal metadata rollup: binary payload -> mapInPandas decode "
+    "(deterministic fake parser; real codec branch is a marked stub) -> "
+    "typed-metadata aggregation.  Oracle recomputes the fake-parse "
+    "arithmetic closed-form from the source text bytes.",
+)
+def x_multimodal_meta(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import decode_media, media_table
+
+    return (
+        decode_media(media_table(spark, sf_dir))
+        .groupBy("media_type", "format")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("width").alias("min_width"),
+            F.max("height").alias("max_height"),
+        )
+    )
+
+
+@_q(
+    "x_media_frame_stats",
+    f"""SELECT media_type, sum(n_frames) AS total_frames,
+           max(n_frames) AS max_frames
+    FROM (SELECT {_MEDIA_TYPE_CASE} AS media_type,
+                 GREATEST((strlen(text) + 255) // 256, 1) AS n_frames
+          FROM documents) m
+    GROUP BY media_type""",
+    "Frame sampling: payload -> per-256-byte-slice rows via mapInPandas "
+    "(map-side explode, no shuffle), counted per media type.  Oracle is "
+    "the closed-form frame count.",
+)
+def x_media_frame_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import media_table, sample_frames
+
+    media = media_table(spark, sf_dir)
+    frames = sample_frames(media).groupBy("media_id").agg(
+        F.count("*").alias("n_frames")
+    )
+    return (
+        media.join(frames, "media_id")
+        .groupBy("media_type")
+        .agg(
+            F.sum("n_frames").alias("total_frames"),
+            F.max("n_frames").alias("max_frames"),
+        )
+    )
+
+
 from .operators.similarity import (  # noqa: E402
     ann_lsh_topk_sql,
     near_dup_pairs_sql,
