@@ -1,0 +1,16 @@
+"""Structured Streaming surface.
+
+The reference has no streaming (its whole surface is one scalar function,
+SURVEY.md §2.3 note) — this package supplies the streaming capabilities
+the task checklist mandates, Spark-first: file-source ``readStream`` over
+the events table, watermarked tumbling/session windows, and a custom
+stateful sessionizer on ``applyInPandasWithState``.
+"""
+
+from .windows import (  # noqa: F401
+    run_to_memory,
+    session_window_counts,
+    stream_events,
+    tumbling_counts,
+)
+from .stateful import sessionize  # noqa: F401

@@ -1,0 +1,111 @@
+"""Windowed streaming aggregations over the events stream.
+
+``stream_events`` reads the events parquet as a file-source stream (the
+schema is declared explicitly — required for streaming sources — with
+``ts`` read as raw nanos and rebuilt to a microsecond timestamp, same as
+the batch loader in ``workload.load_events``).  Watermarks bound state:
+at 100 TB/day the window state store only retains windows newer than
+watermark, so state is O(active windows), not O(stream).
+
+``run_to_memory`` drives a finite run with ``trigger(availableNow)`` and
+returns the sink table as a normal batch DataFrame — which is what lets
+the driver's DuckDB oracle hash-check a *streaming* computation.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+_RUN_IDS = itertools.count()
+
+EVENTS_RAW_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _stage_stream_dir(sf_dir: str) -> str:
+    """Spark's file stream source requires a *directory*; the testdata is
+    one read-only parquet file.  Stage a per-sf directory of symlinks
+    under /tmp (no data copied)."""
+    import hashlib
+    import os
+
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    d = f"/tmp/duckdb_title_mapper_spark_stream/{tag}"
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def stream_events(spark, sf_dir: str):
+    """events.parquet as a streaming source (ts: nanos -> µs timestamp)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(_stage_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(spark, sf_dir: str, window: str = "1 hour",
+                    watermark: str = "2 hours"):
+    """Watermarked tumbling-window counts per event_type (bucket emitted
+    as epoch seconds so the oracle comparison is integer-exact)."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("window.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_counts(spark, sf_dir: str, gap: str = "30 minutes",
+                          watermark: str = "2 hours"):
+    """Built-in session windows per user (start/end as epoch µs;
+    end = last event + gap, Spark's native session semantics)."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start"),
+            F.unix_micros("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(streaming_df, mode: str = "complete"):
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the results as a batch DataFrame."""
+    name = f"__stream_sink_{next(_RUN_IDS)}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return streaming_df.sparkSession.table(name)

@@ -811,6 +811,86 @@ def x_knn_bruteforce(spark, sf_dir):
     return spark.sql(_topk_sql(True))
 
 
+# ---------------------------------------------------------------------------
+# Structured Streaming surface (finite availableNow runs into memory sinks,
+# so a streaming computation gets a batch-SQL oracle)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_SESSION_ISLANDS_CTE = f"""WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    marks AS (
+      SELECT user_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w >= {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+    sess AS (
+      SELECT user_id, ts_us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks)"""
+
+
+@_q(
+    "stream_tumbling_counts",
+    """SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+           event_type, count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,6))) AS total_value
+    FROM events GROUP BY bucket_start, event_type""",
+    "Structured Streaming: watermarked 1-hour tumbling windows per "
+    "event_type over the events file stream, run to completion with "
+    "availableNow into a memory sink; oracle is the equivalent batch "
+    "bucketing.",
+)
+def stream_tumbling_counts(spark, sf_dir):
+    from .streaming import run_to_memory, tumbling_counts
+
+    return run_to_memory(tumbling_counts(spark, sf_dir))
+
+
+@_q(
+    "stream_session_windows",
+    _SESSION_ISLANDS_CTE
+    + f"""
+    SELECT user_id, min(ts_us) AS session_start,
+           max(ts_us) + {_SESSION_GAP_US} AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid""",
+    "Structured Streaming: built-in session_window (30 min gap) per user; "
+    "oracle is batch gaps-and-islands (new session iff gap >= 30 min, "
+    "end = last event + gap).",
+)
+def stream_session_windows(spark, sf_dir):
+    from .streaming import run_to_memory, session_window_counts
+
+    return run_to_memory(session_window_counts(spark, sf_dir))
+
+
+@_q(
+    "stream_sessionize_stateful",
+    _SESSION_ISLANDS_CTE
+    + """,
+    agg AS (
+      SELECT user_id, sid, min(ts_us) AS session_start,
+             max(ts_us) AS session_end, count(*) AS n_events
+      FROM sess GROUP BY user_id, sid)
+    SELECT user_id, session_start, session_end, n_events
+    FROM (SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM agg) t
+    WHERE sid < max_sid""",
+    "Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user session state, emitting each session when a successor event "
+    "closes it; oracle = gaps-and-islands minus each user's still-open "
+    "final session.",
+)
+def stream_sessionize_stateful(spark, sf_dir):
+    from .streaming import run_to_memory, stream_events
+    from .streaming.stateful import sessionize
+
+    return run_to_memory(sessionize(stream_events(spark, sf_dir)), mode="append")
+
+
 _MEDIA_TYPE_CASE = (
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
     "ELSE 'video' END"
