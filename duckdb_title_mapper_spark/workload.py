@@ -75,30 +75,11 @@ def all_queries() -> dict[str, Query]:
 # helpers
 # ---------------------------------------------------------------------------
 
-def load(spark, sf_dir: str, name: str):
-    if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-def load_events(spark, sf_dir: str):
-    """events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark 4 rejects
-    outright; read it as raw nanos and rebuild a (microsecond) timestamp.
-    DuckDB reads the same column as TIMESTAMP_NS — sub-microsecond precision
-    is never observable in the declared queries (buckets are >= 1s and
-    orderings tie-break on event_id)."""
-    from pyspark.sql import functions as F
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
-
-
-def register_views(spark, sf_dir: str, *names: str):
-    for n in names:
-        load(spark, sf_dir, n).createOrReplaceTempView(n)
+from .sources.tables import (  # noqa: E402
+    load_events,
+    load_table as load,
+    register_views,
+)
 
 
 def _sql_quote(s: str) -> str:
@@ -809,6 +790,54 @@ def _topk_sql(spark_dialect: bool, k: int = 3, nq: int = 5) -> str:
 def x_knn_bruteforce(spark, sf_dir):
     register_views(spark, sf_dir, "embeddings")
     return spark.sql(_topk_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# Source connectors: schema'd CSV / JSON round-trips (R1 generalized).
+# The oracle reads the original parquet view — a round-trip that loses or
+# mangles anything hash-mismatches.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "src_csv_roundtrip",
+    """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_nation
+    FROM nation GROUP BY n_regionkey""",
+    "CSV sink + schema'd CSV source round-trip of the nation table, then "
+    "aggregate; oracle aggregates the original parquet.",
+)
+def src_csv_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .sources import read_csv, write_csv
+
+    nation = load(spark, sf_dir, "nation")
+    path = write_csv(nation, "/tmp/duckdb_title_mapper_spark_io/nation_csv")
+    back = read_csv(spark, path, nation.schema)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"), F.min("n_name").alias("first_nation")
+    )
+
+
+@_q(
+    "src_json_roundtrip",
+    """SELECT r_regionkey, upper(r_name) AS region_uc, length(r_name) AS name_len
+    FROM region""",
+    "JSON-lines sink + schema'd JSON source round-trip of region; oracle "
+    "projects the original parquet.",
+)
+def src_json_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .sources import read_json, write_json
+
+    region = load(spark, sf_dir, "region")
+    path = write_json(region, "/tmp/duckdb_title_mapper_spark_io/region_json")
+    back = read_json(spark, path, region.schema)
+    return back.select(
+        "r_regionkey",
+        F.upper("r_name").alias("region_uc"),
+        F.length("r_name").alias("name_len"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,58 @@
+"""Physical-plan regression locks: pushdown, pruning, broadcast joins,
+codegen.  These are the properties that decide 100 TB behavior; a change
+that silently loses one fails here, not just in the benchmark."""
+
+from pyspark.sql import functions as F
+
+from duckdb_title_mapper_spark.plans import (
+    broadcast_join_count,
+    codegen_stage_count,
+    has_partial_aggregation,
+    pushed_filters,
+    read_schema_columns,
+    without_aqe,
+)
+from duckdb_title_mapper_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        load_table(spark, SF, "lineitem")
+        .where(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    pf = pushed_filters(df)
+    assert any("l_quantity" in f and "GreaterThan" in f for f in pf), pf
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = load_table(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+    schemas = read_schema_columns(df)
+    assert schemas and set(schemas[0]) == {"l_orderkey", "l_extendedprice"}
+
+
+def test_small_dim_join_broadcasts(spark):
+    nation = load_table(spark, SF, "nation")
+    region = load_table(spark, SF, "region")
+    df = nation.join(region, nation.n_regionkey == region.r_regionkey)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_agg_stays_in_codegen(spark):
+    with without_aqe(spark):
+        df = (
+            load_table(spark, SF, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        assert codegen_stage_count(df) >= 2  # partial-agg scan stage + final
+        assert has_partial_aggregation(df)  # map-side combine before shuffle
+
+
+def test_udf_query_prunes_and_pushes(spark):
+    # the standardize join form keeps relational filters pushable
+    orders = load_table(spark, SF, "orders").where(F.col("o_totalprice") > 100)
+    pf = pushed_filters(orders)
+    assert any("o_totalprice" in f for f in pf), pf
