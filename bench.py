@@ -31,9 +31,16 @@ HEADLINE = [
     "x_dedup_exact",
     "x_minhash_signature",
     "x_near_dup_clusters",
+    "x_simhash_clusters",
+    "x_fingerprint_rolling",
     "x_lang_id",
     "x_knn_bruteforce",
+    "x_ann_lsh_topk",
+    "x_embed_near_dup",
     "x_token_stats",
+    "x_multimodal_meta",
+    "stream_tumbling_counts",
+    "stream_sessionize_stateful",
 ]
 
 
