@@ -59,6 +59,28 @@ def cosine_expr(spark_dialect: bool, a: str, b: str) -> str:
     return f"{dot} / ({na} * {nb})"
 
 
+def unit_vectors_sql(spark_dialect: bool, extra_cols: str = "label") -> str:
+    """embeddings with the vector pre-normalized to unit length.
+
+    Array lambdas are interpreted (not codegen'd) in both engines, so a
+    pairwise cosine built from raw vectors costs THREE O(dim) aggregates
+    per pair; normalizing once up front makes every pair a single dot
+    product — the difference between O(pairs·3·dim) and
+    O(vecs·2·dim + pairs·dim).  At 100 TB the normalize is a map-side
+    projection that can be persisted with the table.
+    """
+    nrm = "sqrt(" + embed_dot(spark_dialect, "embedding", "embedding") + ")"
+    if spark_dialect:
+        unit = "transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
+    else:
+        unit = "list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
+    cols = f", {extra_cols}" if extra_cols else ""
+    return (
+        f"SELECT vec_id{cols}, {unit} AS uvec "
+        f"FROM (SELECT vec_id{cols}, embedding, {nrm} AS nrm FROM embeddings) n"
+    )
+
+
 def hyperplane(p: int, dim: int = DIM) -> list[float]:
     """Deterministic ±1 hyperplane: md5-derived, no RNG, reproducible in
     any engine."""
@@ -102,16 +124,18 @@ def ann_lsh_topk_sql(spark_dialect: bool, k: int = 3, nq: int = 10,
     rank) so recall can be measured by joining the two.
     """
     buckets = lsh_buckets_sql(spark_dialect, num_planes)
-    cos = cosine_expr(spark_dialect, "q.embedding", "c.embedding")
-    return f"""SELECT query_id, neighbor_id, rank FROM (
+    u = unit_vectors_sql(spark_dialect, extra_cols="")
+    dot = embed_dot(spark_dialect, "q.uvec", "c.uvec")
+    return f"""WITH u AS ({u}),
+    bucketed AS (
+      SELECT u.vec_id, u.uvec, b.bucket
+      FROM u JOIN ({buckets}) b ON u.vec_id = b.vec_id)
+    SELECT query_id, neighbor_id, rank FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                row_number() OVER (PARTITION BY q.vec_id
-                   ORDER BY {cos} DESC, c.vec_id) AS rank
-        FROM (SELECT e.vec_id, e.embedding, b.bucket
-              FROM embeddings e JOIN ({buckets}) b ON e.vec_id = b.vec_id
-              WHERE e.vec_id < {nq}) q
-        JOIN (SELECT e.vec_id, e.embedding, b.bucket
-              FROM embeddings e JOIN ({buckets}) b ON e.vec_id = b.vec_id) c
+                   ORDER BY {dot} DESC, c.vec_id) AS rank
+        FROM (SELECT * FROM bucketed WHERE vec_id < {nq}) q
+        JOIN bucketed c
           ON c.bucket = q.bucket AND c.vec_id <> q.vec_id) ranked
     WHERE rank <= {k}"""
 
@@ -120,13 +144,18 @@ def near_dup_pairs_sql(spark_dialect: bool, threshold: float = 0.35,
                        block_col: str = "label") -> str:
     """All vector pairs above a cosine threshold, blocked by ``block_col``
     to bound the quadratic pair space (the scale-out contract: pairs are
-    only enumerated within a block)."""
-    cos = cosine_expr(spark_dialect, "a.embedding", "b.embedding")
-    return f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           a.{block_col} AS {block_col}, {cos} AS cosine
-    FROM embeddings a JOIN embeddings b
-      ON a.{block_col} = b.{block_col} AND a.vec_id < b.vec_id
-    WHERE {cos} >= {threshold}"""
+    only enumerated within a block).  Vectors are unit-normalized in a
+    CTE so each pair costs one dot product, computed once (inner
+    subquery) and filtered in the outer query."""
+    u = unit_vectors_sql(spark_dialect, block_col)
+    dot = embed_dot(spark_dialect, "a.uvec", "b.uvec")
+    return f"""WITH u AS ({u})
+    SELECT vec_a, vec_b, {block_col}, cosine FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.{block_col} AS {block_col}, {dot} AS cosine
+      FROM u a JOIN u b
+        ON a.{block_col} = b.{block_col} AND a.vec_id < b.vec_id) p
+    WHERE cosine >= {threshold}"""
 
 
 # ---------------------------------------------------------------------------
