@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "std_titles",
     "std_category_counts",
+    "std_documents_throughput",
     "rel_agg_pricing_summary",
     "rel_join_3way",
     "rel_window_rank",

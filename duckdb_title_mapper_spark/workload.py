@@ -223,6 +223,35 @@ def std_view_query(spark, sf_dir):
     )
 
 
+@_q(
+    "std_documents_throughput",
+    None,  # standardize_title is not expressible in the DuckDB oracle
+    "M0 at data scale: standardize a pseudo-title derived from every "
+    "document (first 4 tokens), roll up by BLS category.  Rows-only "
+    "driver check; correctness of the matcher itself is gated by the "
+    "golden std_* queries.  This is the throughput benchmark shape: "
+    "distinct()-reduced titles, Arrow-batched UDF, parallel partitions.",
+)
+def std_documents_throughput(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    import duckdb_title_mapper_spark as engine
+
+    engine.register(spark)
+    docs = load(spark, sf_dir, "documents")
+    titles = docs.select(
+        F.array_join(F.slice(F.split("text", " "), 1, 4), " ").alias("title")
+    )
+    return (
+        titles.select(F.expr("standardize_title(title)").alias("standardized"))
+        .select(
+            F.split_part("standardized", F.lit(" - "), F.lit(2)).alias("bls_category")
+        )
+        .groupBy("bls_category")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational surface over the star schema (pure Catalyst; oracle = same SQL)
 # ---------------------------------------------------------------------------
