@@ -1021,6 +1021,44 @@ def x_media_frame_stats(spark, sf_dir):
     )
 
 
+from .operators.fuzzy import fuzzy_match_sql  # noqa: E402
+
+
+def _fuzzy_rels(spark_dialect: bool) -> tuple[str, str]:
+    """Queries: first-4-token pseudo-title of the first 60 documents;
+    corpus: distinct first-3-token prefixes over all documents (cid = min
+    doc_id so ids are unique and deterministic)."""
+    if spark_dialect:
+        prefix3 = "array_join(slice(split(text, ' '), 1, 3), ' ')"
+        prefix4 = "array_join(slice(split(text, ' '), 1, 4), ' ')"
+    else:
+        prefix3 = "array_to_string(split(text, ' ')[1:3], ' ')"
+        prefix4 = "array_to_string(split(text, ' ')[1:4], ' ')"
+    queries = (
+        f"(SELECT doc_id AS qid, {prefix4} AS qtext FROM documents "
+        "WHERE doc_id < 60)"
+    )
+    corpus = (
+        f"(SELECT min(doc_id) AS cid, ctext FROM "
+        f"(SELECT doc_id, {prefix3} AS ctext FROM documents) p "
+        "GROUP BY ctext)"
+    )
+    return queries, corpus
+
+
+@_q(
+    "x_fuzzy_match_tfidf",
+    fuzzy_match_sql(False, *_fuzzy_rels(False)),
+    "X2 generalized fuzzy match: the reference's TF-IDF cosine argmax "
+    "against an arbitrary corpus as a pure inverted-index join "
+    "(rational-idf / unstemmed variant — decimal-exact cross-engine; "
+    "the stemmed ln-idf form is the standardize UDF).",
+)
+def x_fuzzy_match_tfidf(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(fuzzy_match_sql(True, *_fuzzy_rels(True)))
+
+
 from .operators.similarity import (  # noqa: E402
     ann_lsh_topk_sql,
     near_dup_pairs_sql,
