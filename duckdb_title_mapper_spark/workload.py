@@ -821,6 +821,53 @@ def x_knn_bruteforce(spark, sf_dir):
     return spark.sql(_topk_sql(True))
 
 
+_shared(
+    "rel_rollup",
+    """SELECT n_regionkey, n_name, count(*) AS n, sum(cnt_orders) AS orders
+    FROM (SELECT n.n_regionkey, n.n_name, count(o.o_orderkey) AS cnt_orders
+          FROM nation n
+          JOIN customer c ON c.c_nationkey = n.n_nationkey
+          LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY n.n_regionkey, n.n_name) t
+    GROUP BY ROLLUP(n_regionkey, n_name)""",
+    ("nation", "customer", "orders"),
+    "ROLLUP hierarchy totals (region -> nation -> grand total).",
+)
+
+_shared(
+    "rel_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))""",
+    ("orders",),
+    "GROUPING SETS multi-dimensional aggregate in one pass.",
+)
+
+_shared(
+    "rel_exists_subquery",
+    """SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)""",
+    ("customer", "orders"),
+    "Correlated EXISTS (decorrelated to a semi-join by both planners).",
+)
+
+_shared(
+    "rel_pivot_manual",
+    """SELECT c_mktsegment,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_f,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_o,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_p
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment""",
+    ("customer", "orders"),
+    "Pivot as conditional aggregation (the portable spelling of PIVOT; "
+    "one scan, one shuffle).",
+)
+
+
 # ---------------------------------------------------------------------------
 # Source connectors: schema'd CSV / JSON round-trips (R1 generalized).
 # The oracle reads the original parquet view — a round-trip that loses or
