@@ -1,0 +1,48 @@
+"""Skew-resilient join: salting for hot keys.
+
+AQE's skew-join handling splits oversized *partitions*, but a single
+pathological key (one user with 10^9 events joining a per-user dim) still
+lands every row on one reducer.  Salting fixes the key itself:
+
+* fact side: append a random-ish salt in ``[0, buckets)`` derived
+  deterministically from a row id (no RNG — reruns give identical plans
+  and results);
+* dim side: explode each row into all ``buckets`` salt values;
+* join on (key, salt): the hot key now spreads over ``buckets`` reducers.
+
+The dim side grows ``buckets``×, which is the explicit trade: use for
+small/medium dims against skewed facts.  Result set is exactly the plain
+join's (oracle-checked by ``rel_salted_join``).
+"""
+
+from __future__ import annotations
+
+
+def salted_join(fact_df, dim_df, key: str, buckets: int = 8,
+                fact_row_id: str | None = None):
+    """Inner-join ``fact_df`` ⋈ ``dim_df`` on ``key`` with salt spreading.
+
+    ``fact_row_id``: any column whose value distributes rows (an id,
+    offset, hash input).  Defaults to the key itself via a content hash —
+    still deterministic, spreads duplicates of the hot key because the
+    salt also hashes a per-row monotonic id."""
+    from pyspark.sql import functions as F
+
+    if fact_row_id is None:
+        fact = fact_df.withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(F.col(key), F.monotonically_increasing_id()),
+                F.lit(buckets),
+            ).cast("int"),
+        )
+    else:
+        fact = fact_df.withColumn(
+            "__salt", (F.col(fact_row_id) % buckets).cast("int")
+        )
+    dim = dim_df.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(buckets)])),
+    )
+    out = fact.join(dim, [key, "__salt"]).drop("__salt")
+    return out

@@ -15,6 +15,7 @@ from .tables import (  # noqa: F401
     read_csv,
     read_json,
     register_views,
+    write_bucketed,
     write_csv,
     write_json,
     write_parquet,

@@ -63,6 +63,23 @@ def write_parquet(df, path: str, partition_by: tuple[str, ...] = (),
     return path
 
 
+def write_bucketed(df, table: str, path: str, key: str, buckets: int = 8,
+                   mode: str = "overwrite"):
+    """Bucketed external table: co-locates rows by ``key`` hash at WRITE
+    time, so later equi-joins/aggregations on ``key`` between tables with
+    matching bucketing skip the exchange entirely — the 100 TB answer to
+    repeated joins on the same key (pay the shuffle once, at ingest)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return table
+
+
 def write_csv(df, path: str, header: bool = True, mode: str = "overwrite"):
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
     return path

@@ -821,6 +821,34 @@ def x_knn_bruteforce(spark, sf_dir):
     return spark.sql(_topk_sql(True))
 
 
+@_q(
+    "rel_salted_join",
+    """SELECT c_mktsegment, count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c_mktsegment""",
+    "Skew-resilient salted join (operators/skew.py): fact rows get a "
+    "deterministic salt, the dim explodes across salts, the join runs on "
+    "(key, salt) — a hot key spreads over N reducers.  Oracle is the "
+    "plain join: salting must not change results.",
+)
+def rel_salted_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .operators.skew import salted_join
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    joined = salted_join(
+        orders, customer.withColumnRenamed("c_custkey", "o_custkey"),
+        key="o_custkey", buckets=8, fact_row_id="o_orderkey",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+    )
+
+
 _shared(
     "rel_rollup",
     """SELECT n_regionkey, n_name, count(*) AS n, sum(cnt_orders) AS orders
