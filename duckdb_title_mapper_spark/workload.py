@@ -822,6 +822,57 @@ def x_knn_bruteforce(spark, sf_dir):
 
 
 @_q(
+    "x_udtf_sentences",
+    r"""SELECT doc_id, i - 1 AS sentence_idx, trim(parts[i]) AS sentence,
+           len(regexp_extract_all(trim(parts[i]), '\w+')) AS n_tokens
+    FROM (SELECT doc_id, string_split(source || '. ' || text, '.') AS parts
+          FROM documents) s,
+         (SELECT unnest(range(1, 64)) AS i) r
+    WHERE i <= len(parts) AND trim(parts[i]) <> ''""",
+    "Python UDTF via LATERAL join: one row per non-empty '.'-separated "
+    "sentence with index and token count (the table-function capability "
+    "the reference delegates to its host).",
+)
+def x_udtf_sentences(spark, sf_dir):
+    from .functions.table_functions import register_table_functions
+
+    register_table_functions(spark)
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        """SELECT doc_id, s.sentence_idx, s.sentence, s.n_tokens
+        FROM (SELECT doc_id, concat(source, '. ', text) AS text FROM documents),
+        LATERAL split_sentences(text) s"""
+    )
+
+
+@_q(
+    "x_udaf_sumsq",
+    """SELECT c_mktsegment,
+           CAST(sum(CAST(cents AS HUGEINT) * cents) % 1000000007 AS BIGINT)
+             AS sumsq_mod
+    FROM (SELECT c_mktsegment,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey) t
+    GROUP BY c_mktsegment""",
+    "Custom UDAF (grouped-agg pandas UDF): sum of squared cents mod "
+    "1e9+7 per segment — arbitrary-precision Python ints vs the "
+    "oracle's HUGEINT arithmetic, integer-exact.",
+)
+def x_udaf_sumsq(spark, sf_dir):
+    from .functions.table_functions import register_table_functions
+
+    register_table_functions(spark)
+    register_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """SELECT c_mktsegment, sumsq_mod(cents) AS sumsq_mod
+        FROM (SELECT c_mktsegment,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey) t
+        GROUP BY c_mktsegment"""
+    )
+
+
+@_q(
     "rel_salted_join",
     """SELECT c_mktsegment, count(*) AS n_orders,
            sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
