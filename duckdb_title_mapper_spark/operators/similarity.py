@@ -149,12 +149,28 @@ def near_dup_pairs_sql(spark_dialect: bool, threshold: float = 0.35,
     subquery) and filtered in the outer query."""
     u = unit_vectors_sql(spark_dialect, block_col)
     dot = embed_dot(spark_dialect, "a.uvec", "b.uvec")
-    return f"""WITH u AS ({u})
+    if not spark_dialect:
+        return f"""WITH u AS ({u})
     SELECT vec_a, vec_b, {block_col}, cosine FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              a.{block_col} AS {block_col}, {dot} AS cosine
       FROM u a JOIN u b
         ON a.{block_col} = b.{block_col} AND a.vec_id < b.vec_id) p
+    WHERE cosine >= {threshold}"""
+    # Spark side: salt the block key.  Few distinct blocks = few reduce
+    # keys = the whole quadratic dot workload lands on #blocks tasks.
+    # Salting (a.vec_id % 16 = b.salt, b replicated 16x) multiplies the
+    # key space; the pair set — and thus the result — is unchanged, so
+    # the DuckDB oracle keeps the plain join.
+    return f"""WITH u AS ({u}),
+    b_exp AS (SELECT u.*, s.salt
+              FROM u CROSS JOIN (SELECT explode(sequence(0, 15)) AS salt) s)
+    SELECT vec_a, vec_b, {block_col}, cosine FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.{block_col} AS {block_col}, {dot} AS cosine
+      FROM u a JOIN b_exp b
+        ON a.{block_col} = b.{block_col} AND pmod(a.vec_id, 16) = b.salt
+       AND a.vec_id < b.vec_id) p
     WHERE cosine >= {threshold}"""
 
 
