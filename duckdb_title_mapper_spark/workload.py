@@ -901,6 +901,18 @@ def rel_salted_join(spark, sf_dir):
 
 
 _shared(
+    "rel_lead_lag",
+    """SELECT o_custkey, o_orderkey,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           o_orderkey - lag(o_orderkey) OVER w AS key_delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""",
+    ("orders",),
+    "lead/lag navigation windows (integer-exact).",
+)
+
+_shared(
     "rel_rollup",
     """SELECT n_regionkey, n_name, count(*) AS n, sum(cnt_orders) AS orders
     FROM (SELECT n.n_regionkey, n.n_name, count(o.o_orderkey) AS cnt_orders
@@ -1201,6 +1213,31 @@ from .operators.similarity import (  # noqa: E402
 def x_ann_lsh_topk(spark, sf_dir):
     register_views(spark, sf_dir, "embeddings")
     return spark.sql(ann_lsh_topk_sql(True))
+
+
+def _ann_recall_sql(spark_dialect: bool) -> str:
+    """Recall of the LSH ANN against the exact brute-force top-k, per
+    query vector: |ANN∩exact| / k.  Counts are integer-exact."""
+    ann = ann_lsh_topk_sql(spark_dialect)
+    exact = _topk_sql(spark_dialect, k=3, nq=10)
+    return f"""SELECT e.query_id,
+           count(a.neighbor_id) AS hits, count(*) AS k,
+           CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall
+    FROM ({exact}) e
+    LEFT JOIN ({ann}) a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id"""
+
+
+@_q(
+    "x_ann_recall",
+    _ann_recall_sql(False),
+    "X3 quality metric: per-query recall of LSH ANN vs exact brute-force "
+    "top-3 (the measurement loop that tunes num_planes at scale).",
+)
+def x_ann_recall(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_ann_recall_sql(True))
 
 
 @_q(

@@ -51,6 +51,20 @@ def test_agg_stays_in_codegen(spark):
         assert has_partial_aggregation(df)  # map-side combine before shuffle
 
 
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    from duckdb_title_mapper_spark.plans import explain_str
+    from duckdb_title_mapper_spark.sources import write_parquet
+
+    orders = load_table(spark, SF, "orders")
+    path = write_parquet(
+        orders, str(tmp_path / "orders_by_status"), partition_by=("o_orderstatus",)
+    )
+    back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    txt = explain_str(back)
+    m = [ln for ln in txt.splitlines() if "PartitionFilters" in ln]
+    assert m and "o_orderstatus" in m[0], txt[:500]
+
+
 def test_udf_query_prunes_and_pushes(spark):
     # the standardize join form keeps relational filters pushable
     orders = load_table(spark, SF, "orders").where(F.col("o_totalprice") > 100)
