@@ -1215,6 +1215,49 @@ def x_ann_lsh_topk(spark, sf_dir):
     return spark.sql(ann_lsh_topk_sql(True))
 
 
+@_q(
+    "x_tfidf_term_stats",
+    r"""SELECT id, token, cnt, doc_len, doc_freq FROM (
+      SELECT b.id, b.token, count(*) AS cnt, any_value(b.doc_len) AS doc_len
+      FROM (SELECT doc_id AS id,
+                   len(regexp_extract_all(lower(text), '\w+')) AS doc_len,
+                   unnest(regexp_extract_all(lower(text), '\w+')) AS token
+            FROM documents) b
+      GROUP BY b.id, b.token) tf
+    JOIN (SELECT token, count(DISTINCT id) AS doc_freq
+          FROM (SELECT doc_id AS id,
+                       unnest(regexp_extract_all(lower(text), '\w+')) AS token
+                FROM documents) t
+          GROUP BY token) dfc USING (token)
+    WHERE id < 30""",
+    "X4 distributed TF-IDF statistics (the integer-exact core of "
+    "operators/text_ops.tfidf_weights: term counts, doc lengths, doc "
+    "frequencies over the whole column as its own corpus).",
+)
+def x_tfidf_term_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .operators.text_ops import with_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    base = with_tokens(docs, "text", "__toks").select(
+        F.col("doc_id").alias("id"),
+        F.size("__toks").alias("doc_len"),
+        F.explode("__toks").alias("token"),
+    )
+    df_counts = base.groupBy("token").agg(
+        F.count_distinct("id").alias("doc_freq")
+    )
+    tf = base.groupBy("id", "token").agg(
+        F.count("*").alias("cnt"), F.any_value("doc_len").alias("doc_len")
+    )
+    return (
+        tf.join(df_counts, "token")
+        .where(F.col("id") < 30)
+        .select("id", "token", "cnt", "doc_len", "doc_freq")
+    )
+
+
 def _ann_recall_sql(spark_dialect: bool) -> str:
     """Recall of the LSH ANN against the exact brute-force top-k, per
     query vector: |ANN∩exact| / k.  Counts are integer-exact."""
