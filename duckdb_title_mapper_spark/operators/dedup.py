@@ -163,6 +163,52 @@ def with_rolling_fingerprint(df, text_col: str, out_col: str = "fingerprint"):
     return df.withColumn(out_col, F.expr(expr))
 
 
+def minhash_lsh_candidate_pairs(df, id_col: str, text_col: str,
+                                num_hash_tables: int = 4,
+                                max_jaccard_distance: float = 0.6,
+                                num_features: int = 1 << 18,
+                                seed: int = 42):
+    """Scale-path near-dup candidate generation with ``pyspark.ml``'s
+    banded MinHashLSH: shingle (token-set) -> hashed binary vector ->
+    minhash signatures -> ``approxSimilarityJoin`` (bucket equi-join, NO
+    pair enumeration outside shared buckets).  Returns (id_a, id_b,
+    jaccard_distance) with id_a < id_b, deterministic for a fixed seed.
+
+    This is the candidate stage; verify survivors with the exact
+    ``x_ngram_jaccard`` arithmetic.  (The SQL-generated MinHash in this
+    module is the cross-engine-checkable variant; this one trades oracle
+    checkability for the ml-tuned banded join.)"""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(rf"array_distinct(regexp_extract_all(lower({text_col}), '\\w+', 0))")
+        .alias("toks"),
+    ).where(F.size("toks") > 0)  # MinHashLSH requires >=1 nonzero entry
+
+    htf = HashingTF(
+        inputCol="toks", outputCol="features", binary=True,
+        numFeatures=num_features,
+    )
+    vecs = htf.transform(toks)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=num_hash_tables, seed=seed,
+    ).fit(vecs)
+    pairs = model.approxSimilarityJoin(
+        vecs, vecs, max_jaccard_distance, distCol="jaccard_distance"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            "jaccard_distance",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+
+
 def exact_dedup(df, *key_cols: str):
     """X1 exact dedup: first row per content key (groupBy-min keeper —
     deterministic, unlike dropDuplicates' arbitrary winner)."""

@@ -1216,6 +1216,22 @@ def x_ann_lsh_topk(spark, sf_dir):
 
 
 @_q(
+    "x_minhash_lsh_candidates",
+    None,  # ml-internal hash functions have no cross-engine SQL equivalent
+    "X2 scale path: pyspark.ml banded MinHashLSH approxSimilarityJoin "
+    "candidate pairs (deterministic seed; rows-only driver check — the "
+    "exact-verify stage x_ngram_jaccard carries the oracle).",
+)
+def x_minhash_lsh_candidates(spark, sf_dir):
+    from .operators.dedup import minhash_lsh_candidate_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_candidate_pairs(
+        docs, "doc_id", "text", max_jaccard_distance=0.5
+    ).select("id_a", "id_b")
+
+
+@_q(
     "x_tfidf_term_stats",
     r"""SELECT id, token, cnt, doc_len, doc_freq FROM (
       SELECT b.id, b.token, count(*) AS cnt, any_value(b.doc_len) AS doc_len
