@@ -1226,8 +1226,10 @@ def x_minhash_lsh_candidates(spark, sf_dir):
     from .operators.dedup import minhash_lsh_candidate_pairs
 
     docs = load(spark, sf_dir, "documents")
+    # the synthetic corpus is token-dense (median pairwise Jaccard ≈ 0.6),
+    # so candidates are only meaningful at a tight radius
     return minhash_lsh_candidate_pairs(
-        docs, "doc_id", "text", max_jaccard_distance=0.5
+        docs, "doc_id", "text", max_jaccard_distance=0.1
     ).select("id_a", "id_b")
 
 
