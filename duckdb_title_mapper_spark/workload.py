@@ -1305,11 +1305,15 @@ def x_ann_recall(spark, sf_dir):
     "x_embed_near_dup",
     near_dup_pairs_sql(False),
     "X2/X3 embedding-cosine near-dup pairs above threshold, blocked by "
-    "label so the pair space stays bounded per block.",
+    "label so the pair space stays bounded per block.  Spark side runs "
+    "the applyInPandas block kernel (numpy, dim-sequential accumulation "
+    "-> bit-identical to the SQL oracle's fold, ~3x faster than the "
+    "interpreted-lambda SQL form).",
 )
 def x_embed_near_dup(spark, sf_dir):
-    register_views(spark, sf_dir, "embeddings")
-    return spark.sql(near_dup_pairs_sql(True))
+    from .operators.similarity import cosine_near_dup_pairs_grouped
+
+    return cosine_near_dup_pairs_grouped(load(spark, sf_dir, "embeddings"))
 
 
 _shared(
