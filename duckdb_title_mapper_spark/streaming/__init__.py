@@ -8,6 +8,7 @@ stateful sessionizer on ``applyInPandasWithState``.
 """
 
 from .windows import (  # noqa: F401
+    click_purchase_join,
     run_to_memory,
     session_window_counts,
     stream_events,

@@ -96,6 +96,50 @@ def session_window_counts(spark, sf_dir: str, gap: str = "30 minutes",
     )
 
 
+def click_purchase_join(spark, sf_dir: str, horizon_minutes: int = 60,
+                        watermark: str = "2 hours"):
+    """Stream-stream inner join: each click joined to the same user's
+    purchases within ``horizon_minutes`` after it.  Watermarks on both
+    sides bound the join state (Spark retains only rows younger than
+    watermark + horizon); emitted as epoch µs for integer-exact
+    comparison against the batch oracle."""
+    from pyspark.sql import functions as F
+
+    clicks = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_micros("c_ts").alias("click_us"),
+        F.unix_micros("p_ts").alias("purchase_us"),
+    )
+
+
 def run_to_memory(streaming_df, mode: str = "complete"):
     """Run a streaming DataFrame to completion (availableNow) into a
     memory sink; return the results as a batch DataFrame."""

@@ -1065,6 +1065,24 @@ def stream_session_windows(spark, sf_dir):
 
 
 @_q(
+    "stream_join_click_purchase",
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 60 MINUTES""",
+    "Stream-stream inner join with event-time bounds and watermarked "
+    "state on both sides; availableNow run emits exactly the batch join.",
+)
+def stream_join_click_purchase(spark, sf_dir):
+    from .streaming import click_purchase_join, run_to_memory
+
+    return run_to_memory(click_purchase_join(spark, sf_dir), mode="append")
+
+
+@_q(
     "stream_sessionize_stateful",
     _SESSION_ISLANDS_CTE
     + """,
