@@ -591,6 +591,36 @@ def x_token_stats(spark, sf_dir):
     )
 
 
+# GPT2-style pretokenizer shape: contraction suffixes, space-prefixed
+# letter/digit runs, punctuation runs, whitespace runs.  No lookarounds, so
+# RE2 (DuckDB) and Java regex (Spark) agree.
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+# the apostrophes in the contraction branch need per-dialect escaping
+_BPE_DUCK = _BPE_PAT.replace("'", "''")
+_BPE_SPARK = _BPE_PAT.replace("\\", "\\\\").replace("'", "\\'")
+
+
+@_q(
+    "x_bpe_token_count",
+    rf"""SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_DUCK}')) AS bpe_tokens,
+           len(regexp_extract_all(text, '\w+')) AS word_tokens,
+           length(text) AS chars
+    FROM documents""",
+    "X4 BPE-ish token counting: GPT2-style pretokenizer regex (letter/"
+    "digit/punct runs + contractions) next to plain word tokens.",
+)
+def x_bpe_token_count(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        rf"""SELECT doc_id,
+           size(regexp_extract_all(text, '{_BPE_SPARK}', 0)) AS bpe_tokens,
+           size(regexp_extract_all(text, '\\w+', 0)) AS word_tokens,
+           length(text) AS chars
+    FROM documents"""
+    )
+
+
 @_q(
     "x_quality_score",
     r"""SELECT doc_id,
@@ -1062,6 +1092,37 @@ def stream_session_windows(spark, sf_dir):
     from .streaming import run_to_memory, session_window_counts
 
     return run_to_memory(session_window_counts(spark, sf_dir))
+
+
+@_q(
+    "stream_dedup_counts",
+    """SELECT event_type, count(*) AS distinct_user_hours
+    FROM (SELECT DISTINCT event_type, user_id,
+                 (epoch_us(ts) // 3600000000) AS hour_bucket
+          FROM events) t
+    GROUP BY event_type""",
+    "Streaming deduplication: dropDuplicates on (event_type, user_id, "
+    "hour) inside the stream, then aggregate — state-backed exact dedup "
+    "on an unbounded stream.",
+)
+def stream_dedup_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .streaming import run_to_memory, stream_events
+
+    deduped = (
+        stream_events(spark, sf_dir)
+        .select(
+            "event_type",
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("hour_bucket"),
+        )
+        .dropDuplicates(["event_type", "user_id", "hour_bucket"])
+    )
+    counts = deduped.groupBy("event_type").agg(
+        F.count("*").alias("distinct_user_hours")
+    )
+    return run_to_memory(counts, mode="complete")
 
 
 @_q(
