@@ -44,6 +44,16 @@ _INDEX: Optional[TfidfIndex] = None
 _UDF_CACHE: dict = {}  # SparkSession -> registered pandas UDF
 
 
+def _arrow_df(spark, pdf):
+    """createDataFrame through Arrow (JVM-side plan, not a Python RDD)."""
+    prev = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    try:
+        return spark.createDataFrame(pdf)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", prev)
+
+
 def get_index() -> TfidfIndex:
     global _INDEX
     if _INDEX is None:
@@ -113,17 +123,31 @@ def make_standardize_udf(spark):
 # ---------------------------------------------------------------------------
 
 def kb_posting_lists_df(spark):
-    """The broadcast doc side: one row per (term_idx, doc_idx, weight)."""
+    """The broadcast doc side: one row per (term_idx, doc_idx, weight).
+
+    Built from the index's numpy arrays through Arrow (a plain-list
+    ``createDataFrame`` would plan a Python-RDD source that re-pays a
+    non-Arrow worker chain on every downstream action)."""
+    import numpy as np
+    import pandas as pd
+
     index = get_index()
-    rows = []
-    tp = index.term_ptr
-    for tidx in range(index.num_terms):
-        lo, hi = int(tp[tidx]), int(tp[tidx + 1])
-        for j in range(lo, hi):
-            rows.append(
-                (tidx, int(index.post_doc[j]), float(index.post_weight[j]))
-            )
-    return spark.createDataFrame(rows, "term_idx INT, doc_idx INT, d_weight DOUBLE")
+    counts = np.diff(index.term_ptr)
+    pdf = pd.DataFrame(
+        {
+            "term_idx": np.repeat(
+                np.arange(index.num_terms, dtype=np.int32), counts
+            ),
+            "doc_idx": index.post_doc.astype(np.int32),
+            "d_weight": index.post_weight,
+        }
+    )
+    prev = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    try:
+        return spark.createDataFrame(pdf)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", prev)
 
 
 def standardize_titles_df(spark, df, title_col: str, out_col: str = "standardized_title"):
@@ -186,11 +210,18 @@ def standardize_titles_df(spark, df, title_col: str, out_col: str = "standardize
         F.col("__t.q_weight").alias("q_weight"),
     )
 
+    import numpy as np
+
     postings = F.broadcast(kb_posting_lists_df(spark))
     norms_df = F.broadcast(
-        spark.createDataFrame(
-            [(i, float(n)) for i, n in enumerate(index.doc_norms)],
-            "doc_idx INT, doc_norm DOUBLE",
+        _arrow_df(
+            spark,
+            pd.DataFrame(
+                {
+                    "doc_idx": np.arange(index.num_docs, dtype=np.int32),
+                    "doc_norm": index.doc_norms,
+                }
+            ),
         )
     )
 
@@ -217,13 +248,17 @@ def standardize_titles_df(spark, df, title_col: str, out_col: str = "standardize
     # Titles sharing no term with the KB never appear in `best` -> coalesce
     # to corpus[0] ("General Worker"), the reference's zero-score default.
     corpus = kb.corpus
-    matched = best.withColumn(
-        "doc_idx", F.col("doc_idx").cast("int")
-    )
+    matched = best.withColumn("doc_idx", F.col("doc_idx").cast("int"))
     corpus_df = F.broadcast(
-        spark.createDataFrame(
-            [(i, v, f"{v} - {kb.bls_for(v)}") for i, v in enumerate(corpus)],
-            "doc_idx INT, variant STRING, formatted STRING",
+        _arrow_df(
+            spark,
+            pd.DataFrame(
+                {
+                    "doc_idx": pd.array(range(len(corpus)), dtype="int32"),
+                    "variant": list(corpus),
+                    "formatted": [f"{v} - {kb.bls_for(v)}" for v in corpus],
+                }
+            ),
         )
     )
     default_out = f"{corpus[0]} - {kb.bls_for(corpus[0])}"

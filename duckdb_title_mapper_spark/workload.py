@@ -252,6 +252,37 @@ def std_documents_throughput(spark, sf_dir):
     )
 
 
+@_q(
+    "std_documents_scale_form",
+    None,  # matcher not oracle-expressible; v1≡v2 is property-tested
+    "M0 v2 (the 100 TB physical form): distinct -> stem/explode -> "
+    "broadcast posting-list join -> partial-dot groupBy -> window argmax "
+    "with (desc(score), asc(doc_idx)) — fully Catalyst-visible, no UDF "
+    "in the scoring path.  Rows-only check; equivalence to the UDF form "
+    "is property-tested (tests/test_spark_udf.py).",
+)
+def std_documents_scale_form(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .operators.standardize import standardize_titles_df
+
+    docs = load(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 4), " ").alias("title"),
+    )
+    out = standardize_titles_df(spark, titles, "title")
+    return (
+        out.select(
+            F.split_part("standardized_title", F.lit(" - "), F.lit(2)).alias(
+                "bls_category"
+            )
+        )
+        .groupBy("bls_category")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational surface over the star schema (pure Catalyst; oracle = same SQL)
 # ---------------------------------------------------------------------------
