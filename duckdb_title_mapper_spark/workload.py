@@ -1343,6 +1343,43 @@ def x_minhash_lsh_candidates(spark, sf_dir):
     ).select("id_a", "id_b")
 
 
+def _band_edges_sql(spark_dialect: bool, n_docs: int = 150) -> str:
+    """Undirected near-dup candidate edges: docs (id < n_docs) agreeing on
+    a 2-hash MinHash band."""
+    sig = _minhash_sig_subquery(spark_dialect)
+    return f"""SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM ({sig}) a JOIN ({sig}) b
+      ON concat(a.h0, a.h1) = concat(b.h0, b.h1) AND a.doc_id < b.doc_id
+    WHERE a.doc_id < {n_docs} AND b.doc_id < {n_docs}"""
+
+
+@_q(
+    "x_connected_components",
+    f"""WITH RECURSIVE edges AS (
+      SELECT src, dst FROM ({_band_edges_sql(False)}) e
+      UNION ALL
+      SELECT dst, src FROM ({_band_edges_sql(False)}) e),
+    verts AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, label) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.src, r.label
+      FROM edges e JOIN reach r ON r.id = e.dst
+      WHERE r.label < e.src)
+    SELECT id AS vertex, min(label) AS component
+    FROM reach GROUP BY id""",
+    "Connected components over the banded-MinHash candidate graph "
+    "(transitive near-dup closure): iterative min-label propagation on "
+    "Spark vs a recursive-CTE fixpoint oracle.",
+)
+def x_connected_components(spark, sf_dir):
+    from .operators.graph import connected_components
+
+    register_views(spark, sf_dir, "documents")
+    edges = spark.sql(_band_edges_sql(True))
+    return connected_components(edges)
+
+
 @_q(
     "x_tfidf_term_stats",
     r"""SELECT id, token, cnt, doc_len, doc_freq FROM (
