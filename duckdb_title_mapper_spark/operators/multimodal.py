@@ -121,6 +121,44 @@ def sample_frames(media_df, stride: int = 256):
     return media_df.mapInPandas(slice_batches, FRAME_SCHEMA)
 
 
+def resize_media(media_df, target_bytes: int = 4096, real: bool = False):
+    """Resize: payload -> fixed-size payload (truncate / cycle-pad), with
+    the real-codec branch (PIL thumbnail / ffmpeg scale) stubbed exactly
+    like ``decode_media``.  Map-side only; output schema == input schema
+    plus ``orig_bytes`` so the pipeline stays re-entrant."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if real:
+            # STUB: a real implementation decodes, rescales pixels/samples,
+            # and re-encodes; codec libraries are not in this container.
+            raise NotImplementedError(
+                "real media resizing requires codec libraries not present "
+                "in this environment; use real=False for byte-level resize"
+            )
+        for pdf in batches:
+            out_payloads, orig = [], []
+            for pl in pdf["payload"]:
+                orig.append(len(pl))
+                if len(pl) >= target_bytes:
+                    out_payloads.append(bytes(pl[:target_bytes]))
+                else:
+                    reps = -(-target_bytes // max(len(pl), 1))
+                    out_payloads.append(bytes((pl * reps)[:target_bytes]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out_payloads,
+                    "orig_bytes": pd.Series(orig, dtype="int32"),
+                }
+            )
+
+    return media_df.mapInPandas(
+        resize_batches,
+        "media_id BIGINT, media_type STRING, payload BINARY, orig_bytes INT",
+    )
+
+
 def extract_features(media_df, bins: int = 16, out_col: str = "features"):
     """Payload -> fixed-width float feature vector (normalized byte
     histogram — the deterministic stand-in for a real image/audio

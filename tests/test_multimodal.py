@@ -61,6 +61,31 @@ def test_sample_frames_slices(spark):
         assert r["bytes"] == r["plen"]  # slices partition the payload
 
 
+def test_resize_media_fixed_size(spark):
+    from duckdb_title_mapper_spark.operators.multimodal import resize_media
+
+    media = media_table(spark, SF).where("media_id < 20")
+    rows = resize_media(media, target_bytes=128).collect()
+    src_lens = {
+        r["media_id"]: len(r["payload"]) for r in media.collect()
+    }
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["payload"]) == 128
+        assert r["orig_bytes"] == src_lens[r["media_id"]]
+
+
+def test_resize_media_real_is_stubbed(spark):
+    from duckdb_title_mapper_spark.operators.multimodal import resize_media
+
+    media = media_table(spark, SF).limit(1)
+    with pytest.raises(Exception) as exc:
+        resize_media(media, real=True).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
 def test_extract_features_normalized(spark):
     media = media_table(spark, SF).where("media_id < 10")
     rows = extract_features(media, bins=16).select("media_id", "features").collect()
