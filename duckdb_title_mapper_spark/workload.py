@@ -1449,6 +1449,20 @@ def x_ann_recall(spark, sf_dir):
 
 
 @_q(
+    "x_ann_ivf_topk",
+    None,  # seed-centroid argmin oracle not worth a generated-SQL novel;
+    # the LSH ANN carries the oracle-checked path, recall tested in pytest
+    "X3 IVF-style ANN: deterministic coarse quantizer (seed centroids), "
+    "nprobe-cell restricted exact-cosine search — the inverted-file "
+    "counterpart to the LSH bucket path (rows-only driver check).",
+)
+def x_ann_ivf_topk(spark, sf_dir):
+    from .operators.similarity import ivf_topk
+
+    return ivf_topk(load(spark, sf_dir, "embeddings"))
+
+
+@_q(
     "x_embed_near_dup",
     near_dup_pairs_sql(False),
     "X2/X3 embedding-cosine near-dup pairs above threshold, blocked by "

@@ -42,6 +42,27 @@ def test_lsh_bucket_range_and_locality(spark):
     assert out == out_scaled
 
 
+def test_ivf_topk_recall_and_determinism(spark):
+    from duckdb_title_mapper_spark.operators.similarity import ivf_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in ivf_topk(df, k=3, nq=5).collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in ivf_topk(df, k=3, nq=5).collect()}
+    assert a == b  # deterministic
+    # recall vs exact brute force over the probed queries
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(
+            df.where("vec_id < 5"), df, k=3
+        ).collect()
+    }
+    hits = sum(1 for key, n in a.items() if exact.get(key) == n or
+               n in [v for kk, v in exact.items() if kk[0] == key[0]])
+    assert hits >= len(exact) * 0.3, (hits, len(exact))
+
+
 def test_cosine_topk_exact_ordering(spark):
     df = _vecs(spark)
     got = {
