@@ -70,3 +70,23 @@ def test_udf_query_prunes_and_pushes(spark):
     orders = load_table(spark, SF, "orders").where(F.col("o_totalprice") > 100)
     pf = pushed_filters(orders)
     assert any("o_totalprice" in f for f in pf), pf
+
+
+def test_declared_queries_plan_shapes(spark):
+    """Plan-shape locks on declared workload queries: the dim join
+    broadcasts, the UDF throughput query scans only the text column, the
+    fuzzy match stays within a bounded shuffle budget."""
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    qs = all_queries()
+    join_dims = qs["rel_join_dims"].spark_fn(spark, SF)
+    assert broadcast_join_count(join_dims) >= 1
+
+    thr = qs["std_documents_throughput"].spark_fn(spark, SF)
+    schemas = read_schema_columns(thr)
+    assert schemas and set(schemas[0]) == {"text"}, schemas
+
+    from duckdb_title_mapper_spark.plans import shuffle_count
+
+    fuzzy = qs["x_fuzzy_match_tfidf"].spark_fn(spark, SF)
+    assert shuffle_count(fuzzy) <= 16, shuffle_count(fuzzy)

@@ -100,6 +100,48 @@ def test_sessionize_state_spans_batches(spark, tmp_path):
     assert len(rows) == 2
 
 
+def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
+    """Stop a checkpointed stream, add data, restart with the same
+    checkpoint: only the new file is processed (exactly-once source
+    accounting across restarts)."""
+    base = 1_700_000_000 * US * 1000
+    d = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(d)
+    now = time.time()
+    _write_events(f"{d}/a.parquet", [(1, base, 1), (2, base, 2)], now - 100)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def run_once():
+        raw = (
+            spark.readStream.schema(
+                "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+                "value DOUBLE, props STRING"
+            ).parquet(d)
+        )
+        q = (
+            raw.select("event_id")
+            .writeStream.format("parquet")  # file sinks support recovery
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            r["event_id"] for r in spark.read.parquet(out).collect()
+        )
+
+    assert run_once() == [1, 2]
+    _write_events(f"{d}/b.parquet", [(3, base + US * 1000, 3)], now - 50)
+    # restart resumes from the checkpoint: file a is NOT re-emitted, so the
+    # sink holds each event exactly once
+    assert run_once() == [1, 2, 3]
+
+
 def test_stream_events_schema(spark):
     sdf = stream_events(spark, SF)
     assert sdf.isStreaming
