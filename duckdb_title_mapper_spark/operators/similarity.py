@@ -123,13 +123,20 @@ def ann_lsh_topk_sql(spark_dialect: bool, k: int = 3, nq: int = 10,
     Same output shape as the brute-force baseline (query_id, neighbor_id,
     rank) so recall can be measured by joining the two.
     """
-    buckets = lsh_buckets_sql(spark_dialect, num_planes)
-    u = unit_vectors_sql(spark_dialect, extra_cols="")
+    # bucket and unit vector in ONE scan (both are per-row projections of
+    # the same normalized vector — a second scan + vec_id join would just
+    # re-shuffle the array column)
+    nrm = "sqrt(" + embed_dot(spark_dialect, "embedding", "embedding") + ")"
+    if spark_dialect:
+        unit = "transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
+    else:
+        unit = "list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
+    bucket = lsh_bucket_expr(spark_dialect, "embedding", num_planes)
     dot = embed_dot(spark_dialect, "q.uvec", "c.uvec")
-    return f"""WITH u AS ({u}),
-    bucketed AS (
-      SELECT u.vec_id, u.uvec, b.bucket
-      FROM u JOIN ({buckets}) b ON u.vec_id = b.vec_id)
+    return f"""WITH bucketed AS (
+      SELECT vec_id, {unit} AS uvec, bucket
+      FROM (SELECT vec_id, embedding, {nrm} AS nrm, {bucket} AS bucket
+            FROM embeddings) n)
     SELECT query_id, neighbor_id, rank FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                row_number() OVER (PARTITION BY q.vec_id
