@@ -267,11 +267,14 @@ def ivf_topk(df, k: int = 3, nq: int = 10, n_cells: int = 16,
     import pandas as pd
     from pyspark.sql import functions as F
 
-    src = df.select(id_col, vec_col).orderBy(id_col)
+    src = df.select(id_col, vec_col)
     n = src.count()
     stride = max(n // n_cells, 1)
     cent_rows = (
-        src.where(F.col(id_col) % stride == 0).limit(n_cells).collect()
+        src.where(F.col(id_col) % stride == 0)
+        .orderBy(id_col)  # ordered before limit — an unordered limit picks
+        .limit(n_cells)   # arbitrary rows and breaks run-to-run determinism
+        .collect()
     )
     cents = np.stack(
         [np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows]
@@ -306,7 +309,8 @@ def ivf_topk(df, k: int = 3, nq: int = 10, n_cells: int = 16,
             )
             m = m / np.sqrt((m**2).sum(axis=1))[:, None]
             sims = m @ bc.value.T
-            order = np.argsort(-sims, axis=1)[:, :nprobe]
+            # stable sort: equal-similarity cells tie to the lowest index
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
             rows = {
                 "query_id": np.repeat(pdf[id_col].to_numpy(), nprobe),
                 "cell": order.reshape(-1).astype("int32"),

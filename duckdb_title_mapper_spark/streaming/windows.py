@@ -36,8 +36,10 @@ def _stage_stream_dir(sf_dir: str) -> str:
     d = f"/tmp/duckdb_title_mapper_spark_stream/{tag}"
     os.makedirs(d, exist_ok=True)
     link = f"{d}/events.parquet"
-    if not os.path.exists(link):
+    try:
         os.symlink(src, link)
+    except FileExistsError:  # concurrent stagers race benignly
+        pass
     return d
 
 
