@@ -40,17 +40,22 @@ def _sessionize_fn(gap_us: int):
             start = last_ts = None
             n = 0
         closed = []
+        # Spark may deliver one group as SEVERAL Arrow chunks; sorting each
+        # chunk independently would interleave out-of-order timestamps, so
+        # gather the whole batch's group before the single sort.  Per-group
+        # per-batch volume is what the watermark already bounds.
+        all_ts: list[int] = []
         for pdf in pdf_iter:
-            for ts in sorted(pdf["ts_us"]):
-                ts = int(ts)
-                if last_ts is None:
-                    start, last_ts, n = ts, ts, 1
-                elif ts - last_ts >= gap_us:
-                    closed.append((user_id, start, last_ts, n))
-                    start, last_ts, n = ts, ts, 1
-                else:
-                    last_ts = ts
-                    n += 1
+            all_ts.extend(int(t) for t in pdf["ts_us"])
+        for ts in sorted(all_ts):
+            if last_ts is None:
+                start, last_ts, n = ts, ts, 1
+            elif ts - last_ts >= gap_us:
+                closed.append((user_id, start, last_ts, n))
+                start, last_ts, n = ts, ts, 1
+            else:
+                last_ts = ts
+                n += 1
         if last_ts is not None:
             state.update((start, last_ts, n))
         if closed:
