@@ -39,9 +39,16 @@ HEADLINE = [
     "x_ann_lsh_topk",
     "x_embed_near_dup",
     "x_token_stats",
+    "x_bpe_token_count",
     "x_multimodal_meta",
+    "x_fuzzy_match_tfidf",
+    "x_connected_components",
+    "x_udtf_sentences",
+    "x_udaf_sumsq",
+    "x_ann_ivf_topk",
     "stream_tumbling_counts",
     "stream_sessionize_stateful",
+    "stream_join_click_purchase",
 ]
 
 
