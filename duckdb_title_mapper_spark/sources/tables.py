@@ -25,6 +25,10 @@ def load_events(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # date_trunc / window() truncate in the SESSION timezone; DuckDB's
+    # tz-free TIMESTAMP truncates wall time.  They agree only in UTC (or
+    # any whole-hour offset) — pin it so parity can't depend on the host.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

@@ -48,6 +48,7 @@ def stream_events(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # window() truncs in session tz
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .parquet(_stage_stream_dir(sf_dir))
