@@ -22,12 +22,14 @@ def register(spark):
     """Register the engine's SQL surface on a SparkSession (the analogue of
     DuckDB's ``LOAD title_mapper``; before this, the function does not
     exist — mirroring test/sql/title_mapper.test:5-9)."""
+    from .functions.table_functions import register_table_functions
     from .operators.standardize import make_standardize_udf
 
     udf = make_standardize_udf(spark)
     # Deterministic (default) so Catalyst may collapse repeated calls —
     # required for GROUP BY standardize_title(col) correctness (R13).
     spark.udf.register(UDF_NAME, udf)
+    register_table_functions(spark)  # split_sentences UDTF, sumsq_mod UDAF
     return spark
 
 
