@@ -29,6 +29,8 @@ HEADLINE = [
     "rel_join_3way",
     "rel_window_rank",
     "rel_tumbling_window",
+    "rel_asof_join",
+    "rel_range_join",
     "x_dedup_exact",
     "x_minhash_signature",
     "x_near_dup_clusters",

@@ -1069,6 +1069,145 @@ def src_json_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Temporal joins (as-of / banded range) — operators Spark lacks as
+# built-ins, DuckDB has natively (ASOF JOIN), so the oracle is a true
+# independent implementation.  events.ts is µs-aligned in the testdata
+# (asserted in tests), so Spark-µs vs DuckDB-ns comparisons agree.
+# ---------------------------------------------------------------------------
+
+_shared(
+    "rel_left_join",
+    """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+              CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+                   AS DECIMAL(18,2)) AS total_spend
+       FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+       GROUP BY c_custkey, c_mktsegment""",
+    ("customer", "orders"),
+    "LEFT OUTER join with NULL-aware count/sum (customers without orders "
+    "kept with 0s).",
+)
+
+
+@_q(
+    "rel_asof_join",
+    """WITH clicks AS (
+         SELECT user_id, ts, max(event_id) AS click_id
+         FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+       purchases AS (
+         SELECT user_id, event_id AS purchase_id, ts
+         FROM events WHERE event_type = 'purchase')
+       SELECT p.user_id, p.purchase_id,
+              epoch_us(p.ts) AS purchase_us,
+              c.click_id,
+              epoch_us(c.ts) AS click_us
+       FROM purchases p ASOF LEFT JOIN clicks c
+         ON p.user_id = c.user_id AND c.ts <= p.ts""",
+    "As-of join: each purchase attached to the same user's most recent "
+    "click at-or-before it (inclusive).  Spark side is the union-marker + "
+    "running-last window form (ONE shuffle, no join blow-up — "
+    "operators/asof.py); oracle is DuckDB's native ASOF LEFT JOIN.",
+)
+def rel_asof_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "us")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("us").alias("purchase_us"),
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id",
+        left_ts="purchase_us", right_ts="us",
+        right_payload="click_id", inclusive=True,
+    )
+    return out.withColumnRenamed("asof_ts", "click_us")
+
+
+@_q(
+    "rel_range_join",
+    """SELECT p.event_id AS purchase_id, p.user_id,
+              count(*) AS n_clicks_1h
+       FROM events p JOIN events c
+         ON p.user_id = c.user_id
+        AND c.event_type = 'click'
+        AND epoch_us(c.ts) > epoch_us(p.ts) - 3600000000
+        AND epoch_us(c.ts) <= epoch_us(p.ts)
+       WHERE p.event_type = 'purchase'
+       GROUP BY purchase_id, p.user_id""",
+    "Banded range join: per purchase, how many clicks by the same user in "
+    "the preceding hour (inner — purchases with none are absent).  Spark "
+    "side bucketizes time by the band width and equi-joins on "
+    "(user, bucket) with a residual band filter (operators/asof.py), "
+    "bounding per-key work; oracle is the naive inequality join.",
+)
+def rel_range_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .operators.asof import range_join_count
+
+    ev = load(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "us"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "us")
+    out = range_join_count(
+        purchases, clicks, on="user_id", probe_ts="us", build_ts="us",
+        band=3_600_000_000, count_alias="n_clicks_1h",
+    )
+    return out.drop("us")
+
+
+_RANGE_FRAME_SQL = """SELECT event_id, user_id, us,
+       sum(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY us
+         RANGE BETWEEN 900000000 PRECEDING AND CURRENT ROW) AS value_15m
+       FROM (SELECT event_id, user_id, {epoch} AS us, value FROM events) e"""
+
+@_q(
+    "rel_window_range_frame",
+    _RANGE_FRAME_SQL.format(epoch="epoch_us(ts)"),
+    "RANGE-frame window: per user, running 15-minute decimal value sum "
+    "(frame bounded by the µs order key, not row count).",
+)
+def rel_window_range_frame(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_RANGE_FRAME_SQL.format(epoch="unix_micros(ts)"))
+
+
+@_q(
+    "src_orc_roundtrip",
+    """SELECT o_orderstatus, count(*) AS n_orders,
+              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+       FROM orders GROUP BY o_orderstatus""",
+    "ORC sink + source round-trip of the orders table, then aggregate; "
+    "oracle aggregates the original parquet.",
+)
+def src_orc_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    orders = load(spark, sf_dir, "orders")
+    path = "/tmp/duckdb_title_mapper_spark_io/orders_orc"
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.schema(orders.schema).orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+            "total_price"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Structured Streaming surface (finite availableNow runs into memory sinks,
 # so a streaming computation gets a batch-SQL oracle)
 # ---------------------------------------------------------------------------
