@@ -58,13 +58,19 @@ def read_schema_columns(df) -> list[list[str]]:
 
 
 def broadcast_join_count(df) -> int:
-    return explain_str(df).count("BroadcastHashJoin")
+    """Count in ``simple`` mode: the formatted mode repeats each node in
+    its details section, double-counting."""
+    return explain_str(df, "simple").count("BroadcastHashJoin")
 
 
 def shuffle_count(df) -> int:
-    return explain_str(df).count("Exchange hashpartitioning") + explain_str(
-        df
-    ).count("Exchange rangepartitioning")
+    """Count in ``simple`` mode: formatted mode prints ``Exchange`` and
+    its ``hashpartitioning(...)`` argument on separate lines, so matching
+    the combined token there always yields 0."""
+    text = explain_str(df, "simple")
+    return text.count("Exchange hashpartitioning") + text.count(
+        "Exchange rangepartitioning"
+    )
 
 
 def codegen_stage_count(df) -> int:
