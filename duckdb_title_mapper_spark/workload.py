@@ -1068,6 +1068,53 @@ def src_json_roundtrip(spark, sf_dir):
     )
 
 
+_PERCENTILE_SQL = """SELECT o_orderstatus,
+       CAST(round({pct}(o_totalprice, 0.5), 4) AS DECIMAL(18,4)) AS median_price,
+       CAST(round({pct}(o_totalprice, 0.9), 4) AS DECIMAL(18,4)) AS p90_price,
+       count(*) AS n_orders
+       FROM orders GROUP BY o_orderstatus"""
+
+@_q(
+    "rel_percentiles",
+    _PERCENTILE_SQL.format(pct="quantile_cont"),
+    "Exact interpolated percentiles (Spark percentile ≡ DuckDB "
+    "quantile_cont); round(,4) quantization absorbs any last-ulp "
+    "interpolation drift before hashing.",
+)
+def rel_percentiles(spark, sf_dir):
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_PERCENTILE_SQL.format(pct="percentile"))
+
+
+_HASH_SPLIT_SQL = """SELECT
+       CASE WHEN {h} % 100 < 80 THEN 'train'
+            WHEN {h} % 100 < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc_id,
+       sum(n_chars) AS total_chars
+       FROM documents GROUP BY split"""
+
+@_q(
+    "x_hash_split",
+    _HASH_SPLIT_SQL.format(
+        h="(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)"
+    ),
+    "Deterministic train/valid/test split by content-stable hash "
+    "(md5 of the id — reproducible across engines, runs, and cluster "
+    "sizes, unlike seeded sampling); the scale answer to sampling a "
+    "100 TB corpus: a map-only predicate, no global ordering.",
+)
+def x_hash_split(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        _HASH_SPLIT_SQL.format(
+            h="CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+              " AS BIGINT)"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins (as-of / banded range) — operators Spark lacks as
 # built-ins, DuckDB has natively (ASOF JOIN), so the oracle is a true
