@@ -27,6 +27,10 @@ def connected_components(edges_df, src: str = "src", dst: str = "dst",
         edges_df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges_df.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # materialize ONCE: the edge relation (often an expensive LSH
+        # candidate-pair subplan) is consumed every round — without this
+        # each iteration re-runs the whole upstream pipeline
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("id"))
@@ -39,6 +43,8 @@ def connected_components(edges_df, src: str = "src", dst: str = "dst",
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
+        # checkpoint BEFORE the convergence probe so the probe joins two
+        # materialized relations instead of re-deriving new_labels
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
@@ -47,6 +53,7 @@ def connected_components(edges_df, src: str = "src", dst: str = "dst",
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
+            .localCheckpoint(eager=True)  # also cuts lineage growth
         )
         changed = (
             new_labels.alias("n")
@@ -54,7 +61,7 @@ def connected_components(edges_df, src: str = "src", dst: str = "dst",
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        labels = new_labels
         if changed == 0:
             break
     return labels.select(F.col("id").alias("vertex"), F.col("label").alias("component"))
