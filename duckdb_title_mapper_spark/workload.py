@@ -402,6 +402,26 @@ _shared(
 )
 
 _shared(
+    "rel_join_q5_shape",
+    """SELECT n_name,
+              sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+                    AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+       GROUP BY n_name""",
+    ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    "TPC-H Q5 shape: 6-way join, local-supplier predicate "
+    "(c_nationkey = s_nationkey), region filter pushed through two "
+    "broadcast dims.",
+)
+
+_shared(
     "rel_window_rank",
     """SELECT o_custkey, o_orderkey, o_totalprice FROM (
          SELECT o_custkey, o_orderkey, o_totalprice,
