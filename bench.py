@@ -25,12 +25,21 @@ HEADLINE = [
     "std_titles",
     "std_category_counts",
     "std_documents_throughput",
+    "std_documents_scale_form",
+    # streaming early: state-store commit latency is sensitive to session
+    # memory pressure, so measure on a clean session
+    "stream_tumbling_counts",
+    "stream_sessionize_stateful",
+    "stream_join_click_purchase",
     "rel_agg_pricing_summary",
     "rel_join_3way",
+    "rel_join_q5_shape",
     "rel_window_rank",
     "rel_tumbling_window",
     "rel_asof_join",
     "rel_range_join",
+    "rel_percentiles",
+    "x_hash_split",
     "x_dedup_exact",
     "x_minhash_signature",
     "x_near_dup_clusters",
@@ -48,9 +57,6 @@ HEADLINE = [
     "x_udtf_sentences",
     "x_udaf_sumsq",
     "x_ann_ivf_topk",
-    "stream_tumbling_counts",
-    "stream_sessionize_stateful",
-    "stream_join_click_purchase",
 ]
 
 
@@ -99,6 +105,11 @@ def main():
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        # release query-local state (localCheckpoint blocks, SQL cache) so
+        # one query's residue doesn't tax the next one's measurement
+        for r in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            r.unpersist(True)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1088,6 +1088,35 @@ def src_json_roundtrip(spark, sf_dir):
     )
 
 
+_shared(
+    "rel_cube",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+       FROM orders
+       GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    ("orders",),
+    "CUBE: all 4 grouping combinations in one pass (map-side partials "
+    "shared across grouping sets).",
+)
+
+_shared(
+    "rel_window_distribution",
+    """SELECT o_orderkey, o_orderstatus,
+              ntile(4) OVER w AS price_quartile,
+              CAST(round(percent_rank() OVER w, 9) AS DECIMAL(12,9))
+                  AS price_pct_rank,
+              CAST(round(cume_dist() OVER w, 9) AS DECIMAL(12,9))
+                  AS price_cume_dist
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice, o_orderkey)""",
+    ("orders",),
+    "Distribution window functions (ntile / percent_rank / cume_dist); "
+    "rank arithmetic is per-row IEEE on identical inputs, quantized "
+    "before hashing.",
+)
+
+
 _PERCENTILE_SQL = """SELECT o_orderstatus,
        CAST(round({pct}(o_totalprice, 0.5), 4) AS DECIMAL(18,4)) AS median_price,
        CAST(round({pct}(o_totalprice, 0.9), 4) AS DECIMAL(18,4)) AS p90_price,
