@@ -197,9 +197,16 @@ def standardize_titles_df(spark, df, title_col: str, out_col: str = "standardize
                     )
             yield pd.Series(out)
 
-    titles = df.select(F.col(title_col).alias("__title")).where(
-        F.col("__title").isNotNull()
-    ).distinct()
+    titles = (
+        df.select(F.col(title_col).alias("__title"))
+        .where(F.col("__title").isNotNull())
+        .distinct()
+        # materialize the (small, deduplicated) title set once: it feeds
+        # BOTH the scoring path and the OOV left-join base, and without
+        # this each consumer re-scans the full source to recompute the
+        # distinct — 3 source scans instead of 2 at 100 TB
+        .localCheckpoint(eager=True)
+    )
 
     q = titles.withColumn("__qvec", q_vectorize(F.col("__title")))
     q_terms = q.select(
