@@ -1538,8 +1538,34 @@ def _fuzzy_rels(spark_dialect: bool) -> tuple[str, str]:
     "the stemmed ln-idf form is the standardize UDF).",
 )
 def x_fuzzy_match_tfidf(spark, sf_dir):
+    from .operators.fuzzy import fuzzy_match_tfidf
+
     register_views(spark, sf_dir, "documents")
-    return spark.sql(fuzzy_match_sql(True, *_fuzzy_rels(True)))
+    q_rel, c_rel = _fuzzy_rels(True)
+    return fuzzy_match_tfidf(
+        spark.sql(f"SELECT * FROM {q_rel} q"),
+        spark.sql(f"SELECT * FROM {c_rel} c"),
+    )
+
+
+@_q(
+    "x_fuzzy_match_materialized",
+    fuzzy_match_sql(False, *_fuzzy_rels(False)),
+    "The same fuzzy match with materialize=True: every shared "
+    "intermediate localCheckpointed once (source scanned once, tokens "
+    "computed once) — the 100 TB physical form, hash-checked against "
+    "the identical oracle as the lazy form.",
+)
+def x_fuzzy_match_materialized(spark, sf_dir):
+    from .operators.fuzzy import fuzzy_match_tfidf
+
+    register_views(spark, sf_dir, "documents")
+    q_rel, c_rel = _fuzzy_rels(True)
+    return fuzzy_match_tfidf(
+        spark.sql(f"SELECT * FROM {q_rel} q"),
+        spark.sql(f"SELECT * FROM {c_rel} c"),
+        materialize=True,
+    )
 
 
 from .operators.similarity import (  # noqa: E402

@@ -1,10 +1,14 @@
 """Generalized TF-IDF fuzzy-match semantics (rational-idf DataFrame form):
-exact self-match, OOV drop, and lowest-cid tie-break."""
+exact self-match, OOV drop, and lowest-cid tie-break — in both the lazy
+and the materialize=True (localCheckpointed) physical forms."""
+
+import pytest
 
 from duckdb_title_mapper_spark.operators.fuzzy import fuzzy_match_tfidf
 
 
-def test_fuzzy_match_basics(spark):
+@pytest.mark.parametrize("materialize", [False, True])
+def test_fuzzy_match_basics(spark, materialize):
     corpus = spark.sql(
         """SELECT * FROM (VALUES
              (10, 'senior data engineer'),
@@ -22,7 +26,9 @@ def test_fuzzy_match_basics(spark):
     )
     out = {
         r["query_id"]: (r["matched_id"], float(r["score"]))
-        for r in fuzzy_match_tfidf(queries, corpus).collect()
+        for r in fuzzy_match_tfidf(
+            queries, corpus, materialize=materialize
+        ).collect()
     }
     assert out[1][0] == 10 and abs(out[1][1] - 1.0) < 1e-9  # exact match
     assert out[2][0] == 20  # best token overlap
