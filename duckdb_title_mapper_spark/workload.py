@@ -1089,6 +1089,19 @@ def src_json_roundtrip(spark, sf_dir):
 
 
 _shared(
+    "rel_lateral_topn",
+    """SELECT c_custkey, c_mktsegment, t.o_orderkey, t.o_totalprice
+       FROM customer c, LATERAL (
+         SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+       WHERE c_mktsegment = 'AUTOMOBILE'""",
+    ("customer", "orders"),
+    "Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2 "
+    "orders per customer); Catalyst rewrites it to a ranked window join.",
+)
+
+_shared(
     "rel_cube",
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
