@@ -92,19 +92,27 @@ def main():
     engine.register(spark)
     spark.sql("SELECT standardize_title('warmup query')").collect()
 
-    # best-of-2: machine-load noise on shared hosts swings single runs
-    # 3-10x; the min is the reproducible cost of the plan itself
+    # best-of-3: machine-load noise on shared hosts swings single runs
+    # 3-10x and Catalyst compile cost dominates the cold run; the min is
+    # the reproducible cost of the plan itself.  The spread (max-min over
+    # the repeats) is reported per query so the 2x-of-baseline gate can be
+    # read against measurement noise instead of flapping on it.
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
-        best, n = None, 0
-        for _ in range(2):
+        runs, n = [], 0
+        for _ in range(3):
             t0 = time.time()
             df = q.spark_fn(spark, sf_dir)
             n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        spreads[name] = round(max(runs) - min(runs), 3)
+        print(
+            f"# {name}: {n} rows in {timings[name]}s"
+            f" (spread {spreads[name]}s)",
+            file=sys.stderr,
+        )
         # release query-local state (localCheckpoint blocks, SQL cache) so
         # one query's residue doesn't tax the next one's measurement
         for r in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
@@ -119,6 +127,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

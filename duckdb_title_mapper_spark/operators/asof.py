@@ -87,19 +87,33 @@ def asof_join(left, right, on: str, left_ts: str, right_ts: str,
 
 
 def range_join_count(probe, build, on: str, probe_ts: str, build_ts: str,
-                     band: int, count_alias: str = "n_in_band"):
+                     band: int, count_alias: str = "n_in_band",
+                     probe_row_id: str | None = None):
     """Inner banded join + count: for each ``probe`` row, the number of
     ``build`` rows with the same ``on`` key and
     ``probe_ts - band < build_ts <= probe_ts`` (timestamps and ``band``
     are integers in the same unit).  Probe rows with zero in-band build
     rows are absent (inner semantics).
 
+    ``probe_row_id``: a column that uniquely identifies probe rows, so
+    duplicate probe rows each keep their own output row.  When None, a
+    per-row surrogate id is attached — the 'for each probe row' contract
+    holds either way (grouping by the full row alone would silently merge
+    duplicates into one row with a combined count).
+
     Emits ``probe``'s columns + ``<count_alias>``.
     """
     from pyspark.sql import functions as F
 
     pcols = probe.columns
+    if probe_row_id is None:
+        # surrogate values never reach the output, so the result multiset
+        # does not depend on partition layout
+        probe = probe.withColumn("__pid", F.monotonically_increasing_id())
+    else:
+        probe = probe.withColumn("__pid", F.col(probe_row_id))
     p = probe.select(
+        "__pid",
         F.struct(*pcols).alias("__row"),
         F.col(on).alias("__k"),
         F.col(probe_ts).alias("__pt"),
@@ -119,7 +133,9 @@ def range_join_count(probe, build, on: str, probe_ts: str, build_ts: str,
         (F.col("__bt") > F.col("__pt") - band)
         & (F.col("__bt") <= F.col("__pt"))
     )
-    agg = joined.groupBy("__row").agg(F.count("*").alias(count_alias))
+    agg = joined.groupBy("__pid", "__row").agg(
+        F.count("*").alias(count_alias)
+    )
     return agg.select(
         *[F.col(f"__row.{c}").alias(c) for c in pcols], count_alias
     )

@@ -37,6 +37,7 @@ def connected_components(edges_df, src: str = "src", dst: str = "dst",
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.id)
@@ -64,4 +65,12 @@ def connected_components(edges_df, src: str = "src", dst: str = "dst",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # labels would be silently wrong on a graph with diameter >
+        # max_iter; convergence is already measured each round, so a
+        # non-converged exit must be loud, not a plausible result
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select(F.col("id").alias("vertex"), F.col("label").alias("component"))

@@ -139,8 +139,8 @@ def ann_lsh_topk_sql(spark_dialect: bool, k: int = 3, nq: int = 10,
             FROM embeddings) n)
     SELECT query_id, neighbor_id, rank FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                   ORDER BY {dot} DESC, c.vec_id) AS rank
+               CAST(row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {dot} DESC, c.vec_id) AS BIGINT) AS rank
         FROM (SELECT * FROM bucketed WHERE vec_id < {nq}) q
         JOIN bucketed c
           ON c.bucket = q.bucket AND c.vec_id <> q.vec_id) ranked

@@ -23,16 +23,18 @@ def salted_join(fact_df, dim_df, key: str, buckets: int = 8,
     """Inner-join ``fact_df`` ⋈ ``dim_df`` on ``key`` with salt spreading.
 
     ``fact_row_id``: any column whose value distributes rows (an id,
-    offset, hash input).  Defaults to the key itself via a content hash —
-    still deterministic, spreads duplicates of the hot key because the
-    salt also hashes a per-row monotonic id."""
+    offset, hash input).  Defaults to a content hash over ALL fact
+    columns — a function of row values only, so salt assignment (and the
+    whole plan) is identical across reruns and partition layouts; exact
+    duplicate rows share a salt, which only matters if one VALUE is
+    duplicated ~billions of times (then pass an explicit row id)."""
     from pyspark.sql import functions as F
 
     if fact_row_id is None:
         fact = fact_df.withColumn(
             "__salt",
             F.pmod(
-                F.xxhash64(F.col(key), F.monotonically_increasing_id()),
+                F.xxhash64(*[F.col(c) for c in fact_df.columns]),
                 F.lit(buckets),
             ).cast("int"),
         )

@@ -1,0 +1,51 @@
+"""Pluggable materialization for iterative / multi-consumer plans.
+
+Operators that consume an intermediate relation many times (connected
+components each round, the fuzzy matcher's shared token relation, the
+standardizer's distinct-title set) must cut lineage and materialize once.
+The *mechanism* is a deployment choice, not an algorithm choice:
+
+* ``local`` — ``localCheckpoint(eager=True)``: blocks live on executors
+  with NO lineage fallback.  Fastest on local[N] (measured round 1: the
+  checkpoint write is in-memory), but on a real cluster an executor loss
+  makes the blocks unrecoverable and kills the job.
+* ``reliable`` — ``persist(StorageLevel.MEMORY_AND_DISK)`` + an eager
+  ``count()``: keeps lineage, so lost blocks are recomputed; the right
+  default on a 1000-executor cluster.  (A reliable ``checkpoint()`` to
+  HDFS is the heavier third option; persist-with-lineage covers the
+  fault-tolerance need without requiring a checkpoint dir.)
+
+The mode is process-wide: ``SPARK_GRAFT_MATERIALIZE`` env var (``local``
+| ``reliable``), overridable per call.  local[N] runs — tests, bench, the
+driver — default to ``local``; cluster deployments set ``reliable``.
+"""
+
+from __future__ import annotations
+
+import os
+
+_VALID = ("local", "reliable")
+
+
+def materialize_mode() -> str:
+    mode = os.environ.get("SPARK_GRAFT_MATERIALIZE", "local")
+    if mode not in _VALID:
+        raise ValueError(
+            f"SPARK_GRAFT_MATERIALIZE must be one of {_VALID}, got {mode!r}"
+        )
+    return mode
+
+
+def materialize(df, mode: str | None = None):
+    """Eagerly materialize ``df`` and return a DataFrame that re-reads the
+    materialized blocks instead of recomputing lineage."""
+    mode = mode or materialize_mode()
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    if mode == "reliable":
+        from pyspark import StorageLevel
+
+        persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.count()  # force materialization now, like eager=True
+        return persisted
+    raise ValueError(f"unknown materialize mode {mode!r}")

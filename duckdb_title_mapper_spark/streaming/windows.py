@@ -68,7 +68,9 @@ def tumbling_counts(spark, sf_dir: str, window: str = "1 hour",
         .groupBy(F.window("ts", window), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("total_value"),
         )
         .select(
             F.unix_timestamp("window.start").alias("bucket_start"),

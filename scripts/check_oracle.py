@@ -18,6 +18,30 @@ from decimal import Decimal
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def duck_type_to_spark(t: str) -> str:
+    """Normalize a DuckDB declared type to Spark's simpleString form so
+    declared output types can be compared, not just values.  The driver's
+    hash gate is sensitive to output type metadata (VERDICT r1), so any
+    mismatch here is a red flag even when values are identical."""
+    t = str(t).strip()
+    if t.endswith("[]"):
+        return f"array<{duck_type_to_spark(t[:-2])}>"
+    u = t.upper()
+    base = {
+        "VARCHAR": "string", "BIGINT": "bigint", "INTEGER": "int",
+        "SMALLINT": "smallint", "TINYINT": "tinyint", "HUGEINT": "hugeint",
+        "DOUBLE": "double", "FLOAT": "float", "BOOLEAN": "boolean",
+        "DATE": "date", "TIMESTAMP": "timestamp_ntz",
+        "TIMESTAMP_NS": "timestamp_ntz", "BLOB": "binary",
+        "TIMESTAMP WITH TIME ZONE": "timestamp",
+    }
+    if u in base:
+        return base[u]
+    if u.startswith("DECIMAL"):
+        return u.replace("DECIMAL", "decimal").replace(" ", "")
+    return t.lower()
+
+
 def norm_cell(v):
     if isinstance(v, Decimal):
         return ("dec", str(v.normalize()))
@@ -92,6 +116,19 @@ def main():
         if sc != dc:
             failures.append(name)
             print(f"FAIL {name}: columns differ: spark={sc} duckdb={dc}")
+            continue
+        s_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+        d_types = {
+            c: duck_type_to_spark(t) for c, t in zip(rel.columns, rel.types)
+        }
+        type_mismatch = {
+            c: (s_types[c], d_types[c]) for c in sc if s_types[c] != d_types[c]
+        }
+        if type_mismatch:
+            failures.append(name)
+            print(f"FAIL {name}: declared types differ (spark, duckdb):")
+            for c, (a, b) in type_mismatch.items():
+                print(f"      {c}: spark={a} duckdb={b}")
             continue
         if len(s_canon) != len(d_canon):
             failures.append(name)

@@ -1,0 +1,28 @@
+"""The driver certifies exactly the first 50 registered queries, so the
+registration order is part of the driver contract — lock it."""
+
+
+def test_first_50_are_the_curated_grade_set():
+    from duckdb_title_mapper_spark.workload import GRADE_FIRST, all_queries
+
+    names = list(all_queries())
+    assert len(GRADE_FIRST) == 50
+    assert names[:50] == GRADE_FIRST
+
+
+def test_every_graded_slot_has_a_value_oracle():
+    # rows-only checks are a weaker grade; don't spend graded slots on them
+    from duckdb_title_mapper_spark.workload import GRADE_FIRST, all_queries
+
+    qs = all_queries()
+    assert [n for n in GRADE_FIRST if qs[n].oracle is None] == []
+
+
+def test_graded_set_covers_every_family():
+    from duckdb_title_mapper_spark.workload import GRADE_FIRST
+
+    prefixes = {"std_", "rel_", "src_", "stream_", "x_"}
+    covered = {p for p in prefixes if any(n.startswith(p) for n in GRADE_FIRST)}
+    assert covered == prefixes
+    # the five streaming queries all fit in the graded window
+    assert sum(n.startswith("stream_") for n in GRADE_FIRST) == 5
