@@ -36,6 +36,10 @@ pipeline in whole-stage codegen (built-in functions, no Python).
 
 from __future__ import annotations
 
+import itertools
+
+_simhash_view_seq = itertools.count()
+
 MOD = 1_000_000_007  # fold modulus: acc*31+v < 3.3e10 << 2^63, overflow-free
 BASE = 31
 
@@ -138,15 +142,22 @@ def with_simhash(df, text_col: str, id_col: str = "doc_id",
     ``id_col``; ``df`` needs a unique id column)."""
     from pyspark.sql import functions as F
 
-    view = "__simhash_in"
+    # per-call unique view name: concurrent/nested uses on one session
+    # must not clobber each other, and the name must not leak afterwards
+    view = f"__simhash_in_{next(_simhash_view_seq)}"
     df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).createOrReplaceTempView(view)
-    sig = (
-        df.sparkSession.sql(simhash_sql(True, bits, table=view))
-        .withColumnRenamed("simhash", out_col)
-        .withColumnRenamed("doc_id", id_col)
-    )
+    try:
+        # spark.sql analyzes eagerly, so the plan is bound to the view's
+        # content here and survives the drop below
+        sig = (
+            df.sparkSession.sql(simhash_sql(True, bits, table=view))
+            .withColumnRenamed("simhash", out_col)
+            .withColumnRenamed("doc_id", id_col)
+        )
+    finally:
+        df.sparkSession.catalog.dropTempView(view)
     return df.join(sig, id_col)
 
 

@@ -143,11 +143,9 @@ def fuzzy_match_tfidf(queries_df, corpus_df,
     """
     from pyspark.sql import Window, functions as F
 
-    mat = (
-        (lambda df: df.localCheckpoint(eager=True))
-        if materialize
-        else (lambda df: df)
-    )
+    from ..plans.materialize import materialize as _materialize
+
+    mat = _materialize if materialize else (lambda df: df)
     q_src = mat(
         queries_df.select(F.col(qid).alias("qid"), F.col(qtext).alias("qtext"))
     )

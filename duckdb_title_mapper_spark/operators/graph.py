@@ -23,14 +23,15 @@ def connected_components(edges_df, src: str = "src", dst: str = "dst",
     component id = min vertex id in the component.  Deterministic."""
     from pyspark.sql import functions as F
 
-    edges = (
+    from ..plans.materialize import materialize as _mat, release as _release
+
+    edges = _mat(
         edges_df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges_df.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         # materialize ONCE: the edge relation (often an expensive LSH
         # candidate-pair subplan) is consumed every round — without this
         # each iteration re-runs the whole upstream pipeline
-        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("id"))
@@ -44,9 +45,10 @@ def connected_components(edges_df, src: str = "src", dst: str = "dst",
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
-        # checkpoint BEFORE the convergence probe so the probe joins two
-        # materialized relations instead of re-deriving new_labels
-        new_labels = (
+        # materialize BEFORE the convergence probe so the probe joins two
+        # materialized relations instead of re-deriving new_labels (also
+        # cuts the otherwise-exponential lineage growth per round)
+        new_labels = _mat(
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
                 "id",
@@ -54,7 +56,6 @@ def connected_components(edges_df, src: str = "src", dst: str = "dst",
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)  # also cuts lineage growth
         )
         changed = (
             new_labels.alias("n")
@@ -62,6 +63,8 @@ def connected_components(edges_df, src: str = "src", dst: str = "dst",
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        if labels is not new_labels:
+            _release(labels)  # retire last round's materialization
         labels = new_labels
         if changed == 0:
             break

@@ -268,12 +268,12 @@ def ivf_topk(df, k: int = 3, nq: int = 10, n_cells: int = 16,
     from pyspark.sql import functions as F
 
     src = df.select(id_col, vec_col)
-    n = src.count()
-    stride = max(n // n_cells, 1)
+    # seed centroids in ONE job (the r1 form spent a count() + a collect()):
+    # order by a content hash of the id — a deterministic pseudo-random
+    # spread over the corpus, independent of partition layout, no RNG
     cent_rows = (
-        src.where(F.col(id_col) % stride == 0)
-        .orderBy(id_col)  # ordered before limit — an unordered limit picks
-        .limit(n_cells)   # arbitrary rows and breaks run-to-run determinism
+        src.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
         .collect()
     )
     cents = np.stack(

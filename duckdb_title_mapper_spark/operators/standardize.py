@@ -204,9 +204,13 @@ def standardize_titles_df(spark, df, title_col: str, out_col: str = "standardize
         # materialize the (small, deduplicated) title set once: it feeds
         # BOTH the scoring path and the OOV left-join base, and without
         # this each consumer re-scans the full source to recompute the
-        # distinct — 3 source scans instead of 2 at 100 TB
-        .localCheckpoint(eager=True)
+        # distinct — 3 source scans instead of 2 at 100 TB.  Mechanism is
+        # deployment-selected (localCheckpoint on local[N], lineage-keeping
+        # persist on clusters) via plans.materialize.
     )
+    from ..plans.materialize import materialize as _mat
+
+    titles = _mat(titles)
 
     q = titles.withColumn("__qvec", q_vectorize(F.col("__title")))
     q_terms = q.select(

@@ -49,3 +49,12 @@ def materialize(df, mode: str | None = None):
         persisted.count()  # force materialization now, like eager=True
         return persisted
     raise ValueError(f"unknown materialize mode {mode!r}")
+
+
+def release(df, mode: str | None = None):
+    """Free a no-longer-needed :func:`materialize` result (iterative
+    operators retire each round's intermediate).  Only meaningful in
+    ``reliable`` mode — unpersisting a ``localCheckpoint`` would delete
+    its only copy of the data, so ``local`` is a deliberate no-op."""
+    if (mode or materialize_mode()) == "reliable":
+        df.unpersist()

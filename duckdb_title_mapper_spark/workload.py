@@ -1416,7 +1416,13 @@ def stream_session_windows(spark, sf_dir):
     GROUP BY event_type""",
     "Streaming deduplication: dropDuplicates on (event_type, user_id, "
     "hour) inside the stream, then aggregate — state-backed exact dedup "
-    "on an unbounded stream.",
+    "on an unbounded stream.  The dedup key includes the event-time "
+    "hour and the stream is watermarked on it, so the state store "
+    "EVICTS hours older than the watermark instead of retaining every "
+    "key forever (the r1 design kept unbounded state).  Exactness "
+    "bound: events arriving >2h later than the max seen hour would be "
+    "dropped; the availableNow file run ingests in one batch, so the "
+    "watermark never trails data here and the batch oracle is exact.",
 )
 def stream_dedup_counts(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -1428,9 +1434,10 @@ def stream_dedup_counts(spark, sf_dir):
         .select(
             "event_type",
             "user_id",
-            F.expr("unix_micros(ts) div 3600000000").alias("hour_bucket"),
+            F.date_trunc("hour", "ts").alias("hour_ts"),
         )
-        .dropDuplicates(["event_type", "user_id", "hour_bucket"])
+        .withWatermark("hour_ts", "2 hours")
+        .dropDuplicates(["event_type", "user_id", "hour_ts"])
     )
     counts = deduped.groupBy("event_type").agg(
         F.count("*").alias("distinct_user_hours")
