@@ -1804,6 +1804,191 @@ _shared(
 
 
 # ---------------------------------------------------------------------------
+# Round-2 additions: composed pipeline + vocabulary + source/relational
+# breadth.  Registered after the graded fold (GRADE_FIRST keeps the
+# certified 50 stable); all value-checked by scripts/check_oracle.py.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "x_dedup_pipeline",
+    f"""WITH RECURSIVE edges AS (
+      SELECT src, dst FROM ({_band_edges_sql(False)}) e
+      UNION ALL
+      SELECT dst, src FROM ({_band_edges_sql(False)}) e),
+    verts AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, label) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.src, r.label
+      FROM edges e JOIN reach r ON r.id = e.dst
+      WHERE r.label < e.src),
+    comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+    SELECT coalesce(c.component, d.doc_id) AS component,
+           min(d.doc_id) AS keeper_doc_id,
+           count(*) AS n_members,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 150) d
+    LEFT JOIN comp c ON c.id = d.doc_id
+    GROUP BY coalesce(c.component, d.doc_id)""",
+    "End-to-end dedup pipeline (the composition a training-data pipeline "
+    "actually runs): banded-MinHash candidate edges -> connected "
+    "components -> one keeper per transitive near-dup group, singletons "
+    "keeping themselves — a dedup decision table with group sizes.  "
+    "Spark side composes the same operators (SQL signatures, iterative "
+    "CC, left join); oracle recomputes the closure as a recursive CTE.",
+)
+def x_dedup_pipeline(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .operators.graph import connected_components
+
+    register_views(spark, sf_dir, "documents")
+    edges = spark.sql(_band_edges_sql(True))
+    comp = connected_components(edges)
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return (
+        docs.join(comp, docs.doc_id == comp.vertex, "left")
+        .select(
+            F.coalesce("component", "doc_id").alias("component"),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("component")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_members"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def _vocab_topk_sql(spark_dialect: bool, k: int = 20) -> str:
+    """Corpus vocabulary: top-k tokens by occurrence count with exact doc
+    frequencies, deterministic tie-break on the token itself."""
+    if spark_dialect:
+        toks = (
+            r"SELECT doc_id, explode(regexp_extract_all(lower(text),"
+            r" '\\w+', 0)) AS tok FROM documents"
+        )
+    else:
+        toks = (
+            r"SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+            r" '\w+')) AS tok FROM documents"
+        )
+    return f"""SELECT tok, n_occurrences, n_docs FROM (
+      SELECT tok, count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS n_docs,
+             CAST(row_number() OVER (ORDER BY count(*) DESC, tok)
+                  AS BIGINT) AS rnk
+      FROM ({toks}) t GROUP BY tok) ranked
+    WHERE rnk <= {k}"""
+
+
+@_q(
+    "x_vocab_topk",
+    _vocab_topk_sql(False),
+    "Vocabulary building: corpus-wide top-20 tokens by occurrence with "
+    "doc frequencies (the tokenizer-training / stopword-mining scan; at "
+    "100 TB a two-level agg: partial counts map-side, ORDER BY count "
+    "is a single top-k reduce, never a full sort of the vocabulary).",
+)
+def x_vocab_topk(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_vocab_topk_sql(True))
+
+
+@_q(
+    "rel_latest_per_key",
+    """SELECT user_id, event_id, us FROM (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1""",
+    "Latest-record-per-key (the CDC/compaction staple): each user's most "
+    "recent event, deterministic tie-break on event_id.  One shuffle on "
+    "the key; at scale this is the QUALIFY row_number() = 1 pattern, "
+    "which Spark executes with a partial top-1 per map task before the "
+    "shuffle when possible.",
+)
+def rel_latest_per_key(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """SELECT user_id, event_id, us FROM (
+          SELECT user_id, event_id, unix_micros(ts) AS us,
+                 row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1"""
+    )
+
+
+@_q(
+    "src_partitioned_parquet",
+    """SELECT o_orderpriority, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   AS DECIMAL(38,2)) AS total_price
+       FROM orders WHERE o_orderstatus = 'F'
+       GROUP BY o_orderpriority""",
+    "Hive-partitioned parquet sink + partition-pruned read-back: orders "
+    "written partitioned by o_orderstatus, re-read with a partition "
+    "filter that must prune to ONE directory (plan-locked in "
+    "tests/test_plans.py), then aggregated; oracle aggregates the "
+    "original table with the same predicate.",
+)
+def src_partitioned_parquet(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    orders = load(spark, sf_dir, "orders")
+    path = "/tmp/duckdb_title_mapper_spark_io/orders_by_status"
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_price"),
+    )
+
+
+def _quality_funnel_sql(spark_dialect: bool) -> str:
+    """Quality-filter funnel in ONE pass: how many documents survive each
+    cumulative gate (integer-count conditions only — cross-engine exact)."""
+    n_toks = (
+        r"size(regexp_extract_all(text, '\\w+', 0))"
+        if spark_dialect
+        else r"len(regexp_extract_all(text, '\w+'))"
+    )
+    stop = (
+        r"size(regexp_extract_all(lower(text), '\\b(the|a|of|to|and)\\b', 0))"
+        if spark_dialect
+        else r"len(regexp_extract_all(lower(text), '\b(the|a|of|to|and)\b'))"
+    )
+    return f"""SELECT lang, count(*) AS n_docs,
+           count(CASE WHEN n_chars >= 200 THEN 1 END) AS pass_length,
+           count(CASE WHEN n_chars >= 200 AND n_toks >= 40 THEN 1 END)
+             AS pass_tokens,
+           count(CASE WHEN n_chars >= 200 AND n_toks >= 40
+                       AND stop_hits * 20 >= n_toks THEN 1 END) AS pass_all
+    FROM (SELECT lang, n_chars, {n_toks} AS n_toks, {stop} AS stop_hits
+          FROM documents) d
+    GROUP BY lang"""
+
+
+@_q(
+    "x_quality_filter_funnel",
+    _quality_funnel_sql(False),
+    "Quality-filter funnel per language: cumulative survivor counts for "
+    "length / token-count / stopword-density gates in one scan "
+    "(conditional aggregation — the pipeline-tuning view before "
+    "committing a filter config; integer-only predicates, so exact).",
+)
+def x_quality_filter_funnel(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_quality_funnel_sql(True))
+
+
+# ---------------------------------------------------------------------------
 # Registration order: the driver certifies exactly the FIRST 50 entries of
 # ``queries()`` (round 1 graded registrations 1-50 and nothing after), so
 # order is load-bearing.  The first 50 are curated to cover every SURVEY §2
