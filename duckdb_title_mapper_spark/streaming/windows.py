@@ -152,7 +152,7 @@ def click_purchase_join(spark, sf_dir: str, horizon_minutes: int = 60,
 
 
 def run_to_memory(streaming_df, mode: str = "complete",
-                  state_partitions: int | None = 8):
+                  state_partitions: int | None = 4):
     """Run a streaming DataFrame to completion (availableNow) into a
     memory sink; return the results as a batch DataFrame.
 
@@ -162,7 +162,9 @@ def run_to_memory(streaming_df, mode: str = "complete",
     existing checkpoint), and every micro-batch commits one state-store
     delta file per partition per stateful operator — at local bench
     scale that per-partition commit I/O dominates (32 → 8 partitions
-    measured 10× faster on the stream-stream join).  A cluster
+    measured 10× faster on the stream-stream join; 8 → 4 another ~30%
+    warm, with 2 only marginally better — 4 keeps some intra-batch
+    parallelism).  A cluster
     deployment sizes this to executors × cores before first start; the
     result set is partitioning-independent either way.  ``None`` keeps
     the session setting."""
