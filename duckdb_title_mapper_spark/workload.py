@@ -1988,6 +1988,165 @@ def x_quality_filter_funnel(spark, sf_dir):
     return spark.sql(_quality_funnel_sql(True))
 
 
+_MEDIA_RESIZE_ORACLE = """WITH resized AS (
+      SELECT doc_id, {media_type_case} AS media_type,
+             substr(repeat(text, CAST(ceil(4096.0 / length(text)) AS INT)),
+                    1, 4096) AS payload
+      FROM documents),
+    chars AS (
+      SELECT doc_id, media_type, unicode(c) // 16 AS bin
+      FROM (SELECT doc_id, media_type,
+                   unnest(string_split(payload, '')) AS c
+            FROM resized) t),
+    hist AS (
+      SELECT doc_id, media_type, bin, count(*) AS cnt
+      FROM chars GROUP BY doc_id, media_type, bin),
+    dom AS (
+      SELECT doc_id, media_type, CAST(bin AS BIGINT) AS dominant_bin
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY cnt DESC, bin) AS rn
+            FROM hist) r
+      WHERE rn = 1)
+    SELECT media_type, dominant_bin, count(*) AS n_media
+    FROM dom GROUP BY media_type, dominant_bin"""
+
+
+@_q(
+    "x_media_features",
+    _MEDIA_RESIZE_ORACLE.format(media_type_case=_MEDIA_TYPE_CASE),
+    "Full multimodal pipeline: payload -> byte-level resize (truncate / "
+    "cycle-pad to 4096) -> feature extraction (normalized byte histogram "
+    "via Arrow pandas_udf) -> dominant-feature rollup.  The dominant bin "
+    "is an integer argmax (float normalization preserves it; ties break "
+    "to the lowest bin via array_position-first-match ≡ the oracle's "
+    "(cnt DESC, bin) rank), so the whole decode->resize->featurize chain "
+    "is value-checked end-to-end, not rows-only.  The payload here is "
+    "ASCII text bytes, so the oracle can re-derive the resized bytes "
+    "with repeat+substr and per-char unicode()//16 binning.",
+)
+def x_media_features(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import (
+        extract_features,
+        media_table,
+        resize_media,
+    )
+
+    feats = extract_features(resize_media(media_table(spark, sf_dir)))
+    return (
+        feats.select(
+            "media_type",
+            F.expr(
+                "CAST(array_position(features, array_max(features)) - 1"
+                " AS BIGINT)"
+            ).alias("dominant_bin"),
+        )
+        .groupBy("media_type", "dominant_bin")
+        .agg(F.count("*").alias("n_media"))
+    )
+
+
+@_q(
+    "src_bucketed_join",
+    """SELECT c_mktsegment, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   AS DECIMAL(38,2)) AS total
+       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+       GROUP BY c_mktsegment""",
+    "Bucketed co-located join: both tables written bucketBy(8) + sortBy "
+    "on the join key, then sort-merge-joined with ZERO exchanges on "
+    "either side (bucketing pre-aligns partitions — plan-locked in "
+    "tests/test_plans_bucketed.py).  At 100 TB this is the canonical "
+    "shuffle-elimination for a fact table repeatedly joined on one key; "
+    "oracle is the plain join on the original parquet.",
+)
+def src_bucketed_join(spark, sf_dir):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from .sources import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    io = "/tmp/duckdb_title_mapper_spark_io"
+    names = {}
+    for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        name = f"{tbl}_bucketed_{tag}"
+        names[tbl] = name
+        if not spark.catalog.tableExists(name):
+            write_bucketed(
+                load(spark, sf_dir, tbl), name, f"{io}/{name}", key, buckets=8
+            )
+    orders = spark.table(names["orders"])
+    customer = spark.table(names["customer"])
+    joined = orders.hint("merge").join(
+        customer, orders.o_custkey == customer.c_custkey
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total"),
+    )
+
+
+_STRATIFIED_SQL = """SELECT lang, count(*) AS n_total,
+       count(CASE WHEN {h} % 100 < 20 THEN 1 END) AS n_sampled,
+       min(CASE WHEN {h} % 100 < 20 THEN doc_id END) AS first_sampled_id
+       FROM documents GROUP BY lang"""
+
+
+@_q(
+    "x_stratified_sample",
+    _STRATIFIED_SQL.format(
+        h="(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)"
+    ),
+    "Stratified deterministic sampling: a content-hash 20% rule applied "
+    "within each language stratum — the reproducible alternative to "
+    "seeded sampleBy at 100 TB (same rows selected on any cluster "
+    "layout, rerun, or engine).  Output is the per-stratum audit "
+    "(population, sample size, first sampled id).",
+)
+def x_stratified_sample(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        _STRATIFIED_SQL.format(
+            h="CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+              " AS BIGINT)"
+        )
+    )
+
+
+@_q(
+    "x_approx_stats",
+    None,  # HLL/KLL sketches are engine-specific; accuracy bounds are
+    # pytest-asserted against exact counts instead (rows-only check)
+    "Approximate aggregates for 100 TB profiling: HyperLogLog distinct "
+    "counts (approx_count_distinct) and KLL-sketch percentiles "
+    "(percentile_approx) over documents/orders — the constant-memory "
+    "first pass a pipeline runs before committing to exact plans.  "
+    "Deterministic for fixed input; relative-error bounds vs exact are "
+    "locked in tests/test_scale_ops.py.",
+)
+def x_approx_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    orders = load(spark, sf_dir, "orders")
+    d = docs.agg(
+        F.approx_count_distinct("text").alias("approx_distinct_texts"),
+        F.count("*").alias("n_docs"),
+    )
+    o = orders.agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias(
+            "approx_median_price"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+    return d.crossJoin(o)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver certifies exactly the FIRST 50 entries of
 # ``queries()`` (round 1 graded registrations 1-50 and nothing after), so

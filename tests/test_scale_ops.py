@@ -49,3 +49,24 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
         assert joined.count() > 0
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_approx_stats_within_error_bounds(spark):
+    # x_approx_stats is rows-only in the driver gate (sketches are
+    # engine-specific); its accuracy contract lives here instead
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    [row] = all_queries()["x_approx_stats"].spark_fn(spark, SF).collect()
+    docs = load_table(spark, SF, "documents")
+    orders = load_table(spark, SF, "orders")
+    exact_distinct = docs.select("text").distinct().count()
+    # HLL default rsd = 5%; allow 3x slack for small-n variance
+    assert abs(row.approx_distinct_texts - exact_distinct) <= max(
+        0.15 * exact_distinct, 5
+    )
+    [[exact_median]] = orders.selectExpr(
+        "percentile(o_totalprice, 0.5)"
+    ).collect()
+    assert abs(row.approx_median_price - exact_median) <= 0.05 * exact_median
+    assert row.n_docs == docs.count()
+    assert row.n_orders == orders.count()
