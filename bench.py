@@ -92,32 +92,39 @@ def main():
     engine.register(spark)
     spark.sql("SELECT standardize_title('warmup query')").collect()
 
-    # best-of-3: machine-load noise on shared hosts swings single runs
-    # 3-10x and Catalyst compile cost dominates the cold run; the min is
-    # the reproducible cost of the plan itself.  The spread (max-min over
-    # the repeats) is reported per query so the 2x-of-baseline gate can be
-    # read against measurement noise instead of flapping on it.
-    spreads: dict[str, float] = {}
-    for name in HEADLINE:
-        q = registry[name]
-        runs, n = [], 0
-        for _ in range(3):
+    # best-of-3, round-robin: machine-load noise on shared hosts swings
+    # single runs 3-10x and Catalyst compile cost dominates the cold run;
+    # the min is the reproducible cost of the plan itself.  The three
+    # repeats run as three full PASSES over the query list (not
+    # back-to-back) so one transient load/GC burst cannot poison every
+    # repeat of the same query.  The spread (max-min over repeats) is
+    # reported per query so the 2x-of-baseline gate can be read against
+    # measurement noise instead of flapping on it.
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    rows: dict[str, int] = {}
+    for _pass in range(3):
+        for name in HEADLINE:
+            q = registry[name]
             t0 = time.time()
             df = q.spark_fn(spark, sf_dir)
-            n = df.count()
-            runs.append(time.time() - t0)
-        timings[name] = round(min(runs), 3)
-        spreads[name] = round(max(runs) - min(runs), 3)
+            rows[name] = df.count()
+            runs[name].append(time.time() - t0)
+            # release query-local state (localCheckpoint blocks, SQL
+            # cache) so one query's residue doesn't tax the next one
+            for r in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                r.unpersist(True)
+            spark.catalog.clearCache()
+    spreads: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(min(runs[name]), 3)
+        spreads[name] = round(max(runs[name]) - min(runs[name]), 3)
         print(
-            f"# {name}: {n} rows in {timings[name]}s"
+            f"# {name}: {rows[name]} rows in {timings[name]}s"
             f" (spread {spreads[name]}s)",
             file=sys.stderr,
         )
-        # release query-local state (localCheckpoint blocks, SQL cache) so
-        # one query's residue doesn't tax the next one's measurement
-        for r in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-            r.unpersist(True)
-        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

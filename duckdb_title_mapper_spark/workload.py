@@ -1303,6 +1303,7 @@ def rel_range_join(spark, sf_dir):
     out = range_join_count(
         purchases, clicks, on="user_id", probe_ts="us", build_ts="us",
         band=3_600_000_000, count_alias="n_clicks_1h",
+        probe_row_id="purchase_id",
     )
     return out.drop("us")
 
