@@ -11,7 +11,10 @@ from .windows import (  # noqa: F401
     click_purchase_join,
     run_to_memory,
     session_window_counts,
+    sliding_counts,
+    standardize_stream,
     stream_events,
+    stream_static_enrich,
     tumbling_counts,
 )
 from .stateful import sessionize  # noqa: F401

@@ -24,18 +24,18 @@ EVENTS_RAW_SCHEMA = (
 )
 
 
-def _stage_stream_dir(sf_dir: str) -> str:
+def _stage_stream_dir(sf_dir: str, table: str = "events") -> str:
     """Spark's file stream source requires a *directory*; the testdata is
     one read-only parquet file.  Stage a per-sf directory of symlinks
     under /tmp (no data copied)."""
     import hashlib
     import os
 
-    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    src = os.path.realpath(f"{sf_dir}/{table}.parquet")
     tag = hashlib.md5(src.encode()).hexdigest()[:12]
     d = f"/tmp/duckdb_title_mapper_spark_stream/{tag}"
     os.makedirs(d, exist_ok=True)
-    link = f"{d}/events.parquet"
+    link = f"{d}/{table}.parquet"
     try:
         os.symlink(src, link)
     except FileExistsError:  # concurrent stagers race benignly
@@ -98,6 +98,98 @@ def session_window_counts(spark, sf_dir: str, gap: str = "30 minutes",
             F.unix_micros("session_window.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+def sliding_counts(spark, sf_dir: str, window: str = "1 hour",
+                   slide: str = "15 minutes", watermark: str = "2 hours"):
+    """Watermarked HOPPING (sliding) windows: every event lands in
+    window/slide = 4 overlapping 1-hour buckets that start on 15-minute
+    boundaries.  State is still O(active windows): the watermark evicts
+    a hop as soon as it is ``window`` + ``watermark`` old, so at 100 TB
+    the overlap factor multiplies state by 4, not by stream length."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp("window.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def stream_static_enrich(spark, sf_dir: str):
+    """Stream-static join: the purchase firehose enriched against the
+    (batch) customer dimension, aggregated per market segment.
+
+    The static side is a broadcast hash join under every micro-batch —
+    no stream-side shuffle and no join state store at all (only the
+    aggregation keeps state), which is the shape you want at 100 TB:
+    the dimension ships once per executor, the firehose never moves."""
+    from pyspark.sql import functions as F
+
+    purchases = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "value")
+    )
+    customers = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+    )
+    return (
+        purchases.join(
+            F.broadcast(customers),
+            purchases.user_id == customers.c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("total_value"),
+        )
+    )
+
+
+def standardize_stream(spark, sf_dir: str):
+    """The flagship scalar operator (M0) applied on a STREAM: documents
+    arrive as files, the first-4-token prefix is standardized with the
+    memoized broadcast TF-IDF index, and running counts per BLS category
+    are maintained in complete mode.
+
+    Shows the index-memoization contract (M9) holds under micro-batch
+    re-execution: the pandas UDF reuses one broadcast index across all
+    batches instead of rebuilding per batch."""
+    from pyspark.sql import functions as F
+
+    from ..operators.standardize import make_standardize_udf
+
+    docs_schema = (
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT"
+    )
+    docs = (
+        spark.readStream.schema(docs_schema)
+        .parquet(_stage_stream_dir(sf_dir, "documents"))
+    )
+    titles = docs.select(
+        F.array_join(F.slice(F.split("text", " "), 1, 4), " ").alias("title")
+    )
+    std = make_standardize_udf(spark)
+    return (
+        titles.select(
+            F.split_part(std(F.col("title")), F.lit(" - "), F.lit(2)).alias(
+                "bls_category"
+            )
+        )
+        .groupBy("bls_category")
+        .agg(F.count("*").alias("n_docs"))
     )
 
 

@@ -1326,6 +1326,35 @@ def rel_window_range_frame(spark, sf_dir):
     return spark.sql(_RANGE_FRAME_SQL.format(epoch="unix_micros(ts)"))
 
 
+_shared(
+    "rel_unpivot",
+    """SELECT l_orderkey, l_linenumber, metric, val
+       FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                    l_discount, l_tax
+             FROM lineitem WHERE l_orderkey < 1000) AS t
+       UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice,
+                                   l_discount, l_tax))""",
+    ("lineitem",),
+    "UNPIVOT (wide -> long): the four lineitem measures melted into "
+    "(metric, val) rows — SQL-standard unpivot syntax, valid verbatim in "
+    "both dialects; per-row DOUBLE passthrough is cross-engine exact.",
+)
+
+
+_shared(
+    "rel_ntile",
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+              CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS BIGINT)
+                AS quartile
+       FROM customer""",
+    ("customer",),
+    "ntile distribution window: account-balance quartile per market "
+    "segment (custkey tiebreak makes the frame deterministic; BIGINT "
+    "cast aligns Spark int with DuckDB BIGINT).",
+)
+
+
 @_q(
     "src_orc_roundtrip",
     """SELECT o_orderstatus, count(*) AS n_orders,
@@ -1485,6 +1514,57 @@ def stream_sessionize_stateful(spark, sf_dir):
     from .streaming.stateful import sessionize
 
     return run_to_memory(sessionize(stream_events(spark, sf_dir)), mode="append")
+
+
+@_q(
+    "stream_sliding_counts",
+    """SELECT (epoch_us(ts) // 900000000) * 900 - 900 * g AS bucket_start,
+           event_type, count(*) AS n_events
+    FROM events CROSS JOIN generate_series(0, 3) AS t(g)
+    GROUP BY bucket_start, event_type""",
+    "Structured Streaming: watermarked HOPPING windows (1 hour every "
+    "15 min) per event_type — each event lands in 4 overlapping buckets; "
+    "oracle replicates the hop expansion with a generate_series cross "
+    "join (start = floor-to-15min minus k*15min, k in 0..3).",
+)
+def stream_sliding_counts(spark, sf_dir):
+    from .streaming import run_to_memory, sliding_counts
+
+    return run_to_memory(sliding_counts(spark, sf_dir))
+
+
+@_q(
+    "stream_static_join",
+    """SELECT c_mktsegment, count(*) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                AS DECIMAL(38,6)) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'purchase'
+    GROUP BY c_mktsegment""",
+    "Structured Streaming: stream-static broadcast join — the purchase "
+    "firehose enriched per micro-batch against the batch customer "
+    "dimension (no join state store; only the aggregation is stateful); "
+    "oracle is the equivalent batch join.",
+)
+def stream_static_join(spark, sf_dir):
+    from .streaming import run_to_memory, stream_static_enrich
+
+    return run_to_memory(stream_static_enrich(spark, sf_dir))
+
+
+@_q(
+    "stream_standardize",
+    None,
+    "The flagship M0 scalar operator on a STREAM: documents arrive as "
+    "files, prefixes are standardized with the memoized broadcast TF-IDF "
+    "index (M9 under micro-batch re-execution), category counts kept in "
+    "complete mode.  No SQL oracle (DuckDB lacks the matcher); the batch "
+    "twin std_documents_scale_form is golden-checked instead.",
+)
+def stream_standardize(spark, sf_dir):
+    from .streaming import run_to_memory, standardize_stream
+
+    return run_to_memory(standardize_stream(spark, sf_dir))
 
 
 _MEDIA_TYPE_CASE = (
