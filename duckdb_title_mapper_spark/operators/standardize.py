@@ -154,10 +154,11 @@ def standardize_titles_df(spark, df, title_col: str, out_col: str = "standardize
     """DataFrame-native standardize: adds ``out_col`` to ``df``.
 
     distinct -> stem/explode (python only for the stemmer) -> broadcast join
-    postings -> groupBy dot product -> window argmax (ties -> asc(doc_idx),
-    reproducing utils.rs:169-191) -> OOV coalesce to corpus[0] -> re-join.
+    postings -> groupBy dot product -> aggregate argmax via
+    max(struct(score, -doc_idx)) (ties -> asc(doc_idx), reproducing
+    utils.rs:169-191) -> OOV coalesce to corpus[0] -> re-join.
     """
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
@@ -249,11 +250,18 @@ def standardize_titles_df(spark, df, title_col: str, out_col: str = "standardize
         )
     )
 
-    w = Window.partitionBy("__title").orderBy(F.desc("score"), F.asc("doc_idx"))
+    # Argmax as an AGGREGATE, not a window: max over struct(score,
+    # -doc_idx) is lexicographic, so ties go to the LOWEST doc index —
+    # exactly the reference tiebreak (utils.rs:169-191, M6).  Unlike
+    # row_number() over a window this keeps map-side partial aggregation
+    # (the per-title shuffle carries <=1 row per partition, no sort) —
+    # at 100 TB the argmax exchange is O(distinct titles), not
+    # O(candidate pairs).
     best = (
-        dots.withColumn("__rn", F.row_number().over(w))
-        .where((F.col("__rn") == 1) & (F.col("score") > 0.0))
-        .select("__title", "doc_idx")
+        dots.groupBy("__title")
+        .agg(F.max(F.struct(F.col("score"), (-F.col("doc_idx")).alias("neg_idx"))).alias("__m"))
+        .where(F.col("__m.score") > 0.0)
+        .select("__title", (-F.col("__m.neg_idx")).alias("doc_idx"))
     )
 
     # Titles sharing no term with the KB never appear in `best` -> coalesce
