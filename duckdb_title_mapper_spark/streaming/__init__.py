@@ -17,4 +17,5 @@ from .windows import (  # noqa: F401
     stream_static_enrich,
     tumbling_counts,
 )
+from .sinks import file_sink_roundtrip  # noqa: F401
 from .stateful import sessionize  # noqa: F401

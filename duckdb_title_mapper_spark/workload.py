@@ -2228,6 +2228,136 @@ def x_approx_stats(spark, sf_dir):
     return d.crossJoin(o)
 
 
+def _pmi_sql(spark_dialect: bool) -> str:
+    """Bigram-PMI collocation detection (phrase mining for a training-data
+    pipeline).  All probabilities stay INTEGER counts until one final
+    double expression with identical text in both dialects; the ln output
+    is quantized to DECIMAL(12,9) for both emission and ordering
+    (cross-engine exactness rule for ln)."""
+    if spark_dialect:
+        toks = (r"SELECT doc_id, regexp_extract_all(lower(text), '\\w+', 0)"
+                r" AS ts FROM documents")
+        pairs = ("SELECT explode(transform(slice(ts, 1, size(ts) - 1),"
+                 " (w, i) -> struct(w AS w1, ts[i + 1] AS w2))) AS bg"
+                 " FROM toks WHERE size(ts) > 1")
+        big = "SELECT bg.w1 AS w1, bg.w2 AS w2 FROM pairs_raw"
+        uni = "SELECT explode(ts) AS w FROM toks"
+    else:
+        toks = (r"SELECT doc_id, regexp_extract_all(lower(text), '\w+')"
+                r" AS ts FROM documents")
+        pairs = ("SELECT ts[g] AS w1, ts[g + 1] AS w2"
+                 " FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1))"
+                 " AS g FROM toks WHERE len(ts) > 1) i")
+        big = "SELECT w1, w2 FROM pairs_raw"
+        uni = "SELECT unnest(ts) AS w FROM toks"
+    return f"""WITH toks AS ({toks}),
+    pairs_raw AS ({pairs}),
+    bigrams AS (SELECT w1, w2, count(*) AS n_ab
+                FROM ({big}) b GROUP BY w1, w2),
+    unigrams AS (SELECT w, count(*) AS n_w FROM ({uni}) u GROUP BY w),
+    tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_uni FROM unigrams),
+    totb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_big FROM bigrams)
+    SELECT w1, w2, n_ab,
+           CAST(round(ln((CAST(n_ab AS DOUBLE) * n_uni * n_uni)
+                         / (CAST(n_big AS DOUBLE) * a.n_w * b.n_w)), 9)
+                AS DECIMAL(12,9)) AS pmi
+    FROM bigrams
+    JOIN unigrams a ON w1 = a.w
+    JOIN unigrams b ON w2 = b.w
+    CROSS JOIN tot CROSS JOIN totb
+    WHERE n_ab >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 50"""
+
+
+@_q(
+    "x_collocation_pmi",
+    _pmi_sql(False),
+    "Collocation detection: top-50 adjacent-bigram PMI over the document "
+    "corpus (min count 5).  Counts aggregate map-side; the unigram join "
+    "sides are tiny aggregates (broadcastable); ln quantized to "
+    "DECIMAL(12,9) for output AND ordering so the top-k boundary is "
+    "cross-engine deterministic.",
+)
+def x_collocation_pmi(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_pmi_sql(True))
+
+
+def _entropy_sql(spark_dialect: bool) -> str:
+    """Per-document character-distribution Shannon entropy.  Each
+    -(p)*ln(p) term is quantized to DECIMAL(12,9) BEFORE the per-doc sum,
+    so the sum is order-independent decimal addition — the playbook's
+    fix for 'never SUM raw doubles across groups' applied to an entropy
+    reduction."""
+    chars = (
+        "SELECT doc_id, explode(split(text, '')) AS c FROM documents"
+        if spark_dialect
+        else "SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents"
+    )
+    return f"""WITH cc AS (
+      SELECT doc_id, c, count(*) AS n_c
+      FROM ({chars}) ch WHERE c <> '' GROUP BY doc_id, c),
+    tot AS (SELECT doc_id, CAST(sum(n_c) AS BIGINT) AS n
+            FROM cc GROUP BY doc_id),
+    terms AS (
+      SELECT cc.doc_id,
+             CAST(round(-(CAST(n_c AS DOUBLE) / n)
+                        * ln(CAST(n_c AS DOUBLE) / n), 9)
+                  AS DECIMAL(12,9)) AS term
+      FROM cc JOIN tot ON cc.doc_id = tot.doc_id)
+    SELECT doc_id, CAST(sum(term) AS DECIMAL(38,9)) AS char_entropy
+    FROM terms GROUP BY doc_id"""
+
+
+@_q(
+    "x_char_entropy",
+    _entropy_sql(False),
+    "Text-quality signal: character-level Shannon entropy per document "
+    "(low entropy flags repetitive/boilerplate text for filtering).  "
+    "Scales as two hash aggregates plus a co-partitioned join on doc_id.",
+)
+def x_char_entropy(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_entropy_sql(True))
+
+
+@_q(
+    "stream_file_sink",
+    """SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                AS DECIMAL(38,6)) AS total_value
+    FROM events GROUP BY event_type""",
+    "Structured Streaming FILE SINK: the events stream written to a "
+    "parquet directory sink (exactly-once via the sink's commit log), "
+    "then read back as a batch table and aggregated; oracle aggregates "
+    "the original events directly, so the sink round-trip is "
+    "value-checked end-to-end.",
+)
+def stream_file_sink(spark, sf_dir):
+    from .streaming.sinks import file_sink_roundtrip
+
+    return file_sink_roundtrip(spark, sf_dir)
+
+
+@_q(
+    "rel_nested_collect",
+    """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+              count(*) AS n_events
+       FROM events GROUP BY user_id""",
+    "Nested-type aggregation: per user, the sorted set of event types as "
+    "an ARRAY column plus the event count (array<string> vs VARCHAR[] "
+    "declared-type normalization is covered by the checker).",
+)
+def rel_nested_collect(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """SELECT user_id, sort_array(collect_set(event_type)) AS types,
+                  count(*) AS n_events
+           FROM events GROUP BY user_id"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver certifies exactly the FIRST 50 entries of
 # ``queries()`` (round 1 graded registrations 1-50 and nothing after), so
