@@ -1,6 +1,7 @@
 """Operator surface: each module is one family from SURVEY.md §2/§2.5."""
 
 from .asof import asof_join, range_join_count  # noqa: F401
+from .clustering import assign_to_centroids, kmeans_lloyd  # noqa: F401
 from .dedup import (  # noqa: F401
     exact_dedup,
     minhash_lsh_candidate_pairs,

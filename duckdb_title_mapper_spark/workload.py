@@ -896,6 +896,24 @@ def _embed_dot(spark_dialect: bool, a: str, b: str) -> str:
     )
 
 
+def _embed_l2(spark_dialect: bool, a: str, b: str) -> str:
+    """Squared-L2 distance as an index-order array fold (per-row IEEE
+    arithmetic on identical inputs — cross-engine exact, same contract
+    as ``_embed_dot``)."""
+    if spark_dialect:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) ->"
+            " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+            " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
 def _topk_sql(spark_dialect: bool, k: int = 3, nq: int = 5) -> str:
     dot = _embed_dot(spark_dialect, "q.embedding", "c.embedding")
     qnorm = "sqrt(" + _embed_dot(spark_dialect, "q.embedding", "q.embedding") + ")"
@@ -2356,6 +2374,166 @@ def rel_nested_collect(spark, sf_dir):
                   count(*) AS n_events
            FROM events GROUP BY user_id"""
     )
+
+
+_LEVENSHTEIN_PAIRS_SQL = """WITH p AS (
+      SELECT doc_id, lower(substr(text, 1, 40)) AS s,
+             substr(lower(text), 1, 4) AS blk
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.s, b.s) <= 12"""
+
+_shared(
+    "x_levenshtein_pairs",
+    _LEVENSHTEIN_PAIRS_SQL,
+    ("documents",),
+    "X2 fuzzy variant: EDIT-DISTANCE near-dup pairs, blocked by 4-char "
+    "prefix so the quadratic Levenshtein only runs inside small candidate "
+    "blocks (the blocked-pairs shape that scales: block equi-join, never "
+    "all-pairs).  Unit-cost Levenshtein agrees across engines; shared SQL.",
+)
+
+
+def _kmeans_step_sql(spark_dialect: bool, k: int = 16) -> str:
+    """One Lloyd iteration, fully SQL: assign every vector to its nearest
+    of the first-``k`` seed vectors (squared-L2, ties -> lowest centroid
+    id), then emit per-(centroid, dimension) coordinate SUMS + counts —
+    the mergeable map-side partials a distributed k-means shuffles
+    (mean = sum/count is a driver-side epilogue, kept out so the decimal
+    division never has to agree across engines).  Elements are quantized
+    to DECIMAL(18,9) BEFORE the cross-group sum (order-independence
+    rule)."""
+    l2 = _embed_l2(spark_dialect, "e.embedding", "c.cvec")
+    if spark_dialect:
+        dims = ("SELECT vec_id, dim, val FROM embeddings"
+                " LATERAL VIEW posexplode(embedding) t AS dim, val")
+    else:
+        dims = ("SELECT vec_id, i - 1 AS dim, embedding[i] AS val"
+                " FROM (SELECT vec_id, embedding,"
+                " unnest(generate_series(1, len(embedding))) AS i"
+                " FROM embeddings) u")
+    return f"""WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {k}),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {l2}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c) d
+      WHERE rn = 1),
+    dims AS ({dims})
+    SELECT a.cid, CAST(d.dim AS BIGINT) AS dim,
+           -- FLOAT -> DOUBLE first: Spark's float->decimal cast goes
+           -- through the float's 7-digit shortest string, DuckDB rounds
+           -- the true binary value; via DOUBLE both engines round the
+           -- same 17-digit value to 9 places
+           CAST(sum(CAST(CAST(d.val AS DOUBLE) AS DECIMAL(18,9)))
+                AS DECIMAL(38,9)) AS coord_sum,
+           count(*) AS n_assigned
+    FROM assign a JOIN dims d ON a.vec_id = d.vec_id
+    GROUP BY a.cid, d.dim"""
+
+
+@_q(
+    "x_kmeans_step",
+    _kmeans_step_sql(False),
+    "Iterative-algorithm building block with an EXACT oracle: one k-means "
+    "Lloyd step over the embeddings (assignment = argmin squared-L2 with "
+    "deterministic seeds and tiebreak; update = per-(centroid,dim) "
+    "decimal coordinate sums + counts, the mergeable partials the real "
+    "distributed loop shuffles).",
+)
+def x_kmeans_step(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_kmeans_step_sql(True))
+
+
+def _quantize_sql(spark_dialect: bool) -> str:
+    """Symmetric int8 quantization of the embedding column with per-row
+    reconstruction-error stats — all index-order folds and per-row IEEE
+    arithmetic, cross-engine exact."""
+    arr = "embedding"
+    if spark_dialect:
+        maxabs = (f"aggregate({arr}, CAST(0.0 AS DOUBLE),"
+                  " (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))")
+        err = ("aggregate(zip_with(q, embedding, (qi, x) ->"
+               " abs(qi * scale - CAST(x AS DOUBLE))),"
+               " CAST(0.0 AS DOUBLE), (acc, v) -> greatest(acc, v))")
+        quant = (f"transform({arr}, x -> CAST(round(CAST(x AS DOUBLE)"
+                 " / scale, 0) AS BIGINT))")
+    else:
+        maxabs = (f"list_max(list_transform({arr},"
+                  " x -> abs(CAST(x AS DOUBLE))))")
+        err = ("list_max(list_transform(range(1, len(q) + 1), i ->"
+               " abs(q[i] * scale - CAST(embedding[i] AS DOUBLE))))")
+        quant = (f"list_transform({arr}, x -> CAST(round(CAST(x AS DOUBLE)"
+                 " / scale, 0) AS BIGINT))")
+    return f"""WITH scaled AS (
+      SELECT vec_id, embedding, {maxabs} / 127.0 AS scale FROM embeddings),
+    qq AS (
+      SELECT vec_id, embedding, scale, {quant} AS q FROM scaled
+      WHERE scale > 0.0)
+    SELECT vec_id,
+           CAST(round(scale, 9) AS DECIMAL(12,9)) AS scale_q,
+           CAST(round({err}, 9) AS DECIMAL(12,9)) AS max_abs_err
+    FROM qq"""
+
+
+@_q(
+    "x_embed_quantize",
+    _quantize_sql(False),
+    "Embedding COMPRESSION for 100 TB storage: symmetric int8 "
+    "quantization (scale = max|x|/127 per vector) with per-vector max "
+    "reconstruction error — pure map-side array folds in index order, "
+    "no shuffle at all; outputs quantized to DECIMAL(12,9).",
+)
+def x_embed_quantize(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_quantize_sql(True))
+
+
+@_q(
+    "x_kmeans_fit",
+    None,  # iterative algorithm: the per-step math is certified by
+    # x_kmeans_step's exact oracle; the fitted loop is rows-only +
+    # pytest-locked (inertia monotonicity, step-1 parity)
+    "Full k-means fit (3 Lloyd iterations, deterministic first-k seeds): "
+    "per-centroid membership counts.  Assignment is a map-side projection "
+    "(centroid literals in-plan, argmin via array_min over structs); the "
+    "update shuffles only k*dim mergeable partials per partition.",
+)
+def x_kmeans_fit(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .operators.clustering import kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _cent, _inertia = kmeans_lloyd(
+        spark, emb.select("vec_id", "embedding"), k=16, max_iter=3
+    )
+    return (
+        assigned.groupBy(F.col("__cid").alias("cid"))
+        .agg(F.count("*").alias("n_members"))
+    )
+
+
+_shared(
+    "rel_full_outer_join",
+    """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+              c.c_name, o.n_orders
+       FROM (SELECT c_custkey, c_name FROM customer
+             WHERE c_acctbal > 9000) c
+       FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+                        FROM orders GROUP BY o_custkey) o
+         ON c.c_custkey = o.o_custkey""",
+    ("customer", "orders"),
+    "FULL OUTER join with unmatched rows on BOTH sides (rich customers "
+    "without orders, order-holders below the balance cut); completes the "
+    "join-type family alongside inner/left/semi/anti.",
+)
 
 
 # ---------------------------------------------------------------------------
