@@ -2495,6 +2495,46 @@ def x_embed_quantize(spark, sf_dir):
     return spark.sql(_quantize_sql(True))
 
 
+def _gap_fill_sql(spark_dialect: bool) -> str:
+    """Dense hourly series per event_type with ZERO rows for empty hours
+    — the resample/gap-fill shape time-series consumers need before
+    windowed models; the hour spine is generated per key from its own
+    min/max, so the fill is bounded by real activity, never a global
+    calendar scan."""
+    spine = (
+        "SELECT event_type, explode(sequence(hmin, hmax)) AS hour_bucket"
+        " FROM bounds"
+        if spark_dialect
+        else "SELECT event_type, unnest(generate_series(hmin, hmax))"
+        " AS hour_bucket FROM bounds"
+    )
+    epoch = "unix_micros(ts) div" if spark_dialect else "epoch_us(ts) //"
+    return f"""WITH hourly AS (
+      SELECT event_type, {epoch} 3600000000 AS h,
+             count(*) AS n_events
+      FROM events GROUP BY event_type, h),
+    bounds AS (
+      SELECT event_type, min(h) AS hmin, max(h) AS hmax
+      FROM hourly GROUP BY event_type),
+    spine AS ({spine})
+    SELECT s.event_type, s.hour_bucket * 3600 AS bucket_start,
+           CAST(coalesce(n_events, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN hourly
+      ON s.event_type = hourly.event_type AND s.hour_bucket = hourly.h"""
+
+
+@_q(
+    "rel_time_gap_fill",
+    _gap_fill_sql(False),
+    "Time-series RESAMPLE/gap-fill: dense hourly buckets per event_type "
+    "with explicit zero rows for silent hours (per-key spine via "
+    "sequence/generate_series, then left join + coalesce).",
+)
+def rel_time_gap_fill(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_gap_fill_sql(True))
+
+
 @_q(
     "x_kmeans_fit",
     None,  # iterative algorithm: the per-step math is certified by
