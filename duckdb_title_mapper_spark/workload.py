@@ -2495,6 +2495,31 @@ def x_embed_quantize(spark, sf_dir):
     return spark.sql(_quantize_sql(True))
 
 
+def _json_stats_sql(spark_dialect: bool) -> str:
+    k = (
+        "CAST(get_json_object(props, '$.k') AS BIGINT)"
+        if spark_dialect
+        else "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    )
+    return f"""SELECT event_type, count(*) AS n_events,
+           CAST(sum({k}) AS BIGINT) AS k_sum,
+           min({k}) AS k_min, max({k}) AS k_max
+    FROM events GROUP BY event_type"""
+
+
+@_q(
+    "rel_json_extract",
+    _json_stats_sql(False),
+    "Semi-structured JSON: extract a typed field from the events.props "
+    "JSON string column and aggregate it per event_type (Spark "
+    "get_json_object ≡ DuckDB json_extract_string; integer stats are "
+    "cross-engine exact).",
+)
+def rel_json_extract(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_json_stats_sql(True))
+
+
 def _gap_fill_sql(spark_dialect: bool) -> str:
     """Dense hourly series per event_type with ZERO rows for empty hours
     — the resample/gap-fill shape time-series consumers need before
@@ -2600,21 +2625,25 @@ GRADE_FIRST = [
     "rel_join_dims", "rel_join_3way", "rel_join_q5_shape", "rel_left_join",
     "rel_salted_join",
     # windows
-    "rel_window_running", "rel_window_distribution",
-    # event-time batch rollups
-    "rel_time_hourly", "rel_tumbling_window",
+    "rel_window_running",
+    # event-time batch rollups (+ gap-fill variants stay after the fold)
+    "rel_time_hourly",
     # multi-group aggregates
-    "rel_rollup", "rel_cube",
+    "rel_rollup",
     # temporal joins
     "rel_asof_join", "rel_range_join",
     # correlated lateral + exact percentiles
     "rel_lateral_topn", "rel_percentiles",
     # source/sink round-trips
-    "src_csv_roundtrip", "src_orc_roundtrip",
-    # Structured Streaming (all five)
+    "src_csv_roundtrip",
+    # Structured Streaming: the five round-1 flagships + hopping windows
+    # + stream-static enrichment
     "stream_tumbling_counts", "stream_session_windows",
     "stream_dedup_counts", "stream_join_click_purchase",
-    "stream_sessionize_stateful",
+    "stream_sessionize_stateful", "stream_sliding_counts",
+    "stream_static_join",
+    # X: iterative ML step + collocation mining (round-2 flagships)
+    "x_kmeans_step", "x_collocation_pmi",
     # X: dedup family
     "x_dedup_exact", "x_minhash_signature", "x_near_dup_clusters",
     "x_simhash_clusters", "x_ngram_jaccard", "x_fingerprint_rolling",
