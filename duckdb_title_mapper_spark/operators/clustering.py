@@ -7,11 +7,13 @@ seeds, corpus stratification).
 
 Shape per iteration — the one that scales to 100 TB:
 - centroids live on the DRIVER (k x dim doubles, bounded) and ship to
-  executors inside the plan as a literal array-of-structs, so the
-  assignment is a PURE PROJECTION: ``array_min(transform(cents, c ->
-  struct(l2(vec, c.v), c.cid)))`` — argmin by squared L2 with ties to
-  the lowest centroid id (same contract as the x_kmeans_step oracle),
-  no join, no shuffle, the big side never moves.
+  executors inside the plan (literal array-of-structs for the SQL
+  kernel, closure constants for the Arrow kernel), so the assignment is
+  MAP-SIDE ONLY: argmin by squared L2 with ties to the lowest centroid
+  id (same contract as the x_kmeans_step oracle), no join, no shuffle,
+  the big side never moves.  The default Arrow/numpy kernel accumulates
+  dimension-sequentially, so its doubles are bit-identical to the SQL
+  higher-order-function kernel (kernel parity is test-locked).
 - the update aggregates per-(cid, dim) coordinate sums + counts after a
   posexplode — mergeable partials, so the shuffle carries at most
   k * dim rows per partition, independent of input size.
@@ -45,17 +47,66 @@ def _assign_expr(centroids: list[list[float]], vec_col: str) -> str:
     )
 
 
-def assign_to_centroids(spark, df, centroids, vec_col: str = "embedding"):
+def assign_to_centroids(spark, df, centroids, vec_col: str = "embedding",
+                        kernel: str = "pandas"):
     """Add ``__cid``/``__dist`` (nearest centroid by squared L2, ties to
-    the lowest id) to ``df`` — map-side only, no shuffle."""
+    the lowest id) to ``df`` — map-side only, no shuffle.
+
+    ``kernel="pandas"`` (default): Arrow-batched numpy with
+    DIMENSION-SEQUENTIAL accumulation — the per-dim additions run in the
+    same order as the SQL fold, so the doubles (and therefore every
+    argmin) are bit-identical to ``kernel="sql"``, while evaluating
+    ~50x faster than Spark's interpreted higher-order lambdas (k*dim
+    interpreted ops per row).  ``np.argmin`` returns the FIRST minimum,
+    matching the struct-min lowest-cid tiebreak."""
     from pyspark.sql import functions as F
 
-    m = F.expr(_assign_expr(centroids, vec_col))
-    return df.withColumn("__m", m).select(
-        *df.columns,
-        F.col("__m.cid").alias("__cid"),
-        F.col("__m.d").alias("__dist"),
+    if kernel == "sql":
+        m = F.expr(_assign_expr(centroids, vec_col))
+        return df.withColumn("__m", m).select(
+            *df.columns,
+            F.col("__m.cid").alias("__cid"),
+            F.col("__m.d").alias("__dist"),
+        )
+
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
+
+    cents = [np.asarray(c, dtype=np.float64) for c in centroids]
+    # fresh StructType — StructType.add MUTATES, and df.schema is cached,
+    # so chaining .add on it corrupts the source DataFrame's schema
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("__cid", IntegerType()),
+           StructField("__dist", DoubleType())]
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            dists = np.empty((len(pdf), len(cents)), dtype=np.float64)
+            for ci, c in enumerate(cents):
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                for j in range(x.shape[1]):  # fold order = SQL fold order
+                    diff = x[:, j] - c[j]
+                    acc += diff * diff
+                dists[:, ci] = acc
+            best = dists.argmin(axis=1)
+            pdf = pdf.copy()
+            pdf["__cid"] = best.astype("int32")
+            pdf["__dist"] = dists[np.arange(len(pdf)), best]
+            yield pdf
+
+    return df.mapInPandas(_assign, schema=out_schema)
 
 
 def kmeans_lloyd(spark, df, vec_col: str = "embedding", k: int = 16,

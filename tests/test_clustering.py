@@ -58,6 +58,33 @@ def test_first_assignment_matches_sql_step(spark, emb):
     assert ours == sql_counts
 
 
+def test_kernels_bit_identical(spark, emb):
+    """The Arrow/numpy kernel's dimension-sequential accumulation must
+    reproduce the SQL fold's doubles exactly — same dist, same argmin."""
+    from pyspark.sql import functions as F
+
+    from duckdb_title_mapper_spark.operators.clustering import (
+        assign_to_centroids,
+    )
+
+    seeds = [
+        list(r.v)
+        for r in emb.orderBy("vec_id").limit(16)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    ]
+
+    def grab(kernel):
+        return sorted(
+            (r["vec_id"], r["__cid"], r["__dist"])
+            for r in assign_to_centroids(spark, emb, seeds, kernel=kernel)
+            .select("vec_id", "__cid", "__dist")
+            .collect()
+        )
+
+    assert grab("pandas") == grab("sql")
+
+
 def test_fit_deterministic(spark, emb):
     from duckdb_title_mapper_spark.operators.clustering import kmeans_lloyd
 
