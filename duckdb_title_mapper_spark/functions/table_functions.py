@@ -43,3 +43,17 @@ def register_table_functions(spark):
 
     spark.udf.register("sumsq_mod", sumsq_mod)
     return spark
+
+
+def rolling_sum_udaf():
+    """Grouped-agg pandas UDF for use OVER a bounded window frame (Spark
+    evaluates it once per frame, shipping the frame's rows to the Arrow
+    worker).  Integer sum — cross-engine exact."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def rolling_sum(v: pd.Series) -> int:
+        return int(v.sum())
+
+    return rolling_sum

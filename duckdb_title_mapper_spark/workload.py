@@ -2495,6 +2495,38 @@ def x_embed_quantize(spark, sf_dir):
     return spark.sql(_quantize_sql(True))
 
 
+@_q(
+    "x_pandas_window_udaf",
+    """SELECT event_id,
+           CAST(sum(k) OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS roll_k
+    FROM (SELECT event_id, user_id, ts,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events) t""",
+    "Custom Python aggregate OVER A BOUNDED WINDOW FRAME: a grouped-agg "
+    "pandas UDF evaluated per 3-row rolling frame per user (Spark ships "
+    "each frame to the Arrow worker; integer sums are cross-engine "
+    "exact).  Completes the Python-extension matrix: scalar UDF, UDTF, "
+    "grouped UDAF, windowed UDAF.",
+)
+def x_pandas_window_udaf(spark, sf_dir):
+    from pyspark.sql import Window, functions as F
+
+    from .functions.table_functions import rolling_sum_udaf
+
+    ev = load_events(spark, sf_dir)
+    rolling_sum = rolling_sum_udaf()
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select("event_id", rolling_sum(k).over(w).alias("roll_k"))
+
+
 def _json_stats_sql(spark_dialect: bool) -> str:
     k = (
         "CAST(get_json_object(props, '$.k') AS BIGINT)"

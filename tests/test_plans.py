@@ -94,3 +94,49 @@ def test_declared_queries_plan_shapes(spark):
     # each expansion a distinct subtree, so exchange reuse can't dedup.
     fuzzy = qs["x_fuzzy_match_tfidf"].spark_fn(spark, SF)
     assert shuffle_count(fuzzy) <= 36, shuffle_count(fuzzy)
+
+
+def test_round2_scale_claims_hold_in_plans(spark):
+    """Plan locks for the SCALING.md claims of the round-2 operators:
+    quantization is map-only, the standardize argmax aggregates with
+    map-side partials (no window sort), the PMI unigram sides broadcast,
+    and the k-means Arrow assignment adds no exchange."""
+    from duckdb_title_mapper_spark.plans import explain_str, shuffle_count
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    qs = all_queries()
+
+    # int8 quantize: pure projection — zero exchanges
+    quant = qs["x_embed_quantize"].spark_fn(spark, SF)
+    assert shuffle_count(quant) == 0, explain_str(quant)[:500]
+
+    # standardize scale form: aggregate argmax, not a window sort — the
+    # plan must contain no Window operator at all
+    scale = qs["std_documents_scale_form"].spark_fn(spark, SF)
+    txt = explain_str(scale)
+    assert "Window" not in txt, txt[:800]
+
+    # PMI: the two unigram join sides are small aggregates -> broadcast
+    pmi = qs["x_collocation_pmi"].spark_fn(spark, SF)
+    assert broadcast_join_count(pmi) >= 2, explain_str(pmi)[:800]
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_title_mapper_spark.operators.clustering import (
+        assign_to_centroids,
+    )
+    from duckdb_title_mapper_spark.plans import shuffle_count
+    from duckdb_title_mapper_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    seeds = [
+        list(r.v)
+        for r in emb.orderBy("vec_id").limit(4)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    ]
+    for kernel in ("pandas", "sql"):
+        assigned = assign_to_centroids(spark, emb, seeds, kernel=kernel)
+        assert shuffle_count(assigned) == 0, kernel
