@@ -2495,6 +2495,113 @@ def x_embed_quantize(spark, sf_dir):
     return spark.sql(_quantize_sql(True))
 
 
+def _simhash_hamming_sql(spark_dialect: bool, max_hamming: int = 6) -> str:
+    """Banded SimHash near-dup pairs: candidates share the upper 16 bits
+    (the standard banded blocker — an equi-join, never all-pairs), then
+    the full 32-bit hamming distance filters.  Bitwise xor/popcount are
+    integer-exact in both engines."""
+    from .operators.dedup import simhash_sql
+
+    sig = simhash_sql(spark_dialect)
+    div = "simhash div 65536" if spark_dialect else "simhash // 65536"
+    x = (
+        "bit_count(a.simhash ^ b.simhash)"
+        if spark_dialect
+        else "bit_count(xor(a.simhash, b.simhash))"
+    )
+    return f"""WITH blocked AS (
+      SELECT doc_id, simhash, {div} AS blk FROM ({sig}) s)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST({x} AS BIGINT) AS hamming
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE {x} <= {max_hamming}"""
+
+
+@_q(
+    "x_simhash_hamming_pairs",
+    _simhash_hamming_sql(False),
+    "X2 SimHash HAMMING-DISTANCE pairs: banded upper-16-bit blocking "
+    "equi-join, then popcount(xor) <= 6 over the full 32-bit signature "
+    "— the bit-arithmetic verify stage of a simhash dedup pipeline.",
+)
+def x_simhash_hamming_pairs(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_simhash_hamming_sql(True))
+
+
+def _minhash_est_err_sql(spark_dialect: bool, n_probe: int = 25) -> str:
+    """MinHash-estimate quality: signature-agreement Jaccard estimate vs
+    the exact set Jaccard for a bounded probe block.  agreement/4 is an
+    exact binary rational and the exact Jaccard is one per-row division
+    — both cross-engine exact as DOUBLEs."""
+    sig = _minhash_sig_subquery(spark_dialect)
+    if spark_dialect:
+        toks = (
+            r"SELECT doc_id, array_distinct(regexp_extract_all(text,"
+            r" '\\w+', 0)) AS toks FROM documents"
+        )
+        inter = "size(array_intersect(ta.toks, tb.toks))"
+        uni = "size(array_union(ta.toks, tb.toks))"
+    else:
+        toks = (
+            r"SELECT doc_id, list_distinct(regexp_extract_all(text, '\w+'))"
+            " AS toks FROM documents"
+        )
+        inter = "len(list_intersect(ta.toks, tb.toks))"
+        uni = "len(list_distinct(list_concat(ta.toks, tb.toks)))"
+    agree = " + ".join(
+        f"(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)" for j in range(4)
+    )
+    return f"""WITH sigs AS ({sig}), tk AS ({toks})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(({agree}) AS DOUBLE) / 4.0 AS jaccard_est,
+           CAST({inter} AS DOUBLE) / {uni} AS jaccard_exact,
+           abs(CAST(({agree}) AS DOUBLE) / 4.0
+               - CAST({inter} AS DOUBLE) / {uni}) AS abs_err
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    JOIN tk ta ON ta.doc_id = a.doc_id
+    JOIN tk tb ON tb.doc_id = b.doc_id
+    WHERE a.doc_id < {n_probe} AND b.doc_id < {n_probe}"""
+
+
+@_q(
+    "x_minhash_jaccard_est",
+    _minhash_est_err_sql(False),
+    "Sketch-quality measurement: MinHash signature-agreement estimate vs "
+    "exact set Jaccard with absolute error, per probe pair — the "
+    "accuracy loop that sizes the signature before a 100 TB dedup run.",
+)
+def x_minhash_jaccard_est(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_minhash_est_err_sql(True))
+
+
+@_q(
+    "src_text_roundtrip",
+    """SELECT count(*) AS n_lines,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents""",
+    "TEXT source/sink round-trip: document bodies written as raw text "
+    "lines (spark.write.text), read back with the text source, and "
+    "aggregated; oracle aggregates the original documents (bodies are "
+    "newline-free, so lines round-trip 1:1).",
+)
+def src_text_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="dtm_text_rt_")
+    docs = load(spark, sf_dir, "documents")
+    docs.select("text").write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+    )
+
+
 @_q(
     "x_pandas_window_udaf",
     """SELECT event_id,
