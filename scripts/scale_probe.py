@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Empirical scaling probe: run every headline query at three scale
+factors (sf0.001 / sf0.01 / sf0.1 — 100x data spread) and report the
+warm-time growth ratio t(sf0.1)/t(sf0.01) next to the 10x data ratio.
+
+A ratio near 1 means the query is constant-dominated at local scale
+(scheduler + plan cost, not data); near 10 means it is already
+data-bound and its per-row cost is what a cluster would scale out.
+Writes a markdown table to stdout — paste into SCALING.md.
+
+Usage: python scripts/scale_probe.py [repeats]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    import bench
+    import duckdb_title_mapper_spark as engine
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("scale_probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "32g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    engine.register(spark)
+    spark.sql("SELECT standardize_title('warmup query')").collect()
+
+    registry = all_queries()
+    times: dict[str, list[float]] = {n: [0.0] * len(SFS) for n in bench.HEADLINE}
+    for _ in range(repeats):
+        for si, sf in enumerate(SFS):
+            for name in bench.HEADLINE:
+                q = registry[name]
+                t0 = time.time()
+                q.spark_fn(spark, sf).count()
+                dt = time.time() - t0
+                cur = times[name][si]
+                times[name][si] = dt if cur == 0.0 else min(cur, dt)
+                for r in list(
+                    spark.sparkContext._jsc.getPersistentRDDs().values()
+                ):
+                    r.unpersist(True)
+                spark.catalog.clearCache()
+
+    print("| query | sf0.001 | sf0.01 | sf0.1 | t(.1)/t(.01) vs 10x data |")
+    print("|---|---|---|---|---|")
+    for name in bench.HEADLINE:
+        t = times[name]
+        ratio = t[2] / t[1] if t[1] > 0 else float("nan")
+        print(
+            f"| {name} | {t[0]:.2f} | {t[1]:.2f} | {t[2]:.2f} | {ratio:.1f}x |"
+        )
+
+
+if __name__ == "__main__":
+    main()
