@@ -77,3 +77,68 @@ def connected_components(edges_df, src: str = "src", dst: str = "dst",
             f"({changed} labels still changing); raise max_iter"
         )
     return labels.select(F.col("id").alias("vertex"), F.col("label").alias("component"))
+
+
+PR_SCALE = 1_000_000_000_000  # fixed-point rank unit (1e12)
+
+
+def pagerank_fixed_point(edges_df, src: str = "src", dst: str = "dst",
+                         iters: int = 5, d_num: int = 17, d_den: int = 20):
+    """PageRank over the symmetrized graph in FIXED-POINT INTEGER
+    arithmetic: ranks are BIGINT multiples of 1/PR_SCALE, every step is
+    integer div/mul/sum, so the result is bit-reproducible run-to-run
+    AND across engines — which is what lets an *iterative* ranking carry
+    an exact SQL oracle (``workload.x_pagerank`` unrolls the same steps
+    as CTEs).  Damping d = d_num/d_den (default 17/20 = 0.85).
+
+    Per iteration: one join (contributions rank div degree shipped along
+    edges) + one aggregation — the standard scale shape; the edge
+    relation is materialized once and reused every round.
+    """
+    from pyspark.sql import functions as F
+
+    from ..plans.materialize import materialize as _mat, release as _release
+
+    edges = _mat(
+        edges_df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges_df.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+    verts = edges.select(F.col("a").alias("id")).distinct()
+    # vertex count joined in-plan (1-row broadcast) — no driver scalar
+    nrow = F.broadcast(verts.agg(F.count("*").alias("n")))
+
+    ranks = _mat(
+        verts.crossJoin(nrow).select(
+            "id", "n", F.expr(f"CAST({PR_SCALE} AS BIGINT) div n").alias("r")
+        )
+    )
+    # all divisions are INTEGER div (not float-divide-then-cast): floor
+    # semantics must match the oracle's // exactly, bit for bit
+    base_expr = F.expr(
+        f"CAST({(d_den - d_num) * PR_SCALE} AS BIGINT) div ({d_den} * n)"
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks.select("id", "r"), edges.a == F.col("id"))
+            .join(deg, "a")
+            .select(F.col("b"), F.expr("r div deg").alias("c"))
+        )
+        sums = contrib.groupBy("b").agg(F.sum("c").alias("s"))
+        new_ranks = _mat(
+            ranks.select("id", "n")
+            .join(sums, ranks.id == sums.b, "left")
+            .select(
+                "id",
+                "n",
+                (
+                    base_expr
+                    + F.expr(f"({d_num} * coalesce(s, CAST(0 AS BIGINT)))"
+                             f" div {d_den}")
+                ).alias("r"),
+            )
+        )
+        _release(ranks)
+        ranks = new_ranks
+    return ranks.select(F.col("id").alias("vertex"), F.col("r").alias("rank_fp"))

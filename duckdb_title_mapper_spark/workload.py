@@ -2495,6 +2495,66 @@ def x_embed_quantize(spark, sf_dir):
     return spark.sql(_quantize_sql(True))
 
 
+def _pagerank_sql(spark_dialect: bool, iters: int = 5, topk: int = 20) -> str:
+    """Fixed-point PageRank unrolled as ``iters`` CTE steps.  Every
+    operation is BIGINT mul/div/sum (damping 17/20, ranks in units of
+    1/PR_SCALE), so an *iterative* ranking becomes cross-engine
+    bit-exact — the fixed-point trick that buys an oracle for an
+    algorithm floats could never certify."""
+    from .operators.graph import PR_SCALE
+
+    div = "div" if spark_dialect else "//"
+    base = f"(CAST({3 * PR_SCALE} AS BIGINT) {div} (20 * n))"
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""r{i} AS (
+      SELECT v.id,
+             {base} + (17 * coalesce(s.s, CAST(0 AS BIGINT))) {div} 20 AS r
+      FROM verts v CROSS JOIN nn
+      LEFT JOIN (SELECT e.b AS b,
+                        CAST(sum(rp.r {div} d.deg) AS BIGINT) AS s
+                 FROM edges e JOIN {prev} rp ON rp.id = e.a
+                 JOIN deg d ON d.a = e.a
+                 GROUP BY e.b) s ON s.b = v.id)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n    ".join(steps)
+    return f"""WITH e0 AS ({_band_edges_sql(spark_dialect)}),
+    edges AS (SELECT src AS a, dst AS b FROM e0
+              UNION
+              SELECT dst AS a, src AS b FROM e0),
+    deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+    verts AS (SELECT DISTINCT a AS id FROM edges),
+    nn AS (SELECT count(*) AS n FROM verts),
+    r0 AS (SELECT id, CAST({PR_SCALE} AS BIGINT) {div} n AS r
+           FROM verts CROSS JOIN nn),
+    {chain}
+    SELECT id AS vertex, r AS rank_fp FROM {prev}
+    ORDER BY rank_fp DESC, vertex LIMIT {topk}"""
+
+
+@_q(
+    "x_pagerank",
+    _pagerank_sql(False),
+    "PageRank over the near-dup candidate graph in FIXED-POINT BIGINT "
+    "arithmetic (damping 17/20, ranks in 1e-12 units): the iterative "
+    "operator (operators/graph.pagerank_fixed_point) against the same "
+    "steps unrolled as CTEs — integer ops make an iterative ranking "
+    "bit-exact across engines.",
+)
+def x_pagerank(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .operators.graph import pagerank_fixed_point
+
+    register_views(spark, sf_dir, "documents")
+    edges = spark.sql(_band_edges_sql(True))
+    pr = pagerank_fixed_point(edges)
+    return pr.orderBy(F.desc("rank_fp"), "vertex").limit(20)
+
+
 def _simhash_hamming_sql(spark_dialect: bool, max_hamming: int = 6) -> str:
     """Banded SimHash near-dup pairs: candidates share the upper 16 bits
     (the standard banded blocker — an equi-join, never all-pairs), then
