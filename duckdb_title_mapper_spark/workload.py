@@ -2831,8 +2831,10 @@ GRADE_FIRST = [
     "rel_rollup",
     # temporal joins
     "rel_asof_join", "rel_range_join",
-    # correlated lateral + exact percentiles
-    "rel_lateral_topn", "rel_percentiles",
+    # exact percentiles
+    "rel_percentiles",
+    # fixed-point iterative ranking (exact unrolled-CTE oracle)
+    "x_pagerank",
     # source/sink round-trips
     "src_csv_roundtrip",
     # Structured Streaming: the five round-1 flagships + hopping windows
