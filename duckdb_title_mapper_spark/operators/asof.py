@@ -29,11 +29,15 @@ from __future__ import annotations
 
 
 def asof_join(left, right, on: str, left_ts: str, right_ts: str,
-              right_payload: str, inclusive: bool = True):
-    """For each ``left`` row, attach the ``right`` row with the greatest
-    ``right_ts`` <= ``left_ts`` (strictly < if ``inclusive=False``) for
-    the same ``on`` key — DuckDB ``ASOF LEFT JOIN`` semantics (left rows
-    with no prior right row keep NULLs).
+              right_payload: str, inclusive: bool = True,
+              direction: str = "backward"):
+    """For each ``left`` row, attach the nearest ``right`` row for the
+    same ``on`` key: ``direction="backward"`` (default) takes the
+    greatest ``right_ts`` <= ``left_ts`` (strictly < if
+    ``inclusive=False``); ``direction="forward"`` takes the smallest
+    ``right_ts`` >= ``left_ts`` (strictly >) — DuckDB ``ASOF LEFT
+    JOIN`` / pandas ``merge_asof`` semantics (unmatched left rows keep
+    NULLs).
 
     ``right`` must be unique per (on, right_ts); pre-aggregate if not —
     DuckDB's ASOF leaves the winner among exact-tie timestamps
@@ -45,8 +49,11 @@ def asof_join(left, right, on: str, left_ts: str, right_ts: str,
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     # Right rows must sort BEFORE left rows at equal timestamps for
-    # inclusive (<=) semantics, after for strict (<).
+    # inclusive semantics, after for strict; the forward join is the
+    # same running-last carry over DESCENDING time.
     right_rank = 0 if inclusive else 2
     lcols = left.columns
     l = left.select(
@@ -64,9 +71,12 @@ def asof_join(left, right, on: str, left_ts: str, right_ts: str,
         F.col(right_payload).alias("__payload"),
         F.lit(None).cast(l.schema["__row"].dataType).alias("__row"),
     )
+    t_order = (
+        F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__side")
+        .orderBy(t_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     un = l.unionByName(r)

@@ -1247,6 +1247,52 @@ _shared(
 
 
 @_q(
+    "rel_asof_forward",
+    """WITH clicks AS (
+         SELECT user_id, ts, max(event_id) AS click_id
+         FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+       purchases AS (
+         SELECT user_id, event_id AS purchase_id, ts
+         FROM events WHERE event_type = 'purchase')
+       SELECT p.user_id, p.purchase_id,
+              epoch_us(p.ts) AS purchase_us,
+              c.click_id,
+              epoch_us(c.ts) AS click_us
+       FROM purchases p ASOF LEFT JOIN clicks c
+         ON p.user_id = c.user_id AND c.ts >= p.ts""",
+    "FORWARD as-of join: each purchase attached to the same user's next "
+    "click at-or-after it — the same union-marker window over DESCENDING "
+    "time (still one shuffle); oracle is DuckDB's native ASOF with the "
+    "inequality reversed.",
+)
+def rel_asof_forward(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "us")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("us").alias("purchase_us"),
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id",
+        left_ts="purchase_us", right_ts="us",
+        right_payload="click_id", inclusive=True, direction="forward",
+    )
+    return out.select(
+        "user_id", "purchase_id", "purchase_us", "click_id",
+        F.col("asof_ts").alias("click_us"),
+    )
+
+
+@_q(
     "rel_asof_join",
     """WITH clicks AS (
          SELECT user_id, ts, max(event_id) AS click_id
@@ -2493,6 +2539,33 @@ def _quantize_sql(spark_dialect: bool) -> str:
 def x_embed_quantize(spark, sf_dir):
     register_views(spark, sf_dir, "embeddings")
     return spark.sql(_quantize_sql(True))
+
+
+def _dedup_keep_best_sql(spark_dialect: bool) -> str:
+    """Keeper SELECTION policy: within each near-dup cluster keep the
+    longest document (ties -> lowest doc_id), not just the lowest id —
+    the quality-aware keeper a training-data dedup actually wants."""
+    clusters = _near_dup_clusters_sql(spark_dialect)
+    return f"""SELECT cluster_id, doc_id AS keeper_id,
+           n_chars AS keeper_chars
+    FROM (
+      SELECT c.cluster_id, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM ({clusters}) c JOIN documents d ON d.doc_id = c.doc_id) t
+    WHERE rn = 1"""
+
+
+@_q(
+    "x_dedup_keep_best",
+    _dedup_keep_best_sql(False),
+    "Quality-aware dedup keeper: one row per near-dup cluster, keeping "
+    "the LONGEST member (deterministic tiebreak) — the keeper policy a "
+    "training-data pipeline uses instead of min-id.",
+)
+def x_dedup_keep_best(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_dedup_keep_best_sql(True))
 
 
 def _pagerank_sql(spark_dialect: bool, iters: int = 5, topk: int = 20) -> str:
