@@ -83,7 +83,8 @@ PR_SCALE = 1_000_000_000_000  # fixed-point rank unit (1e12)
 
 
 def pagerank_fixed_point(edges_df, src: str = "src", dst: str = "dst",
-                         iters: int = 5, d_num: int = 17, d_den: int = 20):
+                         iters: int = 5, d_num: int = 17, d_den: int = 20,
+                         materialize_every: int = 8):
     """PageRank over the symmetrized graph in FIXED-POINT INTEGER
     arithmetic: ranks are BIGINT multiples of 1/PR_SCALE, every step is
     integer div/mul/sum, so the result is bit-reproducible run-to-run
@@ -93,7 +94,13 @@ def pagerank_fixed_point(edges_df, src: str = "src", dst: str = "dst",
 
     Per iteration: one join (contributions rank div degree shipped along
     edges) + one aggregation — the standard scale shape; the edge
-    relation is materialized once and reused every round.
+    relation is materialized once and reused every round.  Unlike
+    connected components there is NO mid-loop action (no convergence
+    probe — the iteration count is fixed), so rounds stay LAZY and the
+    final action runs one deep plan; ``materialize_every`` caps plan
+    depth for long runs (lineage checkpoints every N rounds — the knob
+    that matters at 20+ iterations on a cluster, where unbounded plan
+    depth breaks Catalyst long before data size matters).
     """
     from pyspark.sql import functions as F
 
@@ -109,26 +116,30 @@ def pagerank_fixed_point(edges_df, src: str = "src", dst: str = "dst",
     # vertex count joined in-plan (1-row broadcast) — no driver scalar
     nrow = F.broadcast(verts.agg(F.count("*").alias("n")))
 
-    ranks = _mat(
-        verts.crossJoin(nrow).select(
-            "id", "n", F.expr(f"CAST({PR_SCALE} AS BIGINT) div n").alias("r")
-        )
+    vbase = verts.crossJoin(nrow)  # (id, n): stable, edge-derived subplan
+    ranks = vbase.select(
+        "id", "n", F.expr(f"CAST({PR_SCALE} AS BIGINT) div n").alias("r")
     )
     # all divisions are INTEGER div (not float-divide-then-cast): floor
     # semantics must match the oracle's // exactly, bit for bit
     base_expr = F.expr(
         f"CAST({(d_den - d_num) * PR_SCALE} AS BIGINT) div ({d_den} * n)"
     )
-    for _ in range(iters):
+    materialized_prev = None
+    for it in range(iters):
         contrib = (
             edges.join(ranks.select("id", "r"), edges.a == F.col("id"))
             .join(deg, "a")
             .select(F.col("b"), F.expr("r div deg").alias("c"))
         )
         sums = contrib.groupBy("b").agg(F.sum("c").alias("s"))
-        new_ranks = _mat(
-            ranks.select("id", "n")
-            .join(sums, ranks.id == sums.b, "left")
+        # join sums back to vbase, NOT to ranks: referencing ranks twice
+        # per round doubles the logical plan each iteration (2^iters
+        # analysis cost); vbase keeps depth linear.  Every vertex of the
+        # symmetrized graph has in-edges, so the left join is lossless.
+        new_ranks = (
+            vbase
+            .join(sums, vbase.id == sums.b, "left")
             .select(
                 "id",
                 "n",
@@ -139,6 +150,10 @@ def pagerank_fixed_point(edges_df, src: str = "src", dst: str = "dst",
                 ).alias("r"),
             )
         )
-        _release(ranks)
+        if (it + 1) % materialize_every == 0:
+            new_ranks = _mat(new_ranks)
+            if materialized_prev is not None:
+                _release(materialized_prev)
+            materialized_prev = new_ranks
         ranks = new_ranks
     return ranks.select(F.col("id").alias("vertex"), F.col("r").alias("rank_fp"))
