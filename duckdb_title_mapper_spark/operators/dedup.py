@@ -178,12 +178,23 @@ def minhash_lsh_candidate_pairs(df, id_col: str, text_col: str,
                                 num_hash_tables: int = 4,
                                 max_jaccard_distance: float = 0.6,
                                 num_features: int = 1 << 18,
-                                seed: int = 42):
+                                seed: int = 42,
+                                shingle_size: int = 2):
     """Scale-path near-dup candidate generation with ``pyspark.ml``'s
-    banded MinHashLSH: shingle (token-set) -> hashed binary vector ->
-    minhash signatures -> ``approxSimilarityJoin`` (bucket equi-join, NO
-    pair enumeration outside shared buckets).  Returns (id_a, id_b,
+    banded MinHashLSH: shingle -> hashed binary vector -> minhash
+    signatures -> ``approxSimilarityJoin`` (bucket equi-join, NO pair
+    enumeration outside shared buckets).  Returns (id_a, id_b,
     jaccard_distance) with id_a < id_b, deterministic for a fixed seed.
+
+    ``shingle_size``: features are ORDER-SENSITIVE word n-grams
+    (default 2), not unigram token sets.  This is what production
+    MinHash dedup does, and it is load-bearing for scale: on any corpus
+    with a small shared vocabulary the unigram distinct-token sets of
+    unrelated documents are near-identical, so every LSH bucket
+    collides and the candidate join degenerates to all-pairs (measured
+    on the sf0.1 synthetic corpus: ~965k candidate pairs / 127 s at
+    unigrams vs sparse output in ~2 s with 2-shingles).  Set it to 1
+    for literal token-set Jaccard.
 
     This is the candidate stage; verify survivors with the exact
     ``x_ngram_jaccard`` arithmetic.  (The SQL-generated MinHash in this
@@ -192,10 +203,19 @@ def minhash_lsh_candidate_pairs(df, id_col: str, text_col: str,
     from pyspark.ml.feature import HashingTF, MinHashLSH
     from pyspark.sql import functions as F
 
+    raw = rf"regexp_extract_all(lower({text_col}), '\\w+', 0)"
+    if shingle_size == 1:
+        feat = f"array_distinct({raw})"
+    else:
+        n = shingle_size
+        feat = (
+            f"array_distinct(transform("
+            f"slice({raw}, 1, greatest(size({raw}) - {n - 1}, 0)),"
+            f" (w, i) -> concat_ws(' ', slice({raw}, i + 1, {n}))))"
+        )
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.expr(rf"array_distinct(regexp_extract_all(lower({text_col}), '\\w+', 0))")
-        .alias("toks"),
+        F.expr(feat).alias("toks"),
     ).where(F.size("toks") > 0)  # MinHashLSH requires >=1 nonzero entry
 
     htf = HashingTF(

@@ -1796,11 +1796,17 @@ def x_ann_lsh_topk(spark, sf_dir):
 def x_minhash_lsh_candidates(spark, sf_dir):
     from .operators.dedup import minhash_lsh_candidate_pairs
 
-    docs = load(spark, sf_dir, "documents")
-    # the synthetic corpus is token-dense (median pairwise Jaccard ≈ 0.6),
-    # so candidates are only meaningful at a tight radius
+    # the testdata parquet is one row group -> one task; spread the
+    # signature computation (real inputs arrive multi-partition, so this
+    # repartition is a local-bench artifact, not part of the operator)
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # 2-word shingles (the operator default): unigram token sets
+    # degenerate to all-pairs on this small-vocabulary corpus — see the
+    # operator docstring for the measured blow-up
     return minhash_lsh_candidate_pairs(
-        docs, "doc_id", "text", max_jaccard_distance=0.1
+        docs, "doc_id", "text", max_jaccard_distance=0.5
     ).select("id_a", "id_b")
 
 
