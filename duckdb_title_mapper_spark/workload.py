@@ -1197,6 +1197,35 @@ def rel_percentiles(spark, sf_dir):
     return spark.sql(_PERCENTILE_SQL.format(pct="percentile"))
 
 
+_shared(
+    "x_winsorize",
+    """WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             cume_dist() OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice) AS cd
+      FROM orders),
+    bounds AS (
+      SELECT o_orderstatus,
+             min(CASE WHEN cd >= 0.05 THEN o_totalprice END) AS lo,
+             min(CASE WHEN cd >= 0.95 THEN o_totalprice END) AS hi
+      FROM ranked GROUP BY o_orderstatus)
+    SELECT o.o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS raw_total,
+           CAST(sum(CAST(least(greatest(o_totalprice, lo), hi)
+                         AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             AS winsorized_total
+    FROM orders o JOIN bounds b ON o.o_orderstatus = b.o_orderstatus
+    GROUP BY o.o_orderstatus""",
+    ("orders",),
+    "Outlier-robust stats: per-group winsorization at discrete P5/P95 "
+    "computed portably from cume_dist (rank/n is an exact rational, and "
+    "the clip bounds are actual data values, so no interpolation drift "
+    "can flip a boundary row); clipped values cast to DECIMAL before "
+    "the cross-group sum.",
+)
+
+
 _HASH_SPLIT_SQL = """SELECT
        CASE WHEN {h} % 100 < 80 THEN 'train'
             WHEN {h} % 100 < 90 THEN 'valid'
