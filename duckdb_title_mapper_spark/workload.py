@@ -2576,6 +2576,58 @@ def x_embed_quantize(spark, sf_dir):
     return spark.sql(_quantize_sql(True))
 
 
+def _prep_pipeline_sql(spark_dialect: bool) -> str:
+    """The capstone composition a training-data prep actually runs:
+    quality gate -> near-dup keeper (full-signature MinHash clusters
+    over the survivors) -> deterministic hash split -> per-(split, lang)
+    corpus accounting.  Every stage is the already-certified building
+    block; this query certifies the COMPOSITION."""
+    n_toks = (
+        r"size(regexp_extract_all(text, '\\w+', 0))"
+        if spark_dialect
+        else r"len(regexp_extract_all(text, '\w+'))"
+    )
+    h = (
+        "conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+        if spark_dialect
+        else "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)"
+    )
+    sig = _minhash_sig_subquery(spark_dialect)
+    return f"""WITH q AS (
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE n_chars >= 200 AND {n_toks} >= 40),
+    sig AS (SELECT s.* FROM ({sig}) s JOIN q ON q.doc_id = s.doc_id),
+    clustered AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY h0, h1, h2, h3) AS cluster_id
+      FROM sig),
+    keepers AS (
+      SELECT q.doc_id, q.lang, q.n_chars
+      FROM q JOIN clustered c ON c.doc_id = q.doc_id
+      WHERE c.doc_id = c.cluster_id)
+    SELECT CASE WHEN {h} % 100 < 80 THEN 'train'
+                WHEN {h} % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM keepers
+    GROUP BY split, lang"""
+
+
+@_q(
+    "x_prep_pipeline",
+    _prep_pipeline_sql(False),
+    "CAPSTONE: quality gate -> MinHash near-dup keeper -> deterministic "
+    "hash split -> per-(split, lang) accounting, in one certified "
+    "composition — the shape of an actual 100 TB training-data prep run "
+    "(every stage map-side or one hash aggregation; the only window is "
+    "over tiny signature groups).",
+)
+def x_prep_pipeline(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_prep_pipeline_sql(True))
+
+
 def _dedup_keep_best_sql(spark_dialect: bool) -> str:
     """Keeper SELECTION policy: within each near-dup cluster keep the
     longest document (ties -> lowest doc_id), not just the lowest id —
