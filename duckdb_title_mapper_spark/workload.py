@@ -3015,8 +3015,9 @@ GRADE_FIRST = [
     "x_fuzzy_match_tfidf", "x_connected_components",
     # X: multimodal
     "x_multimodal_meta",
-    # X: text analysis
-    "x_lang_id", "x_quality_score", "x_bpe_token_count", "x_hash_split",
+    # X: text analysis + the capstone composition (quality gate ->
+    # near-dup keeper -> hash split, subsuming x_hash_split's stage)
+    "x_lang_id", "x_quality_score", "x_bpe_token_count", "x_prep_pipeline",
     # X: table function
     "x_udtf_sentences",
 ]
