@@ -2960,6 +2960,324 @@ _shared(
 )
 
 
+def _sessionize_oracle_sql(gap_us: int) -> str:
+    """DuckDB twin of ``operators/sessionize.py``: lag-gap flag, running
+    sum -> session_seq, then the per-session rollup."""
+    return f"""WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, value,
+             CASE WHEN coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)
+                  > {gap_us}, TRUE)
+             THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    s AS (
+      SELECT user_id, us, value,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                  ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_seq
+      FROM e)
+    SELECT user_id, session_seq,
+           min(us) AS session_start_us,
+           max(us) AS session_end_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             AS total_value
+    FROM s GROUP BY user_id, session_seq"""
+
+
+@_q(
+    "x_sessionize_batch",
+    _sessionize_oracle_sql(1_800_000_000),
+    "Batch sessionization (30-min gap) + per-session rollup: the offline "
+    "twin of stream_sessionize_stateful, as two windows and a groupBy "
+    "that all reuse ONE hash partitioning on user_id (no second "
+    "shuffle).  At 100 TB this is the canonical interaction-log prep "
+    "step; pure codegen windows, no Python, no state store.",
+)
+def x_sessionize_batch(spark, sf_dir):
+    from .operators.sessionize import session_stats
+
+    return session_stats(load_events(spark, sf_dir), gap_seconds=1800)
+
+
+def _ohlc_sql(spark_dialect: bool) -> str:
+    """Hourly OHLC resample as ONE aggregation (no windows): open/close
+    via min_by/arg_min on a zero-padded (us, event_id) string key —
+    lexicographic order == numeric order, so the pick is deterministic
+    and map-side-combinable (windows would sort every bucket instead)."""
+    if spark_dialect:
+        hour = "unix_micros(ts) div 3600000000"
+        us = "unix_micros(ts)"
+        cast_s = "STRING"
+        amin, amax = "min_by", "max_by"
+    else:
+        hour = "epoch_us(ts) // 3600000000"
+        us = "epoch_us(ts)"
+        cast_s = "VARCHAR"
+        amin, amax = "arg_min", "arg_max"
+    return f"""WITH e AS (
+      SELECT {hour} AS hour_bucket,
+             lpad(CAST({us} AS {cast_s}), 20, '0')
+               || lpad(CAST(event_id AS {cast_s}), 12, '0') AS ord,
+             value
+      FROM events WHERE event_type = 'purchase')
+    SELECT hour_bucket,
+           {amin}(value, ord) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           {amax}(value, ord) AS close,
+           count(*) AS n_trades,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             AS total_value
+    FROM e GROUP BY hour_bucket"""
+
+
+@_q(
+    "x_ohlc_resample",
+    _ohlc_sql(False),
+    "Hourly OHLC downsample of the purchase stream: open/high/low/close "
+    "+ decimal-exact volume per hour, open/close picked by "
+    "min_by/max_by over an order-encoding string key (single hash agg "
+    "with map-side partials — scales where a row_number window would "
+    "sort every bucket).",
+)
+def x_ohlc_resample(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_ohlc_sql(True))
+
+
+def _chunks_sql(spark_dialect: bool, size: int = 64) -> str:
+    """Fixed-size token chunking: explode chunk starts (1, 1+size, ...),
+    slice the token array per start (both engines clamp the tail chunk),
+    hash the joined tokens.  Map-side only — no shuffle at any scale."""
+    if spark_dialect:
+        return rf"""WITH t AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\w+', 0) AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, toks,
+                 explode(sequence(1, size(toks), {size})) AS s
+          FROM t WHERE size(toks) > 0)
+        SELECT doc_id, CAST((s - 1) div {size} AS BIGINT) AS chunk_idx,
+               CAST(size(slice(toks, s, {size})) AS BIGINT) AS n_tokens,
+               md5(array_join(slice(toks, s, {size}), ' ')) AS chunk_hash
+        FROM c"""
+    return rf"""WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks), {size})) AS s
+      FROM t WHERE len(toks) > 0)
+    SELECT doc_id, CAST((s - 1) // {size} AS BIGINT) AS chunk_idx,
+           CAST(len(toks[s : s + {size - 1}]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(toks[s : s + {size - 1}], ' ')) AS chunk_hash
+    FROM c"""
+
+
+@_q(
+    "x_token_chunks",
+    _chunks_sql(False),
+    "Context-window chunking: split every document into 64-token chunks "
+    "(the LLM-pretraining packing step), emitting (doc_id, chunk_idx, "
+    "n_tokens, md5 chunk hash).  Pure map-side array ops — tokenize "
+    "once, slice per start offset; zero shuffles at any scale.",
+)
+def x_token_chunks(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_chunks_sql(True))
+
+
+@_q(
+    "x_chunk_dedup",
+    f"""SELECT chunk_hash, count(*) AS n_copies,
+           min(doc_id) AS keeper_doc_id,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM ({_chunks_sql(False)}) ch
+    GROUP BY chunk_hash HAVING count(*) > 1""",
+    "Chunk-level dedup decision: every 64-token chunk appearing more "
+    "than once across the corpus, with its copy count, deterministic "
+    "keeper, and distinct-doc spread — the sub-document dedup pass that "
+    "catches boilerplate exact-dup docs miss.  One hash agg over the "
+    "map-side chunker.",
+)
+def x_chunk_dedup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, "documents")
+    return (
+        spark.sql(_chunks_sql(True))
+        .groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def _tri_repetition_sql(spark_dialect: bool) -> str:
+    """Per-document trigram repetition profile (Gopher/C4-style quality
+    signal).  Trigrams are built by slicing the token array in place
+    (map-side lambda over start indexes) — no self-join, no window; the
+    only shuffle is the (doc_id, trigram) count agg, which partial-
+    aggregates map-side."""
+    if spark_dialect:
+        g = r"""SELECT doc_id, explode(transform(sequence(1, size(toks) - 2),
+             i -> concat_ws(' ', element_at(toks, i),
+                            element_at(toks, i + 1),
+                            element_at(toks, i + 2)))) AS tri
+          FROM t WHERE size(toks) >= 3"""
+        toks = r"regexp_extract_all(lower(text), '\\w+', 0)"
+    else:
+        g = r"""SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                 AS tri
+          FROM t WHERE len(toks) >= 3"""
+        toks = r"regexp_extract_all(lower(text), '\w+')"
+    return f"""WITH t AS (
+      SELECT doc_id, {toks} AS toks FROM documents),
+    g AS ({g}),
+    pg AS (SELECT doc_id, tri, count(*) AS c FROM g GROUP BY doc_id, tri)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_trigrams,
+           count(*) AS n_distinct,
+           CAST(max(c) AS BIGINT) AS top_count,
+           CAST(1 AS DOUBLE)
+             - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+             AS dup_fraction
+    FROM pg GROUP BY doc_id"""
+
+
+@_q(
+    "x_ngram_repetition",
+    _tri_repetition_sql(False),
+    "N-gram repetition quality metric (the Gopher 'duplicate 3-gram "
+    "fraction' filter): per doc, total/distinct trigram counts, the top "
+    "trigram's frequency, and the duplicate fraction as exact integer "
+    "division (identical IEEE op both engines).  Trigrams via in-array "
+    "slicing — one shuffle total.",
+)
+def x_ngram_repetition(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_tri_repetition_sql(True))
+
+
+def _runlength_sql(epoch: str) -> str:
+    """Gaps-and-islands run-length encoding: consecutive same-type events
+    per user collapse to one row via the two-row_number difference trick
+    (both row_numbers share one partition-by-user sort — a single
+    exchange+sort feeds both windows and the downstream groupBy)."""
+    return f"""WITH o AS (
+      SELECT user_id, event_type, event_id, {epoch} AS us,
+             row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS grp
+      FROM events)
+    SELECT user_id, event_type,
+           min(us) AS run_start_us,
+           max(us) AS run_end_us,
+           count(*) AS run_length,
+           min(event_id) AS first_event_id
+    FROM o GROUP BY user_id, event_type, grp"""
+
+
+@_q(
+    "x_runlength_events",
+    _runlength_sql("epoch_us(ts)"),
+    "Run-length encoding of each user's event stream (gaps-and-islands): "
+    "maximal runs of consecutive same-type events with bounds and "
+    "length — the repeated-action compression / bot-burst detection "
+    "scan.  Both row_numbers and the rollup reuse ONE user_id hash "
+    "partitioning; no self-join.",
+)
+def x_runlength_events(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_runlength_sql("unix_micros(ts)"))
+
+
+_MERGE_SQL = """WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0),
+    changes AS (
+      SELECT o_orderkey,
+             o_custkey,
+             'R' AS new_status,
+             o_totalprice * CAST(1.1 AS DOUBLE) AS new_totalprice,
+             (o_orderkey % 7 = 0) AS is_delete
+      FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+           coalesce(c.o_custkey, b.o_custkey) AS o_custkey,
+           CASE WHEN c.o_orderkey IS NULL THEN b.o_orderstatus
+                ELSE c.new_status END AS o_orderstatus,
+           coalesce(c.new_totalprice, b.o_totalprice) AS o_totalprice,
+           CASE WHEN c.o_orderkey IS NULL THEN 'kept'
+                WHEN b.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM base b
+    FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+    WHERE NOT coalesce(c.is_delete, FALSE)"""
+
+_shared(
+    "rel_merge_upsert",
+    _MERGE_SQL,
+    ("orders",),
+    "CDC MERGE semantics as one relational expression: a snapshot full-"
+    "outer-joined with a changeset applies update / insert / delete in "
+    "a single pass and tags each row's action (the Delta/Iceberg MERGE "
+    "INTO core).  One shuffle on the merge key; the price uplift stays "
+    "DOUBLE (per-row IEEE multiply is bit-identical cross-engine; a "
+    "double->DECIMAL cast would round differently).",
+)
+
+
+def _packing_sql(epoch_dialect_spark: bool, capacity: int = 512) -> str:
+    """Contiguous-fill sequence packing: docs in doc_id order fill
+    training bins of ``capacity`` tokens; bin id = (cumulative tokens
+    before me) div capacity.  A doc spanning a boundary starts in its
+    cumsum-assigned bin (greedy contiguous fill, deterministic)."""
+    div = "div" if epoch_dialect_spark else "//"
+    if epoch_dialect_spark:
+        ntok = r"size(regexp_extract_all(lower(text), '\\w+', 0))"
+    else:
+        ntok = r"len(regexp_extract_all(lower(text), '\w+'))"
+    return f"""WITH t AS (
+      SELECT doc_id, CAST({ntok} AS BIGINT) AS n_tokens FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tokens_before
+      FROM t)
+    SELECT CAST(tokens_before {div} {capacity} AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc_id,
+           max(doc_id) AS last_doc_id
+    FROM c GROUP BY CAST(tokens_before {div} {capacity} AS BIGINT)"""
+
+
+@_q(
+    "x_sequence_packing",
+    _packing_sql(False),
+    "Training-sequence packing: documents in stable doc_id order fill "
+    "512-token bins by cumulative token count (the pretraining batch-"
+    "packing step).  NOTE the global ORDER BY cumsum is the honest "
+    "cost: Spark runs it as a single-partition running sum, the same "
+    "lower bound any exact contiguous packing has; at 100 TB you shard "
+    "the cumsum per source/date partition first (the window key is a "
+    "drop-in).  Only the doc_id+count columns flow through the sort — "
+    "text is pruned at the scan.",
+)
+def x_sequence_packing(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_packing_sql(True))
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver certifies exactly the FIRST 50 entries of
 # ``queries()`` (round 1 graded registrations 1-50 and nothing after), so
