@@ -3315,17 +3315,18 @@ GRADE_FIRST = [
     "x_pagerank",
     # source/sink round-trips
     "src_csv_roundtrip",
-    # Structured Streaming: the five round-1 flagships + hopping windows
-    # + stream-static enrichment
+    # Structured Streaming: the five round-1 flagships + stream-static
+    # enrichment (hopping-window variant stays after the fold)
     "stream_tumbling_counts", "stream_session_windows",
     "stream_dedup_counts", "stream_join_click_purchase",
-    "stream_sessionize_stateful", "stream_sliding_counts",
-    "stream_static_join",
+    "stream_sessionize_stateful", "stream_static_join",
+    # batch twin of the stateful sessionizer (round-2 flagship)
+    "x_sessionize_batch",
     # X: iterative ML step + collocation mining (round-2 flagships)
     "x_kmeans_step", "x_collocation_pmi",
     # X: dedup family
     "x_dedup_exact", "x_minhash_signature", "x_near_dup_clusters",
-    "x_simhash_clusters", "x_ngram_jaccard", "x_fingerprint_rolling",
+    "x_simhash_clusters", "x_chunk_dedup", "x_ngram_repetition",
     "x_embed_near_dup",
     # X: similarity search
     "x_knn_bruteforce", "x_ann_lsh_topk",
