@@ -157,3 +157,45 @@ def pagerank_fixed_point(edges_df, src: str = "src", dst: str = "dst",
             materialized_prev = new_ranks
         ranks = new_ranks
     return ranks.select(F.col("id").alias("vertex"), F.col("r").alias("rank_fp"))
+
+
+def triangle_count(edges_df, src: str = "src", dst: str = "dst"):
+    """Per-vertex triangle membership counts for an undirected graph.
+
+    Uses the ordered-edge enumeration: with every edge normalized to
+    ``a < b``, each triangle ``a < b < c`` is produced exactly once by
+    joining wedge (a,b)+(b,c) against closing edge (a,c) — the standard
+    distributed recipe (two shuffle joins, no vertex ever sees more than
+    its own adjacency).  At 100 TB the join keys are vertex ids, so AQE
+    skew-split handles hub vertices; no adjacency list is ever collected.
+    Returns (vertex, n_triangles) for vertices in >= 1 triangle.
+    """
+    from pyspark.sql import functions as F
+
+    e = (
+        edges_df.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("va"),
+            F.col("e1.b").alias("vb"),
+            F.col("e2.b").alias("vc"),
+        )
+    )
+    verts = (
+        tri.select(F.col("va").alias("vertex"))
+        .union(tri.select(F.col("vb").alias("vertex")))
+        .union(tri.select(F.col("vc").alias("vertex")))
+    )
+    return verts.groupBy("vertex").agg(F.count("*").alias("n_triangles"))

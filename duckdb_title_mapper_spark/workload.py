@@ -3278,6 +3278,82 @@ def x_sequence_packing(spark, sf_dir):
     return spark.sql(_packing_sql(True))
 
 
+@_q(
+    "x_triangle_count",
+    f"""WITH e AS (
+      SELECT DISTINCT src AS a, dst AS b FROM ({_band_edges_sql(False)}) ed),
+    tri AS (
+      SELECT e1.a AS va, e1.b AS vb, e2.b AS vc
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    verts AS (
+      SELECT va AS vertex FROM tri
+      UNION ALL SELECT vb FROM tri
+      UNION ALL SELECT vc FROM tri)
+    SELECT vertex, count(*) AS n_triangles
+    FROM verts GROUP BY vertex""",
+    "Per-vertex triangle counts on the banded-MinHash near-dup graph "
+    "(the clustering-coefficient / community-density signal on the "
+    "same edges connected-components consumes).  Ordered-edge wedge "
+    "join enumerates each triangle exactly once; two shuffle joins on "
+    "vertex ids, AQE-splittable, no adjacency collect.",
+)
+def x_triangle_count(spark, sf_dir):
+    from .operators.graph import triangle_count
+
+    register_views(spark, sf_dir, "documents")
+    return triangle_count(spark.sql(_band_edges_sql(True)))
+
+
+@_q(
+    "x_jaro_winkler_pairs",
+    """WITH p AS (SELECT p_partkey, p_name,
+                       split_part(p_name, ' ', 1) AS blk FROM part)
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(round(jaro_winkler_similarity(a.p_name, b.p_name), 9)
+                AS DECIMAL(12,9)) AS jw_sim
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE CAST(round(jaro_winkler_similarity(a.p_name, b.p_name), 9)
+               AS DECIMAL(12,9)) >= CAST(0.9 AS DECIMAL(12,9))""",
+    "Jaro-Winkler fuzzy entity matching over blocked part-name pairs "
+    "(Spark has no JW builtin — functions/strmetrics.py supplies it as "
+    "an Arrow-batched pandas UDF with DuckDB-pinned semantics, "
+    "quantized via the round-9 decimal idiom).  First-token blocking "
+    "bounds the self-join; at 100 TB you'd tighten the block key "
+    "(token+length or phonetic) and salt outsized blocks exactly like "
+    "the embedding near-dup kernel.",
+)
+def x_jaro_winkler_pairs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .functions.strmetrics import jaro_winkler_udf
+
+    jw = jaro_winkler_udf()
+    p = (
+        load(spark, sf_dir, "part")
+        .select(
+            "p_partkey", "p_name",
+            F.expr("split_part(p_name, ' ', 1)").alias("blk"),
+        )
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_partkey").alias("key_a"),
+        F.col("b.p_partkey").alias("key_b"),
+        jw(F.col("a.p_name"), F.col("b.p_name")).alias("jw_raw"),
+    )
+    return pairs.select(
+        "key_a",
+        "key_b",
+        F.expr("CAST(round(jw_raw, 9) AS DECIMAL(12,9))").alias("jw_sim"),
+    ).where(F.col("jw_sim") >= F.expr("CAST(0.9 AS DECIMAL(12,9))"))
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver certifies exactly the FIRST 50 entries of
 # ``queries()`` (round 1 graded registrations 1-50 and nothing after), so

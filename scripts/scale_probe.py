@@ -43,11 +43,21 @@ def main():
     engine.register(spark)
     spark.sql("SELECT standardize_title('warmup query')").collect()
 
+    # headline set + the round-2 pipeline operators (sessionize/RLE/OHLC
+    # event-log family, chunk/pack/repetition document prep, JW blocking,
+    # triangles, CDC merge) so SCALING.md tracks their growth too
+    EXTRA = [
+        "x_sessionize_batch", "x_runlength_events", "x_ohlc_resample",
+        "x_token_chunks", "x_chunk_dedup", "x_ngram_repetition",
+        "x_sequence_packing", "x_jaro_winkler_pairs", "x_triangle_count",
+        "rel_merge_upsert", "rel_latest_per_key", "x_dedup_pipeline",
+    ]
+    probe_set = list(bench.HEADLINE) + EXTRA
     registry = all_queries()
-    times: dict[str, list[float]] = {n: [0.0] * len(SFS) for n in bench.HEADLINE}
+    times: dict[str, list[float]] = {n: [0.0] * len(SFS) for n in probe_set}
     for _ in range(repeats):
         for si, sf in enumerate(SFS):
-            for name in bench.HEADLINE:
+            for name in probe_set:
                 q = registry[name]
                 t0 = time.time()
                 q.spark_fn(spark, sf).count()
@@ -62,7 +72,7 @@ def main():
 
     print("| query | sf0.001 | sf0.01 | sf0.1 | t(.1)/t(.01) vs 10x data |")
     print("|---|---|---|---|---|")
-    for name in bench.HEADLINE:
+    for name in probe_set:
         t = times[name]
         ratio = t[2] / t[1] if t[1] > 0 else float("nan")
         print(
