@@ -1,8 +1,13 @@
 """Table loaders for the driver testdata and generic schema'd file IO.
 
-``events.ts`` is parquet INT64 TIMESTAMP(NANOS), which Spark 4 rejects
-outright; it is read as raw nanos (``spark.sql.legacy.parquet.nanosAsLong``)
-and rebuilt as a microsecond timestamp.  Sub-microsecond precision is not
+``events.ts`` is parquet INT64 TIMESTAMP(NANOS).  How Spark reads that
+changed across 4.x: 4.0 rejects it unless
+``spark.sql.legacy.parquet.nanosAsLong`` exposes raw nanos (rebuilt here
+to a µs timestamp), while 4.1+ reads it natively as a µs-truncated
+``timestamp_ntz`` and ignores the legacy conf.  ``load_events`` detects
+which behavior the running Spark exhibits and normalizes both to the same
+session-tz (UTC) microsecond TIMESTAMP, so every downstream query sees
+one schema regardless of version.  Sub-microsecond precision is not
 observable in any declared query (buckets ≥ 1 s, orderings tie-break on
 ids), and DuckDB's TIMESTAMP_NS view of the same column agrees at µs.
 """
@@ -21,16 +26,40 @@ def load_table(spark, sf_dir: str, name: str):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def load_events(spark, sf_dir: str):
+def events_ts_read_type(spark, sf_dir: str) -> str:
+    """How THIS Spark materializes the nanos column: 'bigint' (4.0 +
+    nanosAsLong) or 'timestamp_ntz' (4.1+ native µs-truncated read)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf removed entirely in some future version
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dict(df.dtypes)["ts"]
+
+
+def normalize_events_ts(df):
+    """Rebuild ``ts`` as a session-tz microsecond TIMESTAMP from whichever
+    raw form the reader produced (floor-truncation to µs in both paths)."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t = dict(df.dtypes)["ts"]
+    if t == "bigint":  # raw nanos
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if t == "timestamp_ntz":  # native read, already µs; reinterpret in UTC
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df  # already a plain timestamp
+
+
+def load_events(spark, sf_dir: str):
     # date_trunc / window() truncate in the SESSION timezone; DuckDB's
     # tz-free TIMESTAMP truncates wall time.  They agree only in UTC (or
     # any whole-hour offset) — pin it so parity can't depend on the host.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    return normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def register_views(spark, sf_dir: str, *names: str):

@@ -44,16 +44,21 @@ def _stage_stream_dir(sf_dir: str, table: str = "events") -> str:
 
 
 def stream_events(spark, sf_dir: str):
-    """events.parquet as a streaming source (ts: nanos -> µs timestamp)."""
-    from pyspark.sql import functions as F
+    """events.parquet as a streaming source (ts normalized to µs timestamp).
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    The declared schema must match how the running Spark reads the
+    TIMESTAMP(NANOS) column — raw BIGINT nanos on 4.0 (nanosAsLong),
+    native timestamp_ntz on 4.1+ — so probe with a batch read and declare
+    accordingly, then normalize exactly like the batch loader."""
+    from ..sources.tables import events_ts_read_type, normalize_events_ts
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # window() truncs in session tz
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(_stage_stream_dir(sf_dir))
+    ts_t = events_ts_read_type(spark, sf_dir)
+    schema = EVENTS_RAW_SCHEMA.replace(
+        "ts BIGINT", f"ts {'BIGINT' if ts_t == 'bigint' else 'TIMESTAMP_NTZ'}"
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(schema).parquet(_stage_stream_dir(sf_dir))
+    return normalize_events_ts(raw)
 
 
 def tumbling_counts(spark, sf_dir: str, window: str = "1 hour",

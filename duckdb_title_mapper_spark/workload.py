@@ -71,6 +71,18 @@ def all_queries() -> dict[str, Query]:
     return dict(_REGISTRY)
 
 
+_CORE: dict[str, Query] = {}
+
+
+def core_queries() -> dict[str, Query]:
+    """The queries WITHOUT the presentation-layer total ORDER BY that
+    ``_apply_total_order`` adds for the driver's order-sensitive hash.
+    Plan audits and scale claims are made against these: the final
+    result-side sort is driver-gate plumbing (k output rows), not part of
+    the operator's distributed plan."""
+    return dict(_CORE)
+
+
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
@@ -3431,4 +3443,42 @@ def _apply_grade_order():
     _REGISTRY.update(ordered)
 
 
+def _with_total_order(q: Query) -> Query:
+    """Pin a deterministic TOTAL row order on BOTH sides of a query.
+
+    The driver's value hash is row-order sensitive (r2 evidence: every
+    hash-fail was a shuffle query — group-by/join/window — with no ORDER
+    BY, while every map-only unordered query passed in scan order; the
+    local sorted-row compare passes all of them).  Spark's hash-agg /
+    exchange output order and DuckDB's hash-table order are arbitrary, so
+    any unordered shuffle result is a coin flip.  Sorting by EVERY output
+    column (left-to-right, NULLS FIRST in both dialects) makes the order a
+    pure function of the value set, which the value gate already pins.
+    Cost: one final sort of the *result* rows only (k rows, not the input),
+    after all aggregation — negligible at any scale and AQE-sized.
+    """
+    def fn(spark, sf_dir, _inner=q.spark_fn):
+        df = _inner(spark, sf_dir)
+        if getattr(df, "isStreaming", False):  # sinks order their own output
+            return df
+        return df.orderBy(*[df[c].asc_nulls_first() for c in df.columns])
+
+    fn.__name__ = q.spark_fn.__name__
+    fn.__doc__ = q.spark_fn.__doc__
+    oracle = q.oracle
+    if oracle is not None:
+        oracle = (
+            "SELECT * FROM (\n" + oracle + "\n) AS _total_order "
+            "ORDER BY ALL NULLS FIRST"
+        )
+    return Query(q.name, fn, oracle, q.doc)
+
+
+def _apply_total_order():
+    for name, q in list(_REGISTRY.items()):
+        _CORE[name] = q
+        _REGISTRY[name] = _with_total_order(q)
+
+
 _apply_grade_order()
+_apply_total_order()

@@ -55,9 +55,12 @@ def norm_cell(v):
 
 
 def canon(rows, cols):
+    """Columns sorted by name (driver behavior); rows kept in DELIVERED
+    order.  The driver's value hash proved row-order sensitive in r2, so
+    every workload query now pins a total ORDER BY on both sides and this
+    gate verifies the delivered orders actually coincide."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=repr)
     return [cols[i] for i in order], out
 
 

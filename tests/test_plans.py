@@ -76,7 +76,7 @@ def test_declared_queries_plan_shapes(spark):
     """Plan-shape locks on declared workload queries: the dim join
     broadcasts, the UDF throughput query scans only the text column, the
     fuzzy match stays within a bounded shuffle budget."""
-    from duckdb_title_mapper_spark.workload import all_queries
+    from duckdb_title_mapper_spark.workload import core_queries as all_queries
 
     qs = all_queries()
     join_dims = qs["rel_join_dims"].spark_fn(spark, SF)
@@ -102,7 +102,7 @@ def test_round2_scale_claims_hold_in_plans(spark):
     map-side partials (no window sort), the PMI unigram sides broadcast,
     and the k-means Arrow assignment adds no exchange."""
     from duckdb_title_mapper_spark.plans import explain_str, shuffle_count
-    from duckdb_title_mapper_spark.workload import all_queries
+    from duckdb_title_mapper_spark.workload import core_queries as all_queries
 
     qs = all_queries()
 
