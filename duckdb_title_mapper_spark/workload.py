@@ -1177,9 +1177,9 @@ _shared(
     "rel_window_distribution",
     """SELECT o_orderkey, o_orderstatus,
               CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
-              CAST(round(percent_rank() OVER w, 9) AS DECIMAL(12,9))
+              CAST(CAST(percent_rank() OVER w AS STRING) AS DECIMAL(12,9))
                   AS price_pct_rank,
-              CAST(round(cume_dist() OVER w, 9) AS DECIMAL(12,9))
+              CAST(CAST(cume_dist() OVER w AS STRING) AS DECIMAL(12,9))
                   AS price_cume_dist
        FROM orders
        WINDOW w AS (PARTITION BY o_orderstatus
@@ -1192,8 +1192,8 @@ _shared(
 
 
 _PERCENTILE_SQL = """SELECT o_orderstatus,
-       CAST(round({pct}(o_totalprice, 0.5), 4) AS DECIMAL(18,4)) AS median_price,
-       CAST(round({pct}(o_totalprice, 0.9), 4) AS DECIMAL(18,4)) AS p90_price,
+       CAST(CAST({pct}(o_totalprice, 0.5) AS STRING) AS DECIMAL(18,4)) AS median_price,
+       CAST(CAST({pct}(o_totalprice, 0.9) AS STRING) AS DECIMAL(18,4)) AS p90_price,
        count(*) AS n_orders
        FROM orders GROUP BY o_orderstatus"""
 
@@ -2519,11 +2519,14 @@ def _kmeans_step_sql(spark_dialect: bool, k: int = 16) -> str:
       WHERE rn = 1),
     dims AS ({dims})
     SELECT a.cid, CAST(d.dim AS BIGINT) AS dim,
-           -- FLOAT -> DOUBLE first: Spark's float->decimal cast goes
-           -- through the float's 7-digit shortest string, DuckDB rounds
-           -- the true binary value; via DOUBLE both engines round the
-           -- same 17-digit value to 9 places
-           CAST(sum(CAST(CAST(d.val AS DOUBLE) AS DECIMAL(18,9)))
+           -- FLOAT -> DOUBLE -> STRING -> DECIMAL: the float widens
+           -- exactly to double, and casting the double's shortest-repr
+           -- STRING pins both engines to the identical decimal digits
+           -- (a direct double->decimal cast rounds shortest-repr on
+           -- Spark but true binary on DuckDB — ±1 at digit 9 on
+           -- half-ulp boundaries, which a SUM then amplifies)
+           CAST(sum(CAST(CAST(CAST(d.val AS DOUBLE) AS STRING)
+                         AS DECIMAL(18,9)))
                 AS DECIMAL(38,9)) AS coord_sum,
            count(*) AS n_assigned
     FROM assign a JOIN dims d ON a.vec_id = d.vec_id
@@ -2570,8 +2573,8 @@ def _quantize_sql(spark_dialect: bool) -> str:
       SELECT vec_id, embedding, scale, {quant} AS q FROM scaled
       WHERE scale > 0.0)
     SELECT vec_id,
-           CAST(round(scale, 9) AS DECIMAL(12,9)) AS scale_q,
-           CAST(round({err}, 9) AS DECIMAL(12,9)) AS max_abs_err
+           CAST(CAST(scale AS STRING) AS DECIMAL(12,9)) AS scale_q,
+           CAST(CAST({err} AS STRING) AS DECIMAL(12,9)) AS max_abs_err
     FROM qq"""
 
 
@@ -3031,7 +3034,7 @@ def _ohlc_sql(spark_dialect: bool) -> str:
     return f"""WITH e AS (
       SELECT {hour} AS hour_bucket,
              lpad(CAST({us} AS {cast_s}), 20, '0')
-               || lpad(CAST(event_id AS {cast_s}), 12, '0') AS ord,
+               || lpad(CAST(event_id AS {cast_s}), 20, '0') AS ord,
              value
       FROM events WHERE event_type = 'purchase')
     SELECT hour_bucket,
@@ -3293,7 +3296,12 @@ def x_sequence_packing(spark, sf_dir):
 @_q(
     "x_triangle_count",
     f"""WITH e AS (
-      SELECT DISTINCT src AS a, dst AS b FROM ({_band_edges_sql(False)}) ed),
+      -- mirrors operators/graph.py triangle_count's edge contract
+      -- explicitly (least/greatest + self-loop filter), so the oracle
+      -- stays equivalent even if the edge source stops guaranteeing
+      -- src < dst
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM ({_band_edges_sql(False)}) ed WHERE src <> dst),
     tri AS (
       SELECT e1.a AS va, e1.b AS vb, e2.b AS vc
       FROM e e1
@@ -3323,18 +3331,20 @@ def x_triangle_count(spark, sf_dir):
     """WITH p AS (SELECT p_partkey, p_name,
                        split_part(p_name, ' ', 1) AS blk FROM part)
     SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-           CAST(round(jaro_winkler_similarity(a.p_name, b.p_name), 9)
+           CAST(CAST(jaro_winkler_similarity(a.p_name, b.p_name) AS STRING)
                 AS DECIMAL(12,9)) AS jw_sim
     FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-    WHERE CAST(round(jaro_winkler_similarity(a.p_name, b.p_name), 9)
-               AS DECIMAL(12,9)) >= CAST(0.9 AS DECIMAL(12,9))""",
+    WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9""",
     "Jaro-Winkler fuzzy entity matching over blocked part-name pairs "
     "(Spark has no JW builtin — functions/strmetrics.py supplies it as "
-    "an Arrow-batched pandas UDF with DuckDB-pinned semantics, "
-    "quantized via the round-9 decimal idiom).  First-token blocking "
-    "bounds the self-join; at 100 TB you'd tighten the block key "
-    "(token+length or phonetic) and salt outsized blocks exactly like "
-    "the embedding near-dup kernel.",
+    "an Arrow-batched pandas UDF with DuckDB-pinned semantics).  Row "
+    "membership filters on the RAW double (bit-identical both engines, "
+    "so >= 0.9 can't flip on a rounding edge) and the output quantizes "
+    "via the STRING->DECIMAL route (both engines round the same "
+    "shortest-repr digits).  First-token blocking bounds the self-join; "
+    "at 100 TB you'd tighten the block key (token+length or phonetic) "
+    "and salt outsized blocks exactly like the embedding near-dup "
+    "kernel.",
 )
 def x_jaro_winkler_pairs(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -3359,11 +3369,11 @@ def x_jaro_winkler_pairs(spark, sf_dir):
         F.col("b.p_partkey").alias("key_b"),
         jw(F.col("a.p_name"), F.col("b.p_name")).alias("jw_raw"),
     )
-    return pairs.select(
+    return pairs.where(F.col("jw_raw") >= 0.9).select(
         "key_a",
         "key_b",
-        F.expr("CAST(round(jw_raw, 9) AS DECIMAL(12,9))").alias("jw_sim"),
-    ).where(F.col("jw_sim") >= F.expr("CAST(0.9 AS DECIMAL(12,9))"))
+        F.expr("CAST(CAST(jw_raw AS STRING) AS DECIMAL(12,9))").alias("jw_sim"),
+    )
 
 
 # ---------------------------------------------------------------------------
