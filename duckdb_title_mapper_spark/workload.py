@@ -3376,6 +3376,102 @@ def x_jaro_winkler_pairs(spark, sf_dir):
     )
 
 
+def _decontaminate_sql(spark_dialect: bool, n: int = 8, mod: int = 97) -> str:
+    """Benchmark decontamination: per-train-doc count of ``n``-gram token
+    shingles shared with a held-out eval split (doc_id % mod == 0 — a
+    deterministic stand-in for the benchmark corpus).  The eval shingle
+    set is a DISTINCT over a fixed-size corpus, so Catalyst broadcasts it
+    and the train side never shuffles — the 100 TB shape (eval sets are
+    KBs; the train scan is the only big thing).  Flag is an exact integer
+    comparison (>= 5% of shingles contaminated), never a float."""
+    if spark_dialect:
+        toks = (r"SELECT doc_id, regexp_extract_all(lower(text), '\\w+', 0)"
+                r" AS ts FROM documents")
+        sh = (f"SELECT doc_id, explode(transform(sequence(1, size(ts) - {n - 1}),"
+              f" i -> md5(array_join(slice(ts, i, {n}), ' ')))) AS sh"
+              f" FROM toks WHERE size(ts) >= {n}")
+    else:
+        toks = (r"SELECT doc_id, regexp_extract_all(lower(text), '\w+')"
+                r" AS ts FROM documents")
+        sh = (f"SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - {n - 1}),"
+              f" i -> md5(array_to_string(ts[i : i + {n - 1}], ' ')))) AS sh"
+              f" FROM toks WHERE len(ts) >= {n}")
+    return f"""WITH toks AS ({toks}),
+    shingles AS ({sh}),
+    eval_sh AS (SELECT DISTINCT sh FROM shingles WHERE doc_id % {mod} = 0),
+    train AS (SELECT doc_id, sh FROM shingles WHERE doc_id % {mod} <> 0)
+    SELECT t.doc_id,
+           CAST(count(DISTINCT t.sh) AS BIGINT) AS n_shingles,
+           CAST(count(DISTINCT CASE WHEN e.sh IS NOT NULL THEN t.sh END)
+                AS BIGINT) AS n_contaminated,
+           count(DISTINCT CASE WHEN e.sh IS NOT NULL THEN t.sh END) * 20
+             >= count(DISTINCT t.sh) AS contaminated_flag
+    FROM train t LEFT JOIN eval_sh e ON t.sh = e.sh
+    GROUP BY t.doc_id"""
+
+
+@_q(
+    "x_decontaminate_ngrams",
+    _decontaminate_sql(False),
+    "Training-data decontamination: 8-gram shingle overlap of every train "
+    "document against the held-out eval split, with an exact integer "
+    "contamination flag (>= 5% shared shingles).  Eval shingles broadcast "
+    "(fixed-size side); the train scan is map-side shingling + one hash "
+    "aggregate — no large shuffle at any scale.",
+)
+def x_decontaminate_ngrams(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_decontaminate_sql(True))
+
+
+def _pii_sql(spark_dialect: bool) -> str:
+    """PII scrubbing over deterministic synthetic contact lines (the
+    testdata carries no natural PII, so the profile is constructed from
+    customer keys identically in both dialects — the machinery under
+    test is the regex extraction/redaction itself).  Patterns avoid
+    backslashes entirely so ONE pattern string is valid in Java regex and
+    RE2 without dialect-specific escape processing."""
+    phone_re = "555-[0-9]{3}-[0-9]{4}"
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    prof = ("c_name || ' reachable at 555-'"
+            " || lpad(CAST(c_custkey % 1000 AS STRING), 3, '0')"
+            " || '-' || lpad(CAST(c_custkey % 10000 AS STRING), 4, '0')"
+            " || ' or user' || CAST(c_custkey AS STRING)"
+            " || '@example.com account in good standing'")
+    if spark_dialect:
+        n_phones = f"size(regexp_extract_all(profile, '{phone_re}', 0))"
+        n_emails = f"size(regexp_extract_all(profile, '{email_re}', 0))"
+        redact = (f"regexp_replace(regexp_replace(profile, '{email_re}',"
+                  f" '[EMAIL]'), '{phone_re}', '[PHONE]')")
+    else:
+        n_phones = f"len(regexp_extract_all(profile, '{phone_re}'))"
+        n_emails = f"len(regexp_extract_all(profile, '{email_re}'))"
+        redact = (f"regexp_replace(regexp_replace(profile, '{email_re}',"
+                  f" '[EMAIL]', 'g'), '{phone_re}', '[PHONE]', 'g')")
+    return f"""WITH prof AS (
+      SELECT c_custkey, {prof} AS profile FROM customer)
+    SELECT c_custkey,
+           CAST({n_phones} AS BIGINT) AS n_phones,
+           CAST({n_emails} AS BIGINT) AS n_emails,
+           {redact} AS redacted,
+           md5({redact}) AS redacted_md5
+    FROM prof"""
+
+
+@_q(
+    "x_pii_redact",
+    _pii_sql(False),
+    "PII redaction pass: per-record phone/email match counts plus the "
+    "redacted text and its md5 (Spark regexp_replace replaces all "
+    "occurrences; DuckDB needs the 'g' flag — encoded per-dialect, with "
+    "backslash-free patterns so the regex text itself is shared).  Pure "
+    "map-side projection: zero shuffles at any scale.",
+)
+def x_pii_redact(spark, sf_dir):
+    register_views(spark, sf_dir, "customer")
+    return spark.sql(_pii_sql(True))
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver certifies exactly the FIRST 50 entries of
 # ``queries()`` (round 1 graded registrations 1-50 and nothing after), so
