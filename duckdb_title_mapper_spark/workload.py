@@ -3518,9 +3518,11 @@ GRADE_FIRST = [
     "x_sessionize_batch",
     # X: iterative ML step + collocation mining (round-2 flagships)
     "x_kmeans_step", "x_collocation_pmi",
-    # X: dedup family
+    # X: dedup family + decontamination (x_ngram_repetition moved after
+    # the fold to make room — x_decontaminate_ngrams certifies a more
+    # distinctive capability on the same shingle machinery)
     "x_dedup_exact", "x_minhash_signature", "x_near_dup_clusters",
-    "x_simhash_clusters", "x_chunk_dedup", "x_ngram_repetition",
+    "x_simhash_clusters", "x_chunk_dedup", "x_decontaminate_ngrams",
     "x_embed_near_dup",
     # X: similarity search
     "x_knn_bruteforce", "x_ann_lsh_topk",

@@ -121,6 +121,28 @@ def test_round2_scale_claims_hold_in_plans(spark):
     assert broadcast_join_count(pmi) >= 2, explain_str(pmi)[:800]
 
 
+def test_round3_scale_claims_hold_in_plans(spark):
+    """Plan locks for the round-3 operators: PII redaction is a pure
+    projection (zero exchanges), and decontamination joins the train
+    shingles against a BROADCAST eval side (the eval set is fixed-size
+    at any corpus scale, so the train side must never shuffle for the
+    join itself)."""
+    from duckdb_title_mapper_spark.plans import (
+        broadcast_join_count,
+        explain_str,
+        shuffle_count,
+    )
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    qs = core_queries()
+
+    pii = qs["x_pii_redact"].spark_fn(spark, SF)
+    assert shuffle_count(pii) == 0, explain_str(pii)[:500]
+
+    decon = qs["x_decontaminate_ngrams"].spark_fn(spark, SF)
+    assert broadcast_join_count(decon) >= 1, explain_str(decon)[:800]
+
+
 def test_kmeans_assignment_is_shuffle_free(spark):
     from pyspark.sql import functions as F
 
