@@ -3472,6 +3472,83 @@ def x_pii_redact(spark, sf_dir):
     return spark.sql(_pii_sql(True))
 
 
+_MIX_SQL = """WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+               count(*) AS n_sources FROM per_src)
+SELECT source, n_docs, n_chars,
+       CAST(CAST(CAST(n_docs AS DOUBLE) / n_total AS STRING)
+            AS DECIMAL(18,9)) AS current_frac,
+       -- uniform target mix: each source should contribute 1/n_sources;
+       -- the sampling weight is target/current (per-row IEEE division on
+       -- identical inputs -> bit-identical doubles -> STRING route exact)
+       CAST(CAST((CAST(n_total AS DOUBLE) / n_sources)
+                 / CAST(n_docs AS DOUBLE) AS STRING)
+            AS DECIMAL(18,9)) AS sample_weight
+FROM per_src CROSS JOIN tot"""
+
+
+@_q(
+    "x_domain_mix_weights",
+    _MIX_SQL,
+    "Domain-mixture rebalancing: per-source corpus stats plus the "
+    "up/down-sampling weight that moves the mix to a uniform target "
+    "(swap the target expression for any published mixture).  One "
+    "map-side-partial aggregate over the corpus; the weight table is "
+    "n_sources rows — it then drives a broadcast-joined weighted "
+    "sampler like x_stratified_sample at any scale.",
+)
+def x_domain_mix_weights(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_MIX_SQL)
+
+
+def _substring_dup_sql(spark_dialect: bool, k: int = 32, stride: int = 8) -> str:
+    """Char-level duplicate-span detection (the poor man's suffix-array
+    dedup): strided ``k``-char grams per document, cross-document gram
+    counts, per-doc duplicated-span ratio.  The stride bounds the blowup
+    to len/stride rows per doc (vs len for a full suffix scan)."""
+    if spark_dialect:
+        starts = f"explode(sequence(1, length(text) - {k - 1}, {stride}))"
+    else:
+        starts = f"unnest(generate_series(1, length(text) - {k - 1}, {stride}))"
+    return f"""WITH grams AS (
+      SELECT doc_id, md5(substr(text, s, {k})) AS g
+      FROM (SELECT doc_id, text, {starts} AS s
+            FROM documents WHERE length(text) >= {k}) st),
+    gcount AS (
+      SELECT g, count(DISTINCT doc_id) AS n_docs_with
+      FROM grams GROUP BY g),
+    per_doc AS (
+      SELECT gr.doc_id,
+             count(*) AS n_spans,
+             CAST(sum(CASE WHEN gc.n_docs_with > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_spans
+      FROM grams gr JOIN gcount gc ON gr.g = gc.g
+      GROUP BY gr.doc_id)
+    SELECT doc_id, n_spans, n_dup_spans,
+           n_dup_spans * 2 >= n_spans AS mostly_duplicated
+    FROM per_doc"""
+
+
+@_q(
+    "x_substring_dup_spans",
+    _substring_dup_sql(False),
+    "Cross-document duplicated-substring spans: strided 32-char grams, "
+    "gram -> distinct-doc counts (one shuffle on the gram hash, "
+    "map-side combined), joined back per doc with an exact integer "
+    "mostly-duplicated flag.  The strided gram relation is the standard "
+    "scalable stand-in for suffix-array substring dedup: at 100 TB the "
+    "gram shuffle is len/stride rows and the hot grams (boilerplate) "
+    "are exactly what AQE skew-split handles.",
+)
+def x_substring_dup_spans(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_substring_dup_sql(True))
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver certifies exactly the FIRST 50 entries of
 # ``queries()`` (round 1 graded registrations 1-50 and nothing after), so
