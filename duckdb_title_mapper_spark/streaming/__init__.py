@@ -10,6 +10,7 @@ stateful sessionizer on ``applyInPandasWithState``.
 from .windows import (  # noqa: F401
     click_purchase_join,
     run_to_memory,
+    run_to_memory_rocksdb,
     session_window_counts,
     sliding_counts,
     standardize_stream,
@@ -18,4 +19,4 @@ from .windows import (  # noqa: F401
     tumbling_counts,
 )
 from .sinks import file_sink_roundtrip  # noqa: F401
-from .stateful import sessionize  # noqa: F401
+from .stateful import sessionize, user_stats_tws  # noqa: F401

@@ -84,3 +84,92 @@ def sessionize(events_sdf, gap_minutes: int = 30):
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4's arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+USER_STATS_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, max_value DOUBLE, "
+    "first_ts_us BIGINT, last_ts_us BIGINT"
+)
+_USER_STATS_STATE_SCHEMA = "n BIGINT, mx DOUBLE, f BIGINT, l BIGINT"
+
+
+class _UserStatsProcessor:
+    """Per-user running stats on Spark 4's ``transformWithStateInPandas``
+    (the successor API to ``applyInPandasWithState``: named state
+    variables on a ``StatefulProcessorHandle``, RocksDB-backed).
+
+    Emission contract: one row of RUNNING totals per user per micro-batch
+    the user appears in.  The staged source is a single file, so an
+    ``availableNow`` run is one batch and the output is exactly the
+    per-user batch aggregate — which is what gives the declared query a
+    DuckDB oracle.  Every accumulator (count, max, min/max ts) is
+    order-independent, so emitted values never depend on Arrow chunking.
+    State is O(users); on an unbounded deployment you'd attach a TTL
+    (``getValueState(..., ttlDurationMs=...)``) to bound it.
+    """
+
+    def init(self, handle):
+        self._state = handle.getValueState("stats", _USER_STATS_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        (user_id,) = key
+        st = self._state.get() if self._state.exists() else None
+        n, mx, f, l = st if st is not None else (0, None, None, None)
+        for pdf in rows:
+            if pdf.empty:
+                continue
+            n += len(pdf)
+            bmx = float(pdf["value"].max())
+            bf = int(pdf["ts_us"].min())
+            bl = int(pdf["ts_us"].max())
+            mx = bmx if mx is None else max(mx, bmx)
+            f = bf if f is None else min(f, bf)
+            l = bl if l is None else max(l, bl)
+        self._state.update((n, mx, f, l))
+        yield pd.DataFrame(
+            [(user_id, n, mx, f, l)],
+            columns=["user_id", "n_events", "max_value",
+                     "first_ts_us", "last_ts_us"],
+        )
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter(())
+
+    def handleInitialState(self, key, initial_state, timer_values):
+        pass
+
+    def close(self):
+        pass
+
+
+def user_stats_tws(events_sdf):
+    """Streaming per-user running stats via ``transformWithStateInPandas``.
+
+    Requires the RocksDB state store provider (the API rejects the
+    default HDFS-backed one); the caller pins it per-run — see
+    ``run_to_memory_rocksdb``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass dynamically so module import works even on a Spark without
+    # the API (the class body above is plain Python)
+    proc = type("UserStatsProcessor", (_UserStatsProcessor, StatefulProcessor), {})()
+
+    prepared = events_sdf.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=USER_STATS_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

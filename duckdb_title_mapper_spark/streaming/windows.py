@@ -283,3 +283,28 @@ def run_to_memory(streaming_df, mode: str = "complete",
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return streaming_df.sparkSession.table(name)
+
+
+def run_to_memory_rocksdb(streaming_df, mode: str = "append",
+                          state_partitions: int | None = 4):
+    """``run_to_memory`` with the RocksDB state store provider pinned for
+    the run — required by ``transformWithStateInPandas`` (the API rejects
+    the default HDFS-backed provider).  RocksDB is also the provider a
+    100 TB deployment runs anyway: changelog-checkpointed, bounded-memory
+    state instead of JVM-heap maps."""
+    spark = streaming_df.sparkSession
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        return run_to_memory(streaming_df, mode=mode,
+                             state_partitions=state_partitions)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

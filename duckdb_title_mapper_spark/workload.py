@@ -3376,6 +3376,16 @@ def x_jaro_winkler_pairs(spark, sf_dir):
     )
 
 
+# NOTE: a transformWithStateInPandas operator (Spark 4's arbitrary-state
+# successor to applyInPandasWithState) ships in streaming/stateful.py
+# (``user_stats_tws`` + ``run_to_memory_rocksdb``) but is NOT registered
+# here: the API's state-server protocol requires the ``protobuf`` package,
+# absent from this container (ImportError in
+# transform_with_state_driver_worker).  tests/test_streaming_tws.py runs
+# it when protobuf is importable and skips otherwise — same honest-stub
+# policy as the real-codec multimodal branch.
+
+
 def _decontaminate_sql(spark_dialect: bool, n: int = 8, mod: int = 97) -> str:
     """Benchmark decontamination: per-train-doc count of ``n``-gram token
     shingles shared with a held-out eval split (doc_id % mod == 0 — a
