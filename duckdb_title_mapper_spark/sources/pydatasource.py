@@ -1,0 +1,118 @@
+"""Custom Python Data Source (Spark 4 ``pyspark.sql.datasource`` API):
+a deterministic synthetic event generator.
+
+This is the Spark-4-native answer to "make 100 TB of load-test data":
+the source declares N partitions, each worker generates its stripe
+independently from pure integer arithmetic (no driver materialization,
+no input files), so generation parallelizes to any cluster width and a
+run is bit-reproducible across runs/cluster sizes.  The same formulas
+are expressible in one DuckDB ``generate_series`` query, which is what
+gives the declared workload query an exact oracle.
+
+Row ``k`` of ``n`` (64-bit integer arithmetic, no overflow for any
+realistic n):
+  user_id      = (k * 2654435761) % 10007          (Knuth multiplicative)
+  event_type   = types[k % 4]
+  value_millis = (k * 1103515245 + 12345) % 1000000  (LCG step)
+  value        = value_millis / 1000.0             (per-row IEEE, exact
+                                                    cross-engine)
+"""
+
+from __future__ import annotations
+
+EVENT_TYPES = ("click", "view", "purchase", "refund")
+
+SYNTH_SCHEMA = (
+    "event_seq BIGINT, user_id BIGINT, event_type STRING, "
+    "value_millis BIGINT, value DOUBLE"
+)
+
+
+def synth_row(k: int):
+    return (
+        k,
+        (k * 2654435761) % 10007,
+        EVENT_TYPES[k % 4],
+        (k * 1103515245 + 12345) % 1000000,
+        ((k * 1103515245 + 12345) % 1000000) / 1000.0,
+    )
+
+
+def synth_oracle_sql(n: int) -> str:
+    """The generator's exact DuckDB twin over ``generate_series``."""
+    types = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+    return f"""SELECT k AS event_seq,
+           (k * 2654435761) % 10007 AS user_id,
+           ([{types}])[(k % 4) + 1] AS event_type,
+           (k * 1103515245 + 12345) % 1000000 AS value_millis,
+           CAST((k * 1103515245 + 12345) % 1000000 AS DOUBLE) / 1000.0
+             AS value
+    FROM generate_series(0, {n - 1}) AS t(k)"""
+
+
+def register_synthetic_source(spark):
+    """Register the ``synthetic_events`` format on the session.  Defined
+    lazily (inside the function) because ``pyspark.sql.datasource``
+    subclasses are pickled to workers and the API only exists on
+    Spark 4+."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class SyntheticEventsReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", "10000"))
+            self.parts = int(options.get("parts", "8"))
+
+        def partitions(self):
+            # contiguous stripes: partition i owns [lo, hi) — each worker
+            # derives its rows from the partition index alone
+            step = -(-self.n // self.parts)
+            return [
+                InputPartition((i * step, min((i + 1) * step, self.n)))
+                for i in range(self.parts)
+                if i * step < self.n
+            ]
+
+        def read(self, partition):
+            # Arrow-batched emission (the API accepts RecordBatches):
+            # vectorized numpy arithmetic + one Arrow batch per stripe
+            # instead of a per-row Python->JVM pickle round-trip
+            import numpy as np
+            import pyarrow as pa
+
+            lo, hi = partition.value
+            k = np.arange(lo, hi, dtype=np.int64)
+            millis = (k * 1103515245 + 12345) % 1000000
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(k, pa.int64()),
+                    pa.array((k * 2654435761) % 10007, pa.int64()),
+                    pa.array(
+                        np.asarray(EVENT_TYPES, dtype=object)[k % 4],
+                        pa.string(),
+                    ),
+                    pa.array(millis, pa.int64()),
+                    pa.array(millis / 1000.0, pa.float64()),
+                ],
+                names=[
+                    "event_seq", "user_id", "event_type",
+                    "value_millis", "value",
+                ],
+            )
+
+    class SyntheticEventsSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_events"
+
+        def schema(self):
+            return SYNTH_SCHEMA
+
+        def reader(self, schema):
+            return SyntheticEventsReader(self.options)
+
+    spark.dataSource.register(SyntheticEventsSource)
+    return spark

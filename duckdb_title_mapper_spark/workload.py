@@ -3376,6 +3376,62 @@ def x_jaro_winkler_pairs(spark, sf_dir):
     )
 
 
+_SYNTH_N = 20000
+
+
+@_q(
+    "src_python_datasource",
+    None,  # assembled below (needs the generator's oracle twin)
+    "",
+)
+def src_python_datasource(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n", str(_SYNTH_N))
+        .option("parts", "8")
+        .load()
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value_millis").alias("sum_millis"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+        )
+    )
+
+
+def _install_synth_oracle():
+    from .sources.pydatasource import synth_oracle_sql
+
+    q = _REGISTRY["src_python_datasource"]
+    oracle = f"""SELECT event_type, count(*) AS n_events,
+           CAST(sum(value_millis) AS BIGINT) AS sum_millis,
+           min(user_id) AS min_user, max(user_id) AS max_user
+    FROM ({synth_oracle_sql(_SYNTH_N)}) g GROUP BY event_type"""
+    _REGISTRY["src_python_datasource"] = Query(
+        q.name,
+        q.spark_fn,
+        oracle,
+        "Custom Python Data Source (Spark 4 pyspark.sql.datasource): "
+        "deterministic partitioned synthetic event generator — each "
+        "worker derives its stripe from pure integer arithmetic, so "
+        "load-test data generation parallelizes to any cluster width "
+        "with zero input IO; the oracle regenerates the identical rows "
+        "via DuckDB generate_series.  Aggregate output is integer-exact "
+        "(decimal-free sums of BIGINT millis).",
+    )
+
+
+_install_synth_oracle()
+
+
 # NOTE: a transformWithStateInPandas operator (Spark 4's arbitrary-state
 # successor to applyInPandasWithState) ships in streaming/stateful.py
 # (``user_stats_tws`` + ``run_to_memory_rocksdb``) but is NOT registered
