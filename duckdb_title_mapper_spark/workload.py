@@ -3432,6 +3432,56 @@ def _install_synth_oracle():
 _install_synth_oracle()
 
 
+def _incremental_dedup_sql(spark_dialect: bool) -> str:
+    """Incremental ingestion dedup: an incoming batch (doc_id % 10 == 7 —
+    the deterministic stand-in for today's crawl) checked against the
+    EXISTING corpus on two tiers: exact md5 collision and full-MinHash-
+    signature collision (the same 4-hash signature as
+    ``x_minhash_signature``).  Emits a keep/drop manifest per batch doc.
+    At 100 TB the corpus signature set is a bucketed table keyed on the
+    hash, so each day's batch joins against it with no corpus-side
+    re-shuffle — the batch (small side) shuffles, the store doesn't."""
+    if spark_dialect:
+        tok = r"explode(regexp_extract_all(text, '\\w+', 0))"
+    else:
+        tok = r"unnest(regexp_extract_all(text, '\w+'))"
+    sig = ("md5(concat(" + ", ".join(
+        f"min(md5(concat('{j}:', tok)))" for j in range(4)
+    ) + "))")
+    return f"""WITH toks AS (
+      SELECT doc_id, {tok} AS tok FROM documents),
+    sigs AS (SELECT doc_id, {sig} AS sig FROM toks GROUP BY doc_id),
+    hashes AS (SELECT doc_id, md5(text) AS h FROM documents),
+    corpus_h AS (SELECT DISTINCT h FROM hashes WHERE doc_id % 10 <> 7),
+    corpus_s AS (SELECT DISTINCT sig FROM sigs WHERE doc_id % 10 <> 7),
+    batch AS (
+      SELECT h.doc_id, h.h, s.sig
+      FROM hashes h LEFT JOIN sigs s ON h.doc_id = s.doc_id
+      WHERE h.doc_id % 10 = 7)
+    SELECT b.doc_id,
+           ch.h IS NOT NULL AS dup_exact,
+           cs.sig IS NOT NULL AS dup_near,
+           CASE WHEN ch.h IS NOT NULL OR cs.sig IS NOT NULL
+                THEN 'drop' ELSE 'keep' END AS action
+    FROM batch b
+    LEFT JOIN corpus_h ch ON b.h = ch.h
+    LEFT JOIN corpus_s cs ON b.sig = cs.sig"""
+
+
+@_q(
+    "x_incremental_dedup",
+    _incremental_dedup_sql(False),
+    "Incremental ingestion dedup: keep/drop manifest for an incoming "
+    "batch vs the existing corpus, on exact-hash and full-MinHash-"
+    "signature tiers — the daily-crawl shape where the corpus signature "
+    "store persists (bucketed on the hash key) and only the new batch "
+    "shuffles.",
+)
+def x_incremental_dedup(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_incremental_dedup_sql(True))
+
+
 # NOTE: a transformWithStateInPandas operator (Spark 4's arbitrary-state
 # successor to applyInPandasWithState) ships in streaming/stateful.py
 # (``user_stats_tws`` + ``run_to_memory_rocksdb``) but is NOT registered
