@@ -3432,6 +3432,55 @@ def _install_synth_oracle():
 _install_synth_oracle()
 
 
+_BAD_CSV_LINES = [
+    "id,qty,tag",          # header
+    "1,10,alpha",
+    "2,notanumber,beta",   # qty fails the INT schema -> corrupt
+    "3,30,gamma",
+    "4,,delta",            # empty qty is a legal NULL, NOT corrupt
+    "5,50",                # missing column -> corrupt under PERMISSIVE+schema
+    "6,60,zeta",
+]
+
+
+@_q(
+    "src_csv_badrecords",
+    """SELECT * FROM (VALUES
+      (CAST(6 AS BIGINT), CAST(4 AS BIGINT), CAST(2 AS BIGINT),
+       CAST(100 AS BIGINT))) AS t(n_rows, n_good, n_bad, qty_sum)""",
+    "Malformed-input ingestion: PERMISSIVE CSV parse of a fixed corpus "
+    "with 2 known-bad lines captured in _corrupt_record (type mismatch; "
+    "short row), empty-field NULLs kept as good rows.  Oracle = the "
+    "statically known manifest.  At scale this is the quarantine "
+    "pattern: one pass splits good rows from a replayable bad-record "
+    "sidecar instead of failing the job.",
+)
+def src_csv_badrecords(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = "/tmp/duckdb_title_mapper_spark_io/bad_csv"
+    os.makedirs(d, exist_ok=True)
+    with open(f"{d}/part-000.csv", "w") as f:
+        f.write("\n".join(_BAD_CSV_LINES) + "\n")
+    df = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema("id BIGINT, qty INT, tag STRING, _corrupt_record STRING")
+        .csv(d)
+        .cache()  # one parse feeds both the counts and the sum
+    )
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count("_corrupt_record").alias("n_bad"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("qty"))
+              .otherwise(0)).cast("bigint").alias("qty_sum"),
+    )
+
+
 def _incremental_dedup_sql(spark_dialect: bool) -> str:
     """Incremental ingestion dedup: an incoming batch (doc_id % 10 == 7 —
     the deterministic stand-in for today's crawl) checked against the
