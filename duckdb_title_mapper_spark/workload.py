@@ -3481,6 +3481,42 @@ def src_csv_badrecords(spark, sf_dir):
     )
 
 
+@_q(
+    "src_schema_evolution",
+    """SELECT r_regionkey,
+           count(*) AS n_rows,
+           count(batch_tag) AS n_tagged,
+           min(coalesce(batch_tag, 'v1')) AS first_tag
+    FROM (SELECT r_regionkey, NULL AS batch_tag FROM region
+          UNION ALL
+          SELECT r_regionkey, 'v2' AS batch_tag FROM region) u
+    GROUP BY r_regionkey""",
+    "Schema evolution on the lake: two parquet batches with different "
+    "schemas (v2 adds batch_tag) read back in ONE mergeSchema scan — "
+    "old files surface the new column as NULL.  The daily-ingest "
+    "reality where producers add fields without rewriting history; "
+    "oracle replays the union with an explicit NULL column.",
+)
+def src_schema_evolution(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    base = "/tmp/duckdb_title_mapper_spark_io/schema_evo"
+    region = load(spark, sf_dir, "region")
+    region.write.mode("overwrite").parquet(f"{base}/batch=1")
+    region.withColumn("batch_tag", F.lit("v2")).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/batch=2")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{base}/batch=1", f"{base}/batch=2")
+    )
+    return merged.groupBy("r_regionkey").agg(
+        F.count("*").alias("n_rows"),
+        F.count("batch_tag").alias("n_tagged"),
+        F.min(F.coalesce("batch_tag", F.lit("v1"))).alias("first_tag"),
+    )
+
+
 def _incremental_dedup_sql(spark_dialect: bool) -> str:
     """Incremental ingestion dedup: an incoming batch (doc_id % 10 == 7 —
     the deterministic stand-in for today's crawl) checked against the
