@@ -59,6 +59,18 @@ HEADLINE = [
     "x_ann_ivf_topk",
 ]
 
+# Round-3 flagships, timed identically but reported OUTSIDE the headline
+# total so `value` stays comparable across rounds (BASELINE.md round-2
+# note: the headline set is frozen at the same 33 queries).
+EXTRA = [
+    "x_decontaminate_ngrams",
+    "x_pii_redact",
+    "x_domain_mix_weights",
+    "x_substring_dup_spans",
+    "x_incremental_dedup",
+    "src_python_datasource",
+]
+
 
 def main():
     from pyspark.sql import SparkSession
@@ -100,10 +112,11 @@ def main():
     # repeat of the same query.  The spread (max-min over repeats) is
     # reported per query so the 2x-of-baseline gate can be read against
     # measurement noise instead of flapping on it.
-    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    bench_set = [*HEADLINE, *EXTRA]
+    runs: dict[str, list[float]] = {name: [] for name in bench_set}
     rows: dict[str, int] = {}
     for _pass in range(3):
-        for name in HEADLINE:
+        for name in bench_set:
             q = registry[name]
             t0 = time.time()
             df = q.spark_fn(spark, sf_dir)
@@ -117,11 +130,13 @@ def main():
                 r.unpersist(True)
             spark.catalog.clearCache()
     spreads: dict[str, float] = {}
-    for name in HEADLINE:
-        timings[name] = round(min(runs[name]), 3)
+    extra: dict[str, float] = {}
+    for name in bench_set:
+        best = round(min(runs[name]), 3)
+        (timings if name in HEADLINE else extra)[name] = best
         spreads[name] = round(max(runs[name]) - min(runs[name]), 3)
         print(
-            f"# {name}: {rows[name]} rows in {timings[name]}s"
+            f"# {name}: {rows[name]} rows in {best}s"
             f" (spread {spreads[name]}s)",
             file=sys.stderr,
         )
@@ -134,6 +149,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra,
                 "spread": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
