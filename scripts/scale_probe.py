@@ -51,6 +51,10 @@ def main():
         "x_token_chunks", "x_chunk_dedup", "x_ngram_repetition",
         "x_sequence_packing", "x_jaro_winkler_pairs", "x_triangle_count",
         "rel_merge_upsert", "rel_latest_per_key", "x_dedup_pipeline",
+        # round-3 training-data-prep family
+        "x_decontaminate_ngrams", "x_pii_redact", "x_domain_mix_weights",
+        "x_substring_dup_spans", "x_incremental_dedup",
+        "src_python_datasource",
     ]
     probe_set = list(bench.HEADLINE) + EXTRA
     registry = all_queries()
