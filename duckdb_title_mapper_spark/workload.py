@@ -2591,6 +2591,64 @@ def x_embed_quantize(spark, sf_dir):
     return spark.sql(_quantize_sql(True))
 
 
+def _pq_encode_sql(spark_dialect: bool, m: int = 4, sub: int = 16,
+                   k: int = 16) -> str:
+    """Product-quantization encoding: split each 64-dim embedding into
+    ``m`` subvectors, assign each to its nearest of ``k`` per-subspace
+    codes (squared-L2, ties -> lowest code id), emit the m 4-bit codes +
+    the exact reconstruction error.  Codebooks are the first ``k``
+    vectors' subvectors (deterministic seeds, same convention as
+    ``x_kmeans_step``).  The error sums the per-subspace minima in FIXED
+    index order via a CASE pivot — never a cross-row double SUM — so it
+    is cross-engine exact; output quantizes via the STRING route."""
+    if spark_dialect:
+        sl_e = f"slice(e.embedding, s.s * {sub} + 1, {sub})"
+        sl_c = f"slice(c.embedding, s.s * {sub} + 1, {sub})"
+    else:
+        sl_e = f"e.embedding[s.s * {sub} + 1 : s.s * {sub} + {sub}]"
+        sl_c = f"c.embedding[s.s * {sub} + 1 : s.s * {sub} + {sub}]"
+    l2 = _embed_l2(spark_dialect, sl_e, sl_c)
+    subs = ", ".join(f"({i})" for i in range(m))
+    code_cols = ",\n           ".join(
+        f"max(CASE WHEN s = {i} THEN cid END) AS code{i}" for i in range(m)
+    )
+    err_sum = " + ".join(f"max(CASE WHEN s = {i} THEN d END)" for i in range(m))
+    return f"""WITH codes AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {k}),
+    dists AS (
+      SELECT e.vec_id, s.s, c.cid, {l2} AS d
+      FROM embeddings e
+      CROSS JOIN (VALUES {subs}) AS s(s)
+      CROSS JOIN codes c),
+    best AS (
+      SELECT vec_id, s, cid, d FROM (
+        SELECT vec_id, s, cid, d,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d, cid) AS rn
+        FROM dists) r
+      WHERE rn = 1)
+    SELECT vec_id,
+           {code_cols},
+           CAST(CAST({err_sum} AS STRING) AS DECIMAL(18,9)) AS recon_err
+    FROM best GROUP BY vec_id"""
+
+
+@_q(
+    "x_pq_encode",
+    _pq_encode_sql(False),
+    "Product quantization: the 100 TB ANN memory answer (64 dims x "
+    "float32 -> 4 codes = 16 bytes -> 2 bytes, 128x), encoded fully in "
+    "SQL — per-subspace argmin over a BROADCAST 16-code codebook with "
+    "deterministic tiebreak, exact fixed-order reconstruction error.  "
+    "Same argmin machinery as x_kmeans_step; at scale the codebooks are "
+    "k-means-fitted per subspace (x_kmeans_fit) and the encode pass "
+    "stays one broadcast-join scan.",
+)
+def x_pq_encode(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_pq_encode_sql(True))
+
+
 def _prep_pipeline_sql(spark_dialect: bool) -> str:
     """The capstone composition a training-data prep actually runs:
     quality gate -> near-dup keeper (full-signature MinHash clusters
