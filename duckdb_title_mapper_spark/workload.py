@@ -2649,6 +2649,76 @@ def x_pq_encode(spark, sf_dir):
     return spark.sql(_pq_encode_sql(True))
 
 
+def _pq_adc_sql(spark_dialect: bool, m: int = 4, sub: int = 16,
+                k: int = 16, nq: int = 5, topk: int = 3) -> str:
+    """PQ asymmetric-distance search: per-query lookup table of
+    (subspace, code) -> L2 to the query subvector (nq*m*k tiny rows),
+    joined against the corpus PQ codes, ADC distance = fixed-order sum of
+    the m table entries.  Ranks only (no float output): the ADC double is
+    per-row IEEE on identical inputs, so the (distance, vec_id) order is
+    cross-engine exact — same output contract as x_knn_bruteforce."""
+    if spark_dialect:
+        sl_e = f"slice(e.embedding, s.s * {sub} + 1, {sub})"
+        sl_c = f"slice(c.embedding, s.s * {sub} + 1, {sub})"
+        sl_q = f"slice(q.embedding, s.s * {sub} + 1, {sub})"
+        sl_cb = f"slice(cb.embedding, s.s * {sub} + 1, {sub})"
+    else:
+        sl_e = f"e.embedding[s.s * {sub} + 1 : s.s * {sub} + {sub}]"
+        sl_c = f"c.embedding[s.s * {sub} + 1 : s.s * {sub} + {sub}]"
+        sl_q = f"q.embedding[s.s * {sub} + 1 : s.s * {sub} + {sub}]"
+        sl_cb = f"cb.embedding[s.s * {sub} + 1 : s.s * {sub} + {sub}]"
+    enc_l2 = _embed_l2(spark_dialect, sl_e, sl_c)
+    lut_l2 = _embed_l2(spark_dialect, sl_q, sl_cb)
+    subs = ", ".join(f"({i})" for i in range(m))
+    d_cols = ",\n             ".join(
+        f"max(CASE WHEN l.s = {i} THEN l.d END) AS d{i}" for i in range(m)
+    )
+    adc = " + ".join(f"d{i}" for i in range(m))
+    return f"""WITH codebook AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {k}),
+    best AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT e.vec_id, s.s, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id, s.s
+                                  ORDER BY {enc_l2}, c.cid) AS rn
+        FROM embeddings e
+        CROSS JOIN (VALUES {subs}) AS s(s)
+        CROSS JOIN codebook c) r
+      WHERE rn = 1),
+    lut AS (
+      SELECT q.vec_id AS qid, s.s, cb.cid, {lut_l2} AS d
+      FROM embeddings q
+      CROSS JOIN (VALUES {subs}) AS s(s)
+      CROSS JOIN codebook cb
+      WHERE q.vec_id < {nq}),
+    parts AS (
+      SELECT l.qid, b.vec_id,
+             {d_cols}
+      FROM best b JOIN lut l ON l.s = b.s AND l.cid = b.cid
+      GROUP BY l.qid, b.vec_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT qid AS query_id, vec_id AS neighbor_id,
+             CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY {adc}, vec_id) AS BIGINT) AS rank
+      FROM parts WHERE vec_id <> qid) t
+    WHERE rank <= {topk}"""
+
+
+@_q(
+    "x_pq_adc_topk",
+    _pq_adc_sql(False),
+    "PQ asymmetric-distance top-k: the search half of product "
+    "quantization — a per-query (subspace, code) lookup table replaces "
+    "full-vector math, so the scan touches 2-byte codes instead of "
+    "256-byte vectors (the RAM-resident 100 TB ANN layout).  LUT and "
+    "codebook both broadcast; ADC distances sum in fixed order and only "
+    "ranks are emitted, keeping the output float-free.",
+)
+def x_pq_adc_topk(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_pq_adc_sql(True))
+
+
 def _prep_pipeline_sql(spark_dialect: bool) -> str:
     """The capstone composition a training-data prep actually runs:
     quality gate -> near-dup keeper (full-signature MinHash clusters
