@@ -2719,6 +2719,33 @@ def x_pq_adc_topk(spark, sf_dir):
     return spark.sql(_pq_adc_sql(True))
 
 
+def _pq_recall_sql(spark_dialect: bool, topk: int = 3) -> str:
+    """Recall of PQ-ADC top-k vs exact cosine top-k, per query — exact
+    integer overlap counts, so the metric itself is oracle-exact."""
+    return f"""WITH exact_k AS ({_topk_sql(spark_dialect, k=topk)}),
+    adc_k AS ({_pq_adc_sql(spark_dialect, topk=topk)})
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           count(a.neighbor_id) = count(*) AS recall_is_full
+    FROM exact_k e
+    LEFT JOIN adc_k a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id"""
+
+
+@_q(
+    "x_pq_recall",
+    _pq_recall_sql(False),
+    "PQ quality metric: per-query overlap of ADC top-3 vs exact cosine "
+    "top-3 as exact integer counts — the measurement that tunes "
+    "(m, k) codebook geometry at scale, same loop as x_ann_recall.",
+)
+def x_pq_recall(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_pq_recall_sql(True))
+
+
 def _prep_pipeline_sql(spark_dialect: bool) -> str:
     """The capstone composition a training-data prep actually runs:
     quality gate -> near-dup keeper (full-signature MinHash clusters
