@@ -55,6 +55,9 @@ def main():
         "x_decontaminate_ngrams", "x_pii_redact", "x_domain_mix_weights",
         "x_substring_dup_spans", "x_incremental_dedup",
         "src_python_datasource",
+        # round-3 PQ + lake-hygiene ops
+        "x_pq_encode", "x_pq_adc_topk", "x_pq_recall",
+        "src_schema_evolution", "src_csv_badrecords",
     ]
     probe_set = list(bench.HEADLINE) + EXTRA
     registry = all_queries()
