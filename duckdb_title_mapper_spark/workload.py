@@ -3,8 +3,9 @@ query with a DuckDB-oracle SQL equivalent.
 
 This module is the single source of truth consumed by ``__spark_entry__.py``
 (the driver contract) and by ``tests/test_oracle_parity.py`` (which runs
-both sides locally and compares exact values — stricter than the driver's
-order-insensitive hash).
+both sides locally and compares exact values in DELIVERED row order —
+the driver's value hash proved row-order sensitive in round 2, which is
+why ``_apply_total_order`` pins a total sort on every query's output).
 
 Conventions that make the oracle hashes match:
 * every computed column is aliased identically on both sides;

@@ -1,6 +1,7 @@
 """The t2 gate, locally: every declared query must EXACTLY match its DuckDB
-oracle at sf0.001 (the driver runs the same comparison at sf0.01 with an
-order-insensitive hash; exact equality here implies a hash match there)."""
+oracle at sf0.001, in DELIVERED row order (the driver's sf0.01 value hash
+is row-order sensitive — r2 evidence — so ``canon`` keeps delivered order
+and exact equality here implies a hash match there)."""
 
 import os
 import sys
