@@ -3877,6 +3877,54 @@ def x_domain_mix_weights(spark, sf_dir):
     return spark.sql(_MIX_SQL)
 
 
+def _resample_manifest_sql(spark_dialect: bool) -> str:
+    """Materialize the x_domain_mix_weights target: per-doc copy counts
+    that move the corpus to the uniform source mix.  n_copies =
+    floor(w) + (hash_fraction < frac(w)) with the weight held in exact
+    millis (floor of a bit-identical double) and the acceptance fraction
+    drawn from md5(doc_id) — deterministic across engines, runs, and
+    cluster sizes, so the resampled corpus is reproducible by
+    construction.  Every step is integer arithmetic; no float output."""
+    if spark_dialect:
+        h = ("conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+             " % 1000")
+        idiv = "div"
+    else:
+        h = ("('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+             " % 1000")
+        idiv = "//"
+    return f"""WITH per_src AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+                   count(*) AS n_sources FROM per_src),
+    w AS (
+      SELECT source,
+             CAST(floor((CAST(n_total AS DOUBLE) / n_sources)
+                        / CAST(n_docs AS DOUBLE) * 1000.0) AS BIGINT)
+               AS w_millis
+      FROM per_src CROSS JOIN tot)
+    SELECT d.doc_id, d.source,
+           CAST(w.w_millis {idiv} 1000
+                + CASE WHEN CAST({h} AS BIGINT) < w.w_millis % 1000
+                       THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+    FROM documents d JOIN w ON d.source = w.source"""
+
+
+@_q(
+    "x_domain_resample_manifest",
+    _resample_manifest_sql(False),
+    "Materialized domain rebalancing: per-doc copy counts toward the "
+    "uniform source mix — floor(weight) guaranteed copies plus one "
+    "md5-fraction-accepted extra, all integer arithmetic on an exact "
+    "millis-quantized weight.  Deterministic across engines/runs/"
+    "cluster sizes; the weight table broadcasts and the scan is "
+    "map-side, so the manifest costs one corpus pass at any scale.",
+)
+def x_domain_resample_manifest(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_resample_manifest_sql(True))
+
+
 def _substring_dup_sql(spark_dialect: bool, k: int = 32, stride: int = 8) -> str:
     """Char-level duplicate-span detection (the poor man's suffix-array
     dedup): strided ``k``-char grams per document, cross-document gram
