@@ -1268,6 +1268,43 @@ def x_hash_split(spark, sf_dir):
     )
 
 
+_LEAKAGE_SQL = """WITH s AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         CASE WHEN {h} % 100 < 80 THEN 'train'
+              WHEN {h} % 100 < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT content_hash,
+       CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+       count(*) AS n_docs,
+       min(doc_id) AS first_doc_id,
+       sort_array(collect_set(split)) AS splits
+FROM s GROUP BY content_hash
+HAVING count(DISTINCT split) > 1"""
+
+
+@_q(
+    "x_split_leakage",
+    _LEAKAGE_SQL.format(
+        h="(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)"
+    ).replace("sort_array(collect_set(split))", "list_sort(list(DISTINCT split))"),
+    "Train/test leakage detector: exact-duplicate documents whose copies "
+    "land in DIFFERENT hash-split buckets (the contamination the split "
+    "itself cannot see because it keys on doc_id, not content).  The "
+    "manifest is what dedup-before-split fixes; one hash aggregate on "
+    "the content hash, map-side combined — one corpus pass at any "
+    "scale.",
+)
+def x_split_leakage(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        _LEAKAGE_SQL.format(
+            h="CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+              " AS BIGINT)"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins (as-of / banded range) — operators Spark lacks as
 # built-ins, DuckDB has natively (ASOF JOIN), so the oracle is a true
