@@ -58,6 +58,7 @@ def main():
         # round-3 PQ + lake-hygiene ops
         "x_pq_encode", "x_pq_adc_topk", "x_pq_recall",
         "src_schema_evolution", "src_csv_badrecords",
+        "x_domain_resample_manifest", "x_split_leakage",
     ]
     probe_set = list(bench.HEADLINE) + EXTRA
     registry = all_queries()
