@@ -831,6 +831,54 @@ def x_near_dup_clusters(spark, sf_dir):
     return spark.sql(_near_dup_clusters_sql(True))
 
 
+def _survivorship_sql(spark_dialect: bool) -> str:
+    """Entity-resolution survivorship: one merged survivor record per
+    near-dup cluster with field-level rules — text from the LONGEST
+    member (ties -> lowest doc_id, via a lexicographic max over a
+    zero-padded (length, -id) key), membership count, and the sorted
+    distinct source list.  Runs on the same full-signature MinHash
+    clusters as x_near_dup_clusters; every rule is an aggregate with
+    map-side partials, so survivorship costs one hash agg beyond the
+    clustering itself."""
+    clusters = _near_dup_clusters_sql(spark_dialect)
+    if spark_dialect:
+        best = ("max_by(d.doc_id, concat(lpad(CAST(length(d.text) AS STRING),"
+                " 10, '0'), lpad(CAST(1000000000000 - d.doc_id AS STRING),"
+                " 13, '0')))")
+        srcs = "sort_array(collect_set(d.source))"
+        cast_s = "STRING"
+    else:
+        best = ("arg_max(d.doc_id, concat(lpad(CAST(length(d.text) AS VARCHAR),"
+                " 10, '0'), lpad(CAST(1000000000000 - d.doc_id AS VARCHAR),"
+                " 13, '0')))")
+        srcs = "list_sort(list(DISTINCT d.source))"
+        cast_s = "VARCHAR"
+    return f"""WITH clusters AS ({clusters})
+    SELECT c.cluster_id,
+           count(*) AS n_members,
+           {best} AS survivor_doc_id,
+           CAST(max(length(d.text)) AS BIGINT) AS survivor_len,
+           min(d.doc_id) AS first_doc_id,
+           {srcs} AS sources
+    FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    GROUP BY c.cluster_id
+    HAVING count(*) > 1"""
+
+
+@_q(
+    "x_dedup_survivorship",
+    _survivorship_sql(False),
+    "ER survivorship: per near-dup cluster, the merged survivor record — "
+    "text from the longest member (ties to lowest doc_id via a "
+    "lexicographic max_by key), member count, sorted source list.  "
+    "All aggregates with map-side partials; one hash agg beyond the "
+    "clustering at any scale.",
+)
+def x_dedup_survivorship(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_survivorship_sql(True))
+
+
 from .operators.dedup import (  # noqa: E402
     rolling_fingerprint_sql,
     simhash_clusters_sql,
