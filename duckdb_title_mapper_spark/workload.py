@@ -879,6 +879,44 @@ def x_dedup_survivorship(spark, sf_dir):
     return spark.sql(_survivorship_sql(True))
 
 
+def _dedup_report_sql(spark_dialect: bool) -> str:
+    """One-pass dedup data card: corpus totals, exact-hash uniques, and
+    MinHash-cluster uniques, with the removable-doc and removable-byte
+    counts each tier would save.  Exact-tier stats aggregate md5(text);
+    near-tier stats aggregate the 4-hash signature; both are hash
+    aggregates with map-side partials over one corpus scan each."""
+    sig = _minhash_sig_subquery(spark_dialect)
+    return f"""WITH ex AS (
+      SELECT md5(text) AS h, count(*) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS chars,
+             CAST(min(n_chars) AS BIGINT) AS keep_chars
+      FROM documents GROUP BY md5(text)),
+    nd AS (
+      SELECT h0, h1, h2, h3, count(*) AS n
+      FROM ({sig}) s GROUP BY h0, h1, h2, h3)
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS n_chars,
+           (SELECT count(*) FROM ex) AS n_unique_exact,
+           (SELECT CAST(sum(n - 1) AS BIGINT) FROM ex) AS exact_removable_docs,
+           (SELECT CAST(sum(chars - keep_chars) AS BIGINT) FROM ex)
+             AS exact_removable_chars,
+           (SELECT count(*) FROM nd) AS n_clusters_near,
+           (SELECT CAST(sum(n - 1) AS BIGINT) FROM nd) AS near_removable_docs"""
+
+
+@_q(
+    "x_dedup_report",
+    _dedup_report_sql(False),
+    "Dedup data card: corpus totals plus what the exact tier (md5) and "
+    "the near tier (full MinHash signature) would each remove, in docs "
+    "and chars — the summary every curation run reports.  All integer "
+    "aggregates with map-side partials; two corpus passes total.",
+)
+def x_dedup_report(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_dedup_report_sql(True))
+
+
 from .operators.dedup import (  # noqa: E402
     rolling_fingerprint_sql,
     simhash_clusters_sql,
