@@ -879,6 +879,38 @@ def x_dedup_survivorship(spark, sf_dir):
     return spark.sql(_survivorship_sql(True))
 
 
+_shared(
+    "rel_group_by_all",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   AS DECIMAL(38,2)) AS total_price
+       FROM orders GROUP BY ALL""",
+    ("orders",),
+    "GROUP BY ALL (DuckDB-originated sugar, adopted by Spark 3.4+): "
+    "grouping keys inferred from the non-aggregate select list — same "
+    "text valid in both dialects.",
+)
+
+
+_shared(
+    "x_length_histogram",
+    """SELECT CASE WHEN n_chars < 64 THEN 0
+                   WHEN n_chars < 128 THEN 64
+                   WHEN n_chars < 256 THEN 128
+                   WHEN n_chars < 512 THEN 256
+                   WHEN n_chars < 1024 THEN 512
+                   ELSE 1024 END AS bucket_floor_chars,
+              count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              min(n_chars) AS min_chars, max(n_chars) AS max_chars
+       FROM documents GROUP BY 1""",
+    ("documents",),
+    "Doc-length histogram (power-of-two buckets via exact integer "
+    "CASE, no float log): the data-card distribution every corpus "
+    "release reports; one map-side-partial aggregate.",
+)
+
+
 def _dedup_report_sql(spark_dialect: bool) -> str:
     """One-pass dedup data card: corpus totals, exact-hash uniques, and
     MinHash-cluster uniques, with the removable-doc and removable-byte
