@@ -3848,6 +3848,28 @@ def src_schema_evolution(spark, sf_dir):
     )
 
 
+_shared(
+    "x_dup_ratio_by_source",
+    """WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT md5(text)) AS n_unique,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source)
+    SELECT source, n_docs, n_unique,
+           CAST(n_docs AS BIGINT) - n_unique AS n_dup_docs,
+           n_chars,
+           CAST(CAST((CAST(n_docs AS DOUBLE) - n_unique)
+                     / n_docs AS STRING) AS DECIMAL(12,9)) AS dup_ratio
+    FROM per""",
+    ("documents",),
+    "Per-source duplication profile: which source contributes the "
+    "duplication (the first question a curation run asks before "
+    "deciding crawl weights).  Count-distinct on the content hash per "
+    "source; ratio emitted via the exact STRING->DECIMAL route on a "
+    "bit-identical division.",
+)
+
+
 def _incremental_dedup_sql(spark_dialect: bool) -> str:
     """Incremental ingestion dedup: an incoming batch (doc_id % 10 == 7 —
     the deterministic stand-in for today's crawl) checked against the
@@ -3954,6 +3976,41 @@ def _decontaminate_sql(spark_dialect: bool, n: int = 8, mod: int = 97) -> str:
 def x_decontaminate_ngrams(spark, sf_dir):
     register_views(spark, sf_dir, "documents")
     return spark.sql(_decontaminate_sql(True))
+
+
+def _contamination_by_split_sql(spark_dialect: bool) -> str:
+    """Decontamination × hash-split composition: per train/valid/test
+    split, how many docs carry any eval-set shingle — the per-split
+    contamination rate a release report quotes.  All integer counts;
+    the rate emits as numerator/denominator, not a float."""
+    decon = _decontaminate_sql(spark_dialect)
+    h = (
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        if spark_dialect
+        else "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)"
+    )
+    return f"""WITH d AS ({decon})
+    SELECT CASE WHEN {h} % 100 < 80 THEN 'train'
+                WHEN {h} % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN contaminated_flag THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(sum(n_contaminated) AS BIGINT) AS total_shared_shingles
+    FROM d GROUP BY 1"""
+
+
+@_q(
+    "x_contamination_by_split",
+    _contamination_by_split_sql(False),
+    "Per-split contamination report: composes the 8-gram decontamination "
+    "manifest with the deterministic hash split — the number every "
+    "release note quotes per train/valid/test.  Integer counts only; "
+    "one extra hash aggregate over the manifest.",
+)
+def x_contamination_by_split(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_contamination_by_split_sql(True))
 
 
 def _pii_sql(spark_dialect: bool) -> str:
