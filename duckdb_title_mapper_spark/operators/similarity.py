@@ -147,6 +147,46 @@ def ann_lsh_topk_sql(spark_dialect: bool, k: int = 3, nq: int = 10,
     WHERE rank <= {k}"""
 
 
+def ann_lsh_multiprobe_sql(spark_dialect: bool, k: int = 3, nq: int = 10,
+                           num_planes: int = NUM_PLANES) -> str:
+    """Multi-probe LSH top-k: each query scans its own bucket PLUS the
+    ``num_planes`` buckets at Hamming distance 1 (one sign bit flipped) —
+    the standard recall-per-table multiplier (Lv et al., VLDB'07): near
+    neighbors that land just across one hyperplane are recovered without
+    adding tables.  Candidate volume grows ×(num_planes+1) bounded, not
+    ×2^planes; every probe is a distinct bucket so no candidate dedup is
+    needed.  Output shape matches the brute-force baseline for recall
+    joins."""
+    nrm = "sqrt(" + embed_dot(spark_dialect, "embedding", "embedding") + ")"
+    if spark_dialect:
+        unit = "transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
+        probes = ("explode(array(bucket, "
+                  + ", ".join(f"bucket ^ {1 << p}" for p in range(num_planes))
+                  + "))")
+    else:
+        unit = "list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
+        probes = ("unnest([bucket, "
+                  + ", ".join(f"xor(bucket, {1 << p})" for p in range(num_planes))
+                  + "])")
+    bucket = lsh_bucket_expr(spark_dialect, "embedding", num_planes)
+    dot = embed_dot(spark_dialect, "q.uvec", "c.uvec")
+    return f"""WITH bucketed AS (
+      SELECT vec_id, {unit} AS uvec, bucket
+      FROM (SELECT vec_id, embedding, {nrm} AS nrm, {bucket} AS bucket
+            FROM embeddings) n),
+    probes AS (
+      SELECT vec_id, uvec, {probes} AS probe
+      FROM bucketed WHERE vec_id < {nq})
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {dot} DESC, c.vec_id) AS BIGINT) AS rank
+        FROM probes q
+        JOIN bucketed c
+          ON c.bucket = q.probe AND c.vec_id <> q.vec_id) ranked
+    WHERE rank <= {k}"""
+
+
 def near_dup_pairs_sql(spark_dialect: bool, threshold: float = 0.35,
                        block_col: str = "label",
                        salt_buckets: int | None = None) -> str:

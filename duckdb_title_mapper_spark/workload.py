@@ -1971,6 +1971,7 @@ def x_fuzzy_match_lazy(spark, sf_dir):
 
 
 from .operators.similarity import (  # noqa: E402
+    ann_lsh_multiprobe_sql,
     ann_lsh_topk_sql,
     near_dup_pairs_sql,
 )
@@ -1986,6 +1987,20 @@ from .operators.similarity import (  # noqa: E402
 def x_ann_lsh_topk(spark, sf_dir):
     register_views(spark, sf_dir, "embeddings")
     return spark.sql(ann_lsh_topk_sql(True))
+
+
+@_q(
+    "x_ann_lsh_multiprobe",
+    ann_lsh_multiprobe_sql(False),
+    "X3 multi-probe LSH (Lv et al.): each query also scans the "
+    "Hamming-distance-1 buckets (one sign bit flipped), recovering near "
+    "neighbors that fell just across a hyperplane — recall per table "
+    "multiplies without adding tables; candidate volume grows only "
+    "x(planes+1).",
+)
+def x_ann_lsh_multiprobe(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(ann_lsh_multiprobe_sql(True))
 
 
 @_q(
