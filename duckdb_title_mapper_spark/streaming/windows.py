@@ -285,6 +285,42 @@ def run_to_memory(streaming_df, mode: str = "complete",
     return streaming_df.sparkSession.table(name)
 
 
+def ohlc_windows(spark, sf_dir: str, window: str = "1 hour",
+                 watermark: str = "2 hours",
+                 event_type: str = "purchase"):
+    """Streaming hourly OHLC of the purchase stream: open/close via
+    ``min_by``/``max_by`` over the same zero-padded (us, event_id) order
+    key as the batch ``x_ohlc_resample`` — one watermark-bounded windowed
+    aggregate, fully mergeable across micro-batches (min_by/max_by
+    partials combine associatively, so late/split batches cannot change
+    the result)."""
+    from pyspark.sql import functions as F
+
+    s = stream_events(spark, sf_dir).where(F.col("event_type") == event_type)
+    ord_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    return (
+        s.withWatermark("ts", watermark)
+        .withColumn("ord", ord_key)
+        .groupBy(F.window("ts", window))
+        .agg(
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+            F.count("*").alias("n_trades"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").alias("total_value"),
+        )
+        .select(
+            F.unix_seconds(F.col("window.start")).alias("hour_start"),
+            "open", "high", "low", "close", "n_trades", "total_value",
+        )
+    )
+
+
 def run_to_memory_rocksdb(streaming_df, mode: str = "append",
                           state_partitions: int | None = 4):
     """``run_to_memory`` with the RocksDB state store provider pinned for

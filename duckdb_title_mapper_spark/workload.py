@@ -3380,6 +3380,35 @@ def _ohlc_sql(spark_dialect: bool) -> str:
 
 
 @_q(
+    "stream_ohlc_windows",
+    """WITH e AS (
+      SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_start,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 20, '0') AS ord,
+             value
+      FROM events WHERE event_type = 'purchase')
+    SELECT hour_start,
+           arg_min(value, ord) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ord) AS close,
+           count(*) AS n_trades,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             AS total_value
+    FROM e GROUP BY hour_start""",
+    "Structured Streaming OHLC: watermarked hourly windows with "
+    "min_by/max_by open/close over the deterministic (us, event_id) "
+    "order key — the aggregates are associative partials, so micro-batch "
+    "boundaries cannot change the result; oracle is the batch hourly "
+    "OHLC over the same key.",
+)
+def stream_ohlc_windows(spark, sf_dir):
+    from .streaming import ohlc_windows, run_to_memory
+
+    return run_to_memory(ohlc_windows(spark, sf_dir))
+
+
+@_q(
     "x_ohlc_resample",
     _ohlc_sql(False),
     "Hourly OHLC downsample of the purchase stream: open/high/low/close "
