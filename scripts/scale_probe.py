@@ -59,6 +59,10 @@ def main():
         "x_pq_encode", "x_pq_adc_topk", "x_pq_recall",
         "src_schema_evolution", "src_csv_badrecords",
         "x_domain_resample_manifest", "x_split_leakage",
+        # round-3 curation reports + ANN/streaming variants
+        "x_dedup_survivorship", "x_dedup_report", "x_dup_ratio_by_source",
+        "x_contamination_by_split", "x_ann_lsh_multiprobe",
+        "stream_ohlc_windows", "x_length_histogram", "rel_group_by_all",
     ]
     probe_set = list(bench.HEADLINE) + EXTRA
     registry = all_queries()
