@@ -142,19 +142,40 @@ def main():
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extra_queries": extra,
-                "spread": spreads,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full detail (per-query rows, spread, extras) goes to a sidecar file
+    # + stderr; the driver's tail capture is ~2000 chars, and r3's single
+    # fat line (queries + extras + spread) outgrew it (BENCH_r03.json
+    # parsed: null — ADVICE r3 #1).  The LAST stdout line stays compact.
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extra_queries": extra,
+        "spread": spreads,
+        "rows": rows,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(detail), file=sys.stderr)
+
+    headline = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    line = json.dumps(headline)
+    if len(line) > 1800:  # belt-and-braces: never outgrow the tail again
+        line = json.dumps({k: headline[k] for k in
+                           ("metric", "value", "unit", "sf")})
+    print(line)
     spark.stop()
 
 

@@ -9,8 +9,11 @@ run is bit-reproducible across runs/cluster sizes.  The same formulas
 are expressible in one DuckDB ``generate_series`` query, which is what
 gives the declared workload query an exact oracle.
 
-Row ``k`` of ``n`` (64-bit integer arithmetic, no overflow for any
-realistic n):
+Row ``k`` of ``n`` (64-bit integer arithmetic; exact for
+``k < 2**63 / 2654435761`` ≈ 3.47e9 rows — beyond that the numpy
+vectorized path would wrap int64 silently while the DuckDB oracle
+errors, so ``n`` past ~3.4e9 per-source-run is out of contract; shard
+multiple source runs rather than raising ``n``):
   user_id      = (k * 2654435761) % 10007          (Knuth multiplicative)
   event_type   = types[k % 4]
   value_millis = (k * 1103515245 + 12345) % 1000000  (LCG step)

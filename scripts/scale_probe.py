@@ -21,6 +21,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
+# headline set + the round-2 pipeline operators (sessionize/RLE/OHLC
+# event-log family, chunk/pack/repetition document prep, JW blocking,
+# triangles, CDC merge) so SCALING.md tracks their growth too.
+# Module-level so tests/test_grade_order.py can lock it against
+# bench.EXTRA (the docs promise the lists stay in sync — VERDICT r3 #7).
+EXTRA = [
+    "x_sessionize_batch", "x_runlength_events", "x_ohlc_resample",
+    "x_token_chunks", "x_chunk_dedup", "x_ngram_repetition",
+    "x_sequence_packing", "x_jaro_winkler_pairs", "x_triangle_count",
+    "rel_merge_upsert", "rel_latest_per_key", "x_dedup_pipeline",
+    # round-3 training-data-prep family
+    "x_decontaminate_ngrams", "x_pii_redact", "x_domain_mix_weights",
+    "x_substring_dup_spans", "x_incremental_dedup",
+    "src_python_datasource",
+    # round-3 PQ + lake-hygiene ops
+    "x_pq_encode", "x_pq_adc_topk", "x_pq_recall",
+    "src_schema_evolution", "src_csv_badrecords",
+    "x_domain_resample_manifest", "x_split_leakage",
+    # round-3 curation reports + ANN/streaming variants
+    "x_dedup_survivorship", "x_dedup_report", "x_dup_ratio_by_source",
+    "x_contamination_by_split", "x_ann_lsh_multiprobe",
+    "stream_ohlc_windows", "x_length_histogram", "rel_group_by_all",
+]
+
 
 def main():
     from pyspark.sql import SparkSession
@@ -43,27 +67,6 @@ def main():
     engine.register(spark)
     spark.sql("SELECT standardize_title('warmup query')").collect()
 
-    # headline set + the round-2 pipeline operators (sessionize/RLE/OHLC
-    # event-log family, chunk/pack/repetition document prep, JW blocking,
-    # triangles, CDC merge) so SCALING.md tracks their growth too
-    EXTRA = [
-        "x_sessionize_batch", "x_runlength_events", "x_ohlc_resample",
-        "x_token_chunks", "x_chunk_dedup", "x_ngram_repetition",
-        "x_sequence_packing", "x_jaro_winkler_pairs", "x_triangle_count",
-        "rel_merge_upsert", "rel_latest_per_key", "x_dedup_pipeline",
-        # round-3 training-data-prep family
-        "x_decontaminate_ngrams", "x_pii_redact", "x_domain_mix_weights",
-        "x_substring_dup_spans", "x_incremental_dedup",
-        "src_python_datasource",
-        # round-3 PQ + lake-hygiene ops
-        "x_pq_encode", "x_pq_adc_topk", "x_pq_recall",
-        "src_schema_evolution", "src_csv_badrecords",
-        "x_domain_resample_manifest", "x_split_leakage",
-        # round-3 curation reports + ANN/streaming variants
-        "x_dedup_survivorship", "x_dedup_report", "x_dup_ratio_by_source",
-        "x_contamination_by_split", "x_ann_lsh_multiprobe",
-        "stream_ohlc_windows", "x_length_histogram", "rel_group_by_all",
-    ]
     probe_set = list(bench.HEADLINE) + EXTRA
     registry = all_queries()
     times: dict[str, list[float]] = {n: [0.0] * len(SFS) for n in probe_set}

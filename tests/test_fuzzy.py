@@ -46,3 +46,68 @@ def test_fuzzy_tie_breaks_to_lowest_cid(spark):
     queries = spark.sql("SELECT 1 AS qid, 'alpha beta' AS qtext")
     (row,) = fuzzy_match_tfidf(queries, corpus).collect()
     assert row["matched_id"] == 3  # lowest cid wins the exact tie
+
+
+def test_rational_idf_diverges_from_ln_idf_on_crafted_case(spark):
+    """Pin the documented deviation (operators/fuzzy.py:14-23) with a
+    known-divergent case instead of prose (VERDICT r3 #6): rational idf
+    (N/df) exaggerates rare-term norm dilution far more than ln(N/df),
+    so a corpus doc diluted by a one-off rare token can LOSE the argmax
+    under rational idf while WINNING it under the reference's ln idf.
+
+    Construction (N=10 docs, query "alpha beta"):
+      * doc 0 = "alpha chi"  — chi is df=1 (max idf), diluting doc 0
+        by idf_chi in quadrature;
+      * doc 1 = "beta"       — beta is df=9, so idf_beta is tiny under
+        ln (ln 10/9 ~ 0.105) but still >1 under rational (10/9);
+      * docs 2-9 carry beta (and 2-5 alpha) drowned in unique fillers.
+    Rational: score(doc1) = idf_beta/2 = 0.56 beats doc 0's
+    idf_alpha^2 / (2 sqrt(idf_alpha^2 + idf_chi^2)) = 0.196.
+    ln: score(doc1) = 0.053 loses to doc 0's 0.0998."""
+    import math
+
+    docs = {0: "alpha chi", 1: "beta"}
+    f = 0
+    for cid in range(2, 10):
+        fillers = " ".join(f"filler{(f := f + 1)}x{j}" for j in range(8))
+        docs[cid] = ("alpha beta " if cid <= 5 else "beta ") + fillers
+
+    corpus = spark.createDataFrame(
+        [(cid, text) for cid, text in docs.items()], "cid INT, ctext STRING"
+    )
+    queries = spark.createDataFrame([(0, "alpha beta")], "qid INT, qtext STRING")
+    got = fuzzy_match_tfidf(queries, corpus).collect()
+    assert len(got) == 1
+    # the engine's (documented) rational-idf argmax
+    assert got[0].matched_id == 1
+
+    # independent pure-python scorer with the reference's ln idf
+    # (src/utils.rs:62-191 formulas, unstemmed to isolate the idf change)
+    n = float(len(docs))
+    toks = {cid: t.split() for cid, t in docs.items()}
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+
+    def weights(ts, idf):
+        return {
+            t: (ts.count(t) / len(ts)) * idf(n / df.get(t, n))
+            for t in set(ts)
+        }
+
+    def argmax_ln():
+        q = weights("alpha beta".split(), math.log)
+        qn = math.sqrt(sum(w * w for w in q.values()))
+        best = None
+        for cid in sorted(toks):
+            d = weights(toks[cid], math.log)
+            dot = sum(q[t] * d[t] for t in q.keys() & d.keys())
+            dn = math.sqrt(sum(w * w for w in d.values()))
+            s = dot / (dn * qn) if dot else 0.0
+            if best is None or s > best[1] + 1e-12:
+                best = (cid, s)
+        return best[0]
+
+    # the reference's ln idf picks a DIFFERENT winner on this case
+    assert argmax_ln() == 0

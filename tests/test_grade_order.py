@@ -28,3 +28,31 @@ def test_graded_set_covers_every_family():
     # query fit in the graded window (the hopping-window variant of
     # tumbling counts yields its slot to the batch sessionizer twin)
     assert sum(n.startswith("stream_") for n in GRADE_FIRST) == 6
+
+
+def test_bench_and_scale_probe_stay_in_sync():
+    """SCALING.md / QUERIES.md promise the bench and scale-probe sets
+    track each other; lock it (VERDICT r3 #7).  scale_probe imports
+    bench.HEADLINE directly, so the only drift surface is EXTRA."""
+    import importlib.util
+    import os
+
+    import bench
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_probe",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "scale_probe.py"),
+    )
+    scale_probe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(scale_probe)
+
+    # the frozen 33-query headline (cross-round comparability contract)
+    assert len(bench.HEADLINE) == 33
+    # every bench extra is scale-probed too
+    assert set(bench.EXTRA) <= set(scale_probe.EXTRA)
+    # and every probed/benched name is a registered query
+    registry = all_queries()
+    for name in [*bench.HEADLINE, *bench.EXTRA, *scale_probe.EXTRA]:
+        assert name in registry, name
