@@ -69,6 +69,9 @@ EXTRA = [
     "x_substring_dup_spans",
     "x_incremental_dedup",
     "src_python_datasource",
+    # round-4 flagships
+    "x_semantic_dedup",
+    "x_bm25_topk",
 ]
 
 

@@ -4265,6 +4265,136 @@ def x_substring_dup_spans(spark, sf_dir):
 # ALL queries locally, graded or not.
 # ---------------------------------------------------------------------------
 
+def _semantic_dedup_sql(spark_dialect: bool, k: int = 16,
+                        tau: str = "0.35") -> str:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv:2303.09540): cluster the embedding space, then remove
+    near-duplicate members WITHIN each cluster — the cluster assignment
+    is the blocking key that keeps the pairwise kernel off the full
+    corpus.  Assignment reuses the x_kmeans_step form (argmin squared-L2
+    to the first-``k`` seed vectors, ties -> lowest cid); a member is a
+    semantic duplicate iff some LOWER-id cluster-mate has cosine >=
+    ``tau`` (greedy keep-lowest-id, the same keeper rule as the MinHash
+    family).  Output is O(n): one row per embedding with its cluster,
+    dup flag, and the lowest similar predecessor (NULL for keepers).
+
+    Scale: at 100 TB ``k`` grows with the corpus (k ~ n/10k holds
+    per-cluster pair work constant — the SemDeDup recipe), seeds
+    broadcast, and the pair join is an equi-join on cid.  Exactness:
+    cosine is per-row index-order IEEE on identical floats (the
+    ``_embed_dot`` contract) and the threshold compares the RAW double,
+    so membership cannot drift cross-engine."""
+    l2 = _embed_l2(spark_dialect, "e.embedding", "c.cvec")
+    dot_ab = _embed_dot(spark_dialect, "a.embedding", "b.embedding")
+    self_dot = _embed_dot(spark_dialect, "x.embedding", "x.embedding")
+    return f"""WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {k}),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {l2}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c) d
+      WHERE rn = 1),
+    m AS (
+      SELECT g.cid, x.vec_id, x.embedding, sqrt({self_dot}) AS nrm
+      FROM assign g JOIN embeddings x ON g.vec_id = x.vec_id),
+    dups AS (
+      SELECT b.vec_id, min(a.vec_id) AS dup_of
+      FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {dot_ab} / (a.nrm * b.nrm) >= {tau}
+      GROUP BY b.vec_id)
+    SELECT m.cid AS cluster_id, m.vec_id,
+           d.dup_of,
+           d.vec_id IS NULL AS kept
+    FROM m LEFT JOIN dups d ON m.vec_id = d.vec_id"""
+
+
+@_q(
+    "x_semantic_dedup",
+    _semantic_dedup_sql(False),
+    "Semantic (embedding-space) deduplication, SemDeDup-shaped: k-means "
+    "cluster assignment as the blocking key, within-cluster cosine >= "
+    "0.35 against any lower-id mate marks a doc removable; keepers and "
+    "their dup_of manifest emitted O(n).  Completes the dedup ladder "
+    "(exact -> MinHash -> SimHash -> chunk -> substring -> embedding "
+    "pairs) with the cluster-blocked variant that needs no label "
+    "column.",
+)
+def x_semantic_dedup(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_semantic_dedup_sql(True))
+
+
+def _bm25_sql(spark_dialect: bool, terms: tuple[str, ...] = (
+        "spark", "window", "merge"), k: int = 20) -> str:
+    """BM25 ranked retrieval (Robertson/Sparck Jones probabilistic
+    weighting, k1=1.2 b=0.75, Lucene idf form ln(1+(N-df+0.5)/(df+0.5)))
+    of a literal term query over the documents corpus.
+
+    Cross-engine float discipline: df/tf/doclen stay INTEGER aggregates
+    until one per-row scoring expression with IDENTICAL text in both
+    dialects; the ln-bearing term score is quantized to DECIMAL(12,9)
+    (round-then-cast is the documented probabilistic absorber for ln's
+    ±1-ulp engine drift — x_collocation_pmi precedent) and the doc score
+    sums nano-unit BIGINTs, so the rank boundary is integer-deterministic
+    given the quantized terms.  Scale: token counts aggregate map-side;
+    df and avgdl are tiny broadcast relations; one shuffle on doc_id."""
+    if spark_dialect:
+        tok = (r"SELECT doc_id, explode(regexp_extract_all(lower(text),"
+               r" '\\w+', 0)) AS t FROM documents")
+    else:
+        tok = (r"SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+               r" '\w+')) AS t FROM documents")
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""WITH tok AS ({tok}),
+    qtok AS (SELECT doc_id, t FROM tok WHERE t IN ({in_list})),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+           FROM tok GROUP BY doc_id),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    ad AS (SELECT CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+    df AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           FROM qtok GROUP BY t),
+    tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+           FROM qtok GROUP BY doc_id, t),
+    terms AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / ad.avgdl))), 9)
+             AS DECIMAL(12,9)) AS term_score
+      FROM tf
+      JOIN df ON tf.t = df.t
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN n CROSS JOIN ad),
+    scored AS (
+      SELECT doc_id,
+             CAST(sum(CAST(term_score * 1000000000 AS BIGINT))
+                  AS BIGINT) AS score_s9
+      FROM terms GROUP BY doc_id)
+    SELECT doc_id, score_s9
+    FROM scored
+    ORDER BY score_s9 DESC, doc_id
+    LIMIT {k}"""
+
+
+@_q(
+    "x_bm25_topk",
+    _bm25_sql(False),
+    "BM25 top-20 retrieval for a literal term query (k1=1.2, b=0.75, "
+    "Lucene idf): the ranked-retrieval sibling of the TF-IDF cosine "
+    "matcher, scored in nano-unit BIGINTs with integer-deterministic "
+    "rank boundaries.  The eval-set retrieval primitive a training-data "
+    "pipeline runs for decontamination audits and hard-negative mining.",
+)
+def x_bm25_topk(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_bm25_sql(True))
+
+
 # ---------------------------------------------------------------------------
 # Integer-exact graded twins (round 4).
 #

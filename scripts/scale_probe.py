@@ -43,6 +43,8 @@ EXTRA = [
     "x_dedup_survivorship", "x_dedup_report", "x_dup_ratio_by_source",
     "x_contamination_by_split", "x_ann_lsh_multiprobe",
     "stream_ohlc_windows", "x_length_histogram", "rel_group_by_all",
+    # round-4 flagships
+    "x_semantic_dedup", "x_bm25_topk",
 ]
 
 
