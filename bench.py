@@ -106,6 +106,18 @@ def main():
 
     engine.register(spark)
     spark.sql("SELECT standardize_title('warmup query')").collect()
+    # warm the Python-datasource worker chain too: the FIRST datasource
+    # action in a session pays a one-time planner+worker spawn (measured
+    # 3-8 s cold vs ~0.7 s warm) — that cold cost is session startup,
+    # not per-query cost, and it was the whole src_python_datasource
+    # bench spread in r3 (ADVICE/VERDICT r3 #4).
+    from duckdb_title_mapper_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    (spark.read.format("synthetic_events").option("n", "32")
+     .option("parts", "1").load().count())
 
     # best-of-3, round-robin: machine-load noise on shared hosts swings
     # single runs 3-10x and Catalyst compile cost dominates the cold run;
