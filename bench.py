@@ -72,6 +72,7 @@ EXTRA = [
     # round-4 flagships
     "x_semantic_dedup",
     "x_bm25_topk",
+    "x_winnow_fingerprints",
 ]
 
 

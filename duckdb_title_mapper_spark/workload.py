@@ -4395,6 +4395,75 @@ def x_bm25_topk(spark, sf_dir):
     return spark.sql(_bm25_sql(True))
 
 
+def _winnow_sql(spark_dialect: bool, k: int = 8, w: int = 4) -> str:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS sampler): hash every ``k``-char gram, then in
+    each window of ``w`` consecutive gram hashes select the minimum
+    (ties -> RIGHTMOST position, the paper's rule, encoded as one
+    integer key ``h * 2^20 + (2^20-1 - pos)`` so a plain windowed MIN
+    picks smallest-h-then-largest-pos; md5-derived h < 2^32 keeps the
+    key < 2^52).  The guarantee: any shared substring of length >=
+    ``w + k - 1`` yields at least one shared fingerprint, with ~2/(w+1)
+    of grams stored — the principled down-sampler between full
+    substring dedup (stores every gram) and MinHash (no locality).
+
+    Output per doc: gram count, distinct fingerprint hashes, and how
+    many of those fingerprints appear in other docs — integer-exact.
+    Scale: one pass to hash grams (explode widens inside partitions),
+    one window on (doc, pos) — the same single hash-partitioning as
+    sessionize — and one vocabulary-keyed aggregate for sharing stats.
+    Fingerprint storage is what a 100 TB plagiarism/dup index persists:
+    n/w rows instead of n."""
+    if spark_dialect:
+        starts = f"explode(sequence(1, length(text) - {k - 1}))"
+        h = "CAST(conv(substr(md5(substr(text, s, {k})), 1, 8), 16, 10) AS BIGINT)".format(k=k)
+        idiv = "div"
+    else:
+        starts = f"unnest(generate_series(1, length(text) - {k - 1}))"
+        h = f"(('0x' || substr(md5(substr(text, s, {k})), 1, 8))::BIGINT)"
+        idiv = "//"
+    m = 1 << 20
+    return f"""WITH g AS (
+      SELECT doc_id, s AS pos, {h} AS h
+      FROM (SELECT doc_id, text, {starts} AS s
+            FROM documents WHERE length(text) >= {k}) st),
+    gl AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+    wm AS (
+      SELECT doc_id, pos,
+             min(h * {m} + ({m - 1} - pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS selkey
+      FROM g),
+    fp AS (
+      SELECT DISTINCT wm.doc_id, selkey {idiv} {m} AS h
+      FROM wm JOIN gl ON wm.doc_id = gl.doc_id
+      WHERE wm.pos + {w - 1} <= gl.n_grams),
+    sh AS (SELECT h, count(*) AS n_docs_with FROM fp GROUP BY h)
+    SELECT fp.doc_id, gl.n_grams,
+           count(*) AS n_fingerprints,
+           CAST(sum(CASE WHEN sh.n_docs_with > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared_fps
+    FROM fp
+    JOIN sh ON fp.h = sh.h
+    JOIN gl ON fp.doc_id = gl.doc_id
+    GROUP BY fp.doc_id, gl.n_grams"""
+
+
+@_q(
+    "x_winnow_fingerprints",
+    _winnow_sql(False),
+    "Winnowing (MOSS) document fingerprints: windowed-min selection over "
+    "k-gram hashes with the paper's rightmost-min tie rule, per-doc "
+    "fingerprint counts + cross-doc sharing stats — the guaranteed-"
+    "coverage down-sampler (any >= w+k-1 char overlap shares a "
+    "fingerprint at ~2/(w+1) storage) between full substring dedup and "
+    "MinHash.  All integer arithmetic.",
+)
+def x_winnow_fingerprints(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_winnow_sql(True))
+
+
 # ---------------------------------------------------------------------------
 # Integer-exact graded twins (round 4).
 #

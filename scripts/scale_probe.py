@@ -44,7 +44,7 @@ EXTRA = [
     "x_contamination_by_split", "x_ann_lsh_multiprobe",
     "stream_ohlc_windows", "x_length_histogram", "rel_group_by_all",
     # round-4 flagships
-    "x_semantic_dedup", "x_bm25_topk",
+    "x_semantic_dedup", "x_bm25_topk", "x_winnow_fingerprints",
 ]
 
 
