@@ -4284,31 +4284,48 @@ def _semantic_dedup_sql(spark_dialect: bool, k: int = 16,
     cosine is per-row index-order IEEE on identical floats (the
     ``_embed_dot`` contract) and the threshold compares the RAW double,
     so membership cannot drift cross-engine."""
+    final = _semantic_dedup_final_sql(spark_dialect, "m", tau)
+    # splice the member CTE in front of the final query's WITH clause
+    assert final.startswith("WITH ")
+    return (f"WITH m AS ({_semantic_dedup_m_sql(spark_dialect, k)}),\n"
+            + final[len("WITH "):])
+
+
+def _semantic_dedup_m_sql(spark_dialect: bool, k: int = 16) -> str:
+    """The member relation (cid, vec_id, embedding, nrm) — cluster
+    assignment joined back to the vectors with the self-norm
+    precomputed.  Consumed THREE times by the dedup (both pair sides +
+    the final manifest join); the Spark query materializes it once
+    through ``plans/materialize`` while the oracle leans on DuckDB's
+    materialized CTEs."""
     l2 = _embed_l2(spark_dialect, "e.embedding", "c.cvec")
-    dot_ab = _embed_dot(spark_dialect, "a.embedding", "b.embedding")
     self_dot = _embed_dot(spark_dialect, "x.embedding", "x.embedding")
-    return f"""WITH cent AS (
-      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-      WHERE vec_id < {k}),
-    assign AS (
-      SELECT vec_id, cid FROM (
-        SELECT e.vec_id, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {l2}, c.cid) AS rn
-        FROM embeddings e CROSS JOIN cent c) d
-      WHERE rn = 1),
-    m AS (
-      SELECT g.cid, x.vec_id, x.embedding, sqrt({self_dot}) AS nrm
-      FROM assign g JOIN embeddings x ON g.vec_id = x.vec_id),
-    dups AS (
+    return f"""SELECT g.cid, x.vec_id, x.embedding, sqrt({self_dot}) AS nrm
+      FROM (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {l2}, c.cid) AS rn
+          FROM embeddings e CROSS JOIN
+            (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+             WHERE vec_id < {k}) c) d
+        WHERE rn = 1) g
+      JOIN embeddings x ON g.vec_id = x.vec_id"""
+
+
+def _semantic_dedup_final_sql(spark_dialect: bool, m_rel: str,
+                              tau: str = "0.35") -> str:
+    dot_ab = _embed_dot(spark_dialect, "a.embedding", "b.embedding")
+    return f"""WITH dups AS (
       SELECT b.vec_id, min(a.vec_id) AS dup_of
-      FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      FROM {m_rel} a JOIN {m_rel} b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
       WHERE {dot_ab} / (a.nrm * b.nrm) >= {tau}
       GROUP BY b.vec_id)
-    SELECT m.cid AS cluster_id, m.vec_id,
+    SELECT m0.cid AS cluster_id, m0.vec_id,
            d.dup_of,
            d.vec_id IS NULL AS kept
-    FROM m LEFT JOIN dups d ON m.vec_id = d.vec_id"""
+    FROM {m_rel} m0 LEFT JOIN dups d ON m0.vec_id = d.vec_id"""
 
 
 @_q(
@@ -4323,8 +4340,17 @@ def _semantic_dedup_sql(spark_dialect: bool, k: int = 16,
     "column.",
 )
 def x_semantic_dedup(spark, sf_dir):
+    from .plans.materialize import materialize
+
     register_views(spark, sf_dir, "embeddings")
-    return spark.sql(_semantic_dedup_sql(True))
+    # the member relation feeds both pair sides AND the final manifest
+    # join; Spark inlines CTEs per consumer (3 corpus re-scans + 3
+    # assignment re-computes measured in the plan audit), so pay the
+    # assignment once and reuse — the 100 TB physical form (DuckDB's
+    # oracle CTE is materialized by its engine already)
+    m = materialize(spark.sql(_semantic_dedup_m_sql(True)))
+    m.createOrReplaceTempView("__semdedup_m")
+    return spark.sql(_semantic_dedup_final_sql(True, "__semdedup_m"))
 
 
 def _bm25_sql(spark_dialect: bool, terms: tuple[str, ...] = (
@@ -4422,31 +4448,57 @@ def _winnow_sql(spark_dialect: bool, k: int = 8, w: int = 4) -> str:
         starts = f"unnest(generate_series(1, length(text) - {k - 1}))"
         h = f"(('0x' || substr(md5(substr(text, s, {k})), 1, 8))::BIGINT)"
         idiv = "//"
+    final = _winnow_final_sql("fp")
+    assert final.startswith("WITH ")
+    return (f"WITH fp AS ({_winnow_fp_sql(spark_dialect, k, w)}),\n"
+            + final[len("WITH "):])
+
+
+def _winnow_fp_sql(spark_dialect: bool, k: int = 8, w: int = 4) -> str:
+    """The fingerprint relation (doc_id, n_grams, h): one pass over the
+    grams, ONE window — n_grams is just length(text)-k+1 (computed at
+    the scan, no partition-count window), so the only window is the
+    w-frame min on a single doc_id hash partitioning; n_grams rides
+    along so nothing joins back to a per-doc aggregate.  Consumed twice
+    (sharing aggregate + final manifest join): the Spark query
+    materializes it once (~n/w rows — the winnowing storage guarantee
+    makes the materialization small by construction); DuckDB's CTE is
+    engine-materialized."""
+    if spark_dialect:
+        starts = f"explode(sequence(1, length(text) - {k - 1}))"
+        h = (f"CAST(conv(substr(md5(substr(text, s, {k})), 1, 8), 16, 10)"
+             " AS BIGINT)")
+        idiv = "div"
+    else:
+        starts = f"unnest(generate_series(1, length(text) - {k - 1}))"
+        h = f"(('0x' || substr(md5(substr(text, s, {k})), 1, 8))::BIGINT)"
+        idiv = "//"
     m = 1 << 20
-    return f"""WITH g AS (
-      SELECT doc_id, s AS pos, {h} AS h
-      FROM (SELECT doc_id, text, {starts} AS s
-            FROM documents WHERE length(text) >= {k}) st),
-    gl AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
-    wm AS (
-      SELECT doc_id, pos,
-             min(h * {m} + ({m - 1} - pos)) OVER (
-               PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS selkey
-      FROM g),
-    fp AS (
-      SELECT DISTINCT wm.doc_id, selkey {idiv} {m} AS h
-      FROM wm JOIN gl ON wm.doc_id = gl.doc_id
-      WHERE wm.pos + {w - 1} <= gl.n_grams),
-    sh AS (SELECT h, count(*) AS n_docs_with FROM fp GROUP BY h)
-    SELECT fp.doc_id, gl.n_grams,
+    return f"""SELECT DISTINCT doc_id, n_grams, selkey {idiv} {m} AS h
+      FROM (
+        SELECT doc_id, pos, n_grams,
+               min(h * {m} + ({m - 1} - pos)) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS selkey
+        FROM (
+          SELECT doc_id, s AS pos,
+                 CAST(length(text) - {k - 1} AS BIGINT) AS n_grams,
+                 {h} AS h
+          FROM (SELECT doc_id, text, {starts} AS s
+                FROM documents WHERE length(text) >= {k}) st) g) wm
+      WHERE pos + {w - 1} <= n_grams"""
+
+
+def _winnow_final_sql(fp_rel: str) -> str:
+    return f"""WITH sh AS (
+      SELECT h, count(*) AS n_docs_with FROM {fp_rel} GROUP BY h)
+    SELECT f.doc_id, f.n_grams,
            count(*) AS n_fingerprints,
            CAST(sum(CASE WHEN sh.n_docs_with > 1 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_shared_fps
-    FROM fp
-    JOIN sh ON fp.h = sh.h
-    JOIN gl ON fp.doc_id = gl.doc_id
-    GROUP BY fp.doc_id, gl.n_grams"""
+    FROM {fp_rel} f
+    JOIN sh ON f.h = sh.h
+    GROUP BY f.doc_id, f.n_grams"""
 
 
 @_q(
@@ -4460,8 +4512,17 @@ def _winnow_sql(spark_dialect: bool, k: int = 8, w: int = 4) -> str:
     "MinHash.  All integer arithmetic.",
 )
 def x_winnow_fingerprints(spark, sf_dir):
+    from .plans.materialize import materialize
+
     register_views(spark, sf_dir, "documents")
-    return spark.sql(_winnow_sql(True))
+    # fp feeds the sharing aggregate AND the final join; Spark inlines
+    # the CTE per consumer (plan audit: two full gram-hash passes), so
+    # materialize the ~n/w-row fingerprint relation once.  Local[32]
+    # wall time is neutral (the pass is CPU-bound md5 the cores absorb
+    # either way); at cluster scale this halves corpus scan IO.
+    fp = materialize(spark.sql(_winnow_fp_sql(True)))
+    fp.createOrReplaceTempView("__winnow_fp")
+    return spark.sql(_winnow_final_sql("__winnow_fp"))
 
 
 # ---------------------------------------------------------------------------
