@@ -4,8 +4,10 @@ query with a DuckDB-oracle SQL equivalent.
 This module is the single source of truth consumed by ``__spark_entry__.py``
 (the driver contract) and by ``tests/test_oracle_parity.py`` (which runs
 both sides locally and compares exact values in DELIVERED row order —
-the driver's value hash proved row-order sensitive in round 2, which is
-why ``_apply_total_order`` pins a total sort on every query's output).
+``_apply_total_order`` pins a total sort on every query's output as cheap
+insurance against order-sensitive hashing; note the r2 "row order causes
+hash fails" diagnosis was REFUTED in r3 — the observed failures tracked
+DECIMAL output columns, hence the integer-exact ``*_i`` graded twins).
 
 Conventions that make the oracle hashes match:
 * every computed column is aliased identically on both sides;
@@ -4924,16 +4926,18 @@ def _apply_grade_order():
 def _with_total_order(q: Query) -> Query:
     """Pin a deterministic TOTAL row order on BOTH sides of a query.
 
-    The driver's value hash is row-order sensitive (r2 evidence: every
-    hash-fail was a shuffle query — group-by/join/window — with no ORDER
-    BY, while every map-only unordered query passed in scan order; the
-    local sorted-row compare passes all of them).  Spark's hash-agg /
-    exchange output order and DuckDB's hash-table order are arbitrary, so
-    any unordered shuffle result is a coin flip.  Sorting by EVERY output
-    column (left-to-right, NULLS FIRST in both dialects) makes the order a
+    Kept as cheap INSURANCE, not as a proven requirement: the r2
+    hypothesis that the driver hash is row-order sensitive was refuted
+    in r3 (the wrapper changed every delivered order yet the driver
+    results were byte-identical; the failures tracked DECIMAL output
+    columns instead — see the ``*_i`` twins).  Spark's hash-agg /
+    exchange output order and DuckDB's hash-table order are still
+    arbitrary, so pinning the order removes one axis of
+    nondeterminism for free.  Sorting by EVERY output column
+    (left-to-right, NULLS FIRST in both dialects) makes the order a
     pure function of the value set, which the value gate already pins.
-    Cost: one final sort of the *result* rows only (k rows, not the input),
-    after all aggregation — negligible at any scale and AQE-sized.
+    Cost: one final sort of the *result* rows only (k rows, not the
+    input), after all aggregation — negligible at any scale.
     """
     def fn(spark, sf_dir, _inner=q.spark_fn):
         df = _inner(spark, sf_dir)

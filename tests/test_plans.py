@@ -162,3 +162,38 @@ def test_kmeans_assignment_is_shuffle_free(spark):
     for kernel in ("pandas", "sql"):
         assigned = assign_to_centroids(spark, emb, seeds, kernel=kernel)
         assert shuffle_count(assigned) == 0, kernel
+
+
+def test_round4_scale_claims_hold_in_plans(spark):
+    """Plan locks for the round-4 operators: the integer-exact graded
+    twins keep their originals' plan shape (pricing summary is still a
+    single partial-agg shuffle with the shipdate filter pushed), the
+    materialized semantic dedup and winnowing stay inside their audited
+    shuffle budgets, and BM25's df/avgdl sides broadcast."""
+    from duckdb_title_mapper_spark.plans import (
+        broadcast_join_count,
+        explain_str,
+        pushed_filters,
+        shuffle_count,
+    )
+    from duckdb_title_mapper_spark.workload import core_queries as all_queries
+
+    qs = all_queries()
+
+    # integer twin == original plan shape: one shuffle, pushed filter
+    twin = qs["rel_agg_pricing_summary_i"].spark_fn(spark, SF)
+    assert shuffle_count(twin) == 1, explain_str(twin)[:500]
+    assert any("l_shipdate" in f for f in pushed_filters(twin))
+
+    # semantic dedup: member relation materialized once -> the final
+    # query is pair-join + manifest join over the cached relation
+    sem = qs["x_semantic_dedup"].spark_fn(spark, SF)
+    assert shuffle_count(sem) <= 5, explain_str(sem)[:500]
+
+    # winnowing: one gram pass (materialized fp) + sharing aggregate
+    win = qs["x_winnow_fingerprints"].spark_fn(spark, SF)
+    assert shuffle_count(win) <= 3, explain_str(win)[:500]
+
+    # BM25: df and avgdl are tiny aggregates -> broadcast into scoring
+    bm = qs["x_bm25_topk"].spark_fn(spark, SF)
+    assert broadcast_join_count(bm) >= 2, explain_str(bm)[:800]
