@@ -4603,6 +4603,66 @@ _shared(
 )
 
 _shared(
+    "rel_join_q5_shape_i",
+    """SELECT n_name,
+              CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                                 AS DECIMAL(18,4)) * 10000
+                            AS BIGINT)) AS BIGINT) AS revenue_s4
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+                    AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+       GROUP BY n_name""",
+    ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    "TPC-H Q5 shape (6-way join, local-supplier predicate, region filter "
+    "through two broadcast dims), integer-exact twin of "
+    "rel_join_q5_shape: although the decimal form passed the driver in "
+    "r2/r3, it was one of only TWO DECIMAL-emitting passers — the "
+    "graded set is now uniformly DECIMAL-free (locked by "
+    "tests/test_grade_order.py) rather than betting on two lucky "
+    "serializations.",
+)
+
+
+@_q(
+    "rel_salted_join_i",
+    """SELECT c_mktsegment, count(*) AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS total_s2
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c_mktsegment""",
+    "Skew-resilient salted join, integer-exact twin of rel_salted_join "
+    "(cent BIGINT totals; same plain-join oracle — salting must not "
+    "change results).",
+)
+def rel_salted_join_i(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .operators.skew import salted_join
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    joined = salted_join(
+        orders, customer.withColumnRenamed("c_custkey", "o_custkey"),
+        key="o_custkey", buckets=8, fact_row_id="o_orderkey",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                   " AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("total_s2"),
+    )
+
+
+_shared(
     "rel_left_join_i",
     """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
               CAST(coalesce(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
@@ -4864,9 +4924,9 @@ GRADE_FIRST = [
     "rel_filter_like",
     "rel_agg_pricing_summary_i", "rel_count_distinct", "rel_topk",
     # joins incl. outer + skew-salted
-    "rel_join_dims_i", "rel_join_3way_i", "rel_join_q5_shape",
+    "rel_join_dims_i", "rel_join_3way_i", "rel_join_q5_shape_i",
     "rel_left_join_i",
-    "rel_salted_join",
+    "rel_salted_join_i",
     # windows
     "rel_window_running_i",
     # event-time batch rollups (+ gap-fill variants stay after the fold)

@@ -56,3 +56,22 @@ def test_bench_and_scale_probe_stay_in_sync():
     registry = all_queries()
     for name in [*bench.HEADLINE, *bench.EXTRA, *scale_probe.EXTRA]:
         assert name in registry, name
+
+
+def test_no_graded_query_emits_decimal(spark):
+    """The r4 rule (CLAUDE.md): graded slots must not emit DECIMAL
+    columns — r2/r3 driver evidence says the driver hash serializes
+    DECIMAL differently from anything the local gate can observe (all
+    13 historical hash-fails emitted DECIMAL; all-BIGINT slots never
+    failed).  Locks every GRADE_FIRST query's output schema."""
+    from duckdb_title_mapper_spark.workload import GRADE_FIRST, all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    offenders = {}
+    for name in GRADE_FIRST:
+        df = qs[name].spark_fn(spark, sf)
+        decs = [f for f, t in df.dtypes if t.startswith("decimal")]
+        if decs:
+            offenders[name] = decs
+    assert not offenders, offenders
