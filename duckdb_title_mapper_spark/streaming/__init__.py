@@ -9,6 +9,7 @@ stateful sessionizer on ``applyInPandasWithState``.
 
 from .windows import (  # noqa: F401
     click_purchase_join,
+    content_dedup_stream,
     ohlc_windows,
     run_to_memory,
     run_to_memory_rocksdb,

@@ -198,6 +198,41 @@ def standardize_stream(spark, sf_dir: str):
     )
 
 
+def content_dedup_stream(spark, sf_dir: str):
+    """Streaming CONTENT dedup of a document firehose: drop every
+    repeat of an already-seen (source, md5(text)) before counting — the
+    streaming twin of the batch signature store (`x_incremental_dedup`),
+    i.e. the "dedup the firehose before it lands" stage of a continuous
+    ingestion pipeline.
+
+    The dedup key includes ``source`` so per-source uniques are
+    arrival-order independent (keying on content alone would credit a
+    cross-source duplicate to whichever source arrived first — a
+    nondeterministic result).  State = one entry per distinct key in
+    the state store; content-hash state is inherently unbounded for an
+    unbounded corpus — a deployment bounds it with RocksDB + state TTL
+    or periodic compaction into the batch signature store, exactly the
+    split `x_incremental_dedup` models batch-side (no event-time
+    watermark exists for documents, unlike the hour-keyed event dedup
+    in ``stream_dedup_counts``)."""
+    from pyspark.sql import functions as F
+
+    docs_schema = (
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT"
+    )
+    docs = (
+        spark.readStream.schema(docs_schema)
+        .parquet(_stage_stream_dir(sf_dir, "documents"))
+    )
+    return (
+        docs.select("source", F.md5("text").alias("content_hash"))
+        .dropDuplicates(["source", "content_hash"])
+        .groupBy("source")
+        .agg(F.count("*").alias("n_unique_docs"))
+    )
+
+
 def click_purchase_join(spark, sf_dir: str, horizon_minutes: int = 60,
                         watermark: str = "2 hours"):
     """Stream-stream inner join: each click joined to the same user's

@@ -4267,6 +4267,23 @@ def x_substring_dup_spans(spark, sf_dir):
 # ALL queries locally, graded or not.
 # ---------------------------------------------------------------------------
 
+@_q(
+    "stream_content_dedup",
+    """SELECT source, count(DISTINCT md5(text)) AS n_unique_docs
+    FROM documents GROUP BY source""",
+    "Streaming content dedup of the document firehose: "
+    "dropDuplicates on (source, md5(text)) inside the stream, then "
+    "per-source unique counts — the streaming twin of the "
+    "x_incremental_dedup signature store (dedup BEFORE landing).  The "
+    "dedup key includes source so results are arrival-order "
+    "independent; oracle is the batch COUNT(DISTINCT).",
+)
+def stream_content_dedup(spark, sf_dir):
+    from .streaming import content_dedup_stream, run_to_memory
+
+    return run_to_memory(content_dedup_stream(spark, sf_dir))
+
+
 def _semantic_dedup_sql(spark_dialect: bool, k: int = 16,
                         tau: str = "0.35") -> str:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
