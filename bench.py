@@ -73,6 +73,8 @@ EXTRA = [
     "x_semantic_dedup",
     "x_bm25_topk",
     "x_winnow_fingerprints",
+    "x_gopher_rules",
+    "x_tokenizer_fertility",
 ]
 
 

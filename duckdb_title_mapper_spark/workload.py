@@ -4536,6 +4536,113 @@ def x_winnow_fingerprints(spark, sf_dir):
     return spark.sql(_winnow_final_sql("__winnow_fp"))
 
 
+def _gopher_rules_sql(spark_dialect: bool) -> str:
+    """Per-document Gopher-style quality verdict (Rae et al. 2021, §A1.1):
+    word-count bounds, mean-word-length bounds, alphabetic-word fraction,
+    and top-bigram concentration, combined into one pass/fail flag.
+    Complements x_quality_filter_funnel (corpus-level cumulative gate
+    counts) and x_ngram_repetition (trigram dup profile) with the
+    PER-DOC verdict a filtering pipeline actually keys on.  The verdict
+    predicate is ALL-INTEGER (3*wc <= chars <= 10*wc; 5*alpha >= 4*wc;
+    5*top_bigram <= n_bigrams) so row values are cross-engine exact by
+    construction; the ratio columns are single IEEE divisions of
+    identical integers.  Plan: map-side token stats + one
+    (doc_id, bigram) partial-aggregating shuffle — no self-join, no
+    window; scales linearly in corpus size."""
+    if spark_dialect:
+        toks = r"regexp_extract_all(lower(text), '\\w+', 0)"
+        nwords = "size(toks)"
+        char_sum = "length(array_join(toks, ''))"
+        alpha = r"size(filter(toks, x -> x rlike '^[a-z]+$'))"
+        bg = r"""SELECT doc_id, explode(transform(sequence(1, size(toks) - 1),
+                 i -> concat_ws(' ', element_at(toks, i),
+                                element_at(toks, i + 1)))) AS bigram
+          FROM t WHERE size(toks) >= 2"""
+    else:
+        toks = r"regexp_extract_all(lower(text), '\w+')"
+        nwords = "len(toks)"
+        char_sum = "length(array_to_string(toks, ''))"
+        alpha = r"len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))"
+        bg = r"""SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+          FROM t WHERE len(toks) >= 2"""
+    return f"""WITH t AS (
+      SELECT doc_id, {toks} AS toks FROM documents),
+    base AS (
+      SELECT doc_id,
+             CAST({nwords} AS BIGINT) AS word_count,
+             CAST({char_sum} AS BIGINT) AS char_sum,
+             CAST({alpha} AS BIGINT) AS alpha_words
+      FROM t),
+    bg AS ({bg}),
+    bgc AS (SELECT doc_id, bigram, count(*) AS c
+            FROM bg GROUP BY doc_id, bigram),
+    bstat AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+                     CAST(sum(c) AS BIGINT) AS n_bigrams
+              FROM bgc GROUP BY doc_id)
+    SELECT b.doc_id, word_count,
+           CAST(char_sum AS DOUBLE) / nullif(word_count, 0) AS mean_word_len,
+           CAST(alpha_words AS DOUBLE) / nullif(word_count, 0) AS alpha_frac,
+           CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac,
+           CAST(CASE WHEN word_count BETWEEN 50 AND 100000
+                      AND char_sum BETWEEN 3 * word_count
+                                       AND 10 * word_count
+                      AND 5 * alpha_words >= 4 * word_count
+                      AND 5 * top_bigram_n <= n_bigrams
+                 THEN 1 ELSE 0 END AS BIGINT) AS passes_gopher
+    FROM base b LEFT JOIN bstat s ON b.doc_id = s.doc_id"""
+
+
+@_q(
+    "x_gopher_rules",
+    _gopher_rules_sql(False),
+    "Gopher-rule per-document quality verdict: word-count / mean-word-"
+    "length / alpha-fraction / top-bigram-concentration gates folded "
+    "into one integer pass flag (the published thresholds, integerized "
+    "so the verdict is cross-engine exact).",
+)
+def x_gopher_rules(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_gopher_rules_sql(True))
+
+
+def _fertility_sql(spark_dialect: bool) -> str:
+    """Per-source tokenizer-fertility rollup: BPE-ish tokens per word and
+    chars per BPE token — the tokenizer-efficiency report a pretraining
+    mix is tuned against (fertility >> 1 flags sources the tokenizer
+    fragments).  One partial-aggregating shuffle on source; ratios are
+    IEEE divisions of the SAME exact BIGINT sums on both engines."""
+    if spark_dialect:
+        bpe = f"size(regexp_extract_all(text, '{_BPE_SPARK}', 0))"
+        words = r"size(regexp_extract_all(text, '\\w+', 0))"
+    else:
+        bpe = f"len(regexp_extract_all(text, '{_BPE_DUCK}'))"
+        words = r"len(regexp_extract_all(text, '\w+'))"
+    return f"""WITH agg AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum({bpe}) AS BIGINT) AS bpe_tokens,
+             CAST(sum({words}) AS BIGINT) AS word_tokens,
+             CAST(sum(length(text)) AS BIGINT) AS total_chars
+      FROM documents GROUP BY source)
+    SELECT source, n_docs, bpe_tokens, word_tokens, total_chars,
+           CAST(bpe_tokens AS DOUBLE) / word_tokens AS fertility,
+           CAST(total_chars AS DOUBLE) / bpe_tokens AS chars_per_token
+    FROM agg"""
+
+
+@_q(
+    "x_tokenizer_fertility",
+    _fertility_sql(False),
+    "Tokenizer fertility by source: BPE-ish tokens per \\w+ word and "
+    "chars per token, from exact integer sums (per-doc token counts are "
+    "in x_bpe_token_count; this is the corpus-mix tuning view).",
+)
+def x_tokenizer_fertility(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_fertility_sql(True))
+
+
 # ---------------------------------------------------------------------------
 # Integer-exact graded twins (round 4).
 #

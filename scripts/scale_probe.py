@@ -45,6 +45,7 @@ EXTRA = [
     "stream_ohlc_windows", "x_length_histogram", "rel_group_by_all",
     # round-4 flagships
     "x_semantic_dedup", "x_bm25_topk", "x_winnow_fingerprints",
+    "x_gopher_rules", "x_tokenizer_fertility", "stream_content_dedup",
 ]
 
 

@@ -148,3 +148,119 @@ def test_winnowing_coverage_guarantee(spark):
             assert out[d]["n_fingerprints"] <= out[d]["n_grams"]
     finally:
         spark.catalog.dropTempView("documents")
+
+
+def test_gopher_rules_independent_recompute(spark):
+    """Per-doc Gopher verdict recomputed in pure Python (re + Counter)
+    from the same parquet: every stat column and the integerized pass
+    flag must agree exactly."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    got = {
+        r.doc_id: r.asDict()
+        for r in all_queries()["x_gopher_rules"].spark_fn(spark, SF_DIR).collect()
+    }
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    assert len(got) == len(docs)
+    n_passing = 0
+    for doc_id, text in docs:
+        toks = re.findall(r"\w+", text.lower())
+        wc = len(toks)
+        cs = sum(len(t) for t in toks)
+        alpha = sum(1 for t in toks if re.fullmatch(r"[a-z]+", t))
+        bigrams = Counter(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+        top = max(bigrams.values()) if bigrams else None
+        nb = sum(bigrams.values()) if bigrams else None
+        r = got[doc_id]
+        assert r["word_count"] == wc
+        assert r["mean_word_len"] == (cs / wc if wc else None)
+        assert r["alpha_frac"] == (alpha / wc if wc else None)
+        assert r["top_bigram_frac"] == (top / nb if nb else None)
+        expect_pass = int(
+            50 <= wc <= 100000
+            and 3 * wc <= cs <= 10 * wc
+            and 5 * alpha >= 4 * wc
+            and nb is not None
+            and 5 * top <= nb
+        )
+        assert r["passes_gopher"] == expect_pass
+        n_passing += expect_pass
+    # the synthetic corpus must exercise BOTH branches or the flag is vacuous
+    assert 0 < n_passing < len(docs)
+
+
+def test_gopher_rules_edge_docs(spark):
+    """Crafted edge docs through the real SQL: empty text, single-word
+    doc (no bigrams -> NULL ratios, fails), repeated-bigram doc (fails
+    the concentration gate), and a passing doc."""
+    from duckdb_title_mapper_spark.workload import _gopher_rules_sql
+
+    passing = " ".join(
+        f"w{chr(97 + i % 26)}{chr(97 + (i * 7) % 26)}bird" for i in range(80)
+    )
+    rows = [
+        (1, ""),
+        (2, "hello"),
+        (3, "spam ham " * 60),
+        (4, passing),
+    ]
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").createOrReplaceTempView(
+        "documents"
+    )
+    try:
+        out = {
+            r.doc_id: r.asDict()
+            for r in spark.sql(_gopher_rules_sql(True)).collect()
+        }
+        assert out[1]["word_count"] == 0 and out[1]["passes_gopher"] == 0
+        assert out[2]["top_bigram_frac"] is None and out[2]["passes_gopher"] == 0
+        # doc 3: one bigram dominates -> concentration gate fails
+        assert out[3]["top_bigram_frac"] > 0.2 and out[3]["passes_gopher"] == 0
+        assert out[4]["passes_gopher"] == 1
+    finally:
+        spark.catalog.dropTempView("documents")
+
+
+def test_tokenizer_fertility_independent_recompute(spark):
+    """Per-source fertility recomputed with Python re over the same
+    parquet; ratios must be the identical IEEE divisions."""
+    import re
+    from collections import defaultdict
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import _BPE_PAT, all_queries
+
+    got = {
+        r.source: r.asDict()
+        for r in all_queries()["x_tokenizer_fertility"]
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    }
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, bpe, words, chars
+    for source, text in duckdb.sql(
+        f"SELECT source, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall():
+        a = agg[source]
+        a[0] += 1
+        a[1] += len(re.findall(_BPE_PAT, text))
+        a[2] += len(re.findall(r"\w+", text))
+        a[3] += len(text)
+    assert set(got) == set(agg)
+    for source, (n, bpe, words, chars) in agg.items():
+        r = got[source]
+        assert (r["n_docs"], r["bpe_tokens"], r["word_tokens"],
+                r["total_chars"]) == (n, bpe, words, chars)
+        assert r["fertility"] == bpe / words
+        assert r["chars_per_token"] == chars / bpe
