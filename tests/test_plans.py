@@ -197,3 +197,29 @@ def test_round4_scale_claims_hold_in_plans(spark):
     # BM25: df and avgdl are tiny aggregates -> broadcast into scoring
     bm = qs["x_bm25_topk"].spark_fn(spark, SF)
     assert broadcast_join_count(bm) >= 2, explain_str(bm)[:800]
+
+
+def test_gopher_and_fertility_plan_shapes(spark):
+    """Plan locks for the r4 text-quality ops: fertility is a single
+    partial-aggregating shuffle over a (text, source)-pruned scan;
+    the Gopher verdict needs exactly its two aggregations (bigram
+    counts, per-doc rollup) and no more, with the scan pruned to
+    (doc_id, text)."""
+    from duckdb_title_mapper_spark.plans import (
+        explain_str,
+        has_partial_aggregation,
+        read_schema_columns,
+        shuffle_count,
+    )
+    from duckdb_title_mapper_spark.workload import core_queries as all_queries
+
+    qs = all_queries()
+
+    fert = qs["x_tokenizer_fertility"].spark_fn(spark, SF)
+    assert shuffle_count(fert) == 1, explain_str(fert)[:500]
+    assert has_partial_aggregation(fert)
+    assert all(set(s) <= {"text", "source"} for s in read_schema_columns(fert))
+
+    gop = qs["x_gopher_rules"].spark_fn(spark, SF)
+    assert shuffle_count(gop) <= 3, explain_str(gop)[:500]
+    assert all(set(s) <= {"doc_id", "text"} for s in read_schema_columns(gop))
