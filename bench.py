@@ -75,6 +75,7 @@ EXTRA = [
     "x_winnow_fingerprints",
     "x_gopher_rules",
     "x_tokenizer_fertility",
+    "x_hybrid_rrf",
 ]
 
 

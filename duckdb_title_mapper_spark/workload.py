@@ -4643,6 +4643,65 @@ def x_tokenizer_fertility(spark, sf_dir):
     return spark.sql(_fertility_sql(True))
 
 
+def _hybrid_rrf_sql(spark_dialect: bool, k: int = 20, rrf_k: int = 60) -> str:
+    """Hybrid retrieval: BM25 lexical top-k over documents fused with
+    cosine vector top-k over embeddings (query vector = vec 0) by
+    Reciprocal Rank Fusion (Cormack/Clarke/Buettcher, SIGIR 2009):
+    rrf(d) = sum over lists of 1/(rrf_k + rank_d).  The modern
+    retrieval stack's default fusion — no score normalization across
+    incomparable scales, just integer ranks.
+
+    Exactness: both rank lists have integer-deterministic boundaries
+    (BM25 ranks on nano-unit BIGINT scores; vector ranks break ties on
+    the raw bit-identical cosine then vec_id), and the fused score is
+    two per-row IEEE divisions of identical integers added in fixed
+    textual order — cross-engine exact, so the fused rank's
+    (score DESC, id) order is too.  Scale: each side is the already-
+    audited top-k plan (bounded k rows out); the fusion joins two
+    k-row relations — driver-side trivial, cluster-side a broadcast."""
+    dot = _embed_dot(spark_dialect, "q.embedding", "c.embedding")
+    qnorm = "sqrt(" + _embed_dot(spark_dialect, "q.embedding", "q.embedding") + ")"
+    cnorm = "sqrt(" + _embed_dot(spark_dialect, "c.embedding", "c.embedding") + ")"
+    return f"""WITH lex AS ({_bm25_sql(spark_dialect, k=k)}),
+    lexr AS (SELECT doc_id AS id,
+                    CAST(row_number() OVER (ORDER BY score_s9 DESC, doc_id)
+                         AS BIGINT) AS lex_rank
+             FROM lex),
+    sims AS (SELECT c.vec_id AS id,
+                    {dot} / ({qnorm} * {cnorm}) AS sim
+             FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id = 0),
+    vecr AS (SELECT id, vec_rank FROM (
+               SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id)
+                               AS BIGINT) AS vec_rank
+               FROM sims) r
+             WHERE vec_rank <= {k})
+    SELECT id, lex_rank, vec_rank,
+           CAST(row_number() OVER (ORDER BY rrf DESC, id) AS BIGINT)
+             AS fused_rank,
+           rrf AS rrf_score
+    FROM (
+      SELECT COALESCE(l.id, v.id) AS id, l.lex_rank, v.vec_rank,
+             COALESCE(CAST(1 AS DOUBLE) / ({rrf_k} + l.lex_rank),
+                      CAST(0 AS DOUBLE))
+               + COALESCE(CAST(1 AS DOUBLE) / ({rrf_k} + v.vec_rank),
+                          CAST(0 AS DOUBLE)) AS rrf
+      FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id) fused"""
+
+
+@_q(
+    "x_hybrid_rrf",
+    _hybrid_rrf_sql(False),
+    "Hybrid retrieval via Reciprocal Rank Fusion: BM25 lexical top-20 "
+    "fused with exact cosine vector top-20 (1/(60+rank) contributions). "
+    "Integer rank boundaries on both sides make the fused order "
+    "cross-engine exact.",
+)
+def x_hybrid_rrf(spark, sf_dir):
+    register_views(spark, sf_dir, "documents", "embeddings")
+    return spark.sql(_hybrid_rrf_sql(True))
+
+
 # ---------------------------------------------------------------------------
 # Integer-exact graded twins (round 4).
 #

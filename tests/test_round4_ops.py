@@ -264,3 +264,63 @@ def test_tokenizer_fertility_independent_recompute(spark):
                 r["total_chars"]) == (n, bpe, words, chars)
         assert r["fertility"] == bpe / words
         assert r["chars_per_token"] == chars / bpe
+
+
+def test_hybrid_rrf_independent_recompute(spark):
+    """RRF fusion recomputed in pure Python from the two parquet tables:
+    BM25 side via duckdb (its list is integer-certified separately by
+    check_oracle on x_bm25_topk), vector side via exact cosine in
+    Python, fusion + ranks re-derived and compared field-by-field."""
+    import math
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import _bm25_sql, all_queries
+
+    got = {
+        r.id: r.asDict()
+        for r in all_queries()["x_hybrid_rrf"].spark_fn(spark, SF_DIR).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    lex = [r[0] for r in con.execute(_bm25_sql(False)).fetchall()]
+    lex_rank = {d: i + 1 for i, d in enumerate(lex)}
+
+    raw = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet'"
+    ).fetchall()
+    vecs = {vid: [float(x) for x in emb] for vid, emb in raw}
+    q = vecs[0]
+    qn = math.sqrt(sum(x * x for x in q))
+
+    def cos(v):
+        return sum(x * y for x, y in zip(q, v)) / (
+            qn * math.sqrt(sum(x * x for x in v))
+        )
+
+    order = sorted(
+        ((vid, cos(v)) for vid, v in vecs.items() if vid != 0),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:20]
+    vec_rank = {vid: i + 1 for i, (vid, _) in enumerate(order)}
+
+    ids = set(lex_rank) | set(vec_rank)
+    assert set(got) == ids
+    rrf = {
+        i: (1.0 / (60 + lex_rank[i]) if i in lex_rank else 0.0)
+        + (1.0 / (60 + vec_rank[i]) if i in vec_rank else 0.0)
+        for i in ids
+    }
+    fused = {
+        i: r + 1
+        for r, i in enumerate(sorted(ids, key=lambda i: (-rrf[i], i)))
+    }
+    for i in ids:
+        r = got[i]
+        assert r["lex_rank"] == lex_rank.get(i)
+        assert r["vec_rank"] == vec_rank.get(i)
+        assert r["fused_rank"] == fused[i]
+        assert abs(r["rrf_score"] - rrf[i]) < 1e-12
