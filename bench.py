@@ -79,10 +79,43 @@ EXTRA = [
 ]
 
 
+def _burn(_):
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    return x
+
+
+def _host_effective_cores() -> float:
+    """Measured parallel throughput of the host in 'effective cores':
+    n_procs * t(1 proc) / t(n procs) for a fixed CPU-bound burn.  The
+    sandbox's advertised CPU count is not a throughput guarantee — the
+    same bench run has measured 19.8 s and 40.1 s totals on an
+    'idle' 32-vCPU host whose probe swung between ~13 and ~19
+    effective cores, with UNIFORM per-query inflation on unchanged
+    pure-JVM queries.  Recording the probe with every run lets the
+    cross-round comparison divide out host state instead of
+    misreading contention as a regression."""
+    import multiprocessing as mp
+
+    n = mp.cpu_count()
+    t0 = time.time()
+    _burn(0)
+    t1 = time.time() - t0
+    t0 = time.time()
+    with mp.Pool(n) as p:
+        p.map(_burn, range(n))
+    tn = time.time() - t0
+    return round(n * t1 / tn, 1)
+
+
 def main():
     from pyspark.sql import SparkSession
 
     from duckdb_title_mapper_spark.workload import all_queries
+
+    eff_cores = _host_effective_cores()
+    print(f"# host effective cores: {eff_cores}", file=sys.stderr)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -175,6 +208,7 @@ def main():
         "spread": spreads,
         "rows": rows,
         "sf": sf_val,
+        "eff_cores": eff_cores,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -189,11 +223,12 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "eff_cores": eff_cores,
     }
     line = json.dumps(headline)
     if len(line) > 1800:  # belt-and-braces: never outgrow the tail again
         line = json.dumps({k: headline[k] for k in
-                           ("metric", "value", "unit", "sf")})
+                           ("metric", "value", "unit", "sf", "eff_cores")})
     print(line)
     spark.stop()
 
