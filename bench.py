@@ -76,6 +76,7 @@ EXTRA = [
     "x_gopher_rules",
     "x_tokenizer_fertility",
     "x_hybrid_rrf",
+    "x_lm_perplexity_filter",
 ]
 
 

@@ -4702,6 +4702,81 @@ def x_hybrid_rrf(spark, sf_dir):
     return spark.sql(_hybrid_rrf_sql(True))
 
 
+def _lm_ppl_sql(spark_dialect: bool) -> str:
+    """CCNet-style LM perplexity filtering (Wenzek et al. 2020): train an
+    add-one-smoothed unigram LM on the hash-split train docs (bucket <
+    80), score every held-out doc by average negative log-likelihood,
+    keep docs below the corpus-mean score.  The classic
+    quality-by-model-surprise gate between heuristic rules and a real
+    KenLM.
+
+    Exactness: counts stay integers; each DISTINCT term's -ln prob is
+    quantized ONCE via the round-to-DECIMAL(12,9) absorber (ln is the
+    +-1-ulp op; vocabulary-sized exposure, not token-sized) and scaled
+    to nano-unit BIGINT, so per-doc sums, the integer-division average,
+    and the keep boundary are all integer-deterministic.  Scale: term
+    counts partial-aggregate map-side; the nll relation is
+    vocabulary-sized (broadcast); one (doc) aggregate over eval tokens.
+    No corpus-width join, no double summed across rows."""
+    if spark_dialect:
+        h = ("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+             " AS BIGINT)")
+        toks = r"regexp_extract_all(lower(text), '\\w+', 0)"
+        ex = "SELECT doc_id, bucket, explode(ts) AS w FROM toks"
+        idiv = "div"
+    else:
+        h = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)"
+        toks = r"regexp_extract_all(lower(text), '\w+')"
+        ex = "SELECT doc_id, bucket, unnest(ts) AS w FROM toks"
+        idiv = "//"
+    return f"""WITH toks AS (
+      SELECT doc_id, {h} % 100 AS bucket, {toks} AS ts FROM documents),
+    tok AS ({ex}),
+    counts AS (SELECT w, count(*) AS c FROM tok WHERE bucket < 80
+               GROUP BY w),
+    stats AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v
+              FROM counts),
+    nll AS (SELECT w,
+              CAST(CAST(CAST(round(-ln((CAST(c AS DOUBLE) + 1)
+                                       / (CAST(n AS DOUBLE) + v)), 9)
+                             AS DECIMAL(12,9)) AS DECIMAL(28,9))
+                   * 1000000000 AS BIGINT) AS nll_s9
+            FROM counts CROSS JOIN stats),
+    oov AS (SELECT CAST(CAST(CAST(round(ln(CAST(n AS DOUBLE) + v), 9)
+                                  AS DECIMAL(12,9)) AS DECIMAL(28,9))
+                        * 1000000000 AS BIGINT)
+              AS nll_s9 FROM stats),
+    scored AS (
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             CAST(sum(COALESCE(k.nll_s9, o.nll_s9)) AS BIGINT)
+               AS sum_nll_s9
+      FROM tok t LEFT JOIN nll k ON t.w = k.w CROSS JOIN oov o
+      WHERE t.bucket >= 80
+      GROUP BY t.doc_id),
+    avgd AS (SELECT doc_id, n_tokens, sum_nll_s9,
+                    sum_nll_s9 {idiv} n_tokens AS avg_nll_s9 FROM scored),
+    thresh AS (SELECT CAST(sum(avg_nll_s9) AS BIGINT) {idiv} count(*)
+                 AS mean_nll_s9 FROM avgd)
+    SELECT doc_id, n_tokens, sum_nll_s9, avg_nll_s9,
+           CAST(CASE WHEN avg_nll_s9 <= mean_nll_s9 THEN 1 ELSE 0 END
+                AS BIGINT) AS keep
+    FROM avgd CROSS JOIN thresh"""
+
+
+@_q(
+    "x_lm_perplexity_filter",
+    _lm_ppl_sql(False),
+    "CCNet-style LM quality filter: add-one unigram LM trained on the "
+    "hash-split train docs scores held-out docs by average negative "
+    "log-likelihood (nano-unit BIGINTs via the per-TERM ln absorber); "
+    "keep = below corpus mean.  All-integer doc scores and boundary.",
+)
+def x_lm_perplexity_filter(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_lm_ppl_sql(True))
+
+
 # ---------------------------------------------------------------------------
 # Integer-exact graded twins (round 4).
 #

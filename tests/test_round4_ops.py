@@ -324,3 +324,60 @@ def test_hybrid_rrf_independent_recompute(spark):
         assert r["vec_rank"] == vec_rank.get(i)
         assert r["fused_rank"] == fused[i]
         assert abs(r["rrf_score"] - rrf[i]) < 1e-12
+
+
+def test_lm_perplexity_filter_semantics(spark):
+    """Recompute the unigram-LM scoring in pure Python: the hash split,
+    token counts, and vocabulary must match exactly; per-term nll is
+    allowed +-1 nano-unit (libm vs JVM ln before the quantizer), so doc
+    sums get a +-n_tokens tolerance; the keep flag must be internally
+    consistent with the returned integers (exact)."""
+    import hashlib
+    import math
+    import re
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    got = {
+        r.doc_id: r.asDict()
+        for r in all_queries()["x_lm_perplexity_filter"]
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    }
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+    train, evald = {}, {}
+    for d, t in docs:
+        (train if bucket(d) < 80 else evald)[d] = re.findall(r"\w+", t.lower())
+    assert set(got) == set(evald)
+
+    from collections import Counter
+
+    counts = Counter(w for ts in train.values() for w in ts)
+    n, v = sum(counts.values()), len(counts)
+    nll = {
+        w: round(-math.log((c + 1) / (n + v)) * 1e9)
+        for w, c in counts.items()
+    }
+    oov = round(math.log(n + v) * 1e9)
+
+    mean = sum(r["avg_nll_s9"] for r in got.values()) // len(got)
+    for d, ts in evald.items():
+        r = got[d]
+        assert r["n_tokens"] == len(ts)
+        expect_sum = sum(nll.get(w, oov) for w in ts)
+        assert abs(r["sum_nll_s9"] - expect_sum) <= len(ts), d
+        # integer-exact internal consistency
+        assert r["avg_nll_s9"] == r["sum_nll_s9"] // r["n_tokens"]
+        assert r["keep"] == int(r["avg_nll_s9"] <= mean)
+    # the filter must split the eval set nontrivially
+    kept = sum(r["keep"] for r in got.values())
+    assert 0 < kept < len(got)
