@@ -77,6 +77,7 @@ EXTRA = [
     "x_tokenizer_fertility",
     "x_hybrid_rrf",
     "x_lm_perplexity_filter",
+    "x_lsh_blocking_eval",
 ]
 
 

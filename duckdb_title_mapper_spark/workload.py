@@ -4777,6 +4777,91 @@ def x_lm_perplexity_filter(spark, sf_dir):
     return spark.sql(_lm_ppl_sql(True))
 
 
+def _lsh_blocking_eval_sql(spark_dialect: bool) -> str:
+    """Blocking-quality evaluation of shingle-MinHash LSH (the standard
+    entity-resolution metrics, Christen 2012): pair completeness
+    (recall of true near-dup pairs among LSH candidates) and reduction
+    ratio (candidate volume vs all pairs) — the report that decides
+    whether a banding config is safe to run on the full corpus.
+
+    Truth = exact Jaccard >= 1/2 over DISTINCT 8-word shingles, with
+    the all-integer membership test 3*|intersect| >= |A| + |B| (the
+    inequality rearranged so no division decides a row).  Truth-pair
+    generation is an equi-join on shared shingles (sparse by
+    construction — unrelated docs share no 8-word shingle), NOT
+    all-pairs; candidates come from 4 single-hash minhash bands via a
+    (band, hash) bucket join.  At 100 TB the truth side runs on a
+    sampled slice (it is a metrics probe, not a pipeline stage); the
+    candidate side is the production plan being measured."""
+    if spark_dialect:
+        toks = r"regexp_extract_all(lower(text), '\\w+', 0)"
+        g8 = ("SELECT DISTINCT doc_id, concat_ws(' ', slice(ts, g, 8)) AS g8"
+              " FROM (SELECT doc_id, ts,"
+              " explode(sequence(1, size(ts) - 7)) AS g"
+              " FROM toks WHERE size(ts) >= 8) t")
+        idiv = "div"
+    else:
+        toks = r"regexp_extract_all(lower(text), '\w+')"
+        g8 = ("SELECT DISTINCT doc_id, array_to_string(ts[g:g+7], ' ') AS g8"
+              " FROM (SELECT doc_id, ts,"
+              " unnest(generate_series(1, len(ts) - 7)) AS g"
+              " FROM toks WHERE len(ts) >= 8) t")
+        idiv = "//"
+    return f"""WITH toks AS (
+      SELECT doc_id, {toks} AS ts FROM documents),
+    sh AS ({g8}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    sigs AS (SELECT doc_id,
+                    min(md5(concat('0:', g8))) AS h0,
+                    min(md5(concat('1:', g8))) AS h1,
+                    min(md5(concat('2:', g8))) AS h2,
+                    min(md5(concat('3:', g8))) AS h3
+             FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, h0 AS h FROM sigs UNION ALL
+      SELECT doc_id, 1 AS band, h1 AS h FROM sigs UNION ALL
+      SELECT doc_id, 2 AS band, h2 AS h FROM sigs UNION ALL
+      SELECT doc_id, 3 AS band, h3 AS h FROM sigs),
+    cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM sh a JOIN sh b
+                ON a.g8 = b.g8 AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    truth AS (SELECT da, db
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = da
+              JOIN sizes sb ON sb.doc_id = db
+              WHERE 3 * i >= sa.sz + sb.sz),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    mc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+    mt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+    mg AS (SELECT CAST(count(*) AS BIGINT) AS n_caught
+           FROM truth t JOIN cand c ON t.da = c.da AND t.db = c.db)
+    SELECT n_docs,
+           (n_docs * (n_docs - 1)) {idiv} 2 AS n_possible_pairs,
+           n_candidates, n_true, n_caught,
+           CAST(n_caught AS DOUBLE) / nullif(n_true, 0)
+             AS pair_completeness,
+           CAST(1 AS DOUBLE) - CAST(n_candidates AS DOUBLE)
+             / ((n_docs * (n_docs - 1)) {idiv} 2) AS reduction_ratio
+    FROM m CROSS JOIN mc CROSS JOIN mt CROSS JOIN mg"""
+
+
+@_q(
+    "x_lsh_blocking_eval",
+    _lsh_blocking_eval_sql(False),
+    "ER blocking-quality report for shingle-MinHash LSH: pair "
+    "completeness and reduction ratio vs exact-Jaccard truth "
+    "(all-integer >= 1/2 membership; sparse shared-shingle truth join, "
+    "banded bucket-join candidates).",
+)
+def x_lsh_blocking_eval(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_lsh_blocking_eval_sql(True))
+
+
 # ---------------------------------------------------------------------------
 # Integer-exact graded twins (round 4).
 #

@@ -381,3 +381,61 @@ def test_lm_perplexity_filter_semantics(spark):
     # the filter must split the eval set nontrivially
     kept = sum(r["keep"] for r in got.values())
     assert 0 < kept < len(got)
+
+
+def test_lsh_blocking_eval_semantics(spark):
+    """Blocking metrics recomputed in pure Python: shingle sets, exact
+    Jaccard truth at tau=1/2, single-hash minhash-band candidates, and
+    the two ratios must match the operator exactly."""
+    import hashlib
+    import re
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    [row] = all_queries()["x_lsh_blocking_eval"].spark_fn(spark, SF_DIR).collect()
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    shingles = {}
+    for d, t in docs:
+        ts = re.findall(r"\w+", t.lower())
+        shingles[d] = {
+            " ".join(ts[i : i + 8]) for i in range(len(ts) - 7)
+        }
+
+    ids = sorted(d for d in shingles if shingles[d])
+    truth = {
+        (a, b)
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if 3 * len(shingles[a] & shingles[b])
+        >= len(shingles[a]) + len(shingles[b])
+    }
+    sigs = {
+        d: [min(md5(f"{j}:{g}") for g in shingles[d]) for j in range(4)]
+        for d in ids
+    }
+    cand = {
+        (a, b)
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if any(sigs[a][j] == sigs[b][j] for j in range(4))
+    }
+
+    n = len(docs)
+    assert row.n_docs == n
+    assert row.n_possible_pairs == n * (n - 1) // 2
+    assert row.n_candidates == len(cand)
+    assert row.n_true == len(truth)
+    assert row.n_caught == len(truth & cand)
+    assert row.pair_completeness == len(truth & cand) / len(truth)
+    assert row.reduction_ratio == 1.0 - len(cand) / (n * (n - 1) // 2)
+    # the corpus must make the metric non-vacuous
+    assert row.n_true > 0 and row.reduction_ratio > 0.99
