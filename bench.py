@@ -78,6 +78,8 @@ EXTRA = [
     "x_hybrid_rrf",
     "x_lm_perplexity_filter",
     "x_lsh_blocking_eval",
+    "x_skew_diagnosis",
+    "x_zorder_layout",
 ]
 
 

@@ -4862,6 +4862,102 @@ def x_lsh_blocking_eval(spark, sf_dir):
     return spark.sql(_lsh_blocking_eval_sql(True))
 
 
+def _skew_diagnosis_sql(spark_dialect: bool, k: int = 10) -> str:
+    """Pre-run key-skew diagnosis: top-k hottest keys with their share
+    (basis points) and multiple-of-mean — the report a 100 TB job reads
+    BEFORE choosing between a plain shuffle, salting (rel_salted_join),
+    or AQE skew splitting.  One partial-aggregating count plus a
+    key-cardinality-sized rank; all ratios integer-scaled."""
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH k AS (SELECT user_id, count(*) AS n
+               FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+                   count(*) AS nk FROM k),
+    ranked AS (SELECT user_id, CAST(n AS BIGINT) AS n_rows,
+                      CAST(row_number() OVER (ORDER BY n DESC, user_id)
+                           AS BIGINT) AS rnk
+               FROM k)
+    SELECT user_id, n_rows, rnk,
+           (n_rows * 10000) {idiv} t AS share_bp,
+           (n_rows * nk * 100) {idiv} t AS x_mean_pct
+    FROM ranked CROSS JOIN tot
+    WHERE rnk <= {k}"""
+
+
+@_q(
+    "x_skew_diagnosis",
+    _skew_diagnosis_sql(False),
+    "Key-skew diagnosis on events.user_id: top-10 hottest keys with "
+    "share (basis points) and multiple-of-mean (percent) — the "
+    "integer-exact report that picks plain shuffle vs salting vs AQE "
+    "skew-join before a large run.",
+)
+def x_skew_diagnosis(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_skew_diagnosis_sql(True))
+
+
+def _morton_expr(x: str, y: str, idiv: str, bits: int = 16) -> str:
+    """Bit interleave via pure integer div/mod arithmetic (no engine
+    bit operators, so the expression text is near-shared and exact on
+    both engines)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({x} {idiv} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y} {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + "\n               + ".join(terms) + ")"
+
+
+def _zorder_layout_sql(spark_dialect: bool, n_buckets: int = 64) -> str:
+    """Z-order (Morton space-filling curve) layout planner over
+    (user_id, event-hour): min/max-normalize each dimension to 8 bits,
+    interleave them, bucket rows by the curve's top bits, and report
+    each bucket's per-dimension
+    min/max bounding box — exactly the skipping index a clustered
+    writer persists so point/range predicates on EITHER dimension prune
+    files.  A linear sort bounds one dimension only; the Z-curve bounds
+    both (bbox_area quantifies it).  All-integer arithmetic; one
+    aggregate over the mapped rows."""
+    if spark_dialect:
+        hour = "CAST(date_trunc('hour', ts) AS BIGINT)"
+        idiv = "div"
+    else:
+        hour = "CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)"
+        idiv = "//"
+    morton = _morton_expr("xb", "yb", idiv, bits=8)
+    shift = (1 << 16) // n_buckets
+    return f"""WITH e AS (
+      SELECT CAST(user_id AS BIGINT) AS x,
+             {hour} {idiv} 3600 AS h FROM events),
+    m AS (SELECT CAST(min(x) AS BIGINT) AS x0, CAST(max(x) AS BIGINT) AS x1,
+                 CAST(min(h) AS BIGINT) AS h0, CAST(max(h) AS BIGINT) AS h1
+          FROM e),
+    d AS (SELECT x, (h - h0) AS y,
+                 ((x - x0) * 256) {idiv} (x1 - x0 + 1) AS xb,
+                 ((h - h0) * 256) {idiv} (h1 - h0 + 1) AS yb
+          FROM e CROSS JOIN m),
+    z AS (SELECT x, y, {morton} AS zval FROM d)
+    SELECT zval {idiv} {shift} AS zbucket,
+           count(*) AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max,
+           (max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS bbox_area
+    FROM z GROUP BY zval {idiv} {shift}"""
+
+
+@_q(
+    "x_zorder_layout",
+    _zorder_layout_sql(False),
+    "Z-order layout planner: Morton-interleave (user_id, event-hour), "
+    "bucket by the curve's top bits, report per-bucket min/max bounding "
+    "boxes — the data-skipping index a clustered writer persists; "
+    "bit-interleave via integer div/mod so both engines agree exactly.",
+)
+def x_zorder_layout(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_zorder_layout_sql(True))
+
+
 # ---------------------------------------------------------------------------
 # Integer-exact graded twins (round 4).
 #

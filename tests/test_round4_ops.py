@@ -439,3 +439,81 @@ def test_lsh_blocking_eval_semantics(spark):
     assert row.reduction_ratio == 1.0 - len(cand) / (n * (n - 1) // 2)
     # the corpus must make the metric non-vacuous
     assert row.n_true > 0 and row.reduction_ratio > 0.99
+
+
+def test_zorder_layout_bounds_both_dims(spark):
+    """Full Python recompute of the Morton mapping AND the property that
+    makes Z-order worth it: every bucket's bounding box is narrow in
+    BOTH dimensions (a linear sort only bounds its leading column)."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    got = {
+        r.zbucket: r.asDict()
+        for r in all_queries()["x_zorder_layout"].spark_fn(spark, SF_DIR).collect()
+    }
+
+    rows = duckdb.sql(
+        f"""SELECT CAST(user_id AS BIGINT),
+                   CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600
+            FROM '{SF_DIR}/events.parquet'"""
+    ).fetchall()
+    xs = [x for x, _ in rows]
+    hs = [h for _, h in rows]
+    x0, x1, h0, h1 = min(xs), max(xs), min(hs), max(hs)
+
+    def morton(xb, yb):
+        z = 0
+        for i in range(8):
+            z |= ((xb >> i) & 1) << (2 * i)
+            z |= ((yb >> i) & 1) << (2 * i + 1)
+        return z
+
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for x, h in rows:
+        xb = (x - x0) * 256 // (x1 - x0 + 1)
+        yb = (h - h0) * 256 // (h1 - h0 + 1)
+        buckets[morton(xb, yb) // (65536 // 64)].append((x, h - h0))
+    assert set(got) == set(buckets)
+    for b, pts in buckets.items():
+        r = got[b]
+        assert r["n_rows"] == len(pts)
+        assert r["x_min"] == min(p[0] for p in pts)
+        assert r["x_max"] == max(p[0] for p in pts)
+        assert r["y_min"] == min(p[1] for p in pts)
+        assert r["y_max"] == max(p[1] for p in pts)
+        # the skipping property: both dims bounded well below full range
+        assert r["x_max"] - r["x_min"] <= (x1 - x0 + 1) // 4
+        assert r["y_max"] - r["y_min"] <= (h1 - h0 + 1) // 4
+
+
+def test_skew_diagnosis_semantics(spark):
+    """Top-10 hottest keys recomputed with Counter; shares and
+    multiple-of-mean are integer-exact."""
+    from collections import Counter
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    got = {
+        r.user_id: r.asDict()
+        for r in all_queries()["x_skew_diagnosis"].spark_fn(spark, SF_DIR).collect()
+    }
+    counts = Counter(
+        u
+        for (u,) in duckdb.sql(
+            f"SELECT user_id FROM '{SF_DIR}/events.parquet'"
+        ).fetchall()
+    )
+    total, nk = sum(counts.values()), len(counts)
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert set(got) == {u for u, _ in top}
+    for rank, (u, n) in enumerate(top, 1):
+        r = got[u]
+        assert (r["n_rows"], r["rnk"]) == (n, rank)
+        assert r["share_bp"] == n * 10000 // total
+        assert r["x_mean_pct"] == n * nk * 100 // total
