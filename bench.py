@@ -80,6 +80,7 @@ EXTRA = [
     "x_lsh_blocking_eval",
     "x_skew_diagnosis",
     "x_zorder_layout",
+    "x_anomaly_windows",
 ]
 
 

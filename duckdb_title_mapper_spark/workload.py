@@ -4958,6 +4958,51 @@ def x_zorder_layout(spark, sf_dir):
     return spark.sql(_zorder_layout_sql(True))
 
 
+def _anomaly_windows_sql(spark_dialect: bool) -> str:
+    """Volume-anomaly detection over hourly event windows: flag hours
+    whose count deviates >3 sigma from that event_type's own
+    across-hours distribution.  The z-test is the INTEGER inequality
+    (x*K - S)^2 > 9*(K*Q - S^2) (z^2 > 9 with mean S/K and population
+    variance (K*Q - S^2)/K^2 cleared of denominators), so membership is
+    engine-exact with no doubles anywhere.  Overflow bound: S^2 needs
+    S < 3e9 windowed rows per type (far beyond the declared workload;
+    at larger scale lift S,Q into DECIMAL(38,0) — documented, not
+    needed here).  Plan: one (type, hour) count partial-agg, one
+    type-level moment aggregate (broadcast side), one joined filter —
+    the monitoring pass a pipeline runs per ingest batch."""
+    if spark_dialect:
+        hour = "CAST(date_trunc('hour', ts) AS BIGINT)"
+    else:
+        hour = "CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)"
+    return f"""WITH w AS (
+      SELECT event_type, {hour} AS hour_s, count(*) AS n
+      FROM events GROUP BY event_type, {hour}),
+    mom AS (SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(n) AS BIGINT) AS s,
+                   CAST(sum(n * n) AS BIGINT) AS q
+            FROM w GROUP BY event_type)
+    SELECT w.event_type, hour_s, CAST(n AS BIGINT) AS n,
+           k AS n_windows, s AS total_rows,
+           CAST(CASE WHEN (n * k - s) * (n * k - s) > 9 * (k * q - s * s)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM w JOIN mom ON w.event_type = mom.event_type
+    WHERE (n * k - s) * (n * k - s) > 4 * (k * q - s * s)"""
+
+
+@_q(
+    "x_anomaly_windows",
+    _anomaly_windows_sql(False),
+    "Hourly volume-anomaly report per event_type: emits every window "
+    "beyond 2 sigma with a 3-sigma flag, both decided by the "
+    "denominator-cleared integer inequality (x*K-S)^2 > c*(K*Q-S^2) — "
+    "no doubles, so membership and flag are engine-exact.",
+)
+def x_anomaly_windows(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_anomaly_windows_sql(True))
+
+
 # ---------------------------------------------------------------------------
 # Integer-exact graded twins (round 4).
 #

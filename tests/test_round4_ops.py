@@ -517,3 +517,49 @@ def test_skew_diagnosis_semantics(spark):
         assert (r["n_rows"], r["rnk"]) == (n, rank)
         assert r["share_bp"] == n * 10000 // total
         assert r["x_mean_pct"] == n * nk * 100 // total
+
+
+def test_anomaly_windows_semantics(spark):
+    """Recompute hourly counts and the cleared-denominator z-tests in
+    pure Python integers; membership (2 sigma) and flag (3 sigma) must
+    match exactly."""
+    from collections import Counter
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    got = {
+        (r.event_type, r.hour_s): r.asDict()
+        for r in all_queries()["x_anomaly_windows"].spark_fn(spark, SF_DIR).collect()
+    }
+
+    rows = duckdb.sql(
+        f"""SELECT event_type,
+                   CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+            FROM '{SF_DIR}/events.parquet'"""
+    ).fetchall()
+    counts = Counter(rows)
+    by_type = {}
+    for (et, h), n in counts.items():
+        by_type.setdefault(et, []).append(n)
+
+    expect = {}
+    for (et, h), n in counts.items():
+        ns = by_type[et]
+        k, s, q = len(ns), sum(ns), sum(x * x for x in ns)
+        dev2 = (n * k - s) ** 2
+        var_num = k * q - s * s
+        if dev2 > 4 * var_num:
+            expect[(et, h)] = {
+                "n": n,
+                "n_windows": k,
+                "total_rows": s,
+                "is_anomaly": int(dev2 > 9 * var_num),
+            }
+    assert set(got) == set(expect)
+    assert expect, "corpus must produce 2-sigma outliers"
+    for key, e in expect.items():
+        r = got[key]
+        for f, v in e.items():
+            assert r[f] == v, (key, f)
