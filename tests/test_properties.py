@@ -87,3 +87,52 @@ def test_range_join_count_matches_python_oracle(spark, probes, builds, band):
     for pid, k, pt in probe_rows:
         n = sum(1 for bk, bt in brows if bk == k and pt - band < bt <= pt)
         assert got.get(pid, 0) == n, (pid, got.get(pid), n)
+
+
+TOKENS = st.lists(
+    st.sampled_from(["alpha", "beta", "g4mm4", "x", "delta", "ee"]),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(tokens=TOKENS)
+@_SETTINGS
+def test_gopher_rules_sql_matches_python(spark, tokens):
+    """The Gopher-verdict SQL against a generated document must agree
+    with an independent Python recompute on every stat and the
+    integerized pass flag — including empty/one-token edge docs the
+    parquet corpus never produces."""
+    import re
+    from collections import Counter
+
+    from duckdb_title_mapper_spark.workload import _gopher_rules_sql
+
+    text = " ".join(tokens)
+    spark.createDataFrame(
+        [(1, text)], "doc_id BIGINT, text STRING"
+    ).createOrReplaceTempView("documents")
+    try:
+        [r] = spark.sql(_gopher_rules_sql(True)).collect()
+    finally:
+        spark.catalog.dropTempView("documents")
+
+    toks = re.findall(r"\w+", text.lower())
+    wc = len(toks)
+    cs = sum(len(t) for t in toks)
+    alpha = sum(1 for t in toks if re.fullmatch(r"[a-z]+", t))
+    bigrams = Counter(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    top = max(bigrams.values()) if bigrams else None
+    nb = sum(bigrams.values()) if bigrams else None
+
+    assert r.word_count == wc
+    assert r.mean_word_len == (cs / wc if wc else None)
+    assert r.alpha_frac == (alpha / wc if wc else None)
+    assert r.top_bigram_frac == (top / nb if nb else None)
+    assert r.passes_gopher == int(
+        50 <= wc <= 100000
+        and 3 * wc <= cs <= 10 * wc
+        and 5 * alpha >= 4 * wc
+        and nb is not None
+        and 5 * top <= nb
+    )
