@@ -81,6 +81,7 @@ EXTRA = [
     "x_skew_diagnosis",
     "x_zorder_layout",
     "x_anomaly_windows",
+    "stream_anomaly_baseline",
 ]
 
 

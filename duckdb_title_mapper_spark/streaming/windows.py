@@ -379,3 +379,61 @@ def run_to_memory_rocksdb(streaming_df, mode: str = "append",
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def anomaly_baseline_stream(spark, sf_dir: str, window: str = "1 hour",
+                            watermark: str = "2 hours"):
+    """Online volume-anomaly monitoring with a batch-trained baseline:
+    per-event_type hourly moments (K windows, sum S, sumsq Q) come from
+    the BATCH history; the live stream's tumbling counts broadcast-join
+    that tiny baseline and every window beyond 2 sigma is emitted with
+    a 3-sigma flag — the integer inequality (n*K - S)^2 > c*(K*Q - S^2)
+    from the batch twin (x_anomaly_windows), so flags are engine-exact.
+
+    Scale shape: the baseline is type-cardinality-sized and ships once
+    per executor (broadcast, no stream-side shuffle beyond the windowed
+    count's own state); monitoring adds nothing that grows with the
+    firehose."""
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_events
+
+    hist = load_events(spark, sf_dir)
+    per_window = (
+        hist.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+    )
+    baseline = per_window.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("q"),
+    )
+
+    windows = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "event_type",
+            F.unix_timestamp("window.start").alias("hour_s"),
+            "n",
+        )
+    )
+    dev2 = (F.col("n") * F.col("k") - F.col("s")) * (
+        F.col("n") * F.col("k") - F.col("s")
+    )
+    var_num = F.col("k") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        windows.join(F.broadcast(baseline), "event_type")
+        .where(dev2 > 4 * var_num)
+        .select(
+            "event_type",
+            "hour_s",
+            "n",
+            F.col("k").alias("n_windows"),
+            F.col("s").alias("total_rows"),
+            F.when(dev2 > 9 * var_num, 1).otherwise(0).cast("long")
+            .alias("is_anomaly"),
+        )
+    )

@@ -5003,6 +5003,23 @@ def x_anomaly_windows(spark, sf_dir):
     return spark.sql(_anomaly_windows_sql(True))
 
 
+@_q(
+    "stream_anomaly_baseline",
+    _anomaly_windows_sql(False),
+    "Structured Streaming: online volume-anomaly monitoring — tumbling "
+    "hourly counts per event_type broadcast-joined to the batch-trained "
+    "moment baseline, every >2-sigma window emitted with the integer "
+    "3-sigma flag.  Oracle is the batch twin (x_anomaly_windows) since "
+    "the stream replays the same history the baseline was fit on.",
+)
+def stream_anomaly_baseline(spark, sf_dir):
+    from .streaming import run_to_memory
+    from .streaming.windows import anomaly_baseline_stream
+
+    return run_to_memory(anomaly_baseline_stream(spark, sf_dir))
+
+
+
 # ---------------------------------------------------------------------------
 # Integer-exact graded twins (round 4).
 #

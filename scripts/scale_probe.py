@@ -47,7 +47,7 @@ EXTRA = [
     "x_semantic_dedup", "x_bm25_topk", "x_winnow_fingerprints",
     "x_gopher_rules", "x_tokenizer_fertility", "stream_content_dedup",
     "x_hybrid_rrf", "x_lm_perplexity_filter", "x_lsh_blocking_eval",
-    "x_skew_diagnosis", "x_zorder_layout", "x_anomaly_windows",
+    "x_skew_diagnosis", "x_zorder_layout", "x_anomaly_windows", "stream_anomaly_baseline",
 ]
 
 

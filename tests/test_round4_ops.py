@@ -563,3 +563,20 @@ def test_anomaly_windows_semantics(spark):
         r = got[key]
         for f, v in e.items():
             assert r[f] == v, (key, f)
+
+
+def test_stream_anomaly_equals_batch_twin(spark):
+    """The streaming monitor replaying the history must emit exactly the
+    batch twin's rows (same windows, counts, and flags)."""
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    qs = core_queries()
+    batch = {
+        (r.event_type, r.hour_s): (r.n, r.n_windows, r.total_rows, r.is_anomaly)
+        for r in qs["x_anomaly_windows"].spark_fn(spark, SF_DIR).collect()
+    }
+    stream = {
+        (r.event_type, r.hour_s): (r.n, r.n_windows, r.total_rows, r.is_anomaly)
+        for r in qs["stream_anomaly_baseline"].spark_fn(spark, SF_DIR).collect()
+    }
+    assert stream == batch and batch
