@@ -82,6 +82,7 @@ EXTRA = [
     "x_zorder_layout",
     "x_anomaly_windows",
     "stream_anomaly_baseline",
+    "x_join_size_forecast",
 ]
 
 

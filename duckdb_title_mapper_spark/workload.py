@@ -5019,6 +5019,50 @@ def stream_anomaly_baseline(spark, sf_dir):
     return run_to_memory(anomaly_baseline_stream(spark, sf_dir))
 
 
+def _join_forecast_sql(spark_dialect: bool, k: int = 10) -> str:
+    """Pre-join cardinality forecast for events JOIN customer on
+    (user_id = c_custkey): the EXACT output size sum_k(n_left_k *
+    n_right_k) from per-side key histograms, with the top-k contributing
+    keys — the planner diagnostic that, with x_skew_diagnosis, decides
+    shuffle strategy and memory sizing BEFORE running a 100 TB join.
+    Cost: one count aggregate per side (key-cardinality-sized outputs)
+    joined on key — never the join itself."""
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH l AS (SELECT user_id AS k, count(*) AS nl
+               FROM events GROUP BY user_id),
+    r AS (SELECT c_custkey AS k, count(*) AS nr
+          FROM customer GROUP BY c_custkey),
+    m AS (SELECT l.k AS k, CAST(nl AS BIGINT) AS n_left,
+                 CAST(nr AS BIGINT) AS n_right,
+                 CAST(nl AS BIGINT) * CAST(nr AS BIGINT) AS contrib
+          FROM l JOIN r ON l.k = r.k),
+    tot AS (SELECT CAST(sum(contrib) AS BIGINT) AS total_rows,
+                   CAST(count(*) AS BIGINT) AS n_matching_keys
+            FROM m),
+    ranked AS (SELECT k, n_left, n_right, contrib,
+                      CAST(row_number() OVER (ORDER BY contrib DESC, k)
+                           AS BIGINT) AS rnk
+               FROM m)
+    SELECT k AS join_key, n_left, n_right, contrib, rnk,
+           total_rows, n_matching_keys,
+           (contrib * 10000) {idiv} total_rows AS contrib_bp
+    FROM ranked CROSS JOIN tot
+    WHERE rnk <= {k}"""
+
+
+@_q(
+    "x_join_size_forecast",
+    _join_forecast_sql(False),
+    "Exact join-size forecast from per-side key histograms (sum of "
+    "per-key count products) with the top-10 contributing keys in basis "
+    "points — the pre-run diagnostic for shuffle strategy and memory "
+    "sizing; never executes the joined rows themselves.",
+)
+def x_join_size_forecast(spark, sf_dir):
+    register_views(spark, sf_dir, "events", "customer")
+    return spark.sql(_join_forecast_sql(True))
+
+
 
 # ---------------------------------------------------------------------------
 # Integer-exact graded twins (round 4).

@@ -580,3 +580,48 @@ def test_stream_anomaly_equals_batch_twin(spark):
         for r in qs["stream_anomaly_baseline"].spark_fn(spark, SF_DIR).collect()
     }
     assert stream == batch and batch
+
+
+def test_join_size_forecast_matches_actual_join(spark):
+    """The forecast's total must equal the ACTUAL inner-join row count,
+    and per-key contributions must match Counter products."""
+    from collections import Counter
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_join_size_forecast"].spark_fn(spark, SF_DIR).collect()
+    got = {r.join_key: r.asDict() for r in rows}
+
+    con = duckdb.connect()
+    left = Counter(
+        u for (u,) in con.execute(
+            f"SELECT user_id FROM '{SF_DIR}/events.parquet'"
+        ).fetchall()
+    )
+    right = Counter(
+        c for (c,) in con.execute(
+            f"SELECT c_custkey FROM '{SF_DIR}/customer.parquet'"
+        ).fetchall()
+    )
+    contrib = {
+        k: left[k] * right[k] for k in left.keys() & right.keys()
+    }
+    total = sum(contrib.values())
+    actual = con.execute(
+        f"""SELECT count(*) FROM '{SF_DIR}/events.parquet' e
+            JOIN '{SF_DIR}/customer.parquet' c ON e.user_id = c.c_custkey"""
+    ).fetchone()[0]
+    assert total == actual and total > 0
+
+    top = sorted(contrib.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert set(got) == {k for k, _ in top}
+    for rank, (k, cb) in enumerate(top, 1):
+        r = got[k]
+        assert (r["n_left"], r["n_right"], r["contrib"], r["rnk"]) == (
+            left[k], right[k], cb, rank,
+        )
+        assert r["total_rows"] == total
+        assert r["n_matching_keys"] == len(contrib)
+        assert r["contrib_bp"] == cb * 10000 // total
