@@ -4777,7 +4777,30 @@ def x_lm_perplexity_filter(spark, sf_dir):
     return spark.sql(_lm_ppl_sql(True))
 
 
-def _lsh_blocking_eval_sql(spark_dialect: bool) -> str:
+def _lsh_sh_sql(spark_dialect: bool) -> str:
+    """The distinct (doc_id, 8-word-shingle) relation — the one
+    corpus-width pass everything else derives from.  The Spark query
+    materializes it ONCE (plans/materialize) because Spark inlines CTEs
+    per consumer and this relation feeds sizes, signatures, and the
+    truth self-join (the inlined form re-scanned the corpus repeatedly
+    — a 31-shuffle plan, caught by the r4 plan audit); DuckDB
+    materializes CTEs on its own."""
+    if spark_dialect:
+        toks = r"regexp_extract_all(lower(text), '\\w+', 0)"
+        return ("SELECT DISTINCT doc_id, concat_ws(' ', slice(ts, g, 8))"
+                " AS g8 FROM (SELECT doc_id, ts,"
+                " explode(sequence(1, size(ts) - 7)) AS g"
+                f" FROM (SELECT doc_id, {toks} AS ts FROM documents) tk"
+                " WHERE size(ts) >= 8) t")
+    toks = r"regexp_extract_all(lower(text), '\w+')"
+    return ("SELECT DISTINCT doc_id, array_to_string(ts[g:g+7], ' ') AS g8"
+            " FROM (SELECT doc_id, ts,"
+            " unnest(generate_series(1, len(ts) - 7)) AS g"
+            f" FROM (SELECT doc_id, {toks} AS ts FROM documents) tk"
+            " WHERE len(ts) >= 8) t")
+
+
+def _lsh_eval_tail_sql(spark_dialect: bool, sh_rel: str) -> str:
     """Blocking-quality evaluation of shingle-MinHash LSH (the standard
     entity-resolution metrics, Christen 2012): pair completeness
     (recall of true near-dup pairs among LSH candidates) and reduction
@@ -4790,33 +4813,20 @@ def _lsh_blocking_eval_sql(spark_dialect: bool) -> str:
     generation is an equi-join on shared shingles (sparse by
     construction — unrelated docs share no 8-word shingle), NOT
     all-pairs; candidates come from 4 single-hash minhash bands via a
-    (band, hash) bucket join.  At 100 TB the truth side runs on a
-    sampled slice (it is a metrics probe, not a pipeline stage); the
-    candidate side is the production plan being measured."""
-    if spark_dialect:
-        toks = r"regexp_extract_all(lower(text), '\\w+', 0)"
-        g8 = ("SELECT DISTINCT doc_id, concat_ws(' ', slice(ts, g, 8)) AS g8"
-              " FROM (SELECT doc_id, ts,"
-              " explode(sequence(1, size(ts) - 7)) AS g"
-              " FROM toks WHERE size(ts) >= 8) t")
-        idiv = "div"
-    else:
-        toks = r"regexp_extract_all(lower(text), '\w+')"
-        g8 = ("SELECT DISTINCT doc_id, array_to_string(ts[g:g+7], ' ') AS g8"
-              " FROM (SELECT doc_id, ts,"
-              " unnest(generate_series(1, len(ts) - 7)) AS g"
-              " FROM toks WHERE len(ts) >= 8) t")
-        idiv = "//"
-    return f"""WITH toks AS (
-      SELECT doc_id, {toks} AS ts FROM documents),
-    sh AS ({g8}),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    (band, hash) bucket join.  All three pair counts come from ONE
+    full-outer join of the truth and candidate pair sets (single pass,
+    no scalar-subquery re-computation).  At 100 TB the truth side runs
+    on a sampled slice (it is a metrics probe, not a pipeline stage);
+    the candidate side is the production plan being measured."""
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH sizes AS (
+      SELECT doc_id, count(*) AS sz FROM {sh_rel} GROUP BY doc_id),
     sigs AS (SELECT doc_id,
                     min(md5(concat('0:', g8))) AS h0,
                     min(md5(concat('1:', g8))) AS h1,
                     min(md5(concat('2:', g8))) AS h2,
                     min(md5(concat('3:', g8))) AS h3
-             FROM sh GROUP BY doc_id),
+             FROM {sh_rel} GROUP BY doc_id),
     bands AS (
       SELECT doc_id, 0 AS band, h0 AS h FROM sigs UNION ALL
       SELECT doc_id, 1 AS band, h1 AS h FROM sigs UNION ALL
@@ -4826,7 +4836,7 @@ def _lsh_blocking_eval_sql(spark_dialect: bool) -> str:
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
     inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-              FROM sh a JOIN sh b
+              FROM {sh_rel} a JOIN {sh_rel} b
                 ON a.g8 = b.g8 AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id),
     truth AS (SELECT da, db
@@ -4834,11 +4844,17 @@ def _lsh_blocking_eval_sql(spark_dialect: bool) -> str:
               JOIN sizes sa ON sa.doc_id = da
               JOIN sizes sb ON sb.doc_id = db
               WHERE 3 * i >= sa.sz + sb.sz),
-    m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-    mc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
-    mt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
-    mg AS (SELECT CAST(count(*) AS BIGINT) AS n_caught
-           FROM truth t JOIN cand c ON t.da = c.da AND t.db = c.db)
+    pairs AS (SELECT CASE WHEN t.da IS NOT NULL THEN 1 ELSE 0 END
+                       AS is_true,
+                     CASE WHEN c.da IS NOT NULL THEN 1 ELSE 0 END
+                       AS is_cand
+              FROM truth t FULL OUTER JOIN cand c
+                ON t.da = c.da AND t.db = c.db),
+    agg AS (SELECT CAST(sum(is_cand) AS BIGINT) AS n_candidates,
+                   CAST(sum(is_true) AS BIGINT) AS n_true,
+                   CAST(sum(is_true * is_cand) AS BIGINT) AS n_caught
+            FROM pairs),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
     SELECT n_docs,
            (n_docs * (n_docs - 1)) {idiv} 2 AS n_possible_pairs,
            n_candidates, n_true, n_caught,
@@ -4846,7 +4862,14 @@ def _lsh_blocking_eval_sql(spark_dialect: bool) -> str:
              AS pair_completeness,
            CAST(1 AS DOUBLE) - CAST(n_candidates AS DOUBLE)
              / ((n_docs * (n_docs - 1)) {idiv} 2) AS reduction_ratio
-    FROM m CROSS JOIN mc CROSS JOIN mt CROSS JOIN mg"""
+    FROM m CROSS JOIN agg"""
+
+
+def _lsh_blocking_eval_sql(spark_dialect: bool) -> str:
+    tail = _lsh_eval_tail_sql(spark_dialect, "sh")
+    assert tail.startswith("WITH ")
+    return (f"WITH sh AS ({_lsh_sh_sql(spark_dialect)}),\n"
+            + tail[len("WITH "):])
 
 
 @_q(
@@ -4858,8 +4881,12 @@ def _lsh_blocking_eval_sql(spark_dialect: bool) -> str:
     "banded bucket-join candidates).",
 )
 def x_lsh_blocking_eval(spark, sf_dir):
+    from .plans.materialize import materialize
+
     register_views(spark, sf_dir, "documents")
-    return spark.sql(_lsh_blocking_eval_sql(True))
+    sh = materialize(spark.sql(_lsh_sh_sql(True)))
+    sh.createOrReplaceTempView("__lsh_sh")
+    return spark.sql(_lsh_eval_tail_sql(True, "__lsh_sh"))
 
 
 def _skew_diagnosis_sql(spark_dialect: bool, k: int = 10) -> str:

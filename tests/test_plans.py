@@ -223,3 +223,16 @@ def test_gopher_and_fertility_plan_shapes(spark):
     gop = qs["x_gopher_rules"].spark_fn(spark, SF)
     assert shuffle_count(gop) <= 3, explain_str(gop)[:500]
     assert all(set(s) <= {"doc_id", "text"} for s in read_schema_columns(gop))
+
+
+def test_lsh_blocking_eval_single_corpus_pass(spark):
+    """The blocking-eval metrics tail must run over the MATERIALIZED
+    shingle relation — the inlined form re-scanned the corpus per
+    scalar metric (31 shuffles, r4 audit); the single-pass form stays
+    within budget and scans no parquet in the tail."""
+    from duckdb_title_mapper_spark.plans import explain_str, shuffle_count
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    df = core_queries()["x_lsh_blocking_eval"].spark_fn(spark, SF)
+    n = shuffle_count(df)
+    assert n <= 14, explain_str(df)[:500]
