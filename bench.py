@@ -83,6 +83,7 @@ EXTRA = [
     "x_anomaly_windows",
     "stream_anomaly_baseline",
     "x_join_size_forecast",
+    "src_python_stream_source",
 ]
 
 

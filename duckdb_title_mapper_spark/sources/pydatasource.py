@@ -121,6 +121,44 @@ def register_synthetic_source(spark):
         def reader(self, schema):
             return SyntheticEventsReader(self.options)
 
+        def simpleStreamReader(self, schema):
+            return SyntheticEventsStreamReader(self.options)
+
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+        """Streaming face of the same deterministic generator (Spark 4
+        Python Data Source streaming API): offset = {"k": next_row};
+        each micro-batch emits up to ``batch`` rows until the ``n`` cap,
+        then reports no progress so availableNow / processAllAvailable
+        terminates.  The simple reader runs driver-side by design (the
+        prefetch-and-replay contract); the partitioned batch reader
+        above is the cluster-width path — this one exists to certify
+        exactly-once offset/commit semantics with a replayable source
+        (readBetweenOffsets re-derives any range from pure integer
+        arithmetic, so replay after failure is bit-identical)."""
+
+        def __init__(self, options):
+            self.n = int(options.get("n", "10000"))
+            self.batch = int(options.get("batch", "1000"))
+
+        def initialOffset(self):
+            return {"k": 0}
+
+        def _rows(self, lo, hi):
+            # a picklable ITERATOR: the prefetch path calls next() on
+            # it directly while replay pickles it — a list_iterator
+            # satisfies both (a bare list or generator fails one each)
+            return iter([synth_row(k) for k in range(lo, hi)])
+
+        def read(self, start):
+            lo = start["k"]
+            hi = min(lo + self.batch, self.n)
+            return self._rows(lo, hi), {"k": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["k"], end["k"])
+
     spark.dataSource.register(SyntheticEventsSource)
     spark._dtm_synth_source_registered = True
     return spark

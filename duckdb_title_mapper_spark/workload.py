@@ -3822,6 +3822,63 @@ def _install_synth_oracle():
 _install_synth_oracle()
 
 
+@_q(
+    "src_python_stream_source",
+    None,  # assembled below (same generator oracle twin, streamed)
+    "",
+)
+def src_python_stream_source(spark, sf_dir):
+    """The Spark 4 Python Data Source STREAMING API
+    (SimpleDataSourceStreamReader): the same deterministic generator
+    consumed as a micro-batch stream with offset tracking — each batch
+    advances {"k": next_row}, replay re-derives any offset range from
+    pure integer arithmetic (exactly-once by construction).  Drained
+    with processAllAvailable (the simple reader's availableNow capture
+    stops at the first prefetched batch), then aggregated per
+    event_type so the oracle is the generator's generate_series twin."""
+    from pyspark.sql import functions as F
+
+    from .sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    sdf = (
+        spark.readStream.format("synthetic_events")
+        .option("n", str(_SYNTH_N))
+        .option("batch", str(max(1, _SYNTH_N // 5)))
+        .load()
+    )
+    name = "__synth_stream_sink"
+    q = (
+        sdf.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value_millis").alias("sum_millis"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+        )
+    )
+
+
+def _install_synth_stream_oracle():
+    base = _REGISTRY["src_python_datasource"]
+    q = _REGISTRY["src_python_stream_source"]
+    _REGISTRY["src_python_stream_source"] = Query(
+        q.name, q.spark_fn, base.oracle, q.doc or q.spark_fn.__doc__
+    )
+
+
+_install_synth_stream_oracle()
+
+
 _BAD_CSV_LINES = [
     "id,qty,tag",          # header
     "1,10,alpha",

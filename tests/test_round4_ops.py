@@ -625,3 +625,23 @@ def test_join_size_forecast_matches_actual_join(spark):
         assert r["total_rows"] == total
         assert r["n_matching_keys"] == len(contrib)
         assert r["contrib_bp"] == cb * 10000 // total
+
+
+def test_python_stream_source_equals_batch_source(spark):
+    """The streaming face of the synthetic datasource must aggregate to
+    exactly the batch reader's result (same generator, offset-tracked
+    micro-batches instead of planned partitions)."""
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    qs = all_queries()
+    batch = {
+        r.event_type: (r.n_events, r.sum_millis, r.min_user, r.max_user)
+        for r in qs["src_python_datasource"].spark_fn(spark, SF_DIR).collect()
+    }
+    stream = {
+        r.event_type: (r.n_events, r.sum_millis, r.min_user, r.max_user)
+        for r in qs["src_python_stream_source"]
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    }
+    assert stream == batch and len(batch) == 4
