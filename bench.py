@@ -84,6 +84,7 @@ EXTRA = [
     "stream_anomaly_baseline",
     "x_join_size_forecast",
     "src_python_stream_source",
+    "src_python_stream_partitioned",
 ]
 
 

@@ -124,7 +124,10 @@ def register_synthetic_source(spark):
         def simpleStreamReader(self, schema):
             return SyntheticEventsStreamReader(self.options)
 
-    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+    from pyspark.sql.datasource import (
+        DataSourceStreamReader,
+        SimpleDataSourceStreamReader,
+    )
 
     class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
         """Streaming face of the same deterministic generator (Spark 4
@@ -159,6 +162,83 @@ def register_synthetic_source(spark):
         def readBetweenOffsets(self, start, end):
             return self._rows(start["k"], end["k"])
 
+    class SyntheticEventsPartitionedStreamReader(DataSourceStreamReader):
+        """Cluster-scale streaming face (Spark 4 partitioned streaming
+        Python Data Source): the driver only advances the offset
+        ({"k": next_row}, ``batch`` rows per trigger up to ``n``);
+        ``partitions(start, end)`` splits each micro-batch's offset
+        range into ``parts`` stripes and WORKERS generate their stripe
+        as one Arrow RecordBatch (same vectorized kernel as the batch
+        reader).  This is the shape that generates a 100 TB firehose:
+        driver state is two integers, per-trigger work fans out to
+        cluster width, and replaying any committed range is pure
+        arithmetic."""
+
+        def __init__(self, options):
+            self.n = int(options.get("n", "10000"))
+            self.batch = int(options.get("batch", "1000"))
+            self.parts = int(options.get("parts", "4"))
+
+        def initialOffset(self):
+            return {"k": 0}
+
+        def latestOffset(self):
+            # advance one batch per trigger; freeze at the cap
+            cur = getattr(self, "_cur", 0)
+            self._cur = min(cur + self.batch, self.n)
+            return {"k": self._cur}
+
+        def partitions(self, start, end):
+            lo, hi = start["k"], end["k"]
+            step = max(1, -(-(hi - lo) // self.parts))
+            return [
+                InputPartition((lo + i * step, min(lo + (i + 1) * step, hi)))
+                for i in range(self.parts)
+                if lo + i * step < hi
+            ]
+
+        def read(self, partition):
+            import numpy as np
+            import pyarrow as pa
+
+            lo, hi = partition.value
+            k = np.arange(lo, hi, dtype=np.int64)
+            millis = (k * 1103515245 + 12345) % 1000000
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(k, pa.int64()),
+                    pa.array((k * 2654435761) % 10007, pa.int64()),
+                    pa.array(
+                        np.asarray(EVENT_TYPES, dtype=object)[k % 4],
+                        pa.string(),
+                    ),
+                    pa.array(millis, pa.int64()),
+                    pa.array(millis / 1000.0, pa.float64()),
+                ],
+                names=[
+                    "event_seq", "user_id", "event_type",
+                    "value_millis", "value",
+                ],
+            )
+
+        def commit(self, end):
+            pass
+
+    class SyntheticEventsPartitionedSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_events_pstream"
+
+        def schema(self):
+            return SYNTH_SCHEMA
+
+        def reader(self, schema):
+            return SyntheticEventsReader(self.options)
+
+        def streamReader(self, schema):
+            return SyntheticEventsPartitionedStreamReader(self.options)
+
     spark.dataSource.register(SyntheticEventsSource)
+    spark.dataSource.register(SyntheticEventsPartitionedSource)
     spark._dtm_synth_source_registered = True
     return spark

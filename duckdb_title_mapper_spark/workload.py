@@ -3879,6 +3879,62 @@ def _install_synth_stream_oracle():
 _install_synth_stream_oracle()
 
 
+@_q(
+    "src_python_stream_partitioned",
+    None,  # assembled below (same generator oracle twin)
+    "",
+)
+def src_python_stream_partitioned(spark, sf_dir):
+    """The PARTITIONED Spark 4 streaming Python Data Source
+    (DataSourceStreamReader): the driver only advances the
+    {"k": next_row} offset; partitions(start, end) splits each
+    micro-batch range into worker stripes generated as Arrow
+    RecordBatches — the cluster-width streaming generator (the simple
+    reader above is the driver-side certification twin)."""
+    from pyspark.sql import functions as F
+
+    from .sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    sdf = (
+        spark.readStream.format("synthetic_events_pstream")
+        .option("n", str(_SYNTH_N))
+        .option("batch", str(max(1, _SYNTH_N // 4)))
+        .option("parts", "8")
+        .load()
+    )
+    name = "__synth_pstream_sink"
+    q = (
+        sdf.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value_millis").alias("sum_millis"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+        )
+    )
+
+
+def _install_synth_pstream_oracle():
+    base = _REGISTRY["src_python_datasource"]
+    q = _REGISTRY["src_python_stream_partitioned"]
+    _REGISTRY["src_python_stream_partitioned"] = Query(
+        q.name, q.spark_fn, base.oracle, q.doc or q.spark_fn.__doc__
+    )
+
+
+_install_synth_pstream_oracle()
+
+
 _BAD_CSV_LINES = [
     "id,qty,tag",          # header
     "1,10,alpha",

@@ -645,3 +645,23 @@ def test_python_stream_source_equals_batch_source(spark):
         .collect()
     }
     assert stream == batch and len(batch) == 4
+
+
+def test_partitioned_stream_source_equals_batch(spark):
+    """The partitioned streaming reader (worker-side Arrow stripes,
+    driver-side offset only) must aggregate to exactly the batch
+    reader's result."""
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    qs = all_queries()
+    batch = {
+        r.event_type: (r.n_events, r.sum_millis, r.min_user, r.max_user)
+        for r in qs["src_python_datasource"].spark_fn(spark, SF_DIR).collect()
+    }
+    stream = {
+        r.event_type: (r.n_events, r.sum_millis, r.min_user, r.max_user)
+        for r in qs["src_python_stream_partitioned"]
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    }
+    assert stream == batch and len(batch) == 4
