@@ -85,6 +85,7 @@ EXTRA = [
     "x_join_size_forecast",
     "src_python_stream_source",
     "src_python_stream_partitioned",
+    "x_kmv_sketch",
 ]
 
 

@@ -49,7 +49,7 @@ EXTRA = [
     "x_hybrid_rrf", "x_lm_perplexity_filter", "x_lsh_blocking_eval",
     "x_skew_diagnosis", "x_zorder_layout", "x_anomaly_windows", "stream_anomaly_baseline",
     "x_join_size_forecast", "src_python_stream_source",
-    "src_python_stream_partitioned",
+    "src_python_stream_partitioned", "x_kmv_sketch",
 ]
 
 

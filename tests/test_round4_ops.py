@@ -665,3 +665,36 @@ def test_partitioned_stream_source_equals_batch(spark):
         .collect()
     }
     assert stream == batch and len(batch) == 4
+
+
+def test_kmv_sketch_semantics(spark):
+    """KMV recomputed in pure Python: bottom-64 hash set, the
+    (k-1)*2^32//h_k estimator, and the error report must match
+    exactly; the estimate must also land within the sketch's
+    theoretical ~4/sqrt(k) band for this corpus."""
+    import hashlib
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    [r] = all_queries()["x_kmv_sketch"].spark_fn(spark, SF_DIR).collect()
+
+    texts = {
+        t
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    }
+    hashes = sorted(
+        {int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in texts}
+    )
+    k = 64
+    kth = hashes[k - 1]
+    est = (k - 1) * 4294967296 // kth
+    true = len(hashes)
+    assert (r.k, r.kth_hash, r.est_distinct, r.true_distinct) == (
+        k, kth, est, true,
+    )
+    assert r.err_bp == abs(est - true) * 10000 // true
+    assert abs(est - true) <= true // 2  # sanity: within 50% at k=64
