@@ -698,3 +698,32 @@ def test_kmv_sketch_semantics(spark):
     )
     assert r.err_bp == abs(est - true) * 10000 // true
     assert abs(est - true) <= true // 2  # sanity: within 50% at k=64
+
+
+def test_kmv_sketch_is_mergeable():
+    """The scale claim behind KMV: merging per-shard bottom-k sets and
+    re-taking the bottom k gives EXACTLY the whole-corpus sketch (so a
+    cluster can sketch shards independently and combine) — pure-math
+    property pinned against the same hash pipeline the operator uses."""
+    import hashlib
+
+    import duckdb
+
+    texts = [
+        t
+        for (t,) in duckdb.sql(
+            f"SELECT DISTINCT text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    ]
+    k = 64
+
+    def h(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+
+    whole = sorted({h(t) for t in texts})[:k]
+    shard_sketches = [
+        sorted({h(t) for i, t in enumerate(texts) if i % 3 == r})[:k]
+        for r in range(3)
+    ]
+    merged = sorted(set().union(*shard_sketches))[:k]
+    assert merged == whole
