@@ -86,6 +86,8 @@ EXTRA = [
     "src_python_stream_source",
     "src_python_stream_partitioned",
     "x_kmv_sketch",
+    "x_funnel_steps",
+    "x_retention_cohorts",
 ]
 
 

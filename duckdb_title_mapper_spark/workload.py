@@ -5250,6 +5250,100 @@ def x_kmv_sketch(spark, sf_dir):
     return spark.sql(_kmv_sketch_sql(True))
 
 
+def _funnel_sql(spark_dialect: bool) -> str:
+    """Ordered 3-step funnel (view -> click -> purchase): per user, the
+    earliest view, the earliest click AFTER that view, the earliest
+    purchase AFTER that click; step counts + conversion in basis
+    points.  Strictly-ordered semantics (each step must follow the
+    previous step's chosen event), the standard product-analytics
+    definition.  Conversions use INTEGER division (`/` on integers
+    yields DOUBLE whose BIGINT cast rounds in DuckDB but truncates in
+    Spark — cross-engine trap).  Plan: three partial-aggregating
+    shuffles on user_id with pushed event_type filters, each join
+    user-keyed."""
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+    nv AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM v),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM c),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n3 FROM p)
+    SELECT n1 AS step1_view_users,
+           n2 AS step2_click_users,
+           n3 AS step3_purchase_users,
+           (n2 * 10000) {idiv} n1 AS conv12_bp,
+           (n3 * 10000) {idiv} n2 AS conv23_bp
+    FROM nv CROSS JOIN nc CROSS JOIN np"""
+
+
+@_q(
+    "x_funnel_steps",
+    _funnel_sql(False),
+    "Ordered view->click->purchase funnel: per-user earliest-event "
+    "chaining with strict AFTER semantics, step counts and conversion "
+    "rates in integer basis points.",
+)
+def x_funnel_steps(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_funnel_sql(True))
+
+
+def _retention_sql(spark_dialect: bool) -> str:
+    """Signup-cohort weekly retention: cohort = each user's first
+    'signup' week; a (cohort_week, week_offset) cell counts distinct
+    users from that cohort active offset weeks later — the standard
+    retention triangle.  Weeks are integer epoch-day/7 buckets so the
+    matrix is engine-exact; plan: one per-user min aggregate
+    (broadcastable: user-cardinality), one distinct-activity aggregate,
+    one co-keyed join."""
+    if spark_dialect:
+        week = "CAST(floor(unix_date(CAST(ts AS DATE)) / 7) AS BIGINT)"
+        idiv = "div"
+    else:
+        week = ("CAST(floor(date_diff('day', DATE '1970-01-01',"
+                " CAST(ts AS DATE)) / 7) AS BIGINT)")
+        idiv = "//"
+    return f"""WITH cohort AS (
+      SELECT user_id, min({week}) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, {week} AS active_week FROM events),
+    cells AS (
+      SELECT c.cohort_week, a.active_week - c.cohort_week AS week_offset,
+             count(DISTINCT a.user_id) AS n_active
+      FROM activity a JOIN cohort c ON a.user_id = c.user_id
+      WHERE a.active_week >= c.cohort_week
+      GROUP BY c.cohort_week, a.active_week - c.cohort_week),
+    sizes AS (SELECT cohort_week, count(*) AS cohort_size
+              FROM cohort GROUP BY cohort_week)
+    SELECT s.cohort_week, CAST(cohort_size AS BIGINT) AS cohort_size,
+           week_offset, CAST(n_active AS BIGINT) AS n_active,
+           (CAST(n_active AS BIGINT) * 10000) {idiv} cohort_size
+             AS retention_bp
+    FROM cells JOIN sizes s ON cells.cohort_week = s.cohort_week"""
+
+
+@_q(
+    "x_retention_cohorts",
+    _retention_sql(False),
+    "Signup-cohort weekly retention triangle: (cohort_week, "
+    "week_offset) cells with distinct-active counts and retention in "
+    "basis points; integer epoch-week buckets keep every cell "
+    "engine-exact.",
+)
+def x_retention_cohorts(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_retention_sql(True))
+
+
 
 # ---------------------------------------------------------------------------
 # Integer-exact graded twins (round 4).

@@ -50,6 +50,7 @@ EXTRA = [
     "x_skew_diagnosis", "x_zorder_layout", "x_anomaly_windows", "stream_anomaly_baseline",
     "x_join_size_forecast", "src_python_stream_source",
     "src_python_stream_partitioned", "x_kmv_sketch",
+    "x_funnel_steps", "x_retention_cohorts",
 ]
 
 

@@ -727,3 +727,84 @@ def test_kmv_sketch_is_mergeable():
     ]
     merged = sorted(set().union(*shard_sketches))[:k]
     assert merged == whole
+
+
+def test_funnel_steps_semantics(spark):
+    """Funnel recomputed in pure Python with strict-ordering semantics
+    (earliest view, earliest click after it, earliest purchase after
+    that); counts and bp conversions must match exactly."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    [r] = all_queries()["x_funnel_steps"].spark_fn(spark, SF_DIR).collect()
+
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type, ts FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    by_user = {}
+    for u, et, ts in rows:
+        by_user.setdefault(u, []).append((ts, et))
+
+    n1 = n2 = n3 = 0
+    for u, evs in by_user.items():
+        views = [t for t, e in evs if e == "view"]
+        if not views:
+            continue
+        n1 += 1
+        t1 = min(views)
+        clicks = [t for t, e in evs if e == "click" and t > t1]
+        if not clicks:
+            continue
+        n2 += 1
+        t2 = min(clicks)
+        if any(t > t2 for t, e in evs if e == "purchase"):
+            n3 += 1
+    assert (r.step1_view_users, r.step2_click_users,
+            r.step3_purchase_users) == (n1, n2, n3)
+    assert r.conv12_bp == n2 * 10000 // n1
+    assert r.conv23_bp == n3 * 10000 // n2
+    # sf0.001 has 15 users, all converting; the recompute equality
+    # above is the semantic check — just pin non-emptiness here
+    assert 0 < n3 <= n2 <= n1
+
+
+def test_retention_cohorts_semantics(spark):
+    """Retention triangle recomputed in pure Python from epoch-week
+    buckets; every cell (cohort, offset, active, bp) must match."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    got = {
+        (r.cohort_week, r.week_offset): (r.cohort_size, r.n_active,
+                                         r.retention_bp)
+        for r in all_queries()["x_retention_cohorts"]
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    }
+
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_type,
+                   CAST(floor(date_diff('day', DATE '1970-01-01',
+                        CAST(ts AS DATE)) / 7) AS BIGINT)
+            FROM '{SF_DIR}/events.parquet'"""
+    ).fetchall()
+    cohort = {}
+    for u, et, w in rows:
+        if et == "signup":
+            cohort[u] = min(cohort.get(u, w), w)
+    from collections import defaultdict
+
+    cells = defaultdict(set)
+    for u, et, w in rows:
+        if u in cohort and w >= cohort[u]:
+            cells[(cohort[u], w - cohort[u])].add(u)
+    sizes = defaultdict(int)
+    for u, cw in cohort.items():
+        sizes[cw] += 1
+    expect = {
+        (cw, off): (sizes[cw], len(us), len(us) * 10000 // sizes[cw])
+        for (cw, off), us in cells.items()
+    }
+    assert got == expect and len(expect) > 3
