@@ -5344,6 +5344,141 @@ def x_retention_cohorts(spark, sf_dir):
     return spark.sql(_retention_sql(True))
 
 
+def _markov_sql(spark_dialect: bool) -> str:
+    """First-order user-journey Markov chain: within each user's
+    event sequence (ordered by ts, event_id — the tiebreak makes the
+    successor function total and engine-exact), count (from_type ->
+    to_type) transitions and express each row's share of its from-state
+    in integer basis points.  The transition matrix is the input to
+    journey simulation / next-event prediction.  Plan: one user-keyed
+    window shuffle (lead), one partial-aggregating count shuffle; the
+    per-from totals relation is |event_type|^2-bounded and joins
+    broadcast.  State scales with type-pair cardinality, never rows."""
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    trans AS (
+      SELECT from_type, to_type, count(*) AS n_transitions
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type),
+    totals AS (
+      SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS n_from
+      FROM trans GROUP BY from_type)
+    SELECT t.from_type, t.to_type,
+           CAST(t.n_transitions AS BIGINT) AS n_transitions,
+           (CAST(t.n_transitions AS BIGINT) * 10000) {idiv} tt.n_from
+             AS prob_bp
+    FROM trans t JOIN totals tt ON t.from_type = tt.from_type"""
+
+
+@_q(
+    "x_markov_transitions",
+    _markov_sql(False),
+    "User-journey transition matrix: lead() successor per user "
+    "(ts,event_id total order), (from,to) counts and row-stochastic "
+    "probabilities in integer basis points.",
+)
+def x_markov_transitions(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_markov_sql(True))
+
+
+def _scd2_sql(spark_dialect: bool) -> str:
+    """SCD Type-2 dimension build (the warehouse-history operator a CDC
+    sink materializes): collapse each user's consecutive same-state runs
+    into versioned [valid_from, valid_to) intervals via gaps-and-islands
+    (lag-change marker + running sum), open interval flagged is_current.
+    The (ts, event_id) window tiebreak makes island boundaries
+    engine-exact; validity bounds are epoch-microsecond BIGINTs (the
+    repo's exact-timestamp convention — workload.py:1457).  Plan: ONE
+    user-keyed window shuffle reused by all window functions (same
+    partition+order key), then change rows only — no per-event output.
+    user_id < 200 bounds the certified manifest; the operator itself is
+    key-partitioned and linear in events."""
+    us = "unix_micros(ts)" if spark_dialect else "epoch_us(ts)"
+    return f"""WITH marked AS (
+      SELECT user_id, event_type, event_id, {us} AS ts_us,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY {us}, event_id)
+                       IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_change
+      FROM events),
+    versions AS (
+      SELECT user_id, event_type, ts_us AS valid_from_us,
+             CAST(sum(is_change) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS version
+      FROM marked WHERE is_change = 1)
+    SELECT user_id, event_type AS state, version, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY version) AS valid_to_us,
+           CAST(CASE WHEN lead(valid_from_us) OVER (PARTITION BY user_id
+                                                    ORDER BY version)
+                          IS NULL
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM versions
+    WHERE user_id < 200"""
+
+
+@_q(
+    "x_scd2_intervals",
+    _scd2_sql(False),
+    "SCD Type-2 validity intervals from the event stream: versioned "
+    "per-user state history with [valid_from_us, valid_to_us) epoch "
+    "bounds and an is_current flag; gaps-and-islands over one reused "
+    "user-keyed window shuffle.",
+)
+def x_scd2_intervals(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_scd2_sql(True))
+
+
+_shared(
+    "rel_pivot_status_priority",
+    """SELECT o_orderstatus,
+              count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+                AS n_urgent,
+              count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END)
+                AS n_high,
+              count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)
+                AS n_medium,
+              count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
+                AS n_not_specified,
+              count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END)
+                AS n_low,
+              count(*) AS n_total
+       FROM orders GROUP BY o_orderstatus""",
+    ("orders",),
+    "Pivot (long->wide) as conditional aggregation: order-priority "
+    "columns per order status.  Expressed as count(CASE ...) so the "
+    "text is shared-dialect and every cell is BIGINT in both engines "
+    "(DuckDB sum(int) would promote to HUGEINT); one partial-agg "
+    "shuffle, map-side combine — the scale-safe pivot (Spark's "
+    ".pivot() with known values compiles to exactly this plan).",
+)
+
+
+_shared(
+    "rel_cube_agg",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              count(*) AS n_orders
+       FROM orders
+       GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    ("orders",),
+    "CUBE multi-dimensional aggregate: all four grouping sets "
+    "(status x priority, status, priority, grand total) in one "
+    "pass.  Both engines expand CUBE to a grouping-set union with "
+    "partial aggregation; coalesce labels the rollup rows 'ALL' "
+    "(columns are non-null, so the label is unambiguous).  "
+    "Complements rel_rollup's hierarchical sets.",
+)
+
+
 
 # ---------------------------------------------------------------------------
 # Integer-exact graded twins (round 4).
