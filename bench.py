@@ -88,6 +88,16 @@ EXTRA = [
     "x_kmv_sketch",
     "x_funnel_steps",
     "x_retention_cohorts",
+    "x_markov_transitions",
+    "x_scd2_intervals",
+    "rel_pivot_status_priority",
+    "rel_cube_agg",
+    "x_stratified_topn",
+    "x_mixture_planner",
+    "x_clustering_coefficient",
+    "stream_left_outer_join",
+    "stream_foreachbatch_upsert",
+    "x_sorted_neighborhood",
 ]
 
 

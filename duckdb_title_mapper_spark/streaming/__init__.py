@@ -10,6 +10,8 @@ stateful sessionizer on ``applyInPandasWithState``.
 from .windows import (  # noqa: F401
     click_purchase_join,
     content_dedup_stream,
+    left_outer_view_purchase,
+    left_outer_view_purchase_result,
     ohlc_windows,
     run_to_memory,
     run_to_memory_rocksdb,
@@ -20,5 +22,5 @@ from .windows import (  # noqa: F401
     stream_static_enrich,
     tumbling_counts,
 )
-from .sinks import file_sink_roundtrip  # noqa: F401
+from .sinks import file_sink_roundtrip, foreach_batch_upsert  # noqa: F401
 from .stateful import sessionize, user_stats_tws  # noqa: F401

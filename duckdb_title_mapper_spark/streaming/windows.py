@@ -437,3 +437,160 @@ def anomaly_baseline_stream(spark, sf_dir: str, window: str = "1 hour",
             .alias("is_anomaly"),
         )
     )
+
+
+def _stage_sentinel_dir(spark, sf_dir: str, ts_t: str) -> str:
+    """Staged events dir PLUS a far-future two-row sentinel file (one
+    'view', one 'purchase', both user_id = -1).  The sentinel arrives in
+    its own micro-batch (maxFilesPerTrigger=1; the file source orders by
+    modification time and the freshly written sentinel is newest), pushing
+    BOTH sides' event-time watermarks 40 days past the real data — which
+    is what lets an OUTER stream-stream join evict every pending
+    left-side row and emit its null-matches.  Without the sentinel the
+    stream ends with the last 2.5 h of unmatched views parked in state
+    forever (watermark delay + join horizon) — the standard
+    finite-replay-of-an-infinite-operator trick."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_events
+
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    d = f"/tmp/duckdb_title_mapper_spark_stream/{tag}_sentinel_{ts_t}"
+    done = f"{d}/.staged"
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    try:
+        os.symlink(src, f"{d}/events.parquet")
+    except FileExistsError:
+        pass
+    max_us = (
+        load_events(spark, sf_dir)
+        .agg(F.max(F.unix_micros("ts")))
+        .first()[0]
+    )
+    # TWO sentinel batches: availableNow does not run a trailing no-data
+    # micro-batch, and state eviction in batch N uses the watermark
+    # computed after batch N-1 — so sentinel #1 alone leaves the last
+    # (watermark + horizon) of real rows parked (measured: 10 rows at
+    # sf0.01).  Sentinel #2's batch evicts with sentinel #1's watermark,
+    # which is already 40 days past all real data.
+    now = __import__("time").time()
+    for i, day_offset in enumerate((40, 41)):
+        far_us = max_us + day_offset * 24 * 3600 * 1_000_000
+        ts_expr = (
+            f"CAST({far_us} AS BIGINT) * 1000"
+            if ts_t == "bigint"
+            else f"CAST(timestamp_micros(CAST({far_us} AS BIGINT))"
+                 f" AS TIMESTAMP_NTZ)"
+        )
+        rows = spark.sql(
+            f"""SELECT CAST(-1 AS BIGINT) AS event_id, {ts_expr} AS ts,
+                       CAST(-1 AS BIGINT) AS user_id, t.event_type,
+                       CAST(0.0 AS DOUBLE) AS value, '' AS props
+                FROM VALUES ('view'), ('purchase') AS t(event_type)"""
+        )
+        out = f"{d}/_sentinel_build"
+        rows.coalesce(1).write.mode("overwrite").parquet(out)
+        part = next(f for f in os.listdir(out) if f.endswith(".parquet"))
+        sentinel = f"{d}/zz_sentinel_{i}.parquet"
+        os.replace(f"{out}/{part}", sentinel)
+        # file source replays oldest-mtime-first: pin the order explicitly
+        os.utime(sentinel, (now + 10 * (i + 1), now + 10 * (i + 1)))
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+def left_outer_view_purchase(spark, sf_dir: str, horizon_minutes: int = 30,
+                             watermark: str = "2 hours"):
+    """Watermarked stream-stream LEFT OUTER join: every view, joined to
+    the same user's purchases within ``horizon_minutes`` after it; views
+    with no such purchase are emitted with NULL purchase columns *once
+    their join window expires under the watermark*.  That expiry is the
+    semantic difference from the inner join (click_purchase_join):
+    null-match rows exist only because state eviction proves no match
+    can still arrive.  State on both sides stays O(watermark + horizon)
+    of stream, not O(stream).
+
+    Finite-replay mechanics: the sentinel batch (see _stage_sentinel_dir)
+    advances the global watermark past all real data, and availableNow
+    runs the trailing no-data micro-batch that performs the final
+    eviction — so the delivered result equals the batch LEFT JOIN
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import events_ts_read_type, normalize_events_ts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_t = events_ts_read_type(spark, sf_dir)
+    d = _stage_sentinel_dir(spark, sf_dir, ts_t)
+    schema = EVENTS_RAW_SCHEMA.replace(
+        "ts BIGINT", f"ts {'BIGINT' if ts_t == 'bigint' else 'TIMESTAMP_NTZ'}"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    events = normalize_events_ts(raw)
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("v_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+        "left_outer",
+    )
+    # Sentinel rows (user_id = -1) are NOT filtered here: a left-column
+    # predicate on a left-outer join is pushable, and Catalyst pushes it
+    # BELOW the views-side watermark node — which silently strips the
+    # view sentinel and pins the global watermark at the real-data max
+    # (measured: 10 rows short at sf0.01).  Callers filter user_id >= 0
+    # on the SINK table instead (left_outer_view_purchase_result).
+    return joined.select(
+        F.col("view_id"),
+        F.col("v_user").alias("user_id"),
+        F.unix_micros("v_ts").alias("view_us"),
+        F.col("purchase_id"),
+        F.unix_micros("p_ts").alias("purchase_us"),
+    )
+
+
+def left_outer_view_purchase_result(spark, sf_dir: str,
+                                    horizon_minutes: int = 30,
+                                    watermark: str = "2 hours"):
+    """Run the left-outer stream-stream join to completion and drop the
+    sentinel rows (post-sink, where the filter cannot be pushed under
+    the watermark node)."""
+    from pyspark.sql import functions as F
+
+    sink = run_to_memory(
+        left_outer_view_purchase(spark, sf_dir, horizon_minutes, watermark),
+        mode="append",
+    )
+    return sink.where(F.col("user_id") >= 0)

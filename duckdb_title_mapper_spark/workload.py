@@ -64,6 +64,8 @@ _REGISTRY: dict[str, Query] = {}
 
 def _q(name: str, oracle: Optional[str], doc: str = ""):
     def deco(fn):
+        if name in _REGISTRY:  # clobbering an operator is never intended
+            raise RuntimeError(f"duplicate query name: {name}")
         _REGISTRY[name] = Query(name, fn, oracle, doc)
         return fn
 
@@ -310,6 +312,8 @@ def _shared(name: str, sql: str, tables: tuple[str, ...], doc: str = ""):
         return spark.sql(_sql)
 
     fn.__name__ = name
+    if name in _REGISTRY:  # clobbering an operator is never intended
+        raise RuntimeError(f"duplicate query name: {name}")
     _REGISTRY[name] = Query(name, fn, sql, doc)
     return fn
 
@@ -1754,6 +1758,47 @@ def stream_join_click_purchase(spark, sf_dir):
     from .streaming import click_purchase_join, run_to_memory
 
     return run_to_memory(click_purchase_join(spark, sf_dir), mode="append")
+
+
+@_q(
+    "stream_foreachbatch_upsert",
+    """SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                         AS BIGINT)) AS BIGINT) AS total_value_s6
+    FROM events WHERE user_id >= 0 GROUP BY event_type""",
+    "foreachBatch keyed MERGE sink: update-mode per-type aggregates "
+    "upserted into a parquet store with an atomic directory swap — the "
+    "exactly-once pattern for sinks without native streaming support "
+    "(idempotent per batch id, store is key-cardinality-sized); the "
+    "read-back store equals the batch GROUP BY.",
+)
+def stream_foreachbatch_upsert(spark, sf_dir):
+    from .streaming import foreach_batch_upsert
+
+    return foreach_batch_upsert(spark, sf_dir)
+
+
+@_q(
+    "stream_left_outer_join",
+    """SELECT v.event_id AS view_id, v.user_id,
+           epoch_us(v.ts) AS view_us,
+           p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_us
+    FROM events v LEFT JOIN events p
+      ON p.user_id = v.user_id AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTES
+    WHERE v.event_type = 'view'""",
+    "Stream-stream LEFT OUTER join with watermarked state eviction: "
+    "views with no purchase in the horizon are emitted with NULL "
+    "purchase columns only once the watermark proves no match can "
+    "still arrive.  A two-file far-future sentinel batch advances the "
+    "global watermark past all real data so the finite replay flushes "
+    "every pending null-match (streaming/windows.py sentinel notes); "
+    "oracle = the batch LEFT JOIN.",
+)
+def stream_left_outer_join(spark, sf_dir):
+    from .streaming import left_outer_view_purchase_result
+
+    return left_outer_view_purchase_result(spark, sf_dir)
 
 
 @_q(
@@ -5477,6 +5522,224 @@ _shared(
     "(columns are non-null, so the label is unambiguous).  "
     "Complements rel_rollup's hierarchical sets.",
 )
+
+
+def _stratified_topn_sql(spark_dialect: bool, n_per: int = 20) -> str:
+    """Deterministic stratified sample: exactly ``n_per`` documents per
+    language stratum, chosen by md5(doc_id) rank — reproducible across
+    engines, runs, and cluster sizes (no RNG state).  Plan: one
+    lang-keyed window shuffle; Spark inserts a WindowGroupLimit
+    (rank-pushdown) so each partition keeps only its top-n before the
+    final sort — the per-stratum top-k never materializes a full
+    stratum sort at scale.  Strata are the balance keys a curriculum /
+    eval-split sampler needs."""
+    if spark_dialect:
+        h = ("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+             " AS BIGINT)")
+    else:
+        h = ("CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))"
+             " AS BIGINT)")
+    return f"""WITH ranked AS (
+      SELECT lang, doc_id, source,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY {h}, doc_id) AS BIGINT)
+               AS sample_rank
+      FROM documents)
+    SELECT lang, doc_id, source, sample_rank
+    FROM ranked WHERE sample_rank <= {n_per}"""
+
+
+@_q(
+    "x_stratified_topn",
+    _stratified_topn_sql(False),
+    "Exact-count stratified sampling manifest: exactly 20 docs per "
+    "language stratum ranked by md5(doc_id) — seed-free, engine-exact, "
+    "cluster-size-invariant selection (the fixed-quota complement of "
+    "x_stratified_sample's fixed-rate rule).",
+)
+def x_stratified_topn(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_stratified_topn_sql(True))
+
+
+def _mixture_planner_sql(spark_dialect: bool) -> str:
+    """Domain-mixture rebalancing plan: token counts per source, then
+    the per-source sampling rate (integer basis points) that levels
+    every source down to the smallest source's token budget — the
+    pretraining-mix knob (e.g. DoReMi-style uniform-domain baseline)
+    computed from exact integer token counts.  Plan: one
+    partial-aggregating (source) count shuffle; the scalar min budget
+    joins back as a broadcast literal.  State is source-cardinality."""
+    if spark_dialect:
+        tok = r"size(regexp_extract_all(text, '\\w+', 0))"
+        idiv = "div"
+    else:
+        tok = r"len(regexp_extract_all(text, '\w+'))"
+        idiv = "//"
+    return f"""WITH per_source AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum({tok}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    budget AS (SELECT min(n_tokens) AS target_tokens FROM per_source)
+    SELECT source, n_docs, n_tokens,
+           (target_tokens * 10000) {idiv} n_tokens AS sample_rate_bp,
+           (n_tokens * ((target_tokens * 10000) {idiv} n_tokens)) {idiv} 10000
+             AS expected_tokens
+    FROM per_source CROSS JOIN budget"""
+
+
+@_q(
+    "x_mixture_planner",
+    _mixture_planner_sql(False),
+    "Domain-mixture rebalancing plan: per-source exact token counts "
+    "and the integer-bp sampling rate that levels each source to the "
+    "smallest source's token budget (uniform-domain baseline mix).",
+)
+def x_mixture_planner(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_mixture_planner_sql(True))
+
+
+def _triangle_sql(spark_dialect: bool) -> str:
+    """Triangle census of the banded-MinHash near-dup candidate graph:
+    triangle count, wedge count, and the global clustering coefficient
+    in integer basis points.  Edges arrive id-oriented (src < dst from
+    _band_edges_sql), so the standard oriented enumeration
+    e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) counts each triangle exactly once —
+    three equi-joins, never an all-pairs step; on a cluster the same
+    plan runs degree-oriented to bound join fan-out at O(m^1.5)
+    (Suri & Vassilvitskii, WWW'11).  Wedges come from the degree
+    relation (vertex-cardinality, broadcastable)."""
+    e = _band_edges_sql(spark_dialect)
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH e AS (SELECT DISTINCT src, dst FROM ({e}) be),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e2.src = e1.dst
+                JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+    deg AS (
+      SELECT id, count(*) AS d
+      FROM (SELECT src AS id FROM e
+            UNION ALL
+            SELECT dst AS id FROM e) ends
+      GROUP BY id),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+             CAST(sum((d * (d - 1)) {idiv} 2) AS BIGINT) AS n_wedges
+      FROM deg),
+    ne AS (SELECT count(*) AS n_edges FROM e)
+    SELECT n_edges, n_vertices, CAST(n_triangles AS BIGINT) AS n_triangles,
+           n_wedges,
+           CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+                ELSE (3 * CAST(n_triangles AS BIGINT) * 10000) {idiv} n_wedges
+           END AS clustering_bp
+    FROM tri CROSS JOIN agg CROSS JOIN ne"""
+
+
+def _sorted_neighborhood_sql(spark_dialect: bool, w: int = 3) -> str:
+    """Sorted-neighborhood dedup (Hernandez & Stolfo, SIGMOD'95): sort
+    the corpus by a fuzzy key (lowercased 32-char prefix), compare each
+    record only to its ``w`` successors, keep pairs with token-set
+    Jaccard >= 1/2 — the classic windowed alternative to hash blocking
+    (catches near-dups whose leading text agrees but whose shingle
+    bands diverge).  Membership is the all-integer inequality
+    3*inter >= |A|+|B| (Jaccard >= 1/2), engine-exact.  Plan notes: the
+    neighbor step is a UNION ALL of ``w`` literal-offset EQUI
+    self-joins (rnk = rnk + d) — NOT a join against an offsets relation:
+    with (a, offsets, b) as one join graph Catalyst reorders a-b onto
+    the non-equi Jaccard edge first and falls back to an all-pairs
+    BroadcastNestedLoopJoin (measured 19.6 s vs equi-join at sf0.01);
+    a two-relation join with an equi key always hash/merge-joins, the
+    Jaccard test riding along as a join-level filter.  The global row_number is the operator's
+    honest cost (same as any exact SNM); at 100 TB the sort-key is
+    range-partitioned (repartitionByRange) and windows shard per range
+    with a w-row overlap stripe."""
+    if spark_dialect:
+        tok = r"array_distinct(regexp_extract_all(lower(text), '\\w+', 0))"
+        inter = "CAST(size(array_intersect(a.tok, b.tok)) AS BIGINT)"
+        sz = "CAST(size({0}.tok) AS BIGINT)"
+    else:
+        tok = r"list_distinct(regexp_extract_all(lower(text), '\w+'))"
+        inter = "CAST(len(list_intersect(a.tok, b.tok)) AS BIGINT)"
+        sz = "CAST(len({0}.tok) AS BIGINT)"
+    arm = ("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+           "a.rnk AS rank_a, b.rnk AS rank_b, "
+           f"{inter} AS inter_size, "
+           f"{sz.format('a')} AS size_a, {sz.format('b')} AS size_b "
+           "FROM r a JOIN r b ON b.rnk = a.rnk + {d}")
+    arms = "\n      UNION ALL\n      ".join(
+        arm.format(d=d) for d in range(1, w + 1)
+    )
+    return f"""WITH toks AS (
+      SELECT doc_id, {tok} AS tok,
+             lower(substr(text, 1, 32)) AS sort_key
+      FROM documents),
+    r AS (
+      SELECT doc_id, tok,
+             CAST(row_number() OVER (ORDER BY sort_key, doc_id)
+                  AS BIGINT) AS rnk
+      FROM toks),
+    pairs AS (
+      {arms})
+    SELECT doc_a, doc_b, rank_a, rank_b, inter_size, size_a, size_b
+    FROM pairs
+    WHERE 3 * inter_size >= size_a + size_b"""
+
+
+@_q(
+    "x_sorted_neighborhood",
+    _sorted_neighborhood_sql(False),
+    "Sorted-neighborhood near-dup pairs: prefix-sorted corpus, each "
+    "record compared to its 3 successors via an offsets equi-join, "
+    "kept at token-set Jaccard >= 1/2 by the integer inequality "
+    "3*inter >= |A|+|B| — the windowed ER blocking complement to "
+    "LSH/SimHash.",
+)
+def x_sorted_neighborhood(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_sorted_neighborhood_sql(True))
+
+
+@_q(
+    "x_clustering_coefficient",
+    _triangle_sql(False),
+    "Global graph census over the near-dup candidate graph: triangle "
+    "count (id-oriented 3-join, each triangle once), wedge count from "
+    "the degree relation, clustering coefficient in basis points — the "
+    "graph-level summary of x_triangle_count\'s per-vertex counts.",
+)
+def x_clustering_coefficient(spark, sf_dir):
+    from .plans.materialize import materialize
+
+    register_views(spark, sf_dir, "documents")
+    # the census consumes the edge relation 6x (tri e1/e2/e3, deg both
+    # endpoints, n_edges); Spark inlines CTEs per consumer, which
+    # re-scanned documents 12x — materialize the edges once instead
+    edges = materialize(spark.sql(_band_edges_sql(True)).distinct())
+    edges.createOrReplaceTempView("__census_edges")
+    idiv = "div"
+    return spark.sql(f"""WITH e AS (SELECT src, dst FROM __census_edges),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e2.src = e1.dst
+                JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+    deg AS (
+      SELECT id, count(*) AS d
+      FROM (SELECT src AS id FROM e
+            UNION ALL
+            SELECT dst AS id FROM e) ends
+      GROUP BY id),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+             CAST(sum((d * (d - 1)) {idiv} 2) AS BIGINT) AS n_wedges
+      FROM deg),
+    ne AS (SELECT count(*) AS n_edges FROM e)
+    SELECT n_edges, n_vertices, CAST(n_triangles AS BIGINT) AS n_triangles,
+           n_wedges,
+           CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+                ELSE (3 * CAST(n_triangles AS BIGINT) * 10000) {idiv} n_wedges
+           END AS clustering_bp
+    FROM tri CROSS JOIN agg CROSS JOIN ne""")
 
 
 
