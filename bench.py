@@ -98,6 +98,7 @@ EXTRA = [
     "stream_left_outer_join",
     "stream_foreachbatch_upsert",
     "x_sorted_neighborhood",
+    "x_ks_drift",
 ]
 
 

@@ -5636,6 +5636,73 @@ def _triangle_sql(spark_dialect: bool) -> str:
     FROM tri CROSS JOIN agg CROSS JOIN ne"""
 
 
+def _ks_drift_sql(spark_dialect: bool) -> str:
+    """Two-sample Kolmogorov-Smirnov drift test between hash-split halves
+    of the order-price distribution — the drift monitor a pipeline runs
+    between a reference window and a fresh ingest batch.  All-integer:
+    prices are grouped on exact cent units, the empirical CDFs stay as
+    cumulative COUNTS, and the KS statistic is the cross-multiplied
+    |cumA*nB - cumB*nA| (equals D * nA * nB), with the argmax value and
+    D in basis points — no floating point anywhere, so the verdict and
+    the split point are engine-exact.  Plan: one (cents) count
+    aggregate, then a cumulative window over the DISTINCT-value
+    relation (value-cardinality, orders of magnitude smaller than the
+    data; range-partition the sort at 100 TB), one scalar totals join,
+    top-1 by the integer diff."""
+    if spark_dialect:
+        h = ("CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 8),"
+             " 16, 10) AS BIGINT)")
+        idiv = "div"
+    else:
+        h = ("CAST(('0x' || substr(md5(CAST(o_orderkey AS STRING)), 1, 8))"
+             " AS BIGINT)")
+        idiv = "//"
+    return f"""WITH tagged AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             {h} % 2 AS grp
+      FROM orders),
+    counts AS (
+      SELECT cents,
+             count(CASE WHEN grp = 0 THEN 1 END) AS a,
+             count(CASE WHEN grp = 1 THEN 1 END) AS b
+      FROM tagged GROUP BY cents),
+    cum AS (
+      SELECT cents,
+             CAST(sum(a) OVER (ORDER BY cents
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_a,
+             CAST(sum(b) OVER (ORDER BY cents
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_b
+      FROM counts),
+    tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b
+      FROM counts),
+    diffs AS (
+      SELECT cents, n_a, n_b,
+             abs(cum_a * n_b - cum_b * n_a) AS ks_num
+      FROM cum CROSS JOIN tot)
+    SELECT n_a, n_b, cents AS at_cents, ks_num,
+           (ks_num * 10000) {idiv} (n_a * n_b) AS ks_bp
+    FROM diffs
+    ORDER BY ks_num DESC, cents ASC
+    LIMIT 1"""
+
+
+@_q(
+    "x_ks_drift",
+    _ks_drift_sql(False),
+    "Two-sample KS drift test between hash-split halves of the price "
+    "distribution: integer cumulative CDFs, cross-multiplied "
+    "|cumA*nB - cumB*nA| statistic with argmax value and D in basis "
+    "points — the doubles-free distribution-drift monitor.",
+)
+def x_ks_drift(spark, sf_dir):
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_ks_drift_sql(True))
+
+
 def _sorted_neighborhood_sql(spark_dialect: bool, w: int = 3) -> str:
     """Sorted-neighborhood dedup (Hernandez & Stolfo, SIGMOD'95): sort
     the corpus by a fuzzy key (lowercased 32-char prefix), compare each

@@ -55,7 +55,7 @@ EXTRA = [
     "rel_pivot_status_priority", "rel_cube_agg", "x_stratified_topn",
     "x_mixture_planner", "x_clustering_coefficient",
     "stream_left_outer_join", "stream_foreachbatch_upsert",
-    "x_sorted_neighborhood",
+    "x_sorted_neighborhood", "x_ks_drift",
 ]
 
 

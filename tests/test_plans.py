@@ -236,3 +236,47 @@ def test_lsh_blocking_eval_single_corpus_pass(spark):
     df = core_queries()["x_lsh_blocking_eval"].spark_fn(spark, SF)
     n = shuffle_count(df)
     assert n <= 14, explain_str(df)[:500]
+
+
+def test_r4_session2_plan_shapes(spark):
+    """Plan locks for the late-round-4 ops.  The load-bearing one:
+    x_sorted_neighborhood must never BroadcastNestedLoopJoin — the
+    offsets-relation form of the neighbor join let Catalyst reorder
+    a⋈b onto the non-equi Jaccard edge and go all-pairs (measured ~30x
+    slower); the literal-offset equi self-joins keep every a-b join
+    hash/merge-based.  Also: the stratified quota sample keeps its
+    rank-limit pushdown (WindowGroupLimit), CUBE expands before ONE
+    partial-aggregated shuffle, and the KS drift scan is pruned to its
+    two columns."""
+    from duckdb_title_mapper_spark.plans import (
+        explain_str,
+        has_partial_aggregation,
+        read_schema_columns,
+        shuffle_count,
+    )
+    from duckdb_title_mapper_spark.workload import core_queries as all_queries
+
+    qs = all_queries()
+
+    snm = qs["x_sorted_neighborhood"].spark_fn(spark, SF)
+    plan = explain_str(snm)
+    assert "BroadcastNestedLoop" not in plan, plan[:800]
+
+    topn = qs["x_stratified_topn"].spark_fn(spark, SF)
+    assert "WindowGroupLimit" in explain_str(topn)
+
+    cube = qs["rel_cube_agg"].spark_fn(spark, SF)
+    plan = explain_str(cube)
+    assert "Expand" in plan, plan[:500]
+    assert shuffle_count(cube) == 1, plan[:500]
+    assert has_partial_aggregation(cube)
+
+    piv = qs["rel_pivot_status_priority"].spark_fn(spark, SF)
+    assert shuffle_count(piv) == 1
+    assert has_partial_aggregation(piv)
+
+    ks = qs["x_ks_drift"].spark_fn(spark, SF)
+    assert all(
+        set(s) <= {"o_orderkey", "o_totalprice"}
+        for s in read_schema_columns(ks)
+    )
