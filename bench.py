@@ -99,6 +99,11 @@ EXTRA = [
     "stream_foreachbatch_upsert",
     "x_sorted_neighborhood",
     "x_ks_drift",
+    "rel_recursive_cte",
+    "x_copurchase_pairs",
+    "rel_variant_shred",
+    "rel_sql_udf",
+    "x_quantile_bins",
 ]
 
 

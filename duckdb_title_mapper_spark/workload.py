@@ -5636,6 +5636,196 @@ def _triangle_sql(spark_dialect: bool) -> str:
     FROM tri CROSS JOIN agg CROSS JOIN ne"""
 
 
+@_q(
+    "rel_sql_udf",
+    """SELECT split_part(lower(p_name), ' ', 1) AS part_key,
+           count(*) AS n_parts,
+           CAST(min(p_partkey) AS BIGINT) AS min_partkey
+    FROM part GROUP BY part_key""",
+    "Spark 4 SQL UDF (CREATE FUNCTION ... RETURN <expr>) — the "
+    "engine-native analogue of DuckDB's CREATE MACRO and the "
+    "catalog-registration face of the reference's LOAD-then-call "
+    "surface (/root/reference/README.md:215-222): the scalar is "
+    "defined IN SQL, inlined by the analyzer into codegen (no UDF "
+    "serialization boundary, unlike the Python path), and the oracle "
+    "inlines the identical expression.",
+)
+def rel_sql_udf(spark, sf_dir):
+    register_views(spark, sf_dir, "part")
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS part_key")
+    spark.sql(
+        "CREATE TEMPORARY FUNCTION part_key(s STRING) RETURNS STRING "
+        "RETURN split_part(lower(s), ' ', 1)"
+    )
+    return spark.sql(
+        """SELECT part_key(p_name) AS part_key,
+               count(*) AS n_parts,
+               CAST(min(p_partkey) AS BIGINT) AS min_partkey
+        FROM part GROUP BY part_key(p_name)"""
+    )
+
+
+def _quantile_bins_sql(spark_dialect: bool, bins: int = 10) -> str:
+    """Equi-depth binning (decile assignment) of the price distribution:
+    ntile over exact cent units with a total (cents, o_orderkey) order,
+    then per-bin boundaries and counts — the feature-engineering
+    discretizer.  All-integer; ntile's remainder-distribution rule is
+    identical in both engines under a total order.  The window is the
+    operator's honest cost (global sort); at 100 TB the same binning is
+    done by rangepartitioning statistics (approx boundaries) or a
+    two-pass exact rank."""
+    return f"""WITH t AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             o_orderkey
+      FROM orders),
+    binned AS (
+      SELECT cents,
+             CAST(ntile({bins}) OVER (ORDER BY cents, o_orderkey)
+                  AS BIGINT) AS bin_id
+      FROM t)
+    SELECT bin_id, count(*) AS n_orders,
+           min(cents) AS lo_cents, max(cents) AS hi_cents
+    FROM binned GROUP BY bin_id"""
+
+
+@_q(
+    "x_quantile_bins",
+    _quantile_bins_sql(False),
+    "Equi-depth decile binning of order prices on exact cent units: "
+    "ntile under a total order (engine-identical remainder rule), "
+    "per-bin counts and [lo, hi] boundaries — the discretizer for "
+    "feature pipelines.",
+)
+def x_quantile_bins(spark, sf_dir):
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_quantile_bins_sql(True))
+
+
+@_q(
+    "rel_variant_shred",
+    """SELECT event_type,
+           count(k) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           count(*) - count(k) AS n_missing
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events) t
+    GROUP BY event_type""",
+    "Spark 4 VARIANT semi-structured path: props parsed ONCE into a "
+    "VARIANT column (parse_json), then typed reads via "
+    "variant_get/try_variant_get — the shredded-read pattern that at "
+    "100 TB replaces per-expression JSON re-parsing (rel_json_extract's "
+    "get_json_object re-parses the string per call; VARIANT parses once "
+    "into a binary encoding and every downstream read is a cheap path "
+    "lookup).  try_variant_get covers the missing-path NULL contract.  "
+    "Oracle: DuckDB typed json_extract_string cast.",
+)
+def rel_variant_shred(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """SELECT event_type,
+               count(k) AS n_with_k,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               min(k) AS min_k,
+               max(k) AS max_k,
+               count(*) - count(k) AS n_missing
+        FROM (SELECT event_type,
+                     try_variant_get(parse_json(props), '$.k', 'bigint') AS k
+              FROM events) t
+        GROUP BY event_type"""
+    )
+
+
+def _recursive_cte_sql(spark_dialect: bool) -> str:
+    """Native WITH RECURSIVE (Spark 4.1 ResolveWithCTE — a genuinely new
+    engine surface this round): every user id walks its ancestor chain
+    in the decimal-digit tree (parent = id/10) until the root, and the
+    per-depth census is aggregated.  The hierarchy is a TREE, which is
+    the load-bearing choice: Spark's recursive CTEs support only
+    UNION ALL (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so each node must
+    be derivable along exactly ONE path — cyclic graphs (our near-dup
+    components) would multiply rows along every path and belong to the
+    iterative loop operators (operators/graph.py), which remain the
+    scale path.  Termination: depth <= digits(max id).  Oracle is the
+    same recursion in DuckDB."""
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH RECURSIVE anc(id, anc_id, depth) AS (
+      SELECT DISTINCT user_id, user_id, 0 FROM events
+      UNION ALL
+      SELECT id, anc_id {idiv} 10, depth + 1
+      FROM anc WHERE anc_id > 0)
+    SELECT CAST(depth AS BIGINT) AS depth,
+           count(*) AS n_nodes,
+           CAST(sum(anc_id) AS BIGINT) AS sum_anc_ids,
+           CAST(min(id) AS BIGINT) AS min_id,
+           CAST(max(id) AS BIGINT) AS max_id
+    FROM anc GROUP BY depth"""
+
+
+@_q(
+    "rel_recursive_cte",
+    _recursive_cte_sql(False),
+    "Native recursive CTE (Spark 4.1): ancestor-chain walk over the "
+    "decimal-digit tree of user ids with a per-depth census — "
+    "UNION ALL-only recursion, so the single-path tree shape is "
+    "required; cyclic closures stay on the iterative operators.",
+)
+def rel_recursive_cte(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_recursive_cte_sql(True))
+
+
+def _copurchase_sql(spark_dialect: bool, min_support: int = 2) -> str:
+    """Market-basket co-occurrence mining: part pairs appearing in the
+    same order, with support counts and LIFT in integer basis points
+    (lift = P(a,b)/(P(a)P(b)) = n_ab*n_orders/(n_a*n_b), cross-
+    multiplied so ranking and the reported value are engine-exact).
+    Scale shape: the pair generation is a SELF-JOIN ON ORDER KEY —
+    fan-out is bounded by per-basket size squared (TPC-H ~4 lines per
+    order), never corpus x corpus; item frequencies are an
+    item-cardinality relation joined in twice (broadcastable).  The
+    min-support filter prunes the pair tail before the lift joins."""
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= {min_support}),
+    freq AS (
+      SELECT l_partkey, count(*) AS n FROM items GROUP BY l_partkey),
+    tot AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM items)
+    SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(fa.n AS BIGINT) AS n_a, CAST(fb.n AS BIGINT) AS n_b,
+           (CAST(n_ab AS BIGINT) * n_orders * 10000)
+             {idiv} (CAST(fa.n AS BIGINT) * CAST(fb.n AS BIGINT))
+             AS lift_bp
+    FROM pairs
+    JOIN freq fa ON pairs.part_a = fa.l_partkey
+    JOIN freq fb ON pairs.part_b = fb.l_partkey
+    CROSS JOIN tot"""
+
+
+@_q(
+    "x_copurchase_pairs",
+    _copurchase_sql(False),
+    "Market-basket mining: co-purchased part pairs by order-key "
+    "self-join (per-basket bounded fan-out), support >= 2, lift in "
+    "cross-multiplied integer basis points.",
+)
+def x_copurchase_pairs(spark, sf_dir):
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_copurchase_sql(True))
+
+
 def _ks_drift_sql(spark_dialect: bool) -> str:
     """Two-sample Kolmogorov-Smirnov drift test between hash-split halves
     of the order-price distribution — the drift monitor a pipeline runs

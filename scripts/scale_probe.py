@@ -56,6 +56,8 @@ EXTRA = [
     "x_mixture_planner", "x_clustering_coefficient",
     "stream_left_outer_join", "stream_foreachbatch_upsert",
     "x_sorted_neighborhood", "x_ks_drift",
+    "rel_recursive_cte", "x_copurchase_pairs", "rel_variant_shred",
+    "rel_sql_udf", "x_quantile_bins",
 ]
 
 
