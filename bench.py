@@ -104,6 +104,7 @@ EXTRA = [
     "rel_variant_shred",
     "rel_sql_udf",
     "x_quantile_bins",
+    "x_keyness_by_source",
 ]
 
 

@@ -5636,6 +5636,67 @@ def _triangle_sql(spark_dialect: bool) -> str:
     FROM tri CROSS JOIN agg CROSS JOIN ne"""
 
 
+def _keyness_sql(spark_dialect: bool, top_n: int = 5,
+                 min_tf: int = 20) -> str:
+    """Distinctive-terms report (keyness / c-TF-IDF flavor): for each
+    source, the terms most over-represented vs the whole corpus, ranked
+    by the integer rate ratio (tf_in_source * total_tokens * 10000)
+    / (tf_global * source_tokens) — cross-multiplied so ranking and the
+    reported bp value are engine-exact (overflow bound: tf*T*1e4 <
+    2^63 up to ~1e9-token slices per term; beyond that pre-divide T).
+    Plan: one (source, term) partial-agg shuffle off the token explode;
+    term and source totals are aggregates OF that relation (vocabulary-
+    and source-cardinality — broadcast sides); top-n per source via a
+    rank window with group-limit pushdown.  min_tf floors hapax noise."""
+    if spark_dialect:
+        toks = (r"SELECT source, explode(regexp_extract_all(lower(text),"
+                r" '\\w+', 0)) AS term FROM documents")
+    else:
+        toks = (r"SELECT source, unnest(regexp_extract_all(lower(text),"
+                r" '\w+')) AS term FROM documents")
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH toks AS ({toks}),
+    st AS (
+      SELECT source, term, count(*) AS tf
+      FROM toks GROUP BY source, term),
+    term_tot AS (
+      SELECT term, CAST(sum(tf) AS BIGINT) AS tf_all
+      FROM st GROUP BY term),
+    src_tot AS (
+      SELECT source, CAST(sum(tf) AS BIGINT) AS n_src
+      FROM st GROUP BY source),
+    corpus AS (SELECT CAST(sum(tf) AS BIGINT) AS n_all FROM st),
+    scored AS (
+      SELECT st.source, st.term, CAST(st.tf AS BIGINT) AS tf,
+             tf_all, n_src,
+             (CAST(st.tf AS BIGINT) * n_all * 10000)
+               {idiv} (tf_all * n_src) AS keyness_bp
+      FROM st
+      JOIN term_tot ON st.term = term_tot.term
+      JOIN src_tot ON st.source = src_tot.source
+      CROSS JOIN corpus
+      WHERE st.tf >= {min_tf}),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY keyness_bp DESC, term ASC) AS BIGINT) AS rnk
+      FROM scored)
+    SELECT source, term, tf, tf_all, keyness_bp, rnk
+    FROM ranked WHERE rnk <= {top_n}"""
+
+
+@_q(
+    "x_keyness_by_source",
+    _keyness_sql(False),
+    "Distinctive-terms (keyness) report per source: integer "
+    "cross-multiplied rate ratio vs the whole corpus, top-5 per source "
+    "with deterministic tie-break — the corpus-drift / domain-signature "
+    "view a mixture designer reads.",
+)
+def x_keyness_by_source(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_keyness_sql(True))
+
+
 @_q(
     "rel_sql_udf",
     """SELECT split_part(lower(p_name), ' ', 1) AS part_key,

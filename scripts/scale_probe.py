@@ -57,7 +57,7 @@ EXTRA = [
     "stream_left_outer_join", "stream_foreachbatch_upsert",
     "x_sorted_neighborhood", "x_ks_drift",
     "rel_recursive_cte", "x_copurchase_pairs", "rel_variant_shred",
-    "rel_sql_udf", "x_quantile_bins",
+    "rel_sql_udf", "x_quantile_bins", "x_keyness_by_source",
 ]
 
 
