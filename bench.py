@@ -105,6 +105,8 @@ EXTRA = [
     "rel_sql_udf",
     "x_quantile_bins",
     "x_keyness_by_source",
+    "x_ab_test_proportions",
+    "x_seasonal_naive_eval",
 ]
 
 

@@ -4575,7 +4575,7 @@ def _bm25_sql(spark_dialect: bool, terms: tuple[str, ...] = (
       CROSS JOIN n CROSS JOIN ad),
     scored AS (
       SELECT doc_id,
-             CAST(sum(CAST(term_score * 1000000000 AS BIGINT))
+             CAST(sum(CAST(CAST(term_score AS DECIMAL(28,9)) * 1000000000 AS BIGINT))
                   AS BIGINT) AS score_s9
       FROM terms GROUP BY doc_id)
     SELECT doc_id, score_s9
@@ -5636,6 +5636,116 @@ def _triangle_sql(spark_dialect: bool) -> str:
     FROM tri CROSS JOIN agg CROSS JOIN ne"""
 
 
+def _seasonal_naive_sql(spark_dialect: bool, period_s: int = 86400) -> str:
+    """Forecast-baseline evaluation: the seasonal-naive predictor
+    (y_hat[t] = y[t - 24h]) scored per event_type over hourly volume
+    windows — the MAE floor any real forecaster must beat, computed
+    integer-exactly (counts, absolute errors, MAE in milli-units via
+    integer division).  Missing seasonal lags (first day, gap hours)
+    are EXCLUDED, not zero-filled, and n_eval reports the coverage.
+    Plan: one (type, hour) partial-agg shuffle, one equi self-join on
+    (type, hour - period) — hour arithmetic keeps it a hash join —
+    one per-type rollup.  State is window-cardinality, never rows."""
+    if spark_dialect:
+        hour = "CAST(date_trunc('hour', ts) AS BIGINT)"  # ts->BIGINT = epoch s
+        idiv = "div"
+    else:
+        hour = "CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)"
+        idiv = "//"
+    return f"""WITH w AS (
+      SELECT event_type, {hour} AS hour_s, count(*) AS n
+      FROM events GROUP BY event_type, {hour}),
+    scored AS (
+      SELECT cur.event_type,
+             abs(CAST(cur.n AS BIGINT) - CAST(prev.n AS BIGINT)) AS abs_err
+      FROM w cur JOIN w prev
+        ON prev.event_type = cur.event_type
+       AND prev.hour_s = cur.hour_s - {period_s})
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(abs_err) AS BIGINT) AS total_abs_err,
+           (CAST(sum(abs_err) AS BIGINT) * 1000) {idiv} count(*)
+             AS mae_milli
+    FROM scored GROUP BY event_type"""
+
+
+@_q(
+    "x_seasonal_naive_eval",
+    _seasonal_naive_sql(False),
+    "Seasonal-naive forecast baseline scored per event_type: hourly "
+    "volumes vs their 24h-earlier value, integer MAE in milli-units "
+    "with explicit coverage — the floor metric for volume forecasting.",
+)
+def x_seasonal_naive_eval(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_seasonal_naive_sql(True))
+
+
+def _ab_test_sql(spark_dialect: bool) -> str:
+    """A/B experiment readout: users hash-split into two arms, per-arm
+    purchase-conversion counts, and the pooled two-proportion z-test
+    decided by the denominator-cleared integer inequality
+    (xA*nB - xB*nA)^2 * N  >  c * nA*nB*X*(N-X)   (z^2 > c),
+    evaluated in DECIMAL(9,0)-seeded exact decimal products whose
+    widths stay under both engines' 38-digit cap (the BIGINT form
+    overflows past ~1e5-row arms; DuckDB widths are checked at PLAN
+    time, so the factor order is load-bearing: diff^2(28)*N(6)=34 and
+    c*nA(10)*nB(19 -> 28)*X(37 is too wide; c folds into the LAST
+    factor instead).  c=4 is the ~95% (2 sigma) gate, c=9 the 3 sigma
+    gate — same clearing trick as x_anomaly_windows, widened to
+    decimal.  No doubles anywhere: arm assignment, counts, and both
+    flags are engine-exact."""
+    if spark_dialect:
+        h = ("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8),"
+             " 16, 10) AS BIGINT)")
+    else:
+        h = ("CAST(('0x' || substr(md5(CAST(user_id AS STRING)), 1, 8))"
+             " AS BIGINT)")
+    d9 = "CAST({0} AS DECIMAL(9,0))"
+    # LHS: diff(14,0) squared -> (28,0), * N(9) -> (37,0)
+    lhs = ("CAST(CAST(x_a * n_b - x_b * n_a AS DECIMAL(14,0))"
+           " * CAST(x_a * n_b - x_b * n_a AS DECIMAL(14,0))"
+           f" AS DECIMAL(28,0)) * {d9.format('n_a + n_b')}")
+    # RHS base: nA(9)*nB(9)->(18),*X(9)->(27),*(N-X)(9)->(36)
+    rhs = (f"CAST(CAST({d9.format('n_a')} * {d9.format('n_b')}"
+           f" AS DECIMAL(18,0)) * {d9.format('x_a + x_b')}"
+           f" AS DECIMAL(27,0)) * {d9.format('(n_a + n_b) - (x_a + x_b)')}")
+    return f"""WITH arms AS (
+      SELECT {h} % 2 AS arm,
+             count(*) AS n,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS x
+      FROM events GROUP BY {h} % 2),
+    wide AS (
+      SELECT CAST(max(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+             CAST(max(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS x_a,
+             CAST(max(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+             CAST(max(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS x_b
+      FROM arms)
+    SELECT n_a, x_a, n_b, x_b,
+           (x_a * 10000) {'div' if spark_dialect else '//'} n_a
+             AS conv_a_bp,
+           (x_b * 10000) {'div' if spark_dialect else '//'} n_b
+             AS conv_b_bp,
+           CAST(CASE WHEN {lhs} > {rhs} * 4 THEN 1 ELSE 0 END AS BIGINT)
+             AS sig_2sigma,
+           CAST(CASE WHEN {lhs} > {rhs} * 9 THEN 1 ELSE 0 END AS BIGINT)
+             AS sig_3sigma
+    FROM wide"""
+
+
+@_q(
+    "x_ab_test_proportions",
+    _ab_test_sql(False),
+    "A/B two-proportion z-test on hash-split arms: per-arm conversion "
+    "in bp and 2/3-sigma significance flags from the denominator-"
+    "cleared inequality in width-checked exact decimals — the "
+    "experimentation readout with no doubles anywhere.",
+)
+def x_ab_test_proportions(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_ab_test_sql(True))
+
+
 def _keyness_sql(spark_dialect: bool, top_n: int = 5,
                  min_tf: int = 20) -> str:
     """Distinctive-terms report (keyness / c-TF-IDF flavor): for each
@@ -6402,7 +6512,8 @@ def _pmi_i_sql(spark_dialect: bool) -> str:
     the identical quantized decimal inside)."""
     return (
         "SELECT w1, w2, n_ab,\n"
-        "       CAST(pmi * 1000000000 AS BIGINT) AS pmi_s9\n"
+        "       CAST(CAST(pmi AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
+        "         AS pmi_s9\n"
         f"FROM (\n{_pmi_sql(spark_dialect)}\n) p"
     )
 
@@ -6421,7 +6532,8 @@ def x_collocation_pmi_i(spark, sf_dir):
 @_q(
     "x_fuzzy_match_tfidf_i",
     "SELECT query_id, query_text, matched_id, matched_text,\n"
-    "       CAST(score * 1000000000 AS BIGINT) AS score_s9\n"
+    "       CAST(CAST(score AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
+    "         AS score_s9\n"
     f"FROM (\n{fuzzy_match_sql(False, *_fuzzy_rels(False))}\n) f",
     "X2 generalized TF-IDF fuzzy match, integer-exact twin of "
     "x_fuzzy_match_tfidf: the DECIMAL(12,9) cosine rescaled to a "
@@ -6443,7 +6555,8 @@ def x_fuzzy_match_tfidf_i(spark, sf_dir):
         "query_text",
         "matched_id",
         "matched_text",
-        "CAST(score * 1000000000 AS BIGINT) AS score_s9",
+        "CAST(CAST(score AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
+        " AS score_s9",
     )
 
 

@@ -58,6 +58,7 @@ EXTRA = [
     "x_sorted_neighborhood", "x_ks_drift",
     "rel_recursive_cte", "x_copurchase_pairs", "rel_variant_shred",
     "rel_sql_udf", "x_quantile_bins", "x_keyness_by_source",
+    "x_ab_test_proportions", "x_seasonal_naive_eval",
 ]
 
 
