@@ -107,6 +107,8 @@ EXTRA = [
     "x_keyness_by_source",
     "x_ab_test_proportions",
     "x_seasonal_naive_eval",
+    "x_containment_dup",
+    "x_vocab_coverage",
 ]
 
 

@@ -5636,6 +5636,105 @@ def _triangle_sql(spark_dialect: bool) -> str:
     FROM tri CROSS JOIN agg CROSS JOIN ne"""
 
 
+def _containment_sql(spark_dialect: bool, n: int = 8) -> str:
+    """ASYMMETRIC containment dedup: doc A is (partially) contained in
+    doc B when >= 4/5 of A's distinct n-gram shingles also appear in B
+    — the quote-inclusion / superset-dup case Jaccard misses (a short
+    doc embedded in a long one has low Jaccard but high containment).
+    Membership is the integer inequality 5*inter >= 4*|A|; pairs come
+    from a SHARED-SHINGLE equi-join (sparse by construction: unrelated
+    docs share no 8-word shingle), never all-pairs.  Ordered pairs are
+    emitted, so A-in-B and B-in-A are independent verdicts.  Plan: one
+    shingle explode + distinct, one (shingle) join + (pair) partial
+    aggregate, size relation joined back (doc-cardinality)."""
+    if spark_dialect:
+        toks = (r"SELECT doc_id, regexp_extract_all(lower(text), '\\w+', 0)"
+                r" AS ts FROM documents")
+        sh = (f"SELECT doc_id, explode(array_distinct("
+              f"transform(sequence(1, size(ts) - {n - 1}),"
+              f" i -> md5(array_join(slice(ts, i, {n}), ' '))))) AS sh"
+              f" FROM toks WHERE size(ts) >= {n}")
+    else:
+        toks = (r"SELECT doc_id, regexp_extract_all(lower(text), '\w+')"
+                r" AS ts FROM documents")
+        sh = (f"SELECT doc_id, unnest(list_distinct("
+              f"list_transform(generate_series(1, len(ts) - {n - 1}),"
+              f" i -> md5(array_to_string(ts[i : i + {n - 1}], ' ')))))"
+              f" AS sh FROM toks WHERE len(ts) >= {n}")
+    return f"""WITH toks AS ({toks}),
+    shingles AS ({sh}),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+              FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM shingles a JOIN shingles b
+        ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a AS contained_doc, doc_b AS container_doc,
+           n_inter, sa.n_sh AS n_sh_contained, sb.n_sh AS n_sh_container
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 5 * n_inter >= 4 * sa.n_sh"""
+
+
+@_q(
+    "x_containment_dup",
+    _containment_sql(False),
+    "Asymmetric containment dedup: ordered (contained, container) doc "
+    "pairs where >= 4/5 of the contained doc's distinct 8-gram "
+    "shingles appear in the container — the quote-inclusion case "
+    "Jaccard misses; sparse shared-shingle join, integer membership.",
+)
+def x_containment_dup(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_containment_sql(True))
+
+
+def _vocab_coverage_sql(spark_dialect: bool, v: int = 1000) -> str:
+    """Tokenizer-vocabulary coverage: with the corpus's top-``v`` terms
+    as the fixed vocabulary, the per-source OOV rate in basis points
+    (token occurrences outside the vocab) — the coverage view that
+    decides whether a tokenizer's vocab suits a new source mix.  The
+    vocab is a bounded top-k aggregate (broadcast side); coverage is
+    one partial-agg join-pass.  Deterministic vocab: ties at the count
+    boundary break to the lexicographically smaller term."""
+    idiv = "div" if spark_dialect else "//"
+    if spark_dialect:
+        toks = (r"SELECT source, explode(regexp_extract_all(lower(text),"
+                r" '\\w+', 0)) AS term FROM documents")
+    else:
+        toks = (r"SELECT source, unnest(regexp_extract_all(lower(text),"
+                r" '\w+')) AS term FROM documents")
+    return f"""WITH toks AS ({toks}),
+    counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    vocab AS (SELECT term FROM counts
+              ORDER BY c DESC, term ASC LIMIT {v}),
+    marked AS (
+      SELECT t.source,
+             CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks t LEFT JOIN vocab v ON t.term = v.term)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           (CAST(sum(oov) AS BIGINT) * 10000) {idiv} count(*) AS oov_bp
+    FROM marked GROUP BY source"""
+
+
+@_q(
+    "x_vocab_coverage",
+    _vocab_coverage_sql(False),
+    "Tokenizer-vocab coverage per source: OOV rate in basis points "
+    "against the corpus top-1000 term vocabulary (deterministic "
+    "tie-break) — the fit check before committing a tokenizer to a "
+    "new source mix.",
+)
+def x_vocab_coverage(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_vocab_coverage_sql(True))
+
+
 def _seasonal_naive_sql(spark_dialect: bool, period_s: int = 86400) -> str:
     """Forecast-baseline evaluation: the seasonal-naive predictor
     (y_hat[t] = y[t - 24h]) scored per event_type over hourly volume
