@@ -109,6 +109,7 @@ EXTRA = [
     "x_seasonal_naive_eval",
     "x_containment_dup",
     "x_vocab_coverage",
+    "x_table_profile",
 ]
 
 

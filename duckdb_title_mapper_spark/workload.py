@@ -5636,6 +5636,78 @@ def _triangle_sql(spark_dialect: bool) -> str:
     FROM tri CROSS JOIN agg CROSS JOIN ne"""
 
 
+def _table_profile_sql(spark_dialect: bool) -> str:
+    """Column-profiling manifest over ``orders`` (the data-quality /
+    expectations card a pipeline emits per ingest): one row per column
+    with row/null/distinct counts and min/max rendered through
+    ENGINE-SAFE string forms — integers and VARCHAR verbatim, DOUBLE
+    via exact cent BIGINTs, TIMESTAMP via tz-free epoch DAYS
+    (double→string and timestamp→string renderings differ between
+    engines; integer renderings cannot).  Plan: ALL per-column stats
+    (including the multi-distinct counts, which Spark expands over a
+    single scan) come from ONE aggregate over ONE pass; the per-column
+    rows come from ONE consumer of that 1-row relation (CROSS JOIN a
+    6-row VALUES + CASE dispatch) — both the naive UNION-of-aggregates
+    form AND a UNION-of-arms over the agg CTE re-scan the table once
+    per column (Spark inlines CTEs per consumer; measured 6 FileScans
+    both ways), which at 100 TB is 6 full passes for no reason."""
+    epoch = ("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)"
+             if spark_dialect
+             else "CAST(date_diff(\'day\', DATE \'1970-01-01\',"
+                  " CAST(o_orderdate AS DATE)) AS BIGINT)")
+    cols = (
+        ("o_orderkey", "CAST({f}(o_orderkey) AS STRING)"),
+        ("o_custkey", "CAST({f}(o_custkey) AS STRING)"),
+        ("o_orderstatus", "{f}(o_orderstatus)"),
+        ("o_totalprice",
+         "CAST({f}(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+         " AS BIGINT)) AS STRING)"),
+        ("o_orderdate", "CAST({f}(" + epoch + ") AS STRING)"),
+        ("o_orderpriority", "{f}(o_orderpriority)"),
+    )
+    stats = ["count(*) AS n_rows"]
+    for i, (col, minmax) in enumerate(cols):
+        stats.append(f"count({col}) AS c{i}")
+        stats.append(f"CAST(count(DISTINCT {col}) AS BIGINT) AS d{i}")
+        stats.append(minmax.format(f="min") + f" AS mn{i}")
+        stats.append(minmax.format(f="max") + f" AS mx{i}")
+    agg = ",\n             ".join(stats)
+    names = ", ".join(f"(\'{c}\')" for c, _ in cols)
+
+    def case(expr_fmt):
+        branches = "\n             ".join(
+            f"WHEN \'{c}\' THEN {expr_fmt.format(i=i)}"
+            for i, (c, _) in enumerate(cols)
+        )
+        return f"CASE col_name {branches} END"
+
+    sql = f"""WITH agg AS (
+      SELECT {agg}
+      FROM orders)
+    SELECT col_name, n_rows,
+           {case("n_rows - c{i}")} AS n_nulls,
+           {case("d{i}")} AS n_distinct,
+           {case("mn{i}")} AS min_repr,
+           {case("mx{i}")} AS max_repr
+    FROM agg CROSS JOIN (VALUES {names}) AS t(col_name)"""
+    if not spark_dialect:
+        sql = sql.replace(" AS STRING)", " AS VARCHAR)")
+    return sql
+
+
+@_q(
+    "x_table_profile",
+    _table_profile_sql(False),
+    "Per-column profiling manifest (row/null/distinct counts, min/max "
+    "through engine-safe integer/varchar renderings) from ONE "
+    "single-scan aggregate — the data-quality expectations card "
+    "emitted per ingest batch.",
+)
+def x_table_profile(spark, sf_dir):
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_table_profile_sql(True))
+
+
 def _containment_sql(spark_dialect: bool, n: int = 8) -> str:
     """ASYMMETRIC containment dedup: doc A is (partially) contained in
     doc B when >= 4/5 of A's distinct n-gram shingles also appear in B

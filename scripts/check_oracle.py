@@ -72,6 +72,12 @@ def main():
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # an unknown name must fail loudly, not vacuously report ALL MATCH
+    from duckdb_title_mapper_spark.workload import all_queries as _aq
+    unknown = only - set(_aq())
+    if unknown:
+        print(f"UNKNOWN QUERIES: {sorted(unknown)}")
+        sys.exit(2)
 
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")

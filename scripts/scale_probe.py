@@ -59,7 +59,7 @@ EXTRA = [
     "rel_recursive_cte", "x_copurchase_pairs", "rel_variant_shred",
     "rel_sql_udf", "x_quantile_bins", "x_keyness_by_source",
     "x_ab_test_proportions", "x_seasonal_naive_eval",
-    "x_containment_dup", "x_vocab_coverage",
+    "x_containment_dup", "x_vocab_coverage", "x_table_profile",
 ]
 
 

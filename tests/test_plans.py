@@ -280,3 +280,17 @@ def test_r4_session2_plan_shapes(spark):
         set(s) <= {"o_orderkey", "o_totalprice"}
         for s in read_schema_columns(ks)
     )
+
+
+def test_table_profile_single_scan(spark):
+    """The profiler must read the table ONCE: both the naive
+    UNION-of-aggregates and a UNION-of-arms over an agg CTE re-scan
+    per column (Spark inlines CTEs per consumer — 6 FileScans
+    measured); the CASE-dispatch form has exactly one."""
+    from duckdb_title_mapper_spark.plans import explain_str
+    from duckdb_title_mapper_spark.workload import core_queries as all_queries
+
+    df = all_queries()["x_table_profile"].spark_fn(spark, SF)
+    # simple mode prints each physical scan exactly once (formatted
+    # mode repeats nodes in the numbered detail section)
+    assert explain_str(df, "simple").count("FileScan") == 1
