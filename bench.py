@@ -110,6 +110,7 @@ EXTRA = [
     "x_containment_dup",
     "x_vocab_coverage",
     "x_table_profile",
+    "rel_correlated_scalar",
 ]
 
 

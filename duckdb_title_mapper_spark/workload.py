@@ -5636,6 +5636,30 @@ def _triangle_sql(spark_dialect: bool) -> str:
     FROM tri CROSS JOIN agg CROSS JOIN ne"""
 
 
+_shared(
+    "rel_correlated_scalar",
+    """SELECT count(*) AS n_small_orders,
+              CAST(sum(CAST(CAST(l1.l_extendedprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT)) AS BIGINT) AS revenue_s2
+       FROM lineitem l1
+       WHERE l1.l_partkey < 500
+         AND CAST(l1.l_quantity AS BIGINT) * 5
+             * (SELECT count(*) FROM lineitem l2
+                WHERE l2.l_partkey = l1.l_partkey)
+             < (SELECT CAST(sum(CAST(l3.l_quantity AS BIGINT)) AS BIGINT)
+                FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)""",
+    ("lineitem",),
+    "TPC-H Q17 shape — CORRELATED SCALAR AGGREGATE subqueries "
+    "(quantity below 20% of the part's average, cross-multiplied to "
+    "the integer inequality 5*qty*cnt < sum so no division anywhere): "
+    "certifies the optimizer's subquery DECORRELATION — Spark rewrites "
+    "both correlated aggregates into per-part aggregate joins (one "
+    "partial-agg shuffle each, no per-row re-execution), the plan "
+    "property that makes correlated SQL survive 100 TB.  Quantities "
+    "are integral in TPC-H, so the BIGINT cast is exact.",
+)
+
+
 def _table_profile_sql(spark_dialect: bool) -> str:
     """Column-profiling manifest over ``orders`` (the data-quality /
     expectations card a pipeline emits per ingest): one row per column

@@ -294,3 +294,19 @@ def test_table_profile_single_scan(spark):
     # simple mode prints each physical scan exactly once (formatted
     # mode repeats nodes in the numbered detail section)
     assert explain_str(df, "simple").count("FileScan") == 1
+
+
+def test_correlated_scalar_subqueries_decorrelate(spark):
+    """Both correlated aggregates must be rewritten into per-part
+    aggregate JOINS (hash joins + partial aggregation) — never a
+    per-row nested-loop re-execution."""
+    from duckdb_title_mapper_spark.plans import (
+        explain_str,
+        has_partial_aggregation,
+    )
+    from duckdb_title_mapper_spark.workload import core_queries as all_queries
+
+    df = all_queries()["rel_correlated_scalar"].spark_fn(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoop" not in plan, plan[:800]
+    assert has_partial_aggregation(df)
