@@ -111,6 +111,7 @@ EXTRA = [
     "x_vocab_coverage",
     "x_table_profile",
     "rel_correlated_scalar",
+    "x_k_anonymity",
 ]
 
 

@@ -5636,6 +5636,54 @@ def _triangle_sql(spark_dialect: bool) -> str:
     FROM tri CROSS JOIN agg CROSS JOIN ne"""
 
 
+def _k_anonymity_sql(spark_dialect: bool, k: int = 5) -> str:
+    """k-anonymity audit over a quasi-identifier tuple (user-id bucket,
+    event type, hour-of-day) — the privacy gate a training-data release
+    runs before publishing event-derived features: every row whose QI
+    equivalence class has fewer than ``k`` members is re-identifiable.
+    Reports class counts, the minimum class size, rows-at-risk, and
+    their share in basis points — all integers.  Plan: one QI
+    partial-agg shuffle; the risk rollup aggregates the class relation
+    (QI-cardinality, orders smaller than rows)."""
+    if spark_dialect:
+        hod = "CAST(date_format(ts, 'H') AS BIGINT)"
+        idiv = "div"
+    else:
+        hod = "CAST(hour(ts) AS BIGINT)"
+        idiv = "//"
+    return f"""WITH qi AS (
+      SELECT user_id {idiv} 100 AS uid_bucket, event_type,
+             {hod} AS hour_of_day, count(*) AS class_size
+      FROM events
+      GROUP BY user_id {idiv} 100, event_type, {hod})
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(class_size) AS BIGINT) AS n_rows,
+           CAST(min(class_size) AS BIGINT) AS min_class_size,
+           CAST(count(CASE WHEN class_size < {k} THEN 1 END) AS BIGINT)
+             AS n_small_classes,
+           CAST(coalesce(sum(CASE WHEN class_size < {k}
+                                  THEN class_size END), 0) AS BIGINT)
+             AS rows_at_risk,
+           (CAST(coalesce(sum(CASE WHEN class_size < {k}
+                                   THEN class_size END), 0) AS BIGINT)
+            * 10000) {idiv} CAST(sum(class_size) AS BIGINT)
+             AS risk_bp
+    FROM qi"""
+
+
+@_q(
+    "x_k_anonymity",
+    _k_anonymity_sql(False),
+    "k-anonymity audit (k=5) over the (uid-bucket, event_type, "
+    "hour-of-day) quasi-identifier: class census, min class size, "
+    "rows-at-risk and their bp share — the privacy gate before a "
+    "feature release; one QI partial-agg shuffle.",
+)
+def x_k_anonymity(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_k_anonymity_sql(True))
+
+
 _shared(
     "rel_correlated_scalar",
     """SELECT count(*) AS n_small_orders,
