@@ -112,6 +112,7 @@ EXTRA = [
     "x_table_profile",
     "rel_correlated_scalar",
     "x_k_anonymity",
+    "x_lineage_manifest",
 ]
 
 

@@ -5636,6 +5636,62 @@ def _triangle_sql(spark_dialect: bool) -> str:
     FROM tri CROSS JOIN agg CROSS JOIN ne"""
 
 
+def _lineage_manifest_sql(spark_dialect: bool) -> str:
+    """Pipeline provenance manifest: per-stage row count + an
+    ORDER-INDEPENDENT content checksum (bit_xor of a per-row md5-derived
+    BIGINT) for each stage of a 3-step curation pipeline (quality
+    filter -> exact-dedup keeper -> train split).  The XOR aggregate is
+    commutative/associative, so the checksum is identical on any
+    partitioning, cluster layout, or engine — the cheap lineage record
+    that lets a re-run prove it reproduced a stage bit-for-bit without
+    storing row-level data.  Plan: the stage relations chain (each a
+    filter/aggregate of the previous), one partial-agg checksum pass
+    per stage over the shared scan."""
+    if spark_dialect:
+        h = ("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':',"
+             " text)), 1, 8), 16, 10) AS BIGINT)")
+        hid = ("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8),"
+               " 16, 10) AS BIGINT)")
+    else:
+        h = ("CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR),"
+             " ':', text)), 1, 8)) AS BIGINT)")
+        hid = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+               " AS BIGINT)")
+    return f"""WITH s0 AS (
+      SELECT doc_id, text, {h} AS rh, {hid} AS idh FROM documents),
+    s1 AS (SELECT * FROM s0 WHERE length(text) >= 200),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+    s2 AS (SELECT s1.* FROM s1 JOIN keepers ON s1.doc_id = keepers.doc_id),
+    s3 AS (SELECT * FROM s2 WHERE idh % 100 < 80),
+    m AS (
+      SELECT 0 AS stage_id, 'raw' AS stage, count(*) AS n_rows,
+             CAST(coalesce(bit_xor(rh), 0) AS BIGINT) AS checksum FROM s0
+      UNION ALL
+      SELECT 1, 'quality_filter', count(*),
+             CAST(coalesce(bit_xor(rh), 0) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT 2, 'exact_dedup', count(*),
+             CAST(coalesce(bit_xor(rh), 0) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'train_split', count(*),
+             CAST(coalesce(bit_xor(rh), 0) AS BIGINT) FROM s3)
+    SELECT CAST(stage_id AS BIGINT) AS stage_id, stage, n_rows, checksum
+    FROM m"""
+
+
+@_q(
+    "x_lineage_manifest",
+    _lineage_manifest_sql(False),
+    "Pipeline provenance manifest: per-stage row counts + order-"
+    "independent bit_xor content checksums across a quality->dedup->"
+    "split chain — the reproducibility record a re-run compares "
+    "against, identical on any partitioning or engine.",
+)
+def x_lineage_manifest(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_lineage_manifest_sql(True))
+
+
 def _k_anonymity_sql(spark_dialect: bool, k: int = 5) -> str:
     """k-anonymity audit over a quasi-identifier tuple (user-id bucket,
     event type, hour-of-day) — the privacy gate a training-data release

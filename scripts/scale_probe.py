@@ -60,7 +60,7 @@ EXTRA = [
     "rel_sql_udf", "x_quantile_bins", "x_keyness_by_source",
     "x_ab_test_proportions", "x_seasonal_naive_eval",
     "x_containment_dup", "x_vocab_coverage", "x_table_profile",
-    "rel_correlated_scalar", "x_k_anonymity",
+    "rel_correlated_scalar", "x_k_anonymity", "x_lineage_manifest",
 ]
 
 
