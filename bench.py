@@ -113,6 +113,7 @@ EXTRA = [
     "rel_correlated_scalar",
     "x_k_anonymity",
     "x_lineage_manifest",
+    "x_snapshot_diff",
 ]
 
 

@@ -5636,6 +5636,38 @@ def _triangle_sql(spark_dialect: bool) -> str:
     FROM tri CROSS JOIN agg CROSS JOIN ne"""
 
 
+_shared(
+    "x_snapshot_diff",
+    """WITH prev AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+      WHERE doc_id % 7 <> 0),
+    cur AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0 THEN concat(text, ' v2')
+                      ELSE text END) AS h
+      FROM documents WHERE doc_id % 13 <> 0),
+    diff AS (
+      SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+             CASE WHEN p.doc_id IS NULL THEN 'added'
+                  WHEN c.doc_id IS NULL THEN 'removed'
+                  WHEN p.h <> c.h THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)
+    SELECT change_type, count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM diff GROUP BY change_type""",
+    ("documents",),
+    "Dataset snapshot diff (the versioning audit between two releases): "
+    "FULL OUTER join on the stable key, rows classified added / removed "
+    "/ changed / unchanged by content hash; emitted as a per-class "
+    "census.  The two snapshots are deterministic derivations of the "
+    "corpus (doc_id % 7 / % 13 membership, % 11 content edit), so the "
+    "diff is engine-exact; at 100 TB this is one co-partitioned join "
+    "on the snapshot key plus a 4-row aggregate.",
+)
+
+
 def _lineage_manifest_sql(spark_dialect: bool) -> str:
     """Pipeline provenance manifest: per-stage row count + an
     ORDER-INDEPENDENT content checksum (bit_xor of a per-row md5-derived
