@@ -114,6 +114,7 @@ EXTRA = [
     "x_k_anonymity",
     "x_lineage_manifest",
     "x_snapshot_diff",
+    "x_l_diversity",
 ]
 
 

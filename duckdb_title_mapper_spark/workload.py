@@ -5724,6 +5724,52 @@ def x_lineage_manifest(spark, sf_dir):
     return spark.sql(_lineage_manifest_sql(True))
 
 
+def _l_diversity_sql(spark_dialect: bool, l: int = 3) -> str:
+    """l-diversity audit, the companion gate to [k-anonymity]: a QI
+    class can be k-large yet still leak if its SENSITIVE attribute is
+    uniform (everyone in the class did the same thing).  QI =
+    (uid-bucket, hour-of-day); sensitive = event_type; report classes
+    whose distinct-sensitive count < ``l``, and the homogeneous (l=1)
+    worst case separately.  One QI aggregate with count(DISTINCT) +
+    one census rollup — class-cardinality state."""
+    if spark_dialect:
+        hod = "CAST(date_format(ts, 'H') AS BIGINT)"
+        idiv = "div"
+    else:
+        hod = "CAST(hour(ts) AS BIGINT)"
+        idiv = "//"
+    return f"""WITH qi AS (
+      SELECT user_id {idiv} 100 AS uid_bucket, {hod} AS hour_of_day,
+             count(*) AS class_size,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_sensitive
+      FROM events
+      GROUP BY user_id {idiv} 100, {hod})
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(n_sensitive) AS BIGINT) AS min_diversity,
+           CAST(count(CASE WHEN n_sensitive < {l} THEN 1 END) AS BIGINT)
+             AS n_low_diversity,
+           CAST(count(CASE WHEN n_sensitive = 1 THEN 1 END) AS BIGINT)
+             AS n_homogeneous,
+           (CAST(coalesce(sum(CASE WHEN n_sensitive < {l}
+                                   THEN class_size END), 0) AS BIGINT)
+            * 10000) {idiv} CAST(sum(class_size) AS BIGINT)
+             AS rows_at_risk_bp
+    FROM qi"""
+
+
+@_q(
+    "x_l_diversity",
+    _l_diversity_sql(False),
+    "l-diversity audit (l=3) over (uid-bucket, hour) classes with "
+    "event_type as the sensitive attribute: low-diversity and "
+    "homogeneous class counts plus rows-at-risk in bp — the "
+    "companion privacy gate to x_k_anonymity.",
+)
+def x_l_diversity(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_l_diversity_sql(True))
+
+
 def _k_anonymity_sql(spark_dialect: bool, k: int = 5) -> str:
     """k-anonymity audit over a quasi-identifier tuple (user-id bucket,
     event type, hour-of-day) — the privacy gate a training-data release

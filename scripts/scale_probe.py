@@ -61,7 +61,7 @@ EXTRA = [
     "x_ab_test_proportions", "x_seasonal_naive_eval",
     "x_containment_dup", "x_vocab_coverage", "x_table_profile",
     "rel_correlated_scalar", "x_k_anonymity", "x_lineage_manifest",
-    "x_snapshot_diff",
+    "x_snapshot_diff", "x_l_diversity",
 ]
 
 
