@@ -12,6 +12,7 @@ the mandated streaming capabilities.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from .windows import stream_events
@@ -53,38 +54,64 @@ def file_sink_roundtrip(spark, sf_dir: str):
 def foreach_batch_upsert(spark, sf_dir: str):
     """foreachBatch MERGE sink: per micro-batch, upsert the stream's
     UPDATED per-event_type aggregates into a keyed parquet store
-    (read-modify-write with an atomic directory swap), then read the
-    store back.  This is the exactly-once keyed-sink pattern for stores
-    without native streaming support (JDBC, KV, vanilla parquet):
-    update-mode emits only the keys each batch changed, and the merge is
-    idempotent per (key, batch) — a replayed batch rewrites the same
-    rows, so retries cannot double-count.  At 100 TB the store is
-    key-cardinality-sized (here |event_type|), never stream-sized, and a
-    real deployment swaps the directory dance for MERGE INTO on a
-    transactional table — same foreachBatch shape.
+    (versioned directories behind an atomically-flipped pointer file),
+    then read the store back.  This is the exactly-once keyed-sink
+    pattern for stores without native streaming support (JDBC, KV,
+    vanilla parquet): update-mode emits only the keys each batch
+    changed, and the merge is idempotent per (key, batch) — a replayed
+    batch rebuilds the identical store version and re-flips the pointer,
+    so retries cannot double-count or lose untouched keys.
+
+    Crash-safety: each batch writes a COMPLETE merged store to a fresh
+    `store.v{batch_id}` directory, then publishes it with a single
+    `os.replace` of the CURRENT pointer file (atomic on POSIX).  A crash
+    before the flip leaves CURRENT on the previous full version; a crash
+    after the flip is absorbed because checkpoint replay of the same
+    batch_id rewrites the same version with the same rows.  Superseded
+    versions are deleted after the flip, so exactly one full store plus
+    at most one in-flight version exist at any time.  At 100 TB the
+    store is key-cardinality-sized (here |event_type|), never
+    stream-sized, and a real deployment swaps the pointer dance for
+    MERGE INTO on a transactional table — same foreachBatch shape.
 
     Aggregates are integer-exact s6 BIGINTs (the graded idiom), so the
     store equals the batch GROUP BY oracle exactly."""
     from pyspark.sql import functions as F
 
     out = tempfile.mkdtemp(prefix="dtm_stream_upsert_")
-    store = os.path.join(out, "store")
     chk = os.path.join(out, "chk")
+    ptr = os.path.join(out, "CURRENT")
+
+    def current_store():
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            name = f.read().strip()
+        path = os.path.join(out, name)
+        return path if name and os.path.exists(path) else None
 
     def merge(batch_df, batch_id):
         sess = batch_df.sparkSession
         new = batch_df
-        if os.path.exists(store):
-            old = sess.read.parquet(store)
+        cur = current_store()
+        if cur is not None:
+            old = sess.read.parquet(cur)
             new = old.join(new, "event_type", "left_anti").unionByName(new)
-        tmp = f"{store}.batch{batch_id}"
-        # write the merged store to a fresh dir (the lazy read of the old
-        # store executes here, before the swap), then swap atomically —
-        # a replay of the same batch_id rebuilds the identical store
-        new.coalesce(1).write.mode("overwrite").parquet(tmp)
-        if os.path.exists(store):
-            os.rename(store, f"{store}.old{batch_id}")
-        os.rename(tmp, store)
+        vname = f"store.v{batch_id}"
+        vdir = os.path.join(out, vname)
+        # write the FULL merged store to a fresh versioned dir (the lazy
+        # read of the old store executes here, before publication), then
+        # publish with one atomic pointer replace
+        new.coalesce(1).write.mode("overwrite").parquet(vdir)
+        tmp_ptr = os.path.join(out, f"CURRENT.tmp{batch_id}")
+        with open(tmp_ptr, "w") as f:
+            f.write(vname)
+        os.replace(tmp_ptr, ptr)
+        # GC superseded versions only AFTER the flip (crash here is
+        # harmless: CURRENT already points at the new full store)
+        for d in os.listdir(out):
+            if d.startswith("store.v") and d != vname:
+                shutil.rmtree(os.path.join(out, d), ignore_errors=True)
 
     agg = (
         stream_events(spark, sf_dir)
@@ -106,4 +133,7 @@ def foreach_batch_upsert(spark, sf_dir: str):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(store)
+    final = current_store()
+    if final is None:
+        raise RuntimeError("foreachBatch upsert produced no store version")
+    return spark.read.parquet(final)

@@ -517,11 +517,13 @@ def left_outer_view_purchase(spark, sf_dir: str, horizon_minutes: int = 30,
     can still arrive.  State on both sides stays O(watermark + horizon)
     of stream, not O(stream).
 
-    Finite-replay mechanics: the sentinel batch (see _stage_sentinel_dir)
-    advances the global watermark past all real data, and availableNow
-    runs the trailing no-data micro-batch that performs the final
-    eviction — so the delivered result equals the batch LEFT JOIN
-    exactly."""
+    Finite-replay mechanics: availableNow runs NO trailing no-data
+    micro-batch, and eviction in batch N uses the watermark computed
+    after batch N-1 — so _stage_sentinel_dir stages TWO far-future
+    sentinel files (maxFilesPerTrigger=1): the first advances the
+    watermark past all real data, the second's batch performs the final
+    eviction under that advanced watermark.  The delivered result then
+    equals the batch LEFT JOIN exactly."""
     from pyspark.sql import functions as F
 
     from ..sources.tables import events_ts_read_type, normalize_events_ts

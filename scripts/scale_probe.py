@@ -44,7 +44,7 @@ EXTRA = [
     "x_contamination_by_split", "x_ann_lsh_multiprobe",
     "stream_ohlc_windows", "x_length_histogram", "rel_group_by_all",
     # round-4 flagships
-    "x_semantic_dedup", "x_bm25_topk", "x_winnow_fingerprints",
+    "x_semantic_dedup_scaled", "x_bm25_topk", "x_winnow_fingerprints",
     "x_gopher_rules", "x_tokenizer_fertility", "stream_content_dedup",
     "x_hybrid_rrf", "x_lm_perplexity_filter", "x_lsh_blocking_eval",
     "x_skew_diagnosis", "x_zorder_layout", "x_anomaly_windows", "stream_anomaly_baseline",
@@ -59,9 +59,11 @@ EXTRA = [
     "rel_recursive_cte", "x_copurchase_pairs", "rel_variant_shred",
     "rel_sql_udf", "x_quantile_bins", "x_keyness_by_source",
     "x_ab_test_proportions", "x_seasonal_naive_eval",
-    "x_containment_dup", "x_vocab_coverage", "x_table_profile",
+    "x_containment_dup_reduced", "x_vocab_coverage", "x_table_profile",
     "rel_correlated_scalar", "x_k_anonymity", "x_lineage_manifest",
     "x_snapshot_diff", "x_l_diversity",
+    # round-5 flagships
+    "x_winnow_fingerprints_coarse", "rel_recursive_cycle_walk",
 ]
 
 
