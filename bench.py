@@ -118,6 +118,11 @@ EXTRA = [
     # round-5 flagships
     "x_winnow_fingerprints_coarse",
     "rel_recursive_cycle_walk",
+    "x_boilerplate_ngrams",
+    "x_bpe_merge_step",
+    "x_t_closeness",
+    "x_countmin_sketch",
+    "x_linear_quality_scorer",
 ]
 
 
@@ -197,6 +202,19 @@ def main():
     register_synthetic_source(spark)
     (spark.read.format("synthetic_events").option("n", "32")
      .option("parts", "1").load().count())
+    # warm the STREAMING python-datasource chain separately: its first
+    # action pays its own one-time spawn (~9 s cold measured r5), on top
+    # of which every streaming run keeps a ~3 s micro-batch start/stop
+    # constant — the warm-up removes the former so the recorded numbers
+    # measure only the latter (a per-run constant, not a data cost)
+    _wq = (spark.readStream.format("synthetic_events").option("n", "32")
+           .option("batch", "32").load()
+           .writeStream.format("memory").queryName("__bench_stream_warm")
+           .outputMode("append").start())
+    try:
+        _wq.processAllAvailable()
+    finally:
+        _wq.stop()
 
     # best-of-3, round-robin: machine-load noise on shared hosts swings
     # single runs 3-10x and Catalyst compile cost dominates the cold run;

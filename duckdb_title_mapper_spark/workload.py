@@ -7074,6 +7074,365 @@ def x_fuzzy_match_tfidf_i(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-5 operators: corpus-boilerplate removal, tokenizer training,
+# t-closeness, count-min sketch, hashed linear quality scoring
+# ---------------------------------------------------------------------------
+
+
+def _toks_sql(spark_dialect: bool, cols: str = "doc_id") -> str:
+    """Shared tokenizer fragment: ``cols`` plus the lowered ``\\w+``
+    token array as ``ts``, from documents."""
+    if spark_dialect:
+        return (f"SELECT {cols}, regexp_extract_all(lower(text),"
+                f" '\\\\w+', 0) AS ts FROM documents")
+    return (f"SELECT {cols}, regexp_extract_all(lower(text),"
+            f" '\\w+') AS ts FROM documents")
+
+
+def _boilerplate_sql(spark_dialect: bool, n: int = 5) -> str:
+    """Corpus-level BOILERPLATE n-gram census (the RefinedWeb/CCNet
+    line-dedup idea re-expressed for unsegmented text): a ``n``-gram is
+    boilerplate within a source when >= 25% of that source's documents
+    contain it (the navigation/footer/template text that survives
+    per-document quality filters because every page has it).  Per doc:
+    distinct-gram count, boilerplate-gram count, and the boilerplate
+    share in basis points — the removal manifest a cleaning pass would
+    apply.  All integers; membership is the exact cross-multiplied
+    inequality 4*docs_with >= source_docs.
+
+    Scale: gram document-frequency is one (source, gram-hash) partial
+    aggregate; the boilerplate set joins back on the same gram-hash
+    equi-key (no pairwise anything); the per-source doc counts are a
+    source-cardinality relation.  At 100 TB the df relation is
+    vocabulary-sized per source and the hot keys (true boilerplate) are
+    exactly the rows the 25% filter keeps — AQE skew handling covers
+    the join-back."""
+    if spark_dialect:
+        grams = (f"SELECT DISTINCT doc_id, source, "
+                 f"explode(transform(sequence(1, size(ts) - {n - 1}),"
+                 f" i -> md5(array_join(slice(ts, i, {n}), ' ')))) AS sh"
+                 f" FROM toks WHERE size(ts) >= {n}")
+        idiv = "div"
+    else:
+        grams = (f"SELECT DISTINCT doc_id, source, "
+                 f"unnest(list_transform(generate_series(1, len(ts) - {n - 1}),"
+                 f" i -> md5(array_to_string(ts[i : i + {n - 1}], ' '))))"
+                 f" AS sh FROM toks WHERE len(ts) >= {n}")
+        idiv = "//"
+    return f"""WITH toks AS ({_toks_sql(spark_dialect, "doc_id, source")}),
+    grams AS ({grams}),
+    sd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source),
+    df AS (SELECT source, sh, CAST(count(*) AS BIGINT) AS n_with
+           FROM grams GROUP BY source, sh),
+    b AS (SELECT df.source, df.sh
+          FROM df JOIN sd ON df.source = sd.source
+          WHERE 4 * df.n_with >= sd.n_docs),
+    per AS (
+      SELECT g.doc_id, g.source,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(b.sh) AS BIGINT) AS n_boiler
+      FROM grams g LEFT JOIN b
+        ON g.source = b.source AND g.sh = b.sh
+      GROUP BY g.doc_id, g.source)
+    SELECT doc_id, source, n_grams, n_boiler,
+           (n_boiler * 10000) {idiv} n_grams AS boiler_bp
+    FROM per"""
+
+
+@_q(
+    "x_boilerplate_ngrams",
+    _boilerplate_sql(False),
+    "Corpus-boilerplate census: 5-grams present in >= 25% of a "
+    "source's documents are boilerplate (template/footer text that "
+    "per-doc filters miss); per doc the distinct-gram count, "
+    "boilerplate-gram count, and bp share — the removal manifest of a "
+    "cleaning pass.  One (source, gram) partial agg + one gram "
+    "equi-join-back; integer membership.",
+)
+def x_boilerplate_ngrams(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_boilerplate_sql(True))
+
+
+def _bpe_merge_step_sql(spark_dialect: bool, topk: int = 20) -> str:
+    """The PAIR-COUNT step of one BPE tokenizer-training iteration
+    (Sennrich et al. 2016): corpus word frequencies, then every
+    adjacent symbol pair weighted by its word's frequency, ranked — the
+    argmax row is the merge the iteration would apply.  The training
+    loop is driver-side iteration of exactly this relation (the
+    x_kmeans_step pattern: one distributed pass per round, vocab-sized
+    state on the driver).
+
+    Scale: pair counting runs over the DISTINCT-word relation
+    (vocabulary-sized, not corpus-sized) with corpus weights attached —
+    the aggregation the corpus pays is one word-count shuffle; the
+    per-word character explode is vocab x avg-word-length rows.  Rank
+    boundaries are integer counts with a total lexicographic
+    tie-break, so the top-k set is engine-exact."""
+    if spark_dialect:
+        word = "explode(ts)"
+        pos = "explode(sequence(1, length(word) - 1))"
+    else:
+        word = "unnest(ts)"
+        pos = "unnest(generate_series(1, length(word) - 1))"
+    return f"""WITH toks AS ({_toks_sql(spark_dialect, "doc_id")}),
+    words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS wc
+      FROM (SELECT {word} AS word FROM toks) w
+      GROUP BY word),
+    pos AS (
+      SELECT word, wc, {pos} AS i
+      FROM words WHERE length(word) >= 2),
+    pairs AS (
+      SELECT substr(word, i, 1) AS sym_left,
+             substr(word, i + 1, 1) AS sym_right,
+             CAST(sum(wc) AS BIGINT) AS pair_count
+      FROM pos GROUP BY substr(word, i, 1), substr(word, i + 1, 1)),
+    ranked AS (
+      SELECT sym_left, sym_right, pair_count,
+             CAST(row_number() OVER (
+               ORDER BY pair_count DESC, sym_left, sym_right)
+             AS BIGINT) AS merge_rank
+      FROM pairs)
+    SELECT merge_rank, sym_left, sym_right, pair_count
+    FROM ranked WHERE merge_rank <= {topk}"""
+
+
+@_q(
+    "x_bpe_merge_step",
+    _bpe_merge_step_sql(False),
+    "BPE tokenizer-training pair-count step: adjacent symbol pairs "
+    "weighted by corpus word frequency, top-20 merge candidates with "
+    "total-ordered ranks — rank 1 is the merge this iteration applies; "
+    "the training loop drives this relation per round over a "
+    "vocabulary-sized working set.",
+)
+def x_bpe_merge_step(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_bpe_merge_step_sql(True))
+
+
+def _t_closeness_sql(spark_dialect: bool, t_bp: int = 2000) -> str:
+    """t-closeness audit — the third privacy gate after [k-anonymity]
+    and [l-diversity]: a QI class passes only if its SENSITIVE-value
+    distribution stays within distance t of the global distribution
+    (a class can be k-large and l-diverse yet still leak by SKEW, e.g.
+    90% of the class did one thing vs 10% globally).  Categorical
+    sensitive attribute -> the distance is total variation, integerized
+    by cross-multiplication: D_c = sum_s |n_cs*G - g_s*n_c| over
+    present values + (G - sum_present g_s)*n_c for absent ones, and
+    tvd_bp = 10000*D_c/(2*n_c*G) — exact integers end-to-end (max
+    intermediate ~n_c*G*10000, far inside int64 at any certified SF;
+    a 100 TB run widens the product to DECIMAL(38,0) the same way the
+    *_s9 family does).  QI = (uid-bucket, hour); sensitive =
+    event_type.  Plan: one (QI, sensitive) partial agg, the global
+    distribution broadcast (|event_type| rows), one class-level
+    aggregate — class-cardinality state, no row-level rescans."""
+    if spark_dialect:
+        hod = "CAST(date_format(ts, 'H') AS BIGINT)"
+        idiv = "div"
+    else:
+        hod = "CAST(hour(ts) AS BIGINT)"
+        idiv = "//"
+    return f"""WITH ev AS (
+      SELECT user_id {idiv} 100 AS uid_bucket, {hod} AS hour_of_day,
+             event_type
+      FROM events),
+    cs AS (SELECT uid_bucket, hour_of_day, event_type,
+                  CAST(count(*) AS BIGINT) AS n_cs
+           FROM ev GROUP BY uid_bucket, hour_of_day, event_type),
+    g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS g_s
+          FROM ev GROUP BY event_type),
+    tot AS (SELECT CAST(sum(g_s) AS BIGINT) AS big_g FROM g),
+    cls AS (
+      SELECT cs.uid_bucket, cs.hour_of_day,
+             CAST(sum(cs.n_cs) AS BIGINT) AS n_c,
+             CAST(sum(g.g_s) AS BIGINT) AS g_present
+      FROM cs JOIN g ON cs.event_type = g.event_type
+      GROUP BY cs.uid_bucket, cs.hour_of_day),
+    d AS (
+      SELECT cs.uid_bucket, cs.hour_of_day, cls.n_c,
+             CAST(sum(abs(cs.n_cs * tot.big_g - g.g_s * cls.n_c))
+                  AS BIGINT)
+               + (tot.big_g - cls.g_present) * cls.n_c AS dist_num,
+             max(tot.big_g) AS big_g
+      FROM cs
+      JOIN g ON cs.event_type = g.event_type
+      JOIN cls ON cs.uid_bucket = cls.uid_bucket
+              AND cs.hour_of_day = cls.hour_of_day
+      CROSS JOIN tot
+      GROUP BY cs.uid_bucket, cs.hour_of_day, cls.n_c, cls.g_present,
+               tot.big_g)
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(max((dist_num * 10000) {idiv} (2 * n_c * big_g))
+                AS BIGINT) AS max_tvd_bp,
+           CAST(count(CASE WHEN dist_num * 10000 > {t_bp} * 2 * n_c * big_g
+                           THEN 1 END) AS BIGINT) AS n_violating,
+           CAST(coalesce(sum(CASE WHEN dist_num * 10000 >
+                                       {t_bp} * 2 * n_c * big_g
+                                  THEN n_c END), 0) AS BIGINT)
+             AS rows_at_risk,
+           (CAST(coalesce(sum(CASE WHEN dist_num * 10000 >
+                                        {t_bp} * 2 * n_c * big_g
+                                   THEN n_c END), 0) AS BIGINT)
+            * 10000) {idiv} CAST(sum(n_c) AS BIGINT) AS risk_bp
+    FROM d"""
+
+
+@_q(
+    "x_t_closeness",
+    _t_closeness_sql(False),
+    "t-closeness audit (t=0.2) over (uid-bucket, hour) classes with "
+    "event_type sensitive: per-class total-variation distance to the "
+    "global distribution, cross-multiplied to exact integers; "
+    "violating-class census + rows-at-risk bp — completes the "
+    "k-anonymity / l-diversity / t-closeness privacy gate trio.",
+)
+def x_t_closeness(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_t_closeness_sql(True))
+
+
+def _countmin_sql(spark_dialect: bool, d: int = 4, w: int = 64,
+                  topk: int = 20) -> str:
+    """Count-min sketch over corpus term frequencies (Cormode &
+    Muthukrishnan 2005): ``d`` hash rows x ``w`` columns of summed
+    counts — the fixed-size, SHARD-MERGEABLE heavy-hitter state (two
+    sketches over disjoint shards add cell-wise, the same mergeability
+    contract as [x_kmv_sketch]).  The query builds the sketch AND
+    audits it: for the true top-``topk`` terms, the CM estimate
+    (min over rows of the hashed cell) next to the true count — the
+    estimate is provably >= truth, and the reported overestimate is
+    the collision cost of the chosen (d, w).
+
+    Scale: the sketch is one (row, col) aggregate of d*w cells
+    regardless of corpus size — at 100 TB each executor folds its
+    partition into d*w partials and the shuffle moves d*w rows per
+    partition; term cardinality never materializes beyond the
+    term-count relation this audit compares against.  All integer
+    (md5-derived hashes, summed BIGINT counts)."""
+    def cm_hash(row_expr: str, term_expr: str) -> str:
+        if spark_dialect:
+            return (f"CAST(conv(substr(md5(concat(CAST({row_expr} AS"
+                    f" STRING), ':', {term_expr})), 1, 8), 16, 10)"
+                    f" AS BIGINT)")
+        return (f"CAST(('0x' || substr(md5(concat(CAST({row_expr} AS"
+                f" VARCHAR), ':', {term_expr})), 1, 8)) AS BIGINT)")
+
+    if spark_dialect:
+        term = "explode(ts)"
+        rows = f"explode(sequence(0, {d - 1}))"
+    else:
+        term = "unnest(ts)"
+        rows = f"unnest(generate_series(0, {d - 1}))"
+    return f"""WITH toks AS ({_toks_sql(spark_dialect, "doc_id")}),
+    tc AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT {term} AS term FROM toks) x
+      GROUP BY term),
+    cells AS (
+      SELECT r, {cm_hash("r", "term")} % {w} AS col, n
+      FROM (SELECT term, n, {rows} AS r FROM tc) e),
+    sketch AS (
+      SELECT r, col, CAST(sum(n) AS BIGINT) AS cell
+      FROM cells GROUP BY r, col),
+    top AS (
+      SELECT term, n FROM tc
+      ORDER BY n DESC, term LIMIT {topk}),
+    probe AS (
+      SELECT t.term, t.n, p.r,
+             {cm_hash("p.r", "t.term")} % {w} AS col
+      FROM top t CROSS JOIN
+        (SELECT {rows} AS r FROM (SELECT 1 AS one) o) p),
+    est AS (
+      SELECT pr.term, pr.n, CAST(min(s.cell) AS BIGINT) AS cm_estimate
+      FROM probe pr JOIN sketch s ON pr.r = s.r AND pr.col = s.col
+      GROUP BY pr.term, pr.n)
+    SELECT term, n AS true_count, cm_estimate,
+           cm_estimate - n AS overestimate
+    FROM est"""
+
+
+@_q(
+    "x_countmin_sketch",
+    _countmin_sql(False),
+    "Count-min sketch heavy-hitter audit: a 4x64 shard-mergeable "
+    "sketch of corpus term counts, probed at the true top-20 terms — "
+    "CM estimate vs truth with the overestimate (collision cost) per "
+    "term; the fixed-size streaming/sharded alternative to exact "
+    "term counting.  All integer.",
+)
+def x_countmin_sketch(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_countmin_sql(True))
+
+
+def _linear_quality_sql(spark_dialect: bool, buckets: int = 1024) -> str:
+    """Hashed-feature LINEAR quality scorer — the fastText-shaped
+    model-based filter (hash trick: Weinberger et al. 2009): unigrams
+    hash into ``buckets`` feature buckets, each bucket carries a fixed
+    integer weight, a document's score is the sparse dot product
+    weight . bucket-counts.  The weight table here is a deterministic
+    pseudo-model ((bucket * 2654435761) mod 2001 - 1000 — the
+    Spark-side plumbing is the deliverable, the weights of a real
+    trained classifier drop into the same relation); scores are exact
+    integers and the keep verdict compares the raw integer score.
+
+    Scale: one (doc, bucket) partial aggregate + a bucket-cardinality
+    weight relation computed inline (a real model's weights broadcast
+    as a 1024-row relation); the dot product is map-side after the
+    join — no vocabulary-sized state touches the corpus shuffle.
+    Per-kilotoken normalization uses sign-safe integer division
+    (both engines floor/truncate identically on NON-negative
+    operands; negative division semantics differ cross-engine, so the
+    quotient is computed on |score| and the sign reapplied)."""
+    if spark_dialect:
+        term = "explode(ts)"
+        idiv = "div"
+        bh = (f"CAST(conv(substr(md5(term), 1, 8), 16, 10) AS BIGINT)"
+              f" % {buckets}")
+    else:
+        term = "unnest(ts)"
+        idiv = "//"
+        bh = (f"CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)"
+              f" % {buckets}")
+    return f"""WITH toks AS ({_toks_sql(spark_dialect, "doc_id")}),
+    tb AS (
+      SELECT doc_id,
+             {bh} AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, {term} AS term FROM toks) x
+      GROUP BY doc_id, {bh}),
+    scored AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(c * ((bucket * 2654435761) % 2001 - 1000))
+                  AS BIGINT) AS score
+      FROM tb GROUP BY doc_id)
+    SELECT doc_id, n_tokens, score,
+           CASE WHEN score >= 0 THEN 1 ELSE -1 END
+             * ((abs(score) * 1000) {idiv} n_tokens)
+             AS score_per_kilotoken,
+           score >= 0 AS keep
+    FROM scored"""
+
+
+@_q(
+    "x_linear_quality_scorer",
+    _linear_quality_sql(False),
+    "Hashed-feature linear quality scorer (the fastText-shaped "
+    "model-based filter): unigrams -> 1024 hash buckets -> integer-"
+    "weight sparse dot product per doc, with sign-safe per-kilotoken "
+    "normalization and a raw-integer keep verdict; the weight relation "
+    "is where a trained model's coefficients broadcast in.",
+)
+def x_linear_quality_scorer(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_linear_quality_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its
@@ -7089,8 +7448,11 @@ GRADE_FIRST = [
     "rel_scan_project", "rel_filter_eq", "rel_group_by_all_i",
     "rel_filter_like",
     "rel_agg_pricing_summary_i", "rel_count_distinct", "rel_topk",
-    # joins incl. outer + skew-salted
-    "rel_join_dims_i", "rel_join_3way_i", "rel_join_q5_shape_i",
+    # joins incl. outer + skew-salted (r5: rel_join_dims_i's slot goes
+    # to x_bm25_topk — the join family keeps four driver rows (3way,
+    # q5-shape, outer, salted) while retrieval gains its FIRST driver
+    # certification; rel_join_dims_i stays registered after the fold)
+    "rel_join_3way_i", "rel_join_q5_shape_i",
     "rel_left_join_i",
     "rel_salted_join_i",
     # windows
@@ -7122,8 +7484,8 @@ GRADE_FIRST = [
     "x_dedup_exact", "x_minhash_signature", "x_near_dup_clusters",
     "x_simhash_clusters", "x_chunk_dedup", "x_decontaminate_ngrams",
     "x_embed_near_dup",
-    # X: similarity search
-    "x_knn_bruteforce", "x_ann_lsh_topk",
+    # X: similarity search + retrieval (BM25 promoted r5, all-BIGINT)
+    "x_knn_bruteforce", "x_ann_lsh_topk", "x_bm25_topk",
     # X: fuzzy match + transitive closure
     "x_fuzzy_match_tfidf_i", "x_connected_components",
     # X: multimodal

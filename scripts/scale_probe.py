@@ -64,6 +64,8 @@ EXTRA = [
     "x_snapshot_diff", "x_l_diversity",
     # round-5 flagships
     "x_winnow_fingerprints_coarse", "rel_recursive_cycle_walk",
+    "x_boilerplate_ngrams", "x_bpe_merge_step", "x_t_closeness",
+    "x_countmin_sketch", "x_linear_quality_scorer",
 ]
 
 
