@@ -123,6 +123,11 @@ EXTRA = [
     "x_t_closeness",
     "x_countmin_sketch",
     "x_linear_quality_scorer",
+    "stream_full_outer_join",
+    "stream_dedup_within_watermark",
+    "x_matryoshka_recall",
+    "rel_window_suite",
+    "x_bpe_train",
 ]
 
 

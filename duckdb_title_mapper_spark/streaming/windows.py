@@ -596,3 +596,103 @@ def left_outer_view_purchase_result(spark, sf_dir: str,
         mode="append",
     )
     return sink.where(F.col("user_id") >= 0)
+
+
+def full_outer_view_purchase_result(spark, sf_dir: str,
+                                    horizon_minutes: int = 30,
+                                    watermark: str = "2 hours"):
+    """Watermarked stream-stream FULL OUTER join — the completion of the
+    join-mode family (inner: click_purchase_join; left: above): every
+    view with its in-horizon purchases, PLUS unmatched views with NULL
+    purchase columns, PLUS unmatched purchases with NULL view columns.
+    Both null-match directions exist only by state-eviction proof, so
+    both sides carry watermarks and state stays O(watermark + horizon).
+
+    Same finite-replay mechanics as the left join: the staged dir's TWO
+    far-future sentinel files (a view AND a purchase row each, so both
+    sides' watermarks advance) flush every pending null-match; sentinel
+    rows are filtered on the SINK table (a join-side filter would push
+    below the watermark node and strip the sentinel — the r4 trap).
+    The sentinel view/purchase pairs match each other (same user -1,
+    same instant), so they surface as matched rows, never as spurious
+    null-matches.  Oracle = the batch FULL JOIN."""
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import events_ts_read_type, normalize_events_ts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_t = events_ts_read_type(spark, sf_dir)
+    d = _stage_sentinel_dir(spark, sf_dir, ts_t)
+    schema = EVENTS_RAW_SCHEMA.replace(
+        "ts BIGINT", f"ts {'BIGINT' if ts_t == 'bigint' else 'TIMESTAMP_NTZ'}"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    events = normalize_events_ts(raw)
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("v_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+        "full_outer",
+    )
+    out = joined.select(
+        F.col("view_id"),
+        F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
+        F.unix_micros("v_ts").alias("view_us"),
+        F.col("purchase_id"),
+        F.unix_micros("p_ts").alias("purchase_us"),
+    )
+    sink = run_to_memory(out, mode="append")
+    return sink.where(F.col("user_id") >= 0)
+
+
+def dedup_within_watermark_keys(spark, sf_dir: str,
+                                watermark: str = "30 days"):
+    """``dropDuplicatesWithinWatermark`` (Spark 3.5+): dedup state is
+    evicted once the watermark passes an entry's event time plus the
+    delay, so state holds only the active watermark window — the API
+    for at-least-once sources whose duplicates arrive CLOSE TOGETHER
+    (retries, replays), where classic streaming dropDuplicates would
+    hold every key forever.
+
+    Determinism contract: WHICH physical row survives per key is
+    arrival-order-dependent, so only the KEY COLUMNS are projected —
+    the emitted key set is exact.  The staged source is one parquet
+    file (single micro-batch) and the delay exceeds the corpus's event
+    span, so no key can be re-emitted by eviction; the oracle is the
+    batch DISTINCT."""
+    from pyspark.sql import functions as F
+
+    keyed = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(keyed, mode="append")

@@ -1802,6 +1802,41 @@ def stream_left_outer_join(spark, sf_dir):
 
 
 @_q(
+    "stream_full_outer_join",
+    """SELECT v.event_id AS view_id,
+           coalesce(v.user_id, p.user_id) AS user_id,
+           epoch_us(v.ts) AS view_us,
+           p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTES""",
+    "Stream-stream FULL OUTER join completing the join-mode family: "
+    "matched pairs plus BOTH null-match directions, each emitted only "
+    "on watermark-eviction proof; two-sentinel finite replay, sentinel "
+    "rows dropped on the sink table; oracle = the batch FULL JOIN.",
+)
+def stream_full_outer_join(spark, sf_dir):
+    from .streaming.windows import full_outer_view_purchase_result
+
+    return full_outer_view_purchase_result(spark, sf_dir)
+
+
+@_q(
+    "stream_dedup_within_watermark",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    "dropDuplicatesWithinWatermark (Spark 3.5+): streaming dedup whose "
+    "state evicts at event time + delay instead of growing forever — "
+    "the at-least-once-source dedup; key columns only (survivor row "
+    "identity is arrival-dependent), oracle = batch DISTINCT.",
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    from .streaming.windows import dedup_within_watermark_keys
+
+    return dedup_within_watermark_keys(spark, sf_dir)
+
+
+@_q(
     "stream_sessionize_stateful",
     _SESSION_ISLANDS_CTE
     + """,
@@ -7431,6 +7466,267 @@ def _linear_quality_sql(spark_dialect: bool, buckets: int = 1024) -> str:
 def x_linear_quality_scorer(spark, sf_dir):
     register_views(spark, sf_dir, "documents")
     return spark.sql(_linear_quality_sql(True))
+
+
+def _matryoshka_recall_sql(spark_dialect: bool, pfx: int = 16,
+                           k: int = 10, nq: int = 10) -> str:
+    """Matryoshka / truncated-dimension retrieval eval (Kusupati et al.
+    2022): how much top-``k`` cosine recall survives when similarity
+    uses only the first ``pfx`` of 64 dims — the measurement that
+    decides whether a deployment can shard/search on prefix dims (4x
+    less IO and FLOPs here) and re-rank with full vectors.  Per query
+    (the vec_id < ``nq`` broadcast set): |top-k(full) intersect
+    top-k(prefix)| as an integer overlap.
+
+    Exactness: both rankings order by a per-row IEEE cosine on
+    bit-identical floats (index-order folds, the _embed_dot contract)
+    with vec_id tie-breaks -> total order, integer overlap.  Scale:
+    brute-force per query like [x_knn_bruteforce] (query side
+    broadcast); the production search path is the ANN family — this is
+    its dimension-truncation EVAL loop, corpus-pass count 2."""
+    if spark_dialect:
+        qpre, cpre = f"slice(q.embedding, 1, {pfx})", f"slice(c.embedding, 1, {pfx})"
+    else:
+        qpre, cpre = f"q.embedding[1:{pfx}]", f"c.embedding[1:{pfx}]"
+    dot_full = _embed_dot(spark_dialect, "q.embedding", "c.embedding")
+    qn_full = "sqrt(" + _embed_dot(spark_dialect, "q.embedding", "q.embedding") + ")"
+    cn_full = "sqrt(" + _embed_dot(spark_dialect, "c.embedding", "c.embedding") + ")"
+    dot_pre = _embed_dot(spark_dialect, qpre, cpre)
+    qn_pre = "sqrt(" + _embed_dot(spark_dialect, qpre, qpre) + ")"
+    cn_pre = "sqrt(" + _embed_dot(spark_dialect, cpre, cpre) + ")"
+    return f"""WITH q AS (
+      SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {nq}),
+    c AS (SELECT vec_id AS cid, embedding FROM embeddings),
+    fr AS (
+      SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid ORDER BY
+               {dot_full} / ({qn_full} * {cn_full}) DESC, cid) AS rk
+      FROM q JOIN c ON qid <> cid),
+    pr AS (
+      SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid ORDER BY
+               {dot_pre} / ({qn_pre} * {cn_pre}) DESC, cid) AS rk
+      FROM q JOIN c ON qid <> cid),
+    ov AS (
+      SELECT fr.qid, CAST(count(*) AS BIGINT) AS n_overlap
+      FROM fr JOIN pr ON fr.qid = pr.qid AND fr.cid = pr.cid
+      WHERE fr.rk <= {k} AND pr.rk <= {k}
+      GROUP BY fr.qid)
+    SELECT q.qid AS query_vec_id,
+           CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap_top{k},
+           CAST(coalesce(ov.n_overlap, 0) * 10000 AS BIGINT)
+             {"div" if spark_dialect else "//"} {k} AS recall_bp
+    FROM q LEFT JOIN ov ON q.qid = ov.qid"""
+
+
+@_q(
+    "x_matryoshka_recall",
+    _matryoshka_recall_sql(False),
+    "Matryoshka truncated-dimension retrieval eval: per query, the "
+    "integer overlap between cosine top-10 under the first 16 of 64 "
+    "dims and under full vectors — the measurement deciding whether "
+    "prefix-dim sharded search + full-dim re-rank is safe; IEEE-exact "
+    "rankings with vec_id tie-breaks.",
+)
+def x_matryoshka_recall(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_matryoshka_recall_sql(True))
+
+
+def _window_suite_sql(spark_dialect: bool) -> str:
+    """The windowed-analytics completion set (lead/lag/ntile/first/
+    percent-rank) over each customer's order history — one named WINDOW
+    partitioning serves every function, so the plan is ONE hash
+    partition + sort per customer regardless of how many analytics ride
+    on it (the reuse a 100 TB per-entity timeline query depends on).
+    percent-rank and cume-dist are emitted cross-multiplied to integer
+    basis points (their double forms divide two integers — exact IEEE,
+    but the integer form keeps the whole row decimal/float-free)."""
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH w AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             lag(o_orderkey) OVER win AS prev_order,
+             lead(o_orderkey) OVER win AS next_order,
+             first_value(o_orderkey) OVER win AS first_order,
+             CAST(row_number() OVER win AS BIGINT) AS rn,
+             CAST(ntile(4) OVER win AS BIGINT) AS quartile,
+             CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+               AS n_orders
+      FROM orders WHERE o_custkey < 500
+      WINDOW win AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey))
+    SELECT o_custkey, o_orderkey, prev_order, next_order, first_order,
+           rn, quartile, n_orders,
+           CASE WHEN n_orders > 1
+                THEN ((rn - 1) * 10000) {idiv} (n_orders - 1)
+                ELSE CAST(0 AS BIGINT) END AS pct_rank_bp,
+           (rn * 10000) {idiv} n_orders AS cume_bp
+    FROM w"""
+
+
+@_q(
+    "rel_window_suite",
+    _window_suite_sql(False),
+    "Windowed-analytics suite on one shared named WINDOW (lead/lag/"
+    "first_value/row_number/ntile + integerized percent-rank and "
+    "cume-dist): every function rides a single per-customer hash "
+    "partition + sort — the plan-reuse shape of per-entity timeline "
+    "analytics.",
+)
+def rel_window_suite(spark, sf_dir):
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_window_suite_sql(True))
+
+
+def _bpe_train_sql(spark_dialect: bool, iters: int = 8,
+                   passes: int = 5) -> str:
+    """A FULL (unrolled) BPE training run of ``iters`` merge
+    iterations — the loop whose single step x_bpe_merge_step certifies:
+    each round counts adjacent symbol pairs over the weighted
+    vocabulary, picks the max (count desc, then lexicographic — the
+    total tie order), and applies the merge before the next round.
+    Output is the learned merge table in order, i.e. the tokenizer
+    artifact BPE training ships.
+
+    Merge application uses space-delimited symbol strings and repeated
+    leftmost ``replace`` of ' l r ' -> ' lr ' (``passes`` nested
+    applications reach the fixpoint: each pass merges the leftmost
+    remaining occurrence per adjacency run, and a run in a w-char word
+    has <= w/2 occurrences — corpus max word length is 8, so 5 passes
+    are provably enough).  The fixpoint equals BPE's left-to-right
+    non-overlapping merge semantics, and string replace is
+    byte-deterministic in both engines — the whole run is
+    integer/string-exact, which is what lets an unrolled-CTE oracle
+    certify a LOOP (the x_pagerank technique).
+
+    Scale: every round's corpus-cost is one vocabulary-sized pass
+    (pair explode ~ vocab x word-length) + a 1-row broadcast of the
+    chosen merge; the corpus itself is touched ONCE (word counting).
+    The driver-side loop form would run the same per-round SQL; at 100
+    TB rounds are vocab-bound, not corpus-bound."""
+    if spark_dialect:
+        chars = "' ' || regexp_replace(word, '(.)', '$1 ')"
+        split_arr = "split(trim(syms), ' ')"
+        pos = "explode(sequence(1, size(a) - 1))"
+        el = "element_at(a, i)"
+        el1 = "element_at(a, i + 1)"
+    else:
+        chars = r"' ' || regexp_replace(word, '(.)', '\1 ', 'g')"
+        split_arr = "string_split(trim(syms), ' ')"
+        pos = "unnest(generate_series(1, len(a) - 1))"
+        el = "a[i]"
+        el1 = "a[i + 1]"
+    ctes = [
+        f"words AS ({_toks_sql(spark_dialect, 'doc_id')})",
+        ("wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM ("
+         + ("SELECT explode(ts) AS word FROM words"
+            if spark_dialect else "SELECT unnest(ts) AS word FROM words")
+         + ") x GROUP BY word)"),
+        f"w0 AS (SELECT {chars} AS syms, n FROM wc)",
+    ]
+    merge_arms = []
+    for i in range(iters):
+        ctes.append(
+            f"t{i} AS (SELECT {split_arr} AS a, n FROM w{i})"
+        )
+        # the >= 2 guard is load-bearing on the Spark side: sequence(1,
+        # size-1) on a ONE-symbol word is sequence(1, 0), which Spark
+        # generates DESCENDING as [1, 0] (DuckDB's generate_series is
+        # empty) — the stray positions then index past the array
+        ctes.append(
+            f"p{i} AS (SELECT {el} AS l, {el1} AS r, "
+            f"CAST(sum(n) AS BIGINT) AS c "
+            f"FROM (SELECT a, n, {pos} AS i FROM t{i}"
+            f" WHERE {'size(a)' if spark_dialect else 'len(a)'} >= 2) e "
+            f"GROUP BY {el}, {el1})"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT l, r, c FROM p{i} "
+            f"ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        expr = "w.syms"
+        for _ in range(passes):
+            expr = (f"replace({expr}, ' ' || m.l || ' ' || m.r || ' ',"
+                    f" ' ' || m.l || m.r || ' ')")
+        ctes.append(
+            f"w{i + 1} AS (SELECT {expr} AS syms, w.n"
+            f" FROM w{i} w CROSS JOIN m{i} m)"
+        )
+        merge_arms.append(
+            f"SELECT CAST({i + 1} AS BIGINT) AS merge_step, l AS sym_left,"
+            f" r AS sym_right, c AS pair_count FROM m{i}"
+        )
+    return ("WITH " + ",\n    ".join(ctes) + "\n    "
+            + "\n    UNION ALL ".join(merge_arms))
+
+
+@_q(
+    "x_bpe_train",
+    _bpe_train_sql(False),
+    "Full BPE tokenizer training, 8 merge iterations unrolled: each "
+    "round counts weighted adjacent symbol pairs over the vocabulary, "
+    "picks the total-ordered max, applies the merge (fixpoint leftmost "
+    "replace = BPE semantics), and the learned merge table is emitted "
+    "in order — the corpus is scanned once, every round is vocabulary-"
+    "bound; the exact-oracle loop certification of x_bpe_merge_step.",
+)
+def x_bpe_train(spark, sf_dir, iters: int = 8, passes: int = 5):
+    """Driver-loop form (the deployment shape): each round materializes
+    the merged vocabulary once (plans/materialize — the unrolled CTE
+    would be inlined per consumer, and with TWO consumers per round the
+    recompute tree doubles every iteration: measured ~20 s unrolled vs
+    ~2 s looped at sf0.01), collects the single winning merge row
+    (3 scalar values — the bounded x_kmeans-style driver payload), and
+    splices it as literals into the next round's replace.  The DuckDB
+    oracle keeps the unrolled-CTE text (its CTEs are engine-
+    materialized, so the blowup never happens there)."""
+    from .plans.materialize import materialize, release
+
+    register_views(spark, sf_dir, "documents")
+    w = spark.sql(
+        "WITH words AS (" + _toks_sql(True, "doc_id") + "),\n"
+        "wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM "
+        "(SELECT explode(ts) AS word FROM words) x GROUP BY word)\n"
+        "SELECT ' ' || regexp_replace(word, '(.)', '$1 ') AS syms, n"
+        " FROM wc"
+    )
+    merges = []
+    prev = None
+    for step in range(1, iters + 1):
+        w = materialize(w)
+        if prev is not None:
+            release(prev)
+        prev = w
+        w.createOrReplaceTempView("__bpe_w")
+        [(left, right, cnt)] = spark.sql(
+            """SELECT l, r, c FROM (
+                 SELECT element_at(a, i) AS l, element_at(a, i + 1) AS r,
+                        CAST(sum(n) AS BIGINT) AS c
+                 FROM (SELECT a, n,
+                              explode(sequence(1, size(a) - 1)) AS i
+                       FROM (SELECT split(trim(syms), ' ') AS a, n
+                             FROM __bpe_w) t
+                       WHERE size(a) >= 2) e
+                 GROUP BY element_at(a, i), element_at(a, i + 1)) p
+               ORDER BY c DESC, l, r LIMIT 1"""
+        ).collect()
+        merges.append((step, left, right, cnt))
+        expr = "syms"
+        for _ in range(passes):
+            expr = (f"replace({expr}, ' {left} {right} ',"
+                    f" ' {left}{right} ')")
+        w = spark.sql(f"SELECT {expr} AS syms, n FROM __bpe_w")
+    if prev is not None:
+        release(prev)
+    rows = ",\n      ".join(
+        f"({s}, '{l}', '{r}', {c})" for s, l, r, c in merges
+    )
+    return spark.sql(
+        f"""SELECT CAST(merge_step AS BIGINT) AS merge_step,
+               sym_left, sym_right, CAST(pair_count AS BIGINT) AS pair_count
+        FROM VALUES {rows}
+          AS t(merge_step, sym_left, sym_right, pair_count)"""
+    )
 
 
 GRADE_FIRST = [

@@ -66,6 +66,8 @@ EXTRA = [
     "x_winnow_fingerprints_coarse", "rel_recursive_cycle_walk",
     "x_boilerplate_ngrams", "x_bpe_merge_step", "x_t_closeness",
     "x_countmin_sketch", "x_linear_quality_scorer",
+    "stream_full_outer_join", "stream_dedup_within_watermark",
+    "x_matryoshka_recall", "rel_window_suite", "x_bpe_train",
 ]
 
 

@@ -297,3 +297,196 @@ def test_winnow_coarse_stores_fewer_fingerprints(spark):
     total_fine = sum(fine.values())
     total_coarse = sum(coarse.get(d, 0) for d in fine)
     assert 0 < total_coarse < total_fine / 2
+
+
+# ---------------------------------------------------------------------------
+# BPE full training loop
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_matches_reference_bpe(spark):
+    """The 8-round driver loop must produce exactly the merge table of
+    a textbook pure-Python BPE trainer (leftmost non-overlapping merge,
+    count-desc-then-lexicographic pair selection)."""
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_bpe_train"].spark_fn(spark, SF_DIR).collect()
+
+    wc = Counter()
+    for _doc, _src, text in _texts():
+        wc.update(_tokens(text))
+    vocab = dict(Counter({tuple(w): n for w, n in wc.items()}))
+    merges = []
+    for step in range(8):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        (left, right), c = sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        merges.append((step + 1, left, right, c))
+        newv = Counter()
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            newv[tuple(out)] += n
+        vocab = dict(newv)
+    got = sorted(
+        ((r.merge_step, r.sym_left, r.sym_right, r.pair_count) for r in rows)
+    )
+    assert got == merges
+
+
+# ---------------------------------------------------------------------------
+# streaming full outer join + within-watermark dedup
+# ---------------------------------------------------------------------------
+
+
+def test_stream_full_outer_extends_left_outer(spark):
+    """The full-outer result must contain the left-outer result exactly,
+    plus only right-null rows (unmatched purchases)."""
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    qs = all_queries()
+    full = [
+        (r.view_id, r.user_id, r.view_us, r.purchase_id, r.purchase_us)
+        for r in qs["stream_full_outer_join"].spark_fn(spark, SF_DIR).collect()
+    ]
+    left = [
+        (r.view_id, r.user_id, r.view_us, r.purchase_id, r.purchase_us)
+        for r in qs["stream_left_outer_join"].spark_fn(spark, SF_DIR).collect()
+    ]
+    extras = Counter(full) - Counter(left)
+    assert Counter(left) - Counter(full) == Counter()
+    assert all(v is None for v, _u, _vu, _p, _pu in extras)
+    assert all(p is not None for _v, _u, _vu, p, _pu in extras)
+
+
+def test_stream_dedup_within_watermark_keys(spark):
+    """Emitted key set must equal the batch DISTINCT exactly (single
+    staged file -> one micro-batch -> no eviction re-emits)."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["stream_dedup_within_watermark"].spark_fn(
+        spark, SF_DIR
+    ).collect()
+    got = sorted((r.user_id, r.event_type) for r in rows)
+    expect = sorted(
+        duckdb.sql(
+            "SELECT DISTINCT user_id, event_type"
+            f" FROM '{SF_DIR}/events.parquet'"
+        ).fetchall()
+    )
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# matryoshka recall
+# ---------------------------------------------------------------------------
+
+
+def test_matryoshka_recall_semantics(spark):
+    """Overlap counts recomputed in pure Python float64 (same index-
+    order accumulation); recall must be in [0, 10] with the bp field
+    consistent."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_matryoshka_recall"].spark_fn(
+        spark, SF_DIR
+    ).collect()
+    embs = dict(
+        duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet'"
+        ).fetchall()
+    )
+
+    def cos(a, b):
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        for x in a:
+            na += float(x) * float(x)
+        for y in b:
+            nb += float(y) * float(y)
+        return dot / (na ** 0.5 * nb ** 0.5)
+
+    got = {r.query_vec_id: r for r in rows}
+    assert set(got) == set(range(10))
+    for qid in range(10):
+        qv = embs[qid]
+        full = sorted(
+            ((-cos(qv, embs[c]), c) for c in embs if c != qid)
+        )[:10]
+        pre = sorted(
+            ((-cos(qv[:16], embs[c][:16]), c) for c in embs if c != qid)
+        )[:10]
+        expect = len({c for _s, c in full} & {c for _s, c in pre})
+        r = got[qid]
+        assert r.n_overlap_top10 == expect
+        assert r.recall_bp == expect * 10000 // 10
+
+
+# ---------------------------------------------------------------------------
+# window suite
+# ---------------------------------------------------------------------------
+
+
+def test_window_suite_semantics(spark):
+    """lead/lag/ntile/percent-rank recomputed in pure Python over the
+    same (o_orderdate, o_orderkey) total order."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["rel_window_suite"].spark_fn(spark, SF_DIR).collect()
+    got = {r.o_orderkey: r for r in rows}
+
+    orders = duckdb.sql(
+        "SELECT o_custkey, o_orderkey, o_orderdate"
+        f" FROM '{SF_DIR}/orders.parquet' WHERE o_custkey < 500"
+        " ORDER BY o_custkey, o_orderdate, o_orderkey"
+    ).fetchall()
+    assert len(got) == len(orders)
+    by_cust = defaultdict(list)
+    for ck, ok, od in orders:
+        by_cust[ck].append(ok)
+    for ck, oks in by_cust.items():
+        n = len(oks)
+        for idx, ok in enumerate(oks):
+            r = got[ok]
+            assert r.prev_order == (oks[idx - 1] if idx > 0 else None)
+            assert r.next_order == (
+                oks[idx + 1] if idx + 1 < n else None
+            )
+            assert r.first_order == oks[0]
+            assert (r.rn, r.n_orders) == (idx + 1, n)
+            # SQL ntile: first (n % 4) tiles get ceil(n/4)
+            big, rem = divmod(n, 4)
+            boundary = rem * (big + 1)
+            expect_tile = (
+                idx // (big + 1) + 1
+                if idx < boundary
+                else rem + (idx - boundary) // big + 1
+            ) if big else idx + 1
+            assert r.quartile == expect_tile
+            assert r.pct_rank_bp == (
+                (idx * 10000) // (n - 1) if n > 1 else 0
+            )
+            assert r.cume_bp == (idx + 1) * 10000 // n
