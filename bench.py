@@ -128,6 +128,9 @@ EXTRA = [
     "x_matryoshka_recall",
     "rel_window_suite",
     "x_bpe_train",
+    "x_hll_sketch",
+    "stream_countmin_cells",
+    "x_source_quality_report",
 ]
 
 

@@ -137,3 +137,122 @@ def foreach_batch_upsert(spark, sf_dir: str):
     if final is None:
         raise RuntimeError("foreachBatch upsert produced no store version")
     return spark.read.parquet(final)
+
+
+def _stage_events_multi(spark, sf_dir: str, parts: int = 4) -> str:
+    """Stage the events table as ``parts`` parquet files (projected to
+    the sketch's columns) so maxFilesPerTrigger=1 yields a genuine
+    multi-batch replay — each micro-batch carries a real slice and the
+    incremental merge actually merges.  Split by user_id range so the
+    split is deterministic."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_events
+
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    d = f"/tmp/duckdb_title_mapper_spark_stream/{tag}_multi{parts}"
+    done = f"{d}/.staged"
+    if os.path.exists(done):
+        return d
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id",
+                                           "event_type")
+    os.makedirs(d, exist_ok=True)
+    for p in range(parts):
+        (ev.where((F.col("user_id") % parts) == p)
+         .coalesce(1)
+         .write.mode("overwrite")
+         .parquet(f"{d}/_build_{p}"))
+        part_file = next(
+            f for f in os.listdir(f"{d}/_build_{p}") if f.endswith(".parquet")
+        )
+        os.replace(f"{d}/_build_{p}/{part_file}", f"{d}/slice_{p}.parquet")
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+def countmin_stream_sketch(spark, sf_dir: str, d: int = 4, w: int = 64):
+    """STREAMING count-min sketch maintenance: each micro-batch folds
+    its rows into d x w partial cells (the mergeability contract of
+    x_countmin_sketch executed incrementally), and foreachBatch ADDS
+    them into the persisted sketch store cell-wise — the fixed-size
+    keyed sink whose merge is addition, published through the same
+    atomic version-pointer as foreach_batch_upsert.  After the
+    availableNow replay over a 4-slice staging of events, the store
+    equals the batch sketch exactly (the oracle).
+
+    This is the streaming half of the sketch family: a 100 TB firehose
+    maintains heavy-hitter state in d*w integers per shard, shards add,
+    and no raw-key state store exists at all (contrast
+    stream_content_dedup's unbounded signature store)."""
+    from pyspark.sql import functions as F
+
+    src_dir = _stage_events_multi(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="dtm_stream_cm_")
+    chk = os.path.join(out, "chk")
+    ptr = os.path.join(out, "CURRENT")
+
+    def current_store():
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            name = f.read().strip()
+        path = os.path.join(out, name)
+        return path if name and os.path.exists(path) else None
+
+    def merge(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        batch_df.createOrReplaceTempView("__cm_batch")
+        part = sess.sql(f"""
+            SELECT r,
+                   CAST(conv(substr(md5(concat(CAST(r AS STRING), ':',
+                        CAST(user_id AS STRING))), 1, 8), 16, 10)
+                        AS BIGINT) % {w} AS col,
+                   CAST(count(*) AS BIGINT) AS cell
+            FROM (SELECT user_id,
+                         explode(sequence(0, {d - 1})) AS r
+                  FROM __cm_batch) e
+            GROUP BY 1, 2""")
+        cur = current_store()
+        if cur is not None:
+            old = sess.read.parquet(cur)
+            part = (
+                old.unionByName(part)
+                .groupBy("r", "col")
+                .agg(F.sum("cell").cast("bigint").alias("cell"))
+            )
+        vname = f"store.v{batch_id}"
+        vdir = os.path.join(out, vname)
+        part.coalesce(1).write.mode("overwrite").parquet(vdir)
+        tmp_ptr = os.path.join(out, f"CURRENT.tmp{batch_id}")
+        with open(tmp_ptr, "w") as f:
+            f.write(vname)
+        os.replace(tmp_ptr, ptr)
+        for dd in os.listdir(out):
+            if dd.startswith("store.v") and dd != vname:
+                shutil.rmtree(os.path.join(out, dd), ignore_errors=True)
+
+    raw = (
+        spark.readStream.schema(
+            "event_id BIGINT, user_id BIGINT, event_type STRING"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = current_store()
+    if final is None:
+        raise RuntimeError("streaming count-min produced no store version")
+    return spark.read.parquet(final).select(
+        F.col("r").cast("bigint").alias("r"), "col", "cell"
+    )

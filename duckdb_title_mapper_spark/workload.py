@@ -1837,6 +1837,28 @@ def stream_dedup_within_watermark(spark, sf_dir):
 
 
 @_q(
+    "stream_countmin_cells",
+    """SELECT CAST(r AS BIGINT) AS r,
+           CAST(('0x' || substr(md5(concat(CAST(r AS VARCHAR), ':',
+                CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS col,
+           CAST(count(*) AS BIGINT) AS cell
+    FROM (SELECT user_id, unnest(generate_series(0, 3)) AS r
+          FROM events) e
+    GROUP BY r, col""",
+    "Streaming count-min sketch maintenance: each micro-batch folds "
+    "into 4x64 partial cells and foreachBatch ADDS them into the "
+    "persisted sketch (atomic version-pointer store) — fixed-size "
+    "heavy-hitter state on a firehose, shards/batches merge by "
+    "addition; after a 4-slice availableNow replay the store equals "
+    "the batch sketch, the oracle.",
+)
+def stream_countmin_cells(spark, sf_dir):
+    from .streaming.sinks import countmin_stream_sketch
+
+    return countmin_stream_sketch(spark, sf_dir)
+
+
+@_q(
     "stream_sessionize_stateful",
     _SESSION_ISLANDS_CTE
     + """,
@@ -7576,6 +7598,140 @@ def _window_suite_sql(spark_dialect: bool) -> str:
 def rel_window_suite(spark, sf_dir):
     register_views(spark, sf_dir, "orders")
     return spark.sql(_window_suite_sql(True))
+
+
+def _source_quality_report_sql(spark_dialect: bool) -> str:
+    """Per-source curation dashboard — the one-page report a data-mix
+    owner reads before admitting a source into a training run: volume,
+    exact-dup ratio, token mass, model-based keep rate (the
+    x_linear_quality_scorer pipeline aggregated), and language spread.
+    All integer/bp outputs.  Plan: ONE token pass (doc-keyed partial
+    aggregate of hashed-weight sums — the scorer is linear, so the
+    bucket-count intermediate fuses into the sum) + one doc-level
+    aggregate, joined at source cardinality."""
+    if spark_dialect:
+        term = "explode(ts)"
+        idiv = "div"
+        bh = "CAST(conv(substr(md5(term), 1, 8), 16, 10) AS BIGINT) % 1024"
+    else:
+        term = "unnest(ts)"
+        idiv = "//"
+        bh = "CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 1024"
+    return f"""WITH toks AS ({_toks_sql(spark_dialect, "doc_id, source")}),
+    sc AS (
+      SELECT doc_id, source,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(({bh}) * 2654435761 % 2001 - 1000) AS BIGINT)
+               AS score
+      FROM (SELECT doc_id, source, {term} AS term FROM toks) x
+      GROUP BY doc_id, source),
+    d AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM documents GROUP BY source)
+    SELECT d.source, d.n_docs, d.n_unique_texts,
+           ((d.n_docs - d.n_unique_texts) * 10000) {idiv} d.n_docs
+             AS dup_bp,
+           CAST(coalesce(sum(sc.n_tokens), 0) AS BIGINT) AS total_tokens,
+           CAST(coalesce(sum(sc.n_tokens), 0) AS BIGINT) {idiv} d.n_docs
+             AS avg_tokens,
+           (CAST(count(CASE WHEN sc.score >= 0 THEN 1 END) AS BIGINT)
+            * 10000) {idiv} d.n_docs AS keep_bp,
+           d.n_langs
+    FROM d LEFT JOIN sc ON d.source = sc.source
+    GROUP BY d.source, d.n_docs, d.n_unique_texts, d.n_langs"""
+
+
+@_q(
+    "x_source_quality_report",
+    _source_quality_report_sql(False),
+    "Per-source curation dashboard: volume, exact-dup bp, token mass "
+    "and mean length, model-based keep rate (hashed linear scorer "
+    "aggregated — the scorer is linear so it fuses into one token "
+    "pass), and language spread; the admit/reject report per source "
+    "before a training run.",
+)
+def x_source_quality_report(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_source_quality_report_sql(True))
+
+
+def _hll_sketch_sql(spark_dialect: bool) -> str:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) built
+    FROM FIRST PRINCIPLES in integer SQL — which makes it
+    oracle-checkable, upgrading the x_kmv_sketch-era claim that HLL
+    has no cross-engine oracle (true only of engine-native approx_
+    count_distinct bit packings, not of the algorithm): m=64 buckets
+    from the top 6 bits of a 32-bit md5 hash, register = max over the
+    bucket of (leading-zero rank of the low 26 bits, via length(bin(w))
+    — integer in both engines), and the harmonic-mean estimator
+    integerized by factoring out 2^rmax: S = K/2^rmax with
+    K = sum 2^(rmax - r) an exact BIGINT (<= 64 * 2^27), so
+    est_milli = 709 * 4096 * 2^rmax / K by integer division
+    (alpha_64 = 0.709 as the rational 709/1000).  No float touches the
+    pipeline, so the sketch, the estimate, and the error report are
+    engine-exact.  Low-range linear-counting correction (needs ln) is
+    deliberately NOT applied — n_zero_registers is emitted so a
+    presentation layer can; membership/values here stay integer.
+
+    Scale: registers are a 64-row aggregate with map-side partial MAX
+    — the sketch state is m small integers regardless of corpus size,
+    and shard sketches merge by per-bucket MAX (test-pinned), the
+    cluster-parallel form."""
+    if spark_dialect:
+        h = "CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT)"
+        idiv = "div"
+
+        def shl(e):
+            return f"shiftleft(CAST(1 AS BIGINT), CAST({e} AS INT))"
+    else:
+        h = "(('0x' || substr(md5(text), 1, 8))::BIGINT)"
+        idiv = "//"
+
+        def shl(e):
+            return f"(CAST(1 AS BIGINT) << CAST(({e}) AS INTEGER))"
+
+    return f"""WITH h AS (SELECT DISTINCT {h} AS hv FROM documents),
+    parts AS (SELECT hv {idiv} 67108864 AS j, hv % 67108864 AS w FROM h),
+    regs AS (
+      SELECT j, CAST(max(CASE WHEN w = 0 THEN 27
+                              ELSE 27 - length(bin(w)) END) AS BIGINT) AS r
+      FROM parts GROUP BY j),
+    agg AS (SELECT CAST(max(r) AS BIGINT) AS rmax,
+                   CAST(count(*) AS BIGINT) AS n_used,
+                   CAST(count(CASE WHEN r = 0 THEN 1 END) AS BIGINT)
+                     AS n_zero_used
+            FROM regs),
+    ksum AS (
+      SELECT CAST(sum({shl("a.rmax - regs.r")}) AS BIGINT)
+               + (64 - max(a.n_used)) * max({shl("a.rmax")}) AS k_total,
+             max(a.rmax) AS rmax,
+             64 - max(a.n_used) + max(a.n_zero_used) AS n_zero_registers
+      FROM regs CROSS JOIN agg a),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS true_distinct FROM h)
+    SELECT CAST(64 AS BIGINT) AS m, rmax, k_total, n_zero_registers,
+           (709 * 4096 * {shl("rmax")}) {idiv} k_total {idiv} 1000
+             AS est_distinct,
+           true_distinct,
+           (abs((709 * 4096 * {shl("rmax")}) {idiv} k_total {idiv} 1000
+                - true_distinct) * 10000) {idiv} true_distinct AS err_bp
+    FROM ksum CROSS JOIN tot"""
+
+
+@_q(
+    "x_hll_sketch",
+    _hll_sketch_sql(False),
+    "HyperLogLog distinct-count sketch from first principles in "
+    "integer SQL (64 buckets, bin-length ranks, 2^rmax-factored "
+    "harmonic estimator with rational alpha) — fully oracle-checkable "
+    "unlike engine-native HLL bit packings; registers merge by "
+    "per-bucket MAX (the cluster-shard form, test-pinned); estimate, "
+    "zero-register count, truth, and error bp all exact integers.",
+)
+def x_hll_sketch(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_hll_sketch_sql(True))
 
 
 def _bpe_train_sql(spark_dialect: bool, iters: int = 8,

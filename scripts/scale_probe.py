@@ -68,6 +68,7 @@ EXTRA = [
     "x_countmin_sketch", "x_linear_quality_scorer",
     "stream_full_outer_join", "stream_dedup_within_watermark",
     "x_matryoshka_recall", "rel_window_suite", "x_bpe_train",
+    "x_hll_sketch", "stream_countmin_cells", "x_source_quality_report",
 ]
 
 

@@ -490,3 +490,145 @@ def test_window_suite_semantics(spark):
                 (idx * 10000) // (n - 1) if n > 1 else 0
             )
             assert r.cume_bp == (idx + 1) * 10000 // n
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch
+# ---------------------------------------------------------------------------
+
+
+def _hll_registers(hashes, m=64, wbits=26):
+    regs = [0] * m
+    for hv in hashes:
+        j, w = hv // (1 << wbits), hv % (1 << wbits)
+        r = wbits + 1 if w == 0 else wbits + 1 - w.bit_length()
+        regs[j] = max(regs[j], r)
+    return regs
+
+
+def test_hll_sketch_semantics(spark):
+    """Registers, the 2^rmax-factored integer estimator, and the error
+    report recomputed in pure Python; the estimate must land inside a
+    generous 3x standard-error band (1.04/sqrt(64) ~ 13%)."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    [r] = all_queries()["x_hll_sketch"].spark_fn(spark, SF_DIR).collect()
+
+    texts = {
+        t for (t,) in duckdb.sql(
+            f"SELECT text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    }
+    hashes = {_h32(t) for t in texts}
+    regs = _hll_registers(hashes)
+    rmax = max(regs)
+    k_total = sum(1 << (rmax - x) for x in regs)
+    est = (709 * 4096 * (1 << rmax)) // k_total // 1000
+    true = len(hashes)
+    assert (r.m, r.rmax, r.k_total, r.n_zero_registers) == (
+        64, rmax, k_total, sum(1 for x in regs if x == 0),
+    )
+    assert (r.est_distinct, r.true_distinct) == (est, true)
+    assert r.err_bp == abs(est - true) * 10000 // true
+    assert abs(est - true) <= int(true * 0.39)  # 3 sigma at m=64
+
+
+def test_hll_sketch_is_mergeable():
+    """Shard registers merge by per-bucket MAX into exactly the
+    whole-corpus registers — the cluster-parallel claim."""
+    import duckdb
+
+    texts = [
+        t for (t,) in duckdb.sql(
+            f"SELECT DISTINCT text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    ]
+    whole = _hll_registers({_h32(t) for t in texts})
+    shards = [
+        _hll_registers({_h32(t) for i, t in enumerate(texts) if i % 3 == s})
+        for s in range(3)
+    ]
+    merged = [max(xs) for xs in zip(*shards)]
+    assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# streaming count-min maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_stream_countmin_equals_batch_sketch(spark):
+    """After the 4-slice incremental replay, the persisted store must
+    equal the pure-Python batch sketch over user_id occurrences."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["stream_countmin_cells"].spark_fn(
+        spark, SF_DIR
+    ).collect()
+    got = {(r.r, r.col): r.cell for r in rows}
+
+    users = [
+        u for (u,) in duckdb.sql(
+            f"SELECT user_id FROM '{SF_DIR}/events.parquet'"
+        ).fetchall()
+    ]
+    cells = Counter()
+    for u in users:
+        for d in range(4):
+            cells[(d, _h32(f"{d}:{u}") % 64)] += 1
+    assert got == dict(cells)
+
+
+# ---------------------------------------------------------------------------
+# per-source quality report
+# ---------------------------------------------------------------------------
+
+
+def test_source_quality_report_semantics(spark):
+    """Volume/dup/token/keep/lang fields recomputed in pure Python for
+    every source."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_source_quality_report"].spark_fn(
+        spark, SF_DIR
+    ).collect()
+    got = {r.source: r for r in rows}
+
+    docs = duckdb.sql(
+        "SELECT source, text, lang FROM"
+        f" '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    by_src = defaultdict(list)
+    for src, text, lang in docs:
+        by_src[src].append((text, lang))
+    assert set(got) == set(by_src)
+    for src, items in by_src.items():
+        n_docs = len(items)
+        uniq = len({hashlib.md5(t.encode()).hexdigest() for t, _l in items})
+        langs = len({l for _t, l in items})
+        total_toks, keeps = 0, 0
+        for t, _l in items:
+            toks = _tokens(t)
+            total_toks += len(toks)
+            if toks:
+                score = sum(
+                    (_h32(w) % 1024 * 2654435761) % 2001 - 1000
+                    for w in toks
+                )
+                if score >= 0:
+                    keeps += 1
+        r = got[src]
+        assert (r.n_docs, r.n_unique_texts, r.n_langs) == (
+            n_docs, uniq, langs,
+        )
+        assert r.dup_bp == (n_docs - uniq) * 10000 // n_docs
+        assert (r.total_tokens, r.avg_tokens) == (
+            total_toks, total_toks // n_docs,
+        )
+        assert r.keep_bp == keeps * 10000 // n_docs
