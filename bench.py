@@ -131,6 +131,8 @@ EXTRA = [
     "x_hll_sketch",
     "stream_countmin_cells",
     "x_source_quality_report",
+    "x_bpe_apply",
+    "x_k_anonymity_repair",
 ]
 
 

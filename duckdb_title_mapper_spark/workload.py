@@ -7600,6 +7600,72 @@ def rel_window_suite(spark, sf_dir):
     return spark.sql(_window_suite_sql(True))
 
 
+def _k_anonymity_repair_sql(spark_dialect: bool, k: int = 5) -> str:
+    """k-anonymity REPAIR (local recoding), the action the
+    [x_k_anonymity] audit motivates: each base QI class is assigned the
+    FINEST generalization level on a fixed ladder that reaches class
+    size >= ``k`` — level 0 (uid/100, hour), level 1 (uid/1000, hour),
+    level 2 (uid/1000, 6-hour block), level 3 (global, always safe).
+    Output is the per-level census: how many base classes and rows land
+    at each level, with the row share in bp — the utility-loss report
+    of the anonymization (more rows at coarser levels = more signal
+    destroyed).
+
+    Plan: ONE row-level aggregate (level-0 classes); levels 1 and 2 are
+    rollups OF THE CLASS RELATION (sum of level-0 counts — class
+    cardinality, not row cardinality), joined back on the
+    generalization keys.  All integers."""
+    if spark_dialect:
+        hod = "CAST(date_format(ts, 'H') AS BIGINT)"
+        idiv = "div"
+    else:
+        hod = "CAST(hour(ts) AS BIGINT)"
+        idiv = "//"
+    return f"""WITH c0 AS (
+      SELECT user_id AS uid, {hod} AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, {hod}),
+    c1 AS (SELECT uid {idiv} 10 AS uid10, hod,
+                  CAST(sum(n) AS BIGINT) AS n
+           FROM c0 GROUP BY uid {idiv} 10, hod),
+    c2 AS (SELECT uid10 {idiv} 10 AS uid100, hod {idiv} 6 AS hod6,
+                  CAST(sum(n) AS BIGINT) AS n
+           FROM c1 GROUP BY uid10 {idiv} 10, hod {idiv} 6),
+    assign AS (
+      SELECT c0.n AS n0,
+             CASE WHEN c0.n >= {k} THEN 0
+                  WHEN c1.n >= {k} THEN 1
+                  WHEN c2.n >= {k} THEN 2
+                  ELSE 3 END AS lvl
+      FROM c0
+      JOIN c1 ON c0.uid {idiv} 10 = c1.uid10 AND c0.hod = c1.hod
+      JOIN c2 ON c1.uid10 {idiv} 10 = c2.uid100
+             AND c0.hod {idiv} 6 = c2.hod6),
+    tot AS (SELECT CAST(sum(n0) AS BIGINT) AS n_total FROM assign)
+    SELECT CAST(lvl AS BIGINT) AS generalization_level,
+           CAST(count(*) AS BIGINT) AS n_base_classes,
+           CAST(sum(n0) AS BIGINT) AS n_rows,
+           (CAST(sum(n0) AS BIGINT) * 10000) {idiv} max(tot.n_total)
+             AS rows_bp
+    FROM assign CROSS JOIN tot
+    GROUP BY lvl"""
+
+
+@_q(
+    "x_k_anonymity_repair",
+    _k_anonymity_repair_sql(False),
+    "k-anonymity repair by local recoding: each base QI class assigned "
+    "the finest generalization level on a fixed ladder (uid+hour "
+    "-> uid/10+hour -> uid/100+6h -> global) reaching class size "
+    ">= 5; per-level class/row census with bp shares — the utility-"
+    "loss report of the anonymization.  Levels 1-2 are rollups of the "
+    "class relation, never the rows.",
+)
+def x_k_anonymity_repair(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_k_anonymity_repair_sql(True))
+
+
 def _source_quality_report_sql(spark_dialect: bool) -> str:
     """Per-source curation dashboard — the one-page report a data-mix
     owner reads before admitting a source into a training run: volume,
@@ -7814,6 +7880,163 @@ def _bpe_train_sql(spark_dialect: bool, iters: int = 8,
         )
     return ("WITH " + ",\n    ".join(ctes) + "\n    "
             + "\n    UNION ALL ".join(merge_arms))
+
+
+def _bpe_apply_sql(spark_dialect: bool, iters: int = 8,
+                   passes: int = 5) -> str:
+    """APPLY the trained tokenizer: the same unrolled training chain as
+    [x_bpe_train] but carrying the word key through every round, then
+    the corpus's per-source word occurrences joined to each word's
+    final symbol count — tokenizer fertility measured with the
+    TOKENIZER THIS CORPUS TRAINS (complement to x_tokenizer_fertility's
+    fixed whitespace+punct scheme).  Per source: word mass, char mass,
+    BPE token mass, fertility (tokens per word) and chars-per-token
+    compression, in basis points.
+
+    Scale: training is vocab-bound (see x_bpe_train); application is
+    ONE vocabulary-keyed join — the corpus-sized relation is the
+    (source, word) occurrence aggregate, and the trained vocab relation
+    (word -> n_syms) broadcasts."""
+    if spark_dialect:
+        chars = "' ' || regexp_replace(word, '(.)', '$1 ')"
+        split_arr = "split(trim(syms), ' ')"
+        pos = "explode(sequence(1, size(a) - 1))"
+        el = "element_at(a, i)"
+        el1 = "element_at(a, i + 1)"
+        term = "explode(ts)"
+        n_syms = "CAST(size(split(trim(syms), ' ')) AS BIGINT)"
+        idiv = "div"
+    else:
+        chars = r"' ' || regexp_replace(word, '(.)', '\1 ', 'g')"
+        split_arr = "string_split(trim(syms), ' ')"
+        pos = "unnest(generate_series(1, len(a) - 1))"
+        el = "a[i]"
+        el1 = "a[i + 1]"
+        term = "unnest(ts)"
+        n_syms = "CAST(len(string_split(trim(syms), ' ')) AS BIGINT)"
+        idiv = "//"
+    ctes = [
+        f"toks AS ({_toks_sql(spark_dialect, 'doc_id, source')})",
+        ("wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM ("
+         f"SELECT {term} AS word FROM toks"
+         ") x GROUP BY word)"),
+        f"w0 AS (SELECT word, {chars} AS syms, n FROM wc)",
+    ]
+    for i in range(iters):
+        ctes.append(f"t{i} AS (SELECT {split_arr} AS a, n FROM w{i})")
+        ctes.append(
+            f"p{i} AS (SELECT {el} AS l, {el1} AS r, "
+            f"CAST(sum(n) AS BIGINT) AS c "
+            f"FROM (SELECT a, n, {pos} AS i FROM t{i}"
+            f" WHERE {'size(a)' if spark_dialect else 'len(a)'} >= 2) e "
+            f"GROUP BY {el}, {el1})"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT l, r, c FROM p{i} "
+            f"ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        expr = "w.syms"
+        for _ in range(passes):
+            expr = (f"replace({expr}, ' ' || m.l || ' ' || m.r || ' ',"
+                    f" ' ' || m.l || m.r || ' ')")
+        ctes.append(
+            f"w{i + 1} AS (SELECT w.word, {expr} AS syms, w.n"
+            f" FROM w{i} w CROSS JOIN m{i} m)"
+        )
+    ctes.append(
+        f"fin AS (SELECT word, {n_syms} AS n_syms FROM w{iters})"
+    )
+    ctes.append(
+        "occ AS (SELECT source, word, CAST(count(*) AS BIGINT) AS occ"
+        f" FROM (SELECT source, {term} AS word FROM toks) y"
+        " GROUP BY source, word)"
+    )
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT o.source,
+           CAST(sum(o.occ) AS BIGINT) AS n_words,
+           CAST(sum(o.occ * length(o.word)) AS BIGINT) AS n_chars,
+           CAST(sum(o.occ * f.n_syms) AS BIGINT) AS n_bpe_tokens,
+           (CAST(sum(o.occ * f.n_syms) AS BIGINT) * 10000)
+             {idiv} CAST(sum(o.occ) AS BIGINT) AS fertility_bp,
+           (CAST(sum(o.occ * f.n_syms) AS BIGINT) * 10000)
+             {idiv} CAST(sum(o.occ * length(o.word)) AS BIGINT)
+             AS tokens_per_char_bp
+    FROM occ o JOIN fin f ON o.word = f.word
+    GROUP BY o.source""")
+
+
+@_q(
+    "x_bpe_apply",
+    _bpe_apply_sql(False),
+    "Apply the corpus-trained BPE tokenizer (8 merges) back to the "
+    "corpus: per-source word/char/BPE-token mass with fertility and "
+    "chars-per-token compression in bp — fertility measured with the "
+    "tokenizer this corpus trains, not a fixed scheme; application is "
+    "one vocab-keyed broadcast join over a (source, word) aggregate.",
+)
+def x_bpe_apply(spark, sf_dir, iters: int = 8, passes: int = 5):
+    """Driver-loop form: run the same per-round materialized training
+    loop as x_bpe_train but carry the word key, then one SQL join of
+    per-source occurrences against the trained vocab view."""
+    from .plans.materialize import materialize, release
+
+    register_views(spark, sf_dir, "documents")
+    w = spark.sql(
+        "WITH words AS (" + _toks_sql(True, "doc_id") + "),\n"
+        "wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM "
+        "(SELECT explode(ts) AS word FROM words) x GROUP BY word)\n"
+        "SELECT word, ' ' || regexp_replace(word, '(.)', '$1 ') AS syms,"
+        " n FROM wc"
+    )
+    prev = None
+    for _step in range(iters):
+        w = materialize(w)
+        if prev is not None:
+            release(prev)
+        prev = w
+        w.createOrReplaceTempView("__bpe_apply_w")
+        [(left, right, _cnt)] = spark.sql(
+            """SELECT l, r, c FROM (
+                 SELECT element_at(a, i) AS l, element_at(a, i + 1) AS r,
+                        CAST(sum(n) AS BIGINT) AS c
+                 FROM (SELECT a, n,
+                              explode(sequence(1, size(a) - 1)) AS i
+                       FROM (SELECT split(trim(syms), ' ') AS a, n
+                             FROM __bpe_apply_w) t
+                       WHERE size(a) >= 2) e
+                 GROUP BY element_at(a, i), element_at(a, i + 1)) p
+               ORDER BY c DESC, l, r LIMIT 1"""
+        ).collect()
+        expr = "syms"
+        for _ in range(passes):
+            expr = (f"replace({expr}, ' {left} {right} ',"
+                    f" ' {left}{right} ')")
+        w = spark.sql(f"SELECT word, {expr} AS syms, n FROM __bpe_apply_w")
+    w = materialize(w)
+    if prev is not None:
+        release(prev)
+    w.createOrReplaceTempView("__bpe_apply_final")
+    return spark.sql(
+        "WITH toks AS (" + _toks_sql(True, "doc_id, source") + """),
+        fin AS (SELECT word,
+                       CAST(size(split(trim(syms), ' ')) AS BIGINT)
+                         AS n_syms
+                FROM __bpe_apply_final),
+        occ AS (SELECT source, word, CAST(count(*) AS BIGINT) AS occ
+                FROM (SELECT source, explode(ts) AS word FROM toks) y
+                GROUP BY source, word)
+        SELECT o.source,
+               CAST(sum(o.occ) AS BIGINT) AS n_words,
+               CAST(sum(o.occ * length(o.word)) AS BIGINT) AS n_chars,
+               CAST(sum(o.occ * f.n_syms) AS BIGINT) AS n_bpe_tokens,
+               (CAST(sum(o.occ * f.n_syms) AS BIGINT) * 10000)
+                 div CAST(sum(o.occ) AS BIGINT) AS fertility_bp,
+               (CAST(sum(o.occ * f.n_syms) AS BIGINT) * 10000)
+                 div CAST(sum(o.occ * length(o.word)) AS BIGINT)
+                 AS tokens_per_char_bp
+        FROM occ o JOIN fin f ON o.word = f.word
+        GROUP BY o.source"""
+    )
 
 
 @_q(

@@ -69,6 +69,7 @@ EXTRA = [
     "stream_full_outer_join", "stream_dedup_within_watermark",
     "x_matryoshka_recall", "rel_window_suite", "x_bpe_train",
     "x_hll_sketch", "stream_countmin_cells", "x_source_quality_report",
+    "x_bpe_apply", "x_k_anonymity_repair",
 ]
 
 

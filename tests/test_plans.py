@@ -310,3 +310,43 @@ def test_correlated_scalar_subqueries_decorrelate(spark):
     plan = explain_str(df, "simple")
     assert "BroadcastNestedLoop" not in plan, plan[:800]
     assert has_partial_aggregation(df)
+
+
+def test_round5_plan_shapes(spark):
+    """Plan locks for the round-5 ops: the boilerplate gram join-back
+    must stay an equi hash/merge join (a reorder onto the count
+    inequality would be the BNLJ trap), the sketches keep map-side
+    partial aggregation (their whole scale story), the scorer scan is
+    pruned to (doc_id, text), and the window suite rides ONE exchange
+    for all six analytics (the shared named-WINDOW claim)."""
+    from duckdb_title_mapper_spark.plans import (
+        explain_str,
+        has_partial_aggregation,
+        read_schema_columns,
+        shuffle_count,
+    )
+    from duckdb_title_mapper_spark.workload import core_queries as all_queries
+
+    qs = all_queries()
+
+    boiler = qs["x_boilerplate_ngrams"].spark_fn(spark, SF)
+    plan = explain_str(boiler)
+    assert "BroadcastNestedLoop" not in plan, plan[:800]
+    assert has_partial_aggregation(boiler)
+
+    cm = qs["x_countmin_sketch"].spark_fn(spark, SF)
+    assert has_partial_aggregation(cm)
+
+    hll = qs["x_hll_sketch"].spark_fn(spark, SF)
+    assert has_partial_aggregation(hll)
+
+    scorer = qs["x_linear_quality_scorer"].spark_fn(spark, SF)
+    assert all(
+        set(s) <= {"doc_id", "text"} for s in read_schema_columns(scorer)
+    )
+    assert has_partial_aggregation(scorer)
+
+    suite = qs["rel_window_suite"].spark_fn(spark, SF)
+    plan = explain_str(suite)
+    assert shuffle_count(suite) == 1, plan[:800]
+    assert any("o_custkey" in f for f in pushed_filters(suite))

@@ -632,3 +632,100 @@ def test_source_quality_report_semantics(spark):
             total_toks, total_toks // n_docs,
         )
         assert r.keep_bp == keeps * 10000 // n_docs
+
+
+# ---------------------------------------------------------------------------
+# BPE application + k-anonymity repair
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_apply_semantics(spark):
+    """Per-source fertility recomputed by training the textbook BPE in
+    pure Python (8 merges) and tokenizing every word occurrence."""
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_bpe_apply"].spark_fn(spark, SF_DIR).collect()
+    got = {r.source: r for r in rows}
+
+    wc = Counter()
+    per_src = defaultdict(Counter)
+    for _doc, src, text in _texts():
+        toks = _tokens(text)
+        wc.update(toks)
+        per_src[src].update(toks)
+    vocab = {w: [*w] for w in wc}
+    for _step in range(8):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wc[w]
+        (left, right), _c = sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    for src, counts in per_src.items():
+        n_words = sum(counts.values())
+        n_chars = sum(len(w) * c for w, c in counts.items())
+        n_bpe = sum(len(vocab[w]) * c for w, c in counts.items())
+        r = got[src]
+        assert (r.n_words, r.n_chars, r.n_bpe_tokens) == (
+            n_words, n_chars, n_bpe,
+        )
+        assert r.fertility_bp == n_bpe * 10000 // n_words
+        assert r.tokens_per_char_bp == n_bpe * 10000 // n_chars
+
+
+def test_k_anonymity_repair_semantics(spark):
+    """Ladder assignment recomputed in pure Python; the census must
+    match and every row must land at SOME level (partition check)."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_k_anonymity_repair"].spark_fn(
+        spark, SF_DIR
+    ).collect()
+    got = {r.generalization_level: r for r in rows}
+
+    ev = duckdb.sql(
+        "SELECT user_id, CAST(hour(ts) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    c0 = Counter((u, h) for u, h in ev)
+    c1 = Counter()
+    c2 = Counter()
+    for (u, h), n in c0.items():
+        c1[(u // 10, h)] += n
+        c2[(u // 100, h // 6)] += n
+    census = defaultdict(lambda: [0, 0])
+    for (u, h), n in c0.items():
+        if n >= 5:
+            lvl = 0
+        elif c1[(u // 10, h)] >= 5:
+            lvl = 1
+        elif c2[(u // 100, h // 6)] >= 5:
+            lvl = 2
+        else:
+            lvl = 3
+        census[lvl][0] += 1
+        census[lvl][1] += n
+    total = sum(v[1] for v in census.values())
+    assert set(got) == set(census)
+    for lvl, (ncls, nrows) in census.items():
+        r = got[lvl]
+        assert (r.n_base_classes, r.n_rows) == (ncls, nrows)
+        assert r.rows_bp == nrows * 10000 // total
+    assert total == len(ev)
