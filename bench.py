@@ -133,6 +133,9 @@ EXTRA = [
     "x_source_quality_report",
     "x_bpe_apply",
     "x_k_anonymity_repair",
+    "stream_hll_cells",
+    "x_negative_sampling",
+    "x_training_shards",
 ]
 
 

@@ -256,3 +256,82 @@ def countmin_stream_sketch(spark, sf_dir: str, d: int = 4, w: int = 64):
     return spark.read.parquet(final).select(
         F.col("r").cast("bigint").alias("r"), "col", "cell"
     )
+
+
+def hll_stream_registers(spark, sf_dir: str):
+    """STREAMING HyperLogLog maintenance — the MAX-merge companion to
+    countmin_stream_sketch's ADD-merge: each micro-batch computes its
+    partial registers (bucket -> max leading-zero rank over the batch's
+    user hashes, the x_hll_sketch pipeline) and foreachBatch merges
+    them into the store by per-bucket MAX.  Duplicate arrivals are
+    absorbed for free (max is idempotent), which is why HLL state needs
+    no dedup at all — the property that makes it the default
+    distinct-count maintenance on an at-least-once firehose.  After the
+    4-slice availableNow replay the store equals the batch registers
+    exactly (the oracle)."""
+    from pyspark.sql import functions as F
+
+    src_dir = _stage_events_multi(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="dtm_stream_hll_")
+    chk = os.path.join(out, "chk")
+    ptr = os.path.join(out, "CURRENT")
+
+    def current_store():
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            name = f.read().strip()
+        path = os.path.join(out, name)
+        return path if name and os.path.exists(path) else None
+
+    def merge(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        batch_df.createOrReplaceTempView("__hll_batch")
+        part = sess.sql("""
+            SELECT hv div 67108864 AS j,
+                   CAST(max(CASE WHEN hv % 67108864 = 0 THEN 27
+                            ELSE 27 - length(bin(hv % 67108864)) END)
+                        AS BIGINT) AS r
+            FROM (SELECT CAST(conv(substr(md5(CAST(user_id AS STRING)),
+                               1, 8), 16, 10) AS BIGINT) AS hv
+                  FROM __hll_batch) h
+            GROUP BY hv div 67108864""")
+        cur = current_store()
+        if cur is not None:
+            old = sess.read.parquet(cur)
+            part = (
+                old.unionByName(part)
+                .groupBy("j")
+                .agg(F.max("r").cast("bigint").alias("r"))
+            )
+        vname = f"store.v{batch_id}"
+        vdir = os.path.join(out, vname)
+        part.coalesce(1).write.mode("overwrite").parquet(vdir)
+        tmp_ptr = os.path.join(out, f"CURRENT.tmp{batch_id}")
+        with open(tmp_ptr, "w") as f:
+            f.write(vname)
+        os.replace(tmp_ptr, ptr)
+        for dd in os.listdir(out):
+            if dd.startswith("store.v") and dd != vname:
+                shutil.rmtree(os.path.join(out, dd), ignore_errors=True)
+
+    raw = (
+        spark.readStream.schema(
+            "event_id BIGINT, user_id BIGINT, event_type STRING"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = current_store()
+    if final is None:
+        raise RuntimeError("streaming HLL produced no store version")
+    return spark.read.parquet(final).select(
+        F.col("j").cast("bigint").alias("j"), "r"
+    )

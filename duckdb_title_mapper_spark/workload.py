@@ -1859,6 +1859,30 @@ def stream_countmin_cells(spark, sf_dir):
 
 
 @_q(
+    "stream_hll_cells",
+    """SELECT CAST(hv // 67108864 AS BIGINT) AS j,
+           CAST(max(CASE WHEN hv % 67108864 = 0 THEN 27
+                    ELSE 27 - length(bin(hv % 67108864)) END)
+                AS BIGINT) AS r
+    FROM (SELECT DISTINCT
+            CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) AS hv
+          FROM events) h
+    GROUP BY hv // 67108864""",
+    "Streaming HyperLogLog maintenance — the MAX-merge companion to "
+    "stream_countmin_cells: per-batch partial registers merged into "
+    "the persisted store by per-bucket MAX (idempotent, so duplicate "
+    "deliveries cost nothing — the at-least-once distinct-count "
+    "default); after the 4-slice replay the store equals the batch "
+    "registers, the oracle.",
+)
+def stream_hll_cells(spark, sf_dir):
+    from .streaming.sinks import hll_stream_registers
+
+    return hll_stream_registers(spark, sf_dir)
+
+
+@_q(
     "stream_sessionize_stateful",
     _SESSION_ISLANDS_CTE
     + """,
@@ -7664,6 +7688,111 @@ def _k_anonymity_repair_sql(spark_dialect: bool, k: int = 5) -> str:
 def x_k_anonymity_repair(spark, sf_dir):
     register_views(spark, sf_dir, "events")
     return spark.sql(_k_anonymity_repair_sql(True))
+
+
+def _negative_sampling_sql(spark_dialect: bool, nq: int = 10,
+                           nneg: int = 5) -> str:
+    """Deterministic random negative sampling for contrastive retrieval
+    training: per query vector, ``nneg`` candidates drawn from OTHER
+    labels by hash rank (md5 of the (query, candidate) pair — the
+    seeded-uniform trick that makes 'random' sampling replayable and
+    oracle-checkable, same family as x_hash_split).  This is the
+    uniform-negatives baseline; hard-negative mining swaps the hash
+    rank for a similarity rank (the x_knn_bruteforce machinery) and
+    in-batch negatives fall out of the shard manifest — both documented
+    variants of this relation.
+
+    Scale: candidates join on the label inequality AFTER the query side
+    (nq rows) broadcasts, so the scored relation is nq x corpus, ranked
+    by one window per query — the same bounded shape as the kNN
+    baseline; production sampling replaces the full scan with a
+    per-shard reservoir over the same hash key."""
+    if spark_dialect:
+        hk = ("CAST(conv(substr(md5(concat(CAST(q.qid AS STRING), ':',"
+              " CAST(c.cid AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+    else:
+        hk = ("CAST(('0x' || substr(md5(concat(CAST(q.qid AS VARCHAR),"
+              " ':', CAST(c.cid AS VARCHAR))), 1, 8)) AS BIGINT)")
+    return f"""WITH q AS (
+      SELECT vec_id AS qid, label FROM embeddings WHERE vec_id < {nq}),
+    c AS (SELECT vec_id AS cid, label FROM embeddings),
+    scored AS (
+      SELECT q.qid, c.cid, {hk} AS hk
+      FROM q JOIN c ON q.label <> c.label),
+    ranked AS (
+      SELECT qid, cid, hk,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY hk, cid) AS BIGINT)
+               AS neg_rank
+      FROM scored)
+    SELECT qid AS query_vec_id, cid AS negative_vec_id, neg_rank, hk
+    FROM ranked WHERE neg_rank <= {nneg}"""
+
+
+@_q(
+    "x_negative_sampling",
+    _negative_sampling_sql(False),
+    "Deterministic negative sampling for contrastive training: per "
+    "query, 5 other-label candidates by (query, candidate) hash rank "
+    "— replayable seeded-uniform negatives with an exact oracle; the "
+    "hash key swaps for a similarity rank to make it hard-negative "
+    "mining.",
+)
+def x_negative_sampling(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_negative_sampling_sql(True))
+
+
+def _training_shards_sql(spark_dialect: bool, shards: int = 64) -> str:
+    """Training-shard manifest: every document assigned to one of
+    ``shards`` shards by content-hash, with a deterministic WITHIN-
+    shard order key — the reproducible global shuffle a training run
+    needs (epoch replay, resume-from-step, and cross-run comparisons
+    all depend on the order being a pure function of content).  The
+    manifest row per shard: size, token mass, an order-independent
+    bit_xor content checksum (re-derivable by any engine to prove a
+    shard was reproduced bit-for-bit), and the first/last order keys
+    as the shard's replay cursor range.
+
+    Scale: one pass, one shard-keyed partial aggregate; shard count is
+    the training-reader parallelism knob and the manifest is
+    shard-cardinality.  In-batch negatives (see x_negative_sampling)
+    come from whatever lands adjacent under these order keys."""
+    if spark_dialect:
+        h = "CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT)"
+        ok = ("CAST(conv(substr(md5(concat('o:', CAST(doc_id AS STRING))),"
+              " 1, 8), 16, 10) AS BIGINT)")
+        ntok = "CAST(size(regexp_extract_all(lower(text), '\\\\w+', 0)) AS BIGINT)"
+    else:
+        h = "CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)"
+        ok = ("CAST(('0x' || substr(md5(concat('o:',"
+              " CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)")
+        ntok = "CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT)"
+    return f"""WITH assigned AS (
+      SELECT doc_id, {h} % {shards} AS shard, {h} AS ch, {ok} AS order_key,
+             {ntok} AS n_tokens
+      FROM documents)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(coalesce(bit_xor(ch), 0) AS BIGINT) AS content_checksum,
+           min(order_key) AS first_order_key,
+           max(order_key) AS last_order_key
+    FROM assigned GROUP BY shard"""
+
+
+@_q(
+    "x_training_shards",
+    _training_shards_sql(False),
+    "Training-shard manifest: content-hash shard assignment + "
+    "deterministic within-shard order keys, per-shard size/token "
+    "mass/bit_xor checksum and replay cursor range — the reproducible "
+    "global shuffle a training run resumes and replays from; one "
+    "shard-keyed partial aggregate.",
+)
+def x_training_shards(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_training_shards_sql(True))
 
 
 def _source_quality_report_sql(spark_dialect: bool) -> str:

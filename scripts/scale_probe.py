@@ -70,6 +70,7 @@ EXTRA = [
     "x_matryoshka_recall", "rel_window_suite", "x_bpe_train",
     "x_hll_sketch", "stream_countmin_cells", "x_source_quality_report",
     "x_bpe_apply", "x_k_anonymity_repair",
+    "stream_hll_cells", "x_negative_sampling", "x_training_shards",
 ]
 
 

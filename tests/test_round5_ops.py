@@ -729,3 +729,88 @@ def test_k_anonymity_repair_semantics(spark):
         assert (r.n_base_classes, r.n_rows) == (ncls, nrows)
         assert r.rows_bp == nrows * 10000 // total
     assert total == len(ev)
+
+
+# ---------------------------------------------------------------------------
+# streaming HLL + negative sampling + training shards
+# ---------------------------------------------------------------------------
+
+
+def test_stream_hll_equals_batch_registers(spark):
+    """The MAX-merged streaming store must equal the batch registers
+    over all user hashes."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["stream_hll_cells"].spark_fn(spark, SF_DIR).collect()
+    got = {r.j: r.r for r in rows}
+
+    users = {
+        u for (u,) in duckdb.sql(
+            f"SELECT DISTINCT user_id FROM '{SF_DIR}/events.parquet'"
+        ).fetchall()
+    }
+    regs = {}
+    for u in users:
+        hv = _h32(str(u))
+        j, w = hv // (1 << 26), hv % (1 << 26)
+        r = 27 if w == 0 else 27 - w.bit_length()
+        regs[j] = max(regs.get(j, 0), r)
+    assert got == regs
+
+
+def test_negative_sampling_semantics(spark):
+    """Per query: exactly 5 negatives, all from other labels, ranked by
+    the exact (query, candidate) hash order — recomputed in Python."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_negative_sampling"].spark_fn(
+        spark, SF_DIR
+    ).collect()
+    labels = dict(
+        duckdb.sql(
+            f"SELECT vec_id, label FROM '{SF_DIR}/embeddings.parquet'"
+        ).fetchall()
+    )
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.query_vec_id].append(r)
+    assert set(by_q) == set(range(10))
+    for qid, rs in by_q.items():
+        cand = sorted(
+            (_h32(f"{qid}:{c}"), c)
+            for c, lab in labels.items()
+            if lab != labels[qid]
+        )[:5]
+        got = sorted(rs, key=lambda r: r.neg_rank)
+        assert [(r.hk, r.negative_vec_id) for r in got] == cand
+        assert all(labels[r.negative_vec_id] != labels[qid] for r in rs)
+
+
+def test_training_shards_manifest(spark):
+    """Shard assignment, token mass, and xor checksums recomputed in
+    pure Python; shards must partition the corpus."""
+    from functools import reduce
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_training_shards"].spark_fn(spark, SF_DIR).collect()
+    got = {r.shard: r for r in rows}
+
+    shards = defaultdict(list)
+    for doc_id, _src, text in _texts():
+        ch = _h32(text)
+        shards[ch % 64].append((doc_id, ch, len(_tokens(text))))
+    assert sum(r.n_docs for r in rows) == len(_texts())
+    for s, items in shards.items():
+        r = got[s]
+        assert r.n_docs == len(items)
+        assert r.n_tokens == sum(t for _d, _c, t in items)
+        assert r.content_checksum == reduce(
+            lambda a, b: a ^ b, (c for _d, c, _t in items), 0
+        )
+        oks = [_h32(f"o:{d}") for d, _c, _t in items]
+        assert (r.first_order_key, r.last_order_key) == (min(oks), max(oks))
