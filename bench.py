@@ -136,6 +136,8 @@ EXTRA = [
     "stream_hll_cells",
     "x_negative_sampling",
     "x_training_shards",
+    "x_watermark_greenlist",
+    "x_preference_pairs",
 ]
 
 

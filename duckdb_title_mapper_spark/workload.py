@@ -7795,6 +7795,127 @@ def x_training_shards(spark, sf_dir):
     return spark.sql(_training_shards_sql(True))
 
 
+def _watermark_greenlist_sql(spark_dialect: bool) -> str:
+    """Synthetic-text WATERMARK detection (Kirchenbauer et al. 2023
+    shape): a watermarking sampler biases each token toward a
+    'greenlist' seeded by the previous token; the detector counts how
+    many adjacent-token transitions land in the greenlist and flags
+    docs where the excess over the 50% base rate is statistically
+    impossible.  Greenlist membership here is the md5 parity of the
+    (prev, cur) pair — the same keyed-hash shape real schemes use.
+
+    The z-test is INTEGERIZED: z > 3 on g greens of n pairs means
+    (2g - n) > 3*sqrt(n), which squares to the exact integer predicate
+    (2g - n) > 0 AND (2g - n)^2 > 9n — no sqrt, no float, no
+    cross-engine drift in the flag.  Per doc: pair count, green count,
+    green rate bp, and the flag.  Plan: one token-pair explode (same
+    partition-local adjacency as the winnow window), one doc-keyed
+    partial aggregate."""
+    if spark_dialect:
+        pos = "explode(sequence(1, size(ts) - 1))"
+        el = "element_at(ts, i)"
+        el1 = "element_at(ts, i + 1)"
+        idiv = "div"
+        ph = (f"CAST(conv(substr(md5(concat({el}, ' ', {el1})), 1, 8),"
+              f" 16, 10) AS BIGINT)")
+    else:
+        pos = "unnest(generate_series(1, len(ts) - 1))"
+        el = "ts[i]"
+        el1 = "ts[i + 1]"
+        idiv = "//"
+        ph = (f"CAST(('0x' || substr(md5(concat({el}, ' ', {el1})), 1, 8))"
+              f" AS BIGINT)")
+    return f"""WITH toks AS ({_toks_sql(spark_dialect, "doc_id")}),
+    pairs AS (
+      SELECT doc_id,
+             CASE WHEN {ph} % 2 = 0
+                  THEN 1 ELSE 0 END AS is_green
+      FROM (SELECT doc_id, ts, {pos} AS i FROM toks
+            WHERE {'size(ts)' if spark_dialect else 'len(ts)'} >= 2) e),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(is_green) AS BIGINT) AS n_green
+      FROM pairs GROUP BY doc_id)
+    SELECT doc_id, n_pairs, n_green,
+           (n_green * 10000) {idiv} n_pairs AS green_bp,
+           (2 * n_green - n_pairs) > 0
+             AND (2 * n_green - n_pairs) * (2 * n_green - n_pairs)
+                 > 9 * n_pairs AS watermark_flag
+    FROM per"""
+
+
+@_q(
+    "x_watermark_greenlist",
+    _watermark_greenlist_sql(False),
+    "Synthetic-text watermark detector: adjacent-token transitions "
+    "scored against a prev-token-seeded greenlist (md5 parity), with "
+    "the z>3 excess test integerized as (2g-n)>0 AND (2g-n)^2>9n — "
+    "float-free flags; one pair explode + one doc-keyed partial "
+    "aggregate.",
+)
+def x_watermark_greenlist(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_watermark_greenlist_sql(True))
+
+
+def _preference_pairs_sql(spark_dialect: bool, m: int = 3) -> str:
+    """Preference-pair construction for reward-model / DPO training
+    data: within each source, the top-``m`` and bottom-``m`` documents
+    by the hashed linear quality score (total order via score desc,
+    doc_id) are crossed into (chosen, rejected) pairs with their score
+    margin — the weak-supervision bootstrap that turns a scalar quality
+    signal into pairwise preferences.  Pairs are emitted only where the
+    margin is strictly positive, so a degenerate source (all scores
+    equal) produces no pairs rather than noise pairs.
+
+    Scale: two rank windows per source + an m x m within-source cross
+    (m fixed and tiny — output is source-cardinality x m^2); the score
+    pass is the one-token-pass scorer."""
+    idiv = "div" if spark_dialect else "//"
+    if spark_dialect:
+        term = "explode(ts)"
+        bh = "CAST(conv(substr(md5(term), 1, 8), 16, 10) AS BIGINT) % 1024"
+    else:
+        term = "unnest(ts)"
+        bh = "CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 1024"
+    return f"""WITH toks AS ({_toks_sql(spark_dialect, "doc_id, source")}),
+    sc AS (
+      SELECT doc_id, source,
+             CAST(sum(({bh}) * 2654435761 % 2001 - 1000) AS BIGINT)
+               AS score
+      FROM (SELECT doc_id, source, {term} AS term FROM toks) x
+      GROUP BY doc_id, source),
+    ranked AS (
+      SELECT doc_id, source, score,
+             CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY score DESC, doc_id) AS BIGINT) AS top_rk,
+             CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY score ASC, doc_id DESC) AS BIGINT) AS bot_rk
+      FROM sc)
+    SELECT t.source, t.doc_id AS chosen_doc, b.doc_id AS rejected_doc,
+           t.score AS chosen_score, b.score AS rejected_score,
+           t.score - b.score AS margin
+    FROM (SELECT * FROM ranked WHERE top_rk <= {m}) t
+    JOIN (SELECT * FROM ranked WHERE bot_rk <= {m}) b
+      ON t.source = b.source
+    WHERE t.score > b.score"""
+
+
+@_q(
+    "x_preference_pairs",
+    _preference_pairs_sql(False),
+    "Preference-pair construction for reward-model/DPO data: per "
+    "source, top-3 x bottom-3 docs by quality score crossed into "
+    "(chosen, rejected) pairs with positive margins — the weak-"
+    "supervision bootstrap from scalar quality to pairwise "
+    "preferences; two rank windows + a tiny fixed within-source "
+    "cross.",
+)
+def x_preference_pairs(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_preference_pairs_sql(True))
+
+
 def _source_quality_report_sql(spark_dialect: bool) -> str:
     """Per-source curation dashboard — the one-page report a data-mix
     owner reads before admitting a source into a training run: volume,

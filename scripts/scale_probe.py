@@ -71,6 +71,7 @@ EXTRA = [
     "x_hll_sketch", "stream_countmin_cells", "x_source_quality_report",
     "x_bpe_apply", "x_k_anonymity_repair",
     "stream_hll_cells", "x_negative_sampling", "x_training_shards",
+    "x_watermark_greenlist", "x_preference_pairs",
 ]
 
 

@@ -814,3 +814,73 @@ def test_training_shards_manifest(spark):
         )
         oks = [_h32(f"o:{d}") for d, _c, _t in items]
         assert (r.first_order_key, r.last_order_key) == (min(oks), max(oks))
+
+
+# ---------------------------------------------------------------------------
+# watermark detection + preference pairs
+# ---------------------------------------------------------------------------
+
+
+def test_watermark_greenlist_semantics(spark):
+    """Green counts and the squared z-test recomputed in pure Python
+    per doc; the flag must equal z > 3 computed in floats."""
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_watermark_greenlist"].spark_fn(
+        spark, SF_DIR
+    ).collect()
+    got = {r.doc_id: r for r in rows}
+
+    for doc_id, _src, text in _texts():
+        toks = _tokens(text)
+        if len(toks) < 2:
+            assert doc_id not in got
+            continue
+        greens = sum(
+            1
+            for a, b in zip(toks, toks[1:])
+            if _h32(f"{a} {b}") % 2 == 0
+        )
+        n = len(toks) - 1
+        r = got[doc_id]
+        assert (r.n_pairs, r.n_green) == (n, greens)
+        assert r.green_bp == greens * 10000 // n
+        d = 2 * greens - n
+        assert r.watermark_flag == (d > 0 and d * d > 9 * n)
+        # the integer predicate is exactly z > 3
+        z = d / (n ** 0.5)
+        assert r.watermark_flag == (z > 3)
+
+
+def test_preference_pairs_semantics(spark):
+    """Top-3/bottom-3 rank sets and pair margins recomputed in pure
+    Python with the same total orders."""
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_preference_pairs"].spark_fn(
+        spark, SF_DIR
+    ).collect()
+
+    scores = defaultdict(dict)
+    for doc_id, src, text in _texts():
+        toks = _tokens(text)
+        if not toks:
+            continue
+        scores[src][doc_id] = sum(
+            (_h32(t) % 1024 * 2654435761) % 2001 - 1000 for t in toks
+        )
+    expect = set()
+    for src, sc in scores.items():
+        top = sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        bot = sorted(sc.items(), key=lambda kv: (kv[1], -kv[0]))[:3]
+        for cd, cs in top:
+            for rd, rs in bot:
+                if cs > rs:
+                    expect.add((src, cd, rd, cs, rs, cs - rs))
+    got = {
+        (r.source, r.chosen_doc, r.rejected_doc, r.chosen_score,
+         r.rejected_score, r.margin)
+        for r in rows
+    }
+    assert got == expect
+    assert all(m > 0 for _s, _c, _r, _cs, _rs, m in got)
