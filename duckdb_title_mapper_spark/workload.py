@@ -5394,10 +5394,13 @@ def x_join_size_forecast(spark, sf_dir):
 def _kmv_sketch_sql(spark_dialect: bool, k: int = 64) -> str:
     """KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
     2002): keep the k smallest 32-bit hashes of the value set; estimate
-    |D| = (k-1) * 2^32 / h_k.  Unlike HLL (engine-specific bit packing,
-    no cross-engine oracle — x_approx_stats stays rows-only for that
-    reason), KMV is ORACLE-CHECKABLE: the bottom-k set and the
-    integer-division estimate are deterministic on both engines.  The
+    |D| = (k-1) * 2^32 / h_k.  Unlike ENGINE-NATIVE HLL (opaque bit
+    packing, no cross-engine oracle — x_approx_stats stays rows-only
+    for that reason), KMV is ORACLE-CHECKABLE: the bottom-k set and the
+    integer-division estimate are deterministic on both engines.  (r5:
+    x_hll_sketch shows the HLL ALGORITHM is oracle-checkable too when
+    built from first principles in integer SQL — only the native
+    approx_count_distinct packings are not.)  The
     bottom-k is a TopK sort (Spark: TakeOrderedAndProject — partial
     per-partition top-k then a k-row merge, no full global sort), which
     is exactly how the sketch merges on a cluster.  The exact distinct
@@ -5430,7 +5433,8 @@ def _kmv_sketch_sql(spark_dialect: bool, k: int = 64) -> str:
     "KMV bottom-k distinct-count sketch over document texts: estimate "
     "(k-1)*2^32/h_k from the 64 smallest md5 hashes, next to the exact "
     "distinct count and the sketch's own error in basis points — the "
-    "oracle-checkable cardinality sketch (HLL cannot be; see "
+    "oracle-checkable cardinality sketch (engine-native HLL cannot "
+    "be; the first-principles x_hll_sketch can; see "
     "x_approx_stats).  All integer arithmetic.",
 )
 def x_kmv_sketch(spark, sf_dir):
