@@ -138,6 +138,8 @@ EXTRA = [
     "x_training_shards",
     "x_watermark_greenlist",
     "x_preference_pairs",
+    "x_inbatch_collision_audit",
+    "x_ablation_manifest",
 ]
 
 

@@ -7799,6 +7799,112 @@ def x_training_shards(spark, sf_dir):
     return spark.sql(_training_shards_sql(True))
 
 
+def _inbatch_collision_sql(spark_dialect: bool, batch: int = 8) -> str:
+    """In-batch negative COLLISION audit: contrastive training treats
+    the other members of a batch as negatives, which silently breaks
+    when a batch contains two items of the same label (a false
+    negative).  Batches here are the deterministic training order made
+    concrete: embeddings sharded by vec-id hash into 8 shards, ordered
+    by the within-shard order key (the x_training_shards contract), and
+    chunked into consecutive groups of ``batch``.  Per batch: member
+    count, distinct labels, colliding-pair count (sum over labels of
+    C(c,2) — exact integers), plus the shard rollup a mix owner reads
+    (collision rate in bp).
+
+    Scale: two windows on one (shard, order_key) sort + a batch-keyed
+    aggregate — the same single-partitioning reuse as the window suite;
+    output is batch-cardinality."""
+    idiv = "div" if spark_dialect else "//"
+    if spark_dialect:
+        h = ("CAST(conv(substr(md5(concat('s:', CAST(vec_id AS STRING))),"
+             " 1, 8), 16, 10) AS BIGINT)")
+    else:
+        h = ("CAST(('0x' || substr(md5(concat('s:',"
+             " CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT)")
+    return f"""WITH assigned AS (
+      SELECT vec_id, label, {h} % 8 AS shard, {h} AS order_key
+      FROM embeddings),
+    batched AS (
+      SELECT shard, label,
+             (CAST(row_number() OVER (PARTITION BY shard
+                     ORDER BY order_key, vec_id) AS BIGINT) - 1)
+               {idiv} {batch} AS batch_id
+      FROM assigned),
+    lab AS (
+      SELECT shard, batch_id, label, CAST(count(*) AS BIGINT) AS c
+      FROM batched GROUP BY shard, batch_id, label),
+    per AS (
+      SELECT shard, batch_id,
+             CAST(sum(c) AS BIGINT) AS n_members,
+             CAST(count(*) AS BIGINT) AS n_labels,
+             CAST(sum(c * (c - 1) {idiv} 2) AS BIGINT) AS n_collisions
+      FROM lab GROUP BY shard, batch_id)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(n_members) AS BIGINT) AS n_members,
+           CAST(sum(n_collisions) AS BIGINT) AS n_collisions,
+           CAST(count(CASE WHEN n_collisions > 0 THEN 1 END) AS BIGINT)
+             AS n_dirty_batches,
+           (CAST(sum(n_collisions) AS BIGINT) * 10000)
+             {idiv} CAST(sum(n_members * (n_members - 1) {idiv} 2)
+                         AS BIGINT) AS collision_bp
+    FROM per GROUP BY shard"""
+
+
+@_q(
+    "x_inbatch_collision_audit",
+    _inbatch_collision_sql(False),
+    "In-batch negative collision audit: embeddings sharded and chunked "
+    "into deterministic training batches of 8; per shard, the count of "
+    "same-label pairs inside a batch (false negatives for contrastive "
+    "training) with the collision rate in bp — two windows on one "
+    "sort + batch-keyed aggregates.",
+)
+def x_inbatch_collision_audit(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_inbatch_collision_sql(True))
+
+
+def _ablation_manifest_sql(spark_dialect: bool) -> str:
+    """Leave-one-source-out ABLATION manifest: for each source, the
+    token and document mass of the corpus WITHOUT it — the bookkeeping
+    of a source-ablation study (train N runs, each dropping one
+    source), plus each source's own share in bp so the reader sees
+    which ablations are even meaningful.  Pure arithmetic over the
+    per-source aggregate (one token pass; the leave-one-out numbers
+    are global-minus-own, no second pass)."""
+    idiv = "div" if spark_dialect else "//"
+    term = "explode(ts)" if spark_dialect else "unnest(ts)"
+    return f"""WITH toks AS ({_toks_sql(spark_dialect, "doc_id, source")}),
+    per AS (
+      SELECT source,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, source, {term} AS term FROM toks) x
+      GROUP BY source),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS all_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS all_tokens
+            FROM per)
+    SELECT per.source, per.n_docs, per.n_tokens,
+           tot.all_docs - per.n_docs AS ablated_docs,
+           tot.all_tokens - per.n_tokens AS ablated_tokens,
+           (per.n_tokens * 10000) {idiv} tot.all_tokens AS own_share_bp
+    FROM per CROSS JOIN tot"""
+
+
+@_q(
+    "x_ablation_manifest",
+    _ablation_manifest_sql(False),
+    "Leave-one-source-out ablation manifest: per source, the corpus "
+    "doc/token mass without it plus its own share in bp — the run "
+    "bookkeeping of a source-ablation study; one token pass, "
+    "leave-one-out by global-minus-own arithmetic.",
+)
+def x_ablation_manifest(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_ablation_manifest_sql(True))
+
+
 def _watermark_greenlist_sql(spark_dialect: bool) -> str:
     """Synthetic-text WATERMARK detection (Kirchenbauer et al. 2023
     shape): a watermarking sampler biases each token toward a

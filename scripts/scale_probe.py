@@ -72,6 +72,7 @@ EXTRA = [
     "x_bpe_apply", "x_k_anonymity_repair",
     "stream_hll_cells", "x_negative_sampling", "x_training_shards",
     "x_watermark_greenlist", "x_preference_pairs",
+    "x_inbatch_collision_audit", "x_ablation_manifest",
 ]
 
 

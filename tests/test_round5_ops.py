@@ -884,3 +884,79 @@ def test_preference_pairs_semantics(spark):
     }
     assert got == expect
     assert all(m > 0 for _s, _c, _r, _cs, _rs, m in got)
+
+
+# ---------------------------------------------------------------------------
+# in-batch collisions + ablation manifest
+# ---------------------------------------------------------------------------
+
+
+def test_inbatch_collision_audit_semantics(spark):
+    """Shard/batch assignment and same-label pair counts recomputed in
+    pure Python with the identical hash order."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_inbatch_collision_audit"].spark_fn(
+        spark, SF_DIR
+    ).collect()
+    got = {r.shard: r for r in rows}
+
+    embs = duckdb.sql(
+        f"SELECT vec_id, label FROM '{SF_DIR}/embeddings.parquet'"
+    ).fetchall()
+    shards = defaultdict(list)
+    for vid, lab in embs:
+        h = _h32(f"s:{vid}")
+        shards[h % 8].append((h, vid, lab))
+    for s, items in shards.items():
+        items.sort()
+        per_batch = defaultdict(Counter)
+        for i, (_h, _vid, lab) in enumerate(items):
+            per_batch[i // 8][lab] += 1
+        n_coll = sum(
+            c * (c - 1) // 2
+            for b in per_batch.values()
+            for c in b.values()
+        )
+        dirty = sum(
+            1
+            for b in per_batch.values()
+            if any(c > 1 for c in b.values())
+        )
+        possible = sum(
+            (m := sum(b.values())) * (m - 1) // 2
+            for b in per_batch.values()
+        )
+        r = got[s]
+        assert (r.n_batches, r.n_members) == (len(per_batch), len(items))
+        assert (r.n_collisions, r.n_dirty_batches) == (n_coll, dirty)
+        assert r.collision_bp == n_coll * 10000 // possible
+
+
+def test_ablation_manifest_semantics(spark):
+    """Leave-one-out arithmetic recomputed in pure Python."""
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_ablation_manifest"].spark_fn(
+        spark, SF_DIR
+    ).collect()
+    got = {r.source: r for r in rows}
+
+    per = defaultdict(lambda: [0, 0])
+    for _doc, src, text in _texts():
+        toks = _tokens(text)
+        if toks:
+            per[src][0] += 1
+            per[src][1] += len(toks)
+    all_docs = sum(v[0] for v in per.values())
+    all_toks = sum(v[1] for v in per.values())
+    assert set(got) == set(per)
+    for src, (nd, nt) in per.items():
+        r = got[src]
+        assert (r.n_docs, r.n_tokens) == (nd, nt)
+        assert (r.ablated_docs, r.ablated_tokens) == (
+            all_docs - nd, all_toks - nt,
+        )
+        assert r.own_share_bp == nt * 10000 // all_toks
