@@ -7237,8 +7237,42 @@ def _boilerplate_sql(spark_dialect: bool, n: int = 5) -> str:
     "equi-join-back; integer membership.",
 )
 def x_boilerplate_ngrams(spark, sf_dir):
+    from .plans.materialize import materialize
+
     register_views(spark, sf_dir, "documents")
-    return spark.sql(_boilerplate_sql(True))
+    # the distinct-gram relation feeds BOTH the df aggregate and the
+    # per-doc join-back; Spark inlines the CTE per consumer (plan audit
+    # r5: two full gram-explode corpus passes), so pay the md5-gram
+    # pass once — the exact winnowing/semdedup materialization pattern.
+    # The relation is (doc, distinct-gram)-sized, far below the
+    # exploded gram stream it replaces.
+    n = 5
+    grams = materialize(spark.sql(
+        "WITH toks AS (" + _toks_sql(True, "doc_id, source") + ")\n"
+        f"SELECT DISTINCT doc_id, source, "
+        f"explode(transform(sequence(1, size(ts) - {n - 1}),"
+        f" i -> md5(array_join(slice(ts, i, {n}), ' ')))) AS sh"
+        f" FROM toks WHERE size(ts) >= {n}"
+    ))
+    grams.createOrReplaceTempView("__boiler_grams")
+    return spark.sql("""WITH
+    sd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source),
+    df AS (SELECT source, sh, CAST(count(*) AS BIGINT) AS n_with
+           FROM __boiler_grams GROUP BY source, sh),
+    b AS (SELECT df.source, df.sh
+          FROM df JOIN sd ON df.source = sd.source
+          WHERE 4 * df.n_with >= sd.n_docs),
+    per AS (
+      SELECT g.doc_id, g.source,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(b.sh) AS BIGINT) AS n_boiler
+      FROM __boiler_grams g LEFT JOIN b
+        ON g.source = b.source AND g.sh = b.sh
+      GROUP BY g.doc_id, g.source)
+    SELECT doc_id, source, n_grams, n_boiler,
+           (n_boiler * 10000) div n_grams AS boiler_bp
+    FROM per""")
 
 
 def _bpe_merge_step_sql(spark_dialect: bool, topk: int = 20) -> str:
