@@ -140,6 +140,7 @@ EXTRA = [
     "x_preference_pairs",
     "x_inbatch_collision_audit",
     "x_ablation_manifest",
+    "x_multimodal_real_decode",
 ]
 
 

@@ -5,13 +5,26 @@ metadata — the storage shape that survives 100 TB: payloads stay columnar
 in parquet, never hit the JVM heap as strings, and flow to Python workers
 as Arrow binary batches only in the stages that need bytes.
 
-The decode step itself is a **stub**: this container has no image/audio
-codecs, so ``real=True`` raises ``NotImplementedError`` where PIL/ffmpeg
-would be called, and the default deterministic fake parser derives
-metadata from the payload bytes alone.  Everything AROUND the decode —
-schemas, Arrow batch iteration, ``mapInPandas`` signatures, per-frame
-explode, feature vectors — is real and tested; swapping in a real codec
-changes only the marked function bodies.
+Decode comes in three tiers (r5):
+
+1. **REAL decoding of uncompressed containers** — spec-conformant
+   24-bit BMP and mono PCM-16 WAV are encoded AND decoded here in pure
+   struct/numpy (``encode_bmp24``/``decode_bmp24``,
+   ``encode_wav_pcm16``/``decode_wav_pcm16``,
+   ``real_media_table``/``decode_media_real``): magic-byte sniffing,
+   BGR row-padding walk, RIFF chunk walk.  Declared + oracle-checked
+   as ``x_multimodal_real_decode``; container conformance is
+   independently struct-validated in tests.
+2. **Compressed codecs** (JPEG/PNG/MP3/MP4) — these genuinely need
+   codec libraries absent from this container, so the per-format
+   decoders raise ``NotImplementedError`` for them; on a cluster with
+   PIL/ffmpeg, only those marked bodies change.
+3. The original deterministic **fake parser** (``decode_media`` with
+   ``real=False``) stays as the arithmetic-oracle form.
+
+Everything AROUND decode — schemas, Arrow batch iteration,
+``mapInPandas`` signatures, per-frame explode, feature vectors — is the
+same real plumbing in all three tiers.
 
 Scale notes: ``decode_media`` and ``sample_frames`` are map-side-only
 (``mapInPandas`` preserves partitioning, no shuffle); metadata
@@ -51,6 +64,194 @@ def media_table(spark, sf_dir: str):
         ),
         F.encode("text", "UTF-8").alias("payload"),
     )
+
+
+REAL_DECODED_SCHEMA = (
+    "media_id BIGINT, format STRING, width INT, height INT, "
+    "n_units BIGINT, level_sum BIGINT"
+)
+
+
+def encode_bmp24(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """A REAL, spec-conformant 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    BI_RGB, bottom-up, 4-byte row padding) — encodable and decodable in
+    pure arithmetic, which is the point: uncompressed containers need no
+    codec library, so the real-decode path can exist in this sandbox."""
+    import struct
+
+    row = bytes((rgb[2], rgb[1], rgb[0])) * width  # BGR pixel order
+    row += b"\x00" * ((4 - (3 * width) % 4) % 4)
+    pixels = row * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels),
+        2835, 2835, 0, 0,
+    )
+    return header + dib + pixels
+
+
+def decode_bmp24(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a 24-bit BI_RGB BMP: (width, height, n_pixels, sum of all
+    RGB channel bytes).  Raises NotImplementedError for compressed or
+    non-24-bit BMPs — those need a codec."""
+    import struct
+
+    import numpy as np
+
+    magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _hdr, w, h, _planes, bpp, comp, _imgsz = struct.unpack_from(
+        "<IiiHHII", payload, 14
+    )
+    if comp != 0 or bpp != 24:
+        raise NotImplementedError(
+            "compressed or non-24-bit BMP decoding requires a codec "
+            "library not present in this environment"
+        )
+    hh = abs(h)
+    rowsize = ((bpp * w + 31) // 32) * 4
+    arr = np.frombuffer(
+        payload, np.uint8, count=rowsize * hh, offset=offset
+    ).reshape(hh, rowsize)
+    pix = arr[:, : 3 * w]
+    return w, hh, w * hh, int(pix.astype(np.int64).sum())
+
+
+def encode_wav_pcm16(rate: int, samples: list[int]) -> bytes:
+    """A REAL, spec-conformant RIFF/WAVE container with one mono
+    16-bit PCM data chunk — pure struct packing, no codec."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, int, int]:
+    """Parse a mono PCM-16 WAV: (sample_rate, n_samples, sum of |sample|
+    amplitudes).  Chunk-walks the RIFF container (the real shape: fmt
+    may be followed by LIST/fact chunks before data).  Raises
+    NotImplementedError for non-PCM encodings (MP3-in-WAV etc.)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt_code, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt_code != 1 or bits != 16 or channels != 1:
+                raise NotImplementedError(
+                    "non-PCM / multi-channel WAV decoding requires a "
+                    "codec library not present in this environment"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz % 2)  # RIFF chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    samples = np.frombuffer(data, np.int16)
+    return rate, len(samples), int(np.abs(samples.astype(np.int64)).sum())
+
+
+def real_media_table(spark, sf_dir: str):
+    """Derive a media table whose payloads are GENUINE container bytes:
+    doc_id % 2 == 0 -> a 24-bit BMP filled with an md5-derived constant
+    color, else -> a mono PCM-16 WAV square wave with md5-derived
+    amplitude.  Dimensions/amplitude are pure functions of (text length,
+    md5(text)), so a SQL oracle recomputes the decoded metadata exactly
+    — while the payloads themselves are real files any external tool
+    opens.  Built map-side via mapInPandas (Arrow binary batches)."""
+    import hashlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, payloads = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                h = hashlib.md5(text.encode()).digest()
+                ids.append(did)
+                if did % 2 == 0:
+                    w, hh = n % 24 + 4, n % 12 + 4
+                    types.append("image")
+                    payloads.append(encode_bmp24(w, hh, (h[0], h[1], h[2])))
+                else:
+                    amp = h[0] * 100 + 100
+                    ns = n % 500 + 50
+                    wave = [amp if i % 2 == 0 else -amp for i in range(ns)]
+                    types.append("audio")
+                    payloads.append(encode_wav_pcm16(8000, wave))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": types,
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(
+        build, "media_id BIGINT, media_type STRING, payload BINARY"
+    )
+
+
+def decode_media_real(media_df):
+    """REAL container decoding via ``mapInPandas`` — pure struct/numpy
+    parsing of uncompressed formats (24-bit BMP, mono PCM-16 WAV),
+    sniffed by magic bytes.  Compressed codecs (JPEG/PNG/MP3/MP4) still
+    raise NotImplementedError inside the per-format decoders — THAT is
+    the remaining environment gap, not the decode plumbing, which this
+    function executes end-to-end on genuine bytes."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, units, sums = [], [], [], [], []
+            for pl in pdf["payload"]:
+                pl = bytes(pl)
+                if pl[:2] == b"BM":
+                    w, hh, npix, s = decode_bmp24(pl)
+                    fmts.append("bmp")
+                    ws.append(w)
+                    hs.append(hh)
+                    units.append(npix)
+                    sums.append(s)
+                elif pl[:4] == b"RIFF" and pl[8:12] == b"WAVE":
+                    rate, ns, s = decode_wav_pcm16(pl)
+                    fmts.append("wav")
+                    ws.append(rate)
+                    hs.append(0)
+                    units.append(ns)
+                    sums.append(s)
+                else:
+                    raise NotImplementedError(
+                        "compressed media formats require codec libraries "
+                        "not present in this environment"
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": fmts,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_units": pd.Series(units, dtype="int64"),
+                    "level_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media_df.mapInPandas(parse, REAL_DECODED_SCHEMA)
 
 
 def _fake_parse(media_type: str, payload: bytes) -> tuple[str, int, int, int]:

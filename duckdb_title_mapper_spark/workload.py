@@ -1999,6 +1999,44 @@ def x_multimodal_meta(spark, sf_dir):
 
 
 @_q(
+    "x_multimodal_real_decode",
+    """WITH d AS (
+      SELECT doc_id, length(text) AS n,
+             CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) AS b0,
+             CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) AS b1,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) AS b2
+      FROM documents)
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN n % 24 + 4
+                     ELSE 8000 END AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN n % 12 + 4
+                     ELSE 0 END AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0
+                     THEN (n % 24 + 4) * (n % 12 + 4)
+                     ELSE n % 500 + 50 END AS BIGINT) AS n_units,
+           CAST(CASE WHEN doc_id % 2 = 0
+                     THEN (b0 + b1 + b2) * (n % 24 + 4) * (n % 12 + 4)
+                     ELSE (b0 * 100 + 100) * (n % 500 + 50) END
+                AS BIGINT) AS level_sum
+    FROM d""",
+    "REAL media decoding (r5, closing the real=True stub for "
+    "uncompressed formats): genuine 24-bit BMP and mono PCM-16 WAV "
+    "container bytes are ENCODED per document (md5-derived color/"
+    "amplitude, spec-conformant headers/padding/chunk layout) and then "
+    "DECODED back by pure struct/numpy parsers inside mapInPandas — "
+    "magic-byte sniffing, BGR row-padding walk, RIFF chunk walk.  The "
+    "oracle recomputes the decoded metadata closed-form; compressed "
+    "codecs (JPEG/MP3/MP4) remain the honestly-stubbed environment "
+    "gap.",
+)
+def x_multimodal_real_decode(spark, sf_dir):
+    from .operators.multimodal import decode_media_real, real_media_table
+
+    return decode_media_real(real_media_table(spark, sf_dir))
+
+
+@_q(
     "x_media_frame_stats",
     f"""SELECT media_type, CAST(sum(n_frames) AS BIGINT) AS total_frames,
            max(n_frames) AS max_frames

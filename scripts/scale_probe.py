@@ -73,6 +73,7 @@ EXTRA = [
     "stream_hll_cells", "x_negative_sampling", "x_training_shards",
     "x_watermark_greenlist", "x_preference_pairs",
     "x_inbatch_collision_audit", "x_ablation_manifest",
+    "x_multimodal_real_decode",
 ]
 
 
