@@ -254,6 +254,114 @@ def decode_media_real(media_df):
     return media_df.mapInPandas(parse, REAL_DECODED_SCHEMA)
 
 
+def resize_bmp_nearest(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL image resize for the uncompressed container: decode the
+    24-bit BMP pixel grid, nearest-neighbor resample to (out_w, out_h),
+    re-encode — pure numpy index arithmetic, the same algorithm PIL's
+    NEAREST filter runs after ITS decode."""
+    import struct
+
+    import numpy as np
+
+    _magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    _hdr, w, h, _planes, bpp, comp, _imgsz = struct.unpack_from(
+        "<IiiHHII", payload, 14
+    )
+    if comp != 0 or bpp != 24:
+        raise NotImplementedError(
+            "compressed or non-24-bit BMP resize requires a codec library"
+        )
+    hh = abs(h)
+    rowsize = ((bpp * w + 31) // 32) * 4
+    arr = np.frombuffer(
+        payload, np.uint8, count=rowsize * hh, offset=offset
+    ).reshape(hh, rowsize)
+    pix = arr[:, : 3 * w].reshape(hh, w, 3)
+    ys = (np.arange(out_h) * hh) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    out = pix[ys][:, xs]  # nearest-neighbor gather
+    out_rowsize = ((24 * out_w + 31) // 32) * 4
+    rows = np.zeros((out_h, out_rowsize), dtype=np.uint8)
+    rows[:, : 3 * out_w] = out.reshape(out_h, 3 * out_w)
+    pixels = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, len(pixels),
+        2835, 2835, 0, 0,
+    )
+    return header + dib + pixels
+
+
+def decimate_wav(payload: bytes, factor: int = 2) -> bytes:
+    """REAL audio downsample for PCM-16 WAV: keep every ``factor``-th
+    sample and divide the declared rate — decimation without filtering,
+    exact integer semantics (an anti-aliasing filter is a float DSP
+    choice layered on top; the container surgery is the same)."""
+    import numpy as np
+
+    rate, _n, _s = decode_wav_pcm16(payload)
+    import struct
+
+    # locate the data chunk again to extract raw samples
+    pos = 12
+    data = None
+    while pos + 8 <= len(payload):
+        cid, sz = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"data":
+            data = payload[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz % 2)
+    samples = np.frombuffer(data, np.int16)[::factor]
+    return encode_wav_pcm16(rate // factor, samples.tolist())
+
+
+def resize_media_real(media_df, out_w: int = 8, out_h: int = 6,
+                      factor: int = 2):
+    """REAL resize via ``mapInPandas``: BMPs nearest-neighbor-resampled
+    to (out_w, out_h), WAVs decimated by ``factor`` — then decoded back
+    with the same real parsers so the output row proves the resized
+    container is still well-formed.  Compressed formats raise inside
+    the per-format functions (the honest env gap)."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, units, sums = [], [], [], [], []
+            for pl in pdf["payload"]:
+                pl = bytes(pl)
+                if pl[:2] == b"BM":
+                    rp = resize_bmp_nearest(pl, out_w, out_h)
+                    w, hh, npix, s = decode_bmp24(rp)
+                    fmts.append("bmp")
+                    ws.append(w)
+                    hs.append(hh)
+                    units.append(npix)
+                    sums.append(s)
+                elif pl[:4] == b"RIFF" and pl[8:12] == b"WAVE":
+                    rp = decimate_wav(pl, factor)
+                    rate, ns, s = decode_wav_pcm16(rp)
+                    fmts.append("wav")
+                    ws.append(rate)
+                    hs.append(0)
+                    units.append(ns)
+                    sums.append(s)
+                else:
+                    raise NotImplementedError(
+                        "compressed media formats require codec libraries "
+                        "not present in this environment"
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": fmts,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_units": pd.Series(units, dtype="int64"),
+                    "level_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media_df.mapInPandas(work, REAL_DECODED_SCHEMA)
+
+
 def _fake_parse(media_type: str, payload: bytes) -> tuple[str, int, int, int]:
     """Deterministic fake header parse — metadata from byte length only,
     so a SQL oracle can recompute it exactly."""

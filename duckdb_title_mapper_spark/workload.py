@@ -2037,6 +2037,41 @@ def x_multimodal_real_decode(spark, sf_dir):
 
 
 @_q(
+    "x_multimodal_real_resize",
+    """WITH d AS (
+      SELECT doc_id, length(text) AS n,
+             CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) AS b0,
+             CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) AS b1,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) AS b2
+      FROM documents)
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8
+                     ELSE 4000 END AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 6
+                     ELSE 0 END AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 48
+                     ELSE (n % 500 + 50 + 1) // 2 END AS BIGINT)
+             AS n_units,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN (b0 + b1 + b2) * 48
+                     ELSE (b0 * 100 + 100) * ((n % 500 + 50 + 1) // 2) END
+                AS BIGINT) AS level_sum
+    FROM d""",
+    "REAL media resize for uncompressed containers: BMPs nearest-"
+    "neighbor-resampled to 8x6 (numpy index gather — PIL NEAREST's "
+    "post-decode algorithm) and WAVs decimated 2x with the declared "
+    "rate halved, each RE-ENCODED and decoded back through the real "
+    "parsers to prove the resized container stays well-formed; "
+    "closed-form oracle (constant-color/square-wave content makes the "
+    "resampled metadata exactly computable).",
+)
+def x_multimodal_real_resize(spark, sf_dir):
+    from .operators.multimodal import real_media_table, resize_media_real
+
+    return resize_media_real(real_media_table(spark, sf_dir))
+
+
+@_q(
     "x_media_frame_stats",
     f"""SELECT media_type, CAST(sum(n_frames) AS BIGINT) AS total_frames,
            max(n_frames) AS max_frames

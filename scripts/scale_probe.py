@@ -74,6 +74,7 @@ EXTRA = [
     "x_watermark_greenlist", "x_preference_pairs",
     "x_inbatch_collision_audit", "x_ablation_manifest",
     "x_multimodal_real_decode",
+    "x_multimodal_real_resize",
 ]
 
 

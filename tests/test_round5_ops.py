@@ -1051,3 +1051,47 @@ def test_real_decode_rejects_compressed_formats():
           + b"data" + struct.pack("<I", 0))
     with pytest.raises(NotImplementedError):
         decode_wav_pcm16(fl)
+
+
+def test_bmp_nearest_resize_semantics():
+    """Nearest-neighbor resample validated against a hand-computed
+    non-constant image (not just the constant-color oracle case)."""
+    import numpy as np
+
+    from duckdb_title_mapper_spark.operators.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+        resize_bmp_nearest,
+    )
+
+    # build a 4x2 image with distinct per-pixel colors via two encodes
+    # stitched manually: easier — encode constant then patch pixels
+    import struct
+
+    b = bytearray(encode_bmp24(4, 2, (0, 0, 0)))
+    rowsize = ((24 * 4 + 31) // 32) * 4
+    for y in range(2):
+        for x in range(4):
+            off = 54 + y * rowsize + 3 * x
+            b[off:off + 3] = bytes((x, y * 10 + x, 40 * y))  # B,G,R
+    out = resize_bmp_nearest(bytes(b), 2, 1)
+    w, h, npix, s = decode_bmp24(out)
+    assert (w, h, npix) == (2, 1, 2)
+    # nearest gather: ys = [0], xs = [0, 2] -> source pixels (0,0),(0,2)
+    src = np.frombuffer(bytes(b), np.uint8, count=rowsize * 2, offset=54)
+    src = src.reshape(2, rowsize)[:, :12].reshape(2, 4, 3)
+    expect = int(src[0, 0].sum()) + int(src[0, 2].sum())
+    assert s == expect
+
+
+def test_wav_decimation_semantics():
+    """Decimation keeps every 2nd sample and halves the declared rate."""
+    from duckdb_title_mapper_spark.operators.multimodal import (
+        decimate_wav,
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    samples = [5, -7, 11, -13, 17]
+    out = decimate_wav(encode_wav_pcm16(8000, samples), 2)
+    assert decode_wav_pcm16(out) == (4000, 3, 5 + 11 + 17)
