@@ -5391,6 +5391,61 @@ def _anomaly_windows_sql(spark_dialect: bool) -> str:
     WHERE (n * k - s) * (n * k - s) > 4 * (k * q - s * s)"""
 
 
+def _ewma_volume_sql(spark_dialect: bool, lags: int = 8) -> str:
+    """EWMA (alpha = 1/8) smoothing of hourly volumes per event_type,
+    INTEGERIZED: the true recursion s_t = x_t/8 + 7 s_{t-1}/8 unrolls
+    to sum_k x_{t-k} (7/8)^k / 8; truncating at K=``lags`` lags and
+    scaling by 8^(K+1) makes every term the exact integer
+    x_{t-k} * 7^k * 8^(K-k) — a windowed sum of lag() terms, no
+    doubles, identical in both engines.  The truncation error is
+    bounded by (7/8)^(K+1) ~ 30% of mass at K=8 — the standard warmup
+    caveat of any K-window smoother, and irrelevant to the spike test,
+    which compares x_t against its OWN smoothed history:
+    x_t * 8^K > 2 * S_t, i.e. x_t > 2 * ewma_t, cross-multiplied.
+
+    Completes the monitoring family: [x_anomaly_windows] is the
+    distribution test against the type's global moments,
+    [x_seasonal_naive_eval] the 24h-lag forecaster, this the local
+    trend smoother a live dashboard draws.  Plan: one (type, hour)
+    count partial agg, ONE window partitioning (event_type ordered by
+    hour) serving all K lag() calls — the named-WINDOW reuse shape."""
+    if spark_dialect:
+        hour = "CAST(date_trunc('hour', ts) AS BIGINT)"
+    else:
+        hour = "CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)"
+    terms = " + ".join(
+        f"coalesce(lag(n, {k}) OVER win, 0) * {7 ** k * 8 ** (lags - k)}"
+        for k in range(lags + 1)
+    )
+    return f"""WITH w AS (
+      SELECT event_type, {hour} AS hour_s, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, {hour}),
+    sm AS (
+      SELECT event_type, hour_s, n,
+             CAST({terms} AS BIGINT) AS ewma_s
+      FROM w
+      WINDOW win AS (PARTITION BY event_type ORDER BY hour_s))
+    SELECT event_type, hour_s, n, ewma_s,
+           CAST(CASE WHEN n * {8 ** lags} > 2 * ewma_s
+                THEN 1 ELSE 0 END AS BIGINT) AS spike_flag
+    FROM sm"""
+
+
+@_q(
+    "x_ewma_volume",
+    _ewma_volume_sql(False),
+    "Integer-exact EWMA (alpha=1/8) smoothing of hourly volumes per "
+    "event_type: the recursion unrolled to 8 lag terms with "
+    "7^k*8^(K-k) integer weights on one shared window partitioning, "
+    "plus the cross-multiplied x > 2*ewma spike flag — the local-trend "
+    "member of the monitoring family (global-moments test: "
+    "x_anomaly_windows; seasonal forecaster: x_seasonal_naive_eval).",
+)
+def x_ewma_volume(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_ewma_volume_sql(True))
+
+
 @_q(
     "x_anomaly_windows",
     _anomaly_windows_sql(False),

@@ -1095,3 +1095,37 @@ def test_wav_decimation_semantics():
     samples = [5, -7, 11, -13, 17]
     out = decimate_wav(encode_wav_pcm16(8000, samples), 2)
     assert decode_wav_pcm16(out) == (4000, 3, 5 + 11 + 17)
+
+
+def test_ewma_volume_semantics(spark):
+    """Truncated integer EWMA recomputed in pure Python per type; the
+    scaled value must equal the unrolled weighted sum exactly and the
+    spike flag must equal the cross-multiplied comparison."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_ewma_volume"].spark_fn(spark, SF_DIR).collect()
+    got = {(r.event_type, r.hour_s): r for r in rows}
+
+    ev = duckdb.sql(
+        "SELECT event_type,"
+        " CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    series = defaultdict(Counter)
+    for et, h in ev:
+        series[et][h] += 1
+    n_checked = 0
+    for et, counts in series.items():
+        hours = sorted(counts)
+        for i, h in enumerate(hours):
+            s = sum(
+                counts[hours[i - k]] * (7 ** k) * (8 ** (8 - k))
+                for k in range(min(8, i) + 1)
+            )
+            r = got[(et, h)]
+            assert (r.n, r.ewma_s) == (counts[h], s)
+            assert r.spike_flag == (1 if counts[h] * 8 ** 8 > 2 * s else 0)
+            n_checked += 1
+    assert n_checked == len(got)
