@@ -142,7 +142,7 @@ EXTRA = [
     "x_ablation_manifest",
     "x_multimodal_real_decode",
     "x_multimodal_real_resize",
-    "x_ewma_volume",
+    "x_ewma_volume_dense",
 ]
 
 

@@ -143,8 +143,14 @@ def _stage_events_multi(spark, sf_dir: str, parts: int = 4) -> str:
     """Stage the events table as ``parts`` parquet files (projected to
     the sketch's columns) so maxFilesPerTrigger=1 yields a genuine
     multi-batch replay — each micro-batch carries a real slice and the
-    incremental merge actually merges.  Split by user_id range so the
-    split is deterministic."""
+    incremental merge actually merges.  Split by ``pmod(hash(user_id),
+    parts)`` — deterministic, and TOTAL over the domain: Spark's
+    ``hash`` maps NULL to its (non-null) seed and pmod never goes
+    negative, so NULL and negative user_ids land in a bucket instead
+    of being silently dropped (the r5 ``user_id % parts == p`` split
+    lost both classes while the batch oracles aggregate ALL rows — an
+    unasserted data assumption, r6 ADVICE).  A staged-row-count
+    assertion makes the row-preservation contract loud either way."""
     import hashlib
 
     from pyspark.sql import functions as F
@@ -153,7 +159,9 @@ def _stage_events_multi(spark, sf_dir: str, parts: int = 4) -> str:
 
     src = os.path.realpath(f"{sf_dir}/events.parquet")
     tag = hashlib.md5(src.encode()).hexdigest()[:12]
-    d = f"/tmp/duckdb_title_mapper_spark_stream/{tag}_multi{parts}"
+    # v2: hash-pmod split (bump invalidates dirs staged under the old
+    # modulo split, which dropped NULL/negative user_ids)
+    d = f"/tmp/duckdb_title_mapper_spark_stream/{tag}_multi{parts}v2"
     done = f"{d}/.staged"
     if os.path.exists(done):
         return d
@@ -161,15 +169,24 @@ def _stage_events_multi(spark, sf_dir: str, parts: int = 4) -> str:
     ev = load_events(spark, sf_dir).select("event_id", "user_id",
                                            "event_type")
     os.makedirs(d, exist_ok=True)
+    bucket = F.pmod(F.hash(F.col("user_id")), F.lit(parts))
+    staged_rows = 0
     for p in range(parts):
-        (ev.where((F.col("user_id") % parts) == p)
-         .coalesce(1)
+        sliced = ev.where(bucket == p)
+        staged_rows += sliced.count()
+        (sliced.coalesce(1)
          .write.mode("overwrite")
          .parquet(f"{d}/_build_{p}"))
         part_file = next(
             f for f in os.listdir(f"{d}/_build_{p}") if f.endswith(".parquet")
         )
         os.replace(f"{d}/_build_{p}/{part_file}", f"{d}/slice_{p}.parquet")
+    total = ev.count()
+    if staged_rows != total:
+        raise AssertionError(
+            f"multi-file staging lost rows: staged {staged_rows} of "
+            f"{total} — the split predicate is not total over user_id"
+        )
     with open(done, "w") as f:
         f.write("ok")
     return d

@@ -440,16 +440,22 @@ def anomaly_baseline_stream(spark, sf_dir: str, window: str = "1 hour",
 
 
 def _stage_sentinel_dir(spark, sf_dir: str, ts_t: str) -> str:
-    """Staged events dir PLUS a far-future two-row sentinel file (one
-    'view', one 'purchase', both user_id = -1).  The sentinel arrives in
-    its own micro-batch (maxFilesPerTrigger=1; the file source orders by
-    modification time and the freshly written sentinel is newest), pushing
-    BOTH sides' event-time watermarks 40 days past the real data — which
-    is what lets an OUTER stream-stream join evict every pending
-    left-side row and emit its null-matches.  Without the sentinel the
-    stream ends with the last 2.5 h of unmatched views parked in state
-    forever (watermark delay + join horizon) — the standard
-    finite-replay-of-an-infinite-operator trick."""
+    """Staged events dir PLUS TWO far-future two-row sentinel files
+    (each holding one 'view' and one 'purchase' row, both marked by the
+    RESERVED ``event_id = -1`` — the sentinel predicate; real event_ids
+    are non-negative by schema).  Each sentinel file arrives in its own
+    micro-batch (maxFilesPerTrigger=1; the file source orders by
+    modification time and the freshly written sentinels are newest),
+    pushing BOTH sides' event-time watermarks 40/41 days past the real
+    data — which is what lets an OUTER stream-stream join evict every
+    pending left-side row and emit its null-matches.  Two files because
+    availableNow runs no trailing no-data micro-batch and eviction in
+    batch N uses the watermark computed after batch N-1: the first
+    sentinel advances the watermark, the SECOND's batch performs the
+    final eviction under it (details at the staging loop below).
+    Without the sentinels the stream ends with the last
+    (watermark + horizon) of unmatched views parked in state forever —
+    the standard finite-replay-of-an-infinite-operator trick."""
     import hashlib
     import os
 
@@ -568,12 +574,16 @@ def left_outer_view_purchase(spark, sf_dir: str, horizon_minutes: int = 30,
         ),
         "left_outer",
     )
-    # Sentinel rows (user_id = -1) are NOT filtered here: a left-column
-    # predicate on a left-outer join is pushable, and Catalyst pushes it
-    # BELOW the views-side watermark node — which silently strips the
-    # view sentinel and pins the global watermark at the real-data max
-    # (measured: 10 rows short at sf0.01).  Callers filter user_id >= 0
-    # on the SINK table instead (left_outer_view_purchase_result).
+    # Sentinel rows (reserved event_id = -1) are NOT filtered here: a
+    # left-column predicate on a left-outer join is pushable, and
+    # Catalyst pushes it BELOW the views-side watermark node — which
+    # silently strips the view sentinel and pins the global watermark
+    # at the real-data max (measured: 10 rows short at sf0.01).
+    # Callers filter view_id != -1 on the SINK table instead
+    # (left_outer_view_purchase_result); the reserved event_id is the
+    # sentinel marker, so rows with NULL or negative user_id in REAL
+    # data are never at risk (r6 ADVICE — the old user_id >= 0 filter
+    # keyed on a data assumption, not on the sentinel itself).
     return joined.select(
         F.col("view_id"),
         F.col("v_user").alias("user_id"),
@@ -588,14 +598,18 @@ def left_outer_view_purchase_result(spark, sf_dir: str,
                                     watermark: str = "2 hours"):
     """Run the left-outer stream-stream join to completion and drop the
     sentinel rows (post-sink, where the filter cannot be pushed under
-    the watermark node)."""
+    the watermark node).  The sentinel test is the RESERVED event_id:
+    the left (view) side is always present in a left-outer row, so
+    ``view_id != -1`` strips exactly the staged sentinel rows and
+    nothing else — NULL/negative user_ids in real data would survive
+    (r6 ADVICE)."""
     from pyspark.sql import functions as F
 
     sink = run_to_memory(
         left_outer_view_purchase(spark, sf_dir, horizon_minutes, watermark),
         mode="append",
     )
-    return sink.where(F.col("user_id") >= 0)
+    return sink.where(F.col("view_id") != -1)
 
 
 def full_outer_view_purchase_result(spark, sf_dir: str,
@@ -615,7 +629,10 @@ def full_outer_view_purchase_result(spark, sf_dir: str,
     below the watermark node and strip the sentinel — the r4 trap).
     The sentinel view/purchase pairs match each other (same user -1,
     same instant), so they surface as matched rows, never as spurious
-    null-matches.  Oracle = the batch FULL JOIN."""
+    null-matches; the sink filter keys on the RESERVED event_id = -1
+    on whichever side is present (either side may be NULL in a
+    full-outer row), not on user_id sign (r6 ADVICE).  Oracle = the
+    batch FULL JOIN."""
     from pyspark.sql import functions as F
 
     from ..sources.tables import events_ts_read_type, normalize_events_ts
@@ -668,7 +685,10 @@ def full_outer_view_purchase_result(spark, sf_dir: str,
         F.unix_micros("p_ts").alias("purchase_us"),
     )
     sink = run_to_memory(out, mode="append")
-    return sink.where(F.col("user_id") >= 0)
+    return sink.where(
+        (F.col("view_id").isNull() | (F.col("view_id") != -1))
+        & (F.col("purchase_id").isNull() | (F.col("purchase_id") != -1))
+    )
 
 
 def dedup_within_watermark_keys(spark, sf_dir: str,

@@ -5401,18 +5401,33 @@ def _ewma_volume_sql(spark_dialect: bool, lags: int = 8) -> str:
     bounded by (7/8)^(K+1) ~ 30% of mass at K=8 — the standard warmup
     caveat of any K-window smoother, and irrelevant to the spike test,
     which compares x_t against its OWN smoothed history:
-    x_t * 8^K > 2 * S_t, i.e. x_t > 2 * ewma_t, cross-multiplied.
+    x_t * 8^(K+1) > 2 * S_t, i.e. x_t > 2 * ewma_t, cross-multiplied
+    (S_t = 8^(K+1) * ewma_t — the r5 flag used 8^K and could only fire
+    at x > 16 * ewma, the round-6 ADVICE fix).
+
+    The hourly series is DENSIFIED per event_type before smoothing: an
+    hour spine (min..max observed hour, step 3600 s) left-joined to the
+    observed counts with n -> 0 fills, so lag(k) is always the k-th
+    PREVIOUS HOUR — without the spine, lag() reads the k-th previous
+    NONEMPTY hour and time-warps the decay right after quiet periods
+    (the second r6 ADVICE item).  Output is the dense series (zero
+    hours included: a dashboard draws the decay through gaps).
 
     Completes the monitoring family: [x_anomaly_windows] is the
     distribution test against the type's global moments,
     [x_seasonal_naive_eval] the 24h-lag forecaster, this the local
     trend smoother a live dashboard draws.  Plan: one (type, hour)
-    count partial agg, ONE window partitioning (event_type ordered by
-    hour) serving all K lag() calls — the named-WINDOW reuse shape."""
+    count partial agg, a per-type spine explode broadcast-left-joined,
+    ONE window partitioning (event_type ordered by hour) serving all K
+    lag() calls — the named-WINDOW reuse shape."""
     if spark_dialect:
         hour = "CAST(date_trunc('hour', ts) AS BIGINT)"
+        spine = ("SELECT event_type, explode(sequence(h0, h1, 3600))"
+                 " AS hour_s FROM b")
     else:
         hour = "CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)"
+        spine = ("SELECT event_type, unnest(generate_series(h0, h1, 3600))"
+                 " AS hour_s FROM b")
     terms = " + ".join(
         f"coalesce(lag(n, {k}) OVER win, 0) * {7 ** k * 8 ** (lags - k)}"
         for k in range(lags + 1)
@@ -5420,28 +5435,38 @@ def _ewma_volume_sql(spark_dialect: bool, lags: int = 8) -> str:
     return f"""WITH w AS (
       SELECT event_type, {hour} AS hour_s, CAST(count(*) AS BIGINT) AS n
       FROM events GROUP BY event_type, {hour}),
+    b AS (SELECT event_type, min(hour_s) AS h0, max(hour_s) AS h1
+          FROM w GROUP BY event_type),
+    s AS ({spine}),
+    d AS (SELECT s.event_type, s.hour_s,
+                 CAST(coalesce(w.n, 0) AS BIGINT) AS n
+          FROM s LEFT JOIN w
+            ON s.event_type = w.event_type AND s.hour_s = w.hour_s),
     sm AS (
       SELECT event_type, hour_s, n,
              CAST({terms} AS BIGINT) AS ewma_s
-      FROM w
+      FROM d
       WINDOW win AS (PARTITION BY event_type ORDER BY hour_s))
     SELECT event_type, hour_s, n, ewma_s,
-           CAST(CASE WHEN n * {8 ** lags} > 2 * ewma_s
+           CAST(CASE WHEN n * {8 ** (lags + 1)} > 2 * ewma_s
                 THEN 1 ELSE 0 END AS BIGINT) AS spike_flag
     FROM sm"""
 
 
 @_q(
-    "x_ewma_volume",
+    "x_ewma_volume_dense",
     _ewma_volume_sql(False),
     "Integer-exact EWMA (alpha=1/8) smoothing of hourly volumes per "
-    "event_type: the recursion unrolled to 8 lag terms with "
-    "7^k*8^(K-k) integer weights on one shared window partitioning, "
-    "plus the cross-multiplied x > 2*ewma spike flag — the local-trend "
-    "member of the monitoring family (global-moments test: "
-    "x_anomaly_windows; seasonal forecaster: x_seasonal_naive_eval).",
+    "event_type over a DENSIFIED hour spine (gap hours count as 0, so "
+    "the decay is truly per-hour, not per-nonempty-hour), with the "
+    "corrected cross-multiplied x > 2*ewma spike flag "
+    "(x * 8^(K+1) > 2 * ewma_s; the r5 form's 8^K constant could only "
+    "fire at x > 16*ewma) — the local-trend member of the monitoring "
+    "family (global-moments test: x_anomaly_windows; seasonal "
+    "forecaster: x_seasonal_naive_eval).  Fresh name per the per-name "
+    "caching rule (results differ from the retired x_ewma_volume).",
 )
-def x_ewma_volume(spark, sf_dir):
+def x_ewma_volume_dense(spark, sf_dir):
     register_views(spark, sf_dir, "events")
     return spark.sql(_ewma_volume_sql(True))
 
@@ -8487,6 +8512,26 @@ def _bpe_apply_sql(spark_dialect: bool, iters: int = 8,
     GROUP BY o.source""")
 
 
+def _bpe_safe_symbol(sym: str) -> str:
+    """Guard a collected BPE symbol before it is spliced into SQL text
+    as a literal (the replace(...) merge expression and the final
+    VALUES merge table).  Symbols originate from ``\\w+`` ASCII tokens
+    so they can never contain quotes/backslashes — but that is a
+    TOKENIZER property, not a local invariant, and Spark additionally
+    processes backslash escapes inside string literals (CLAUDE.md).
+    Asserting [0-9A-Za-z_]+ here turns a silent SQL-injection/escaping
+    hazard under a future tokenizer change into a loud failure at the
+    splice site (r6 ADVICE)."""
+    import re as _re
+
+    if not _re.fullmatch(r"[0-9A-Za-z_]+", sym):
+        raise AssertionError(
+            f"BPE symbol {sym!r} is not SQL-literal-safe; escape it or "
+            "build the merge via the DataFrame API before splicing"
+        )
+    return sym
+
+
 @_q(
     "x_bpe_apply",
     _bpe_apply_sql(False),
@@ -8529,6 +8574,7 @@ def x_bpe_apply(spark, sf_dir, iters: int = 8, passes: int = 5):
                  GROUP BY element_at(a, i), element_at(a, i + 1)) p
                ORDER BY c DESC, l, r LIMIT 1"""
         ).collect()
+        left, right = _bpe_safe_symbol(left), _bpe_safe_symbol(right)
         expr = "syms"
         for _ in range(passes):
             expr = (f"replace({expr}, ' {left} {right} ',"
@@ -8611,6 +8657,7 @@ def x_bpe_train(spark, sf_dir, iters: int = 8, passes: int = 5):
                  GROUP BY element_at(a, i), element_at(a, i + 1)) p
                ORDER BY c DESC, l, r LIMIT 1"""
         ).collect()
+        left, right = _bpe_safe_symbol(left), _bpe_safe_symbol(right)
         merges.append((step, left, right, cnt))
         expr = "syms"
         for _ in range(passes):

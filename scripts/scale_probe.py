@@ -75,7 +75,7 @@ EXTRA = [
     "x_inbatch_collision_audit", "x_ablation_manifest",
     "x_multimodal_real_decode",
     "x_multimodal_real_resize",
-    "x_ewma_volume",
+    "x_ewma_volume_dense",
 ]
 
 

@@ -1098,14 +1098,18 @@ def test_wav_decimation_semantics():
 
 
 def test_ewma_volume_semantics(spark):
-    """Truncated integer EWMA recomputed in pure Python per type; the
-    scaled value must equal the unrolled weighted sum exactly and the
-    spike flag must equal the cross-multiplied comparison."""
+    """Truncated integer EWMA recomputed in pure Python per type over
+    the DENSE hour spine (gap hours contribute x=0); the scaled value
+    must equal the unrolled weighted sum exactly and the spike flag
+    must equal the corrected cross-multiplied comparison
+    x * 8^(K+1) > 2 * ewma_s (r6 ADVICE: the r5 form's 8^K constant
+    fired only at x > 16*ewma)."""
     import duckdb
 
     from duckdb_title_mapper_spark.workload import all_queries
 
-    rows = all_queries()["x_ewma_volume"].spark_fn(spark, SF_DIR).collect()
+    rows = (all_queries()["x_ewma_volume_dense"]
+            .spark_fn(spark, SF_DIR).collect())
     got = {(r.event_type, r.hour_s): r for r in rows}
 
     ev = duckdb.sql(
@@ -1117,8 +1121,9 @@ def test_ewma_volume_semantics(spark):
     for et, h in ev:
         series[et][h] += 1
     n_checked = 0
+    n_spikes = 0
     for et, counts in series.items():
-        hours = sorted(counts)
+        hours = list(range(min(counts), max(counts) + 3600, 3600))
         for i, h in enumerate(hours):
             s = sum(
                 counts[hours[i - k]] * (7 ** k) * (8 ** (8 - k))
@@ -1126,6 +1131,11 @@ def test_ewma_volume_semantics(spark):
             )
             r = got[(et, h)]
             assert (r.n, r.ewma_s) == (counts[h], s)
-            assert r.spike_flag == (1 if counts[h] * 8 ** 8 > 2 * s else 0)
+            want_flag = 1 if counts[h] * 8 ** 9 > 2 * s else 0
+            assert r.spike_flag == want_flag
+            n_spikes += want_flag
             n_checked += 1
     assert n_checked == len(got)
+    # the corrected threshold must be live on this corpus (the r5
+    # constant produced a provably-dead flag column: 0 firings)
+    assert n_spikes > 0
