@@ -8689,14 +8689,21 @@ GRADE_FIRST = [
     # row — VERDICT r3 #3).
     "std_titles", "std_probes", "std_category_counts", "std_view_query",
     # relational core (R1/R2, R4-R9, R11)
+    # r6 swap #1: rel_agg_pricing_summary_i's slot goes to x_hll_sketch
+    # (VERDICT r5 #4) — R7 grouped aggregation stays driver-certified
+    # through std_category_counts and rel_group_by_all_i, while the
+    # integer-SQL sketch family gains its first driver row;
+    # rel_agg_pricing_summary_i stays registered after the fold.
     "rel_scan_project", "rel_filter_eq", "rel_group_by_all_i",
     "rel_filter_like",
-    "rel_agg_pricing_summary_i", "rel_count_distinct", "rel_topk",
-    # joins incl. outer + skew-salted (r5: rel_join_dims_i's slot goes
-    # to x_bm25_topk — the join family keeps four driver rows (3way,
-    # q5-shape, outer, salted) while retrieval gains its FIRST driver
-    # certification; rel_join_dims_i stays registered after the fold)
-    "rel_join_3way_i", "rel_join_q5_shape_i",
+    "x_hll_sketch", "rel_count_distinct", "rel_topk",
+    # joins incl. outer + skew-salted (r5: rel_join_dims_i's slot went
+    # to x_bm25_topk; r6 swap #2: rel_join_3way_i's slot goes to
+    # x_bpe_train — the join family keeps three driver rows covering
+    # multi-way (q5-shape), outer, and skew-salted joins, while the
+    # iterative driver-loop BPE trainer gains certification;
+    # rel_join_3way_i stays registered after the fold)
+    "x_bpe_train", "rel_join_q5_shape_i",
     "rel_left_join_i",
     "rel_salted_join_i",
     # windows
