@@ -5,18 +5,21 @@ metadata — the storage shape that survives 100 TB: payloads stay columnar
 in parquet, never hit the JVM heap as strings, and flow to Python workers
 as Arrow binary batches only in the stages that need bytes.
 
-Decode comes in three tiers (r5):
+Decode comes in three tiers (r5, JPEG promoted to tier 1 in r6):
 
-1. **REAL decoding of uncompressed containers** — spec-conformant
-   24-bit BMP and mono PCM-16 WAV are encoded AND decoded here in pure
-   struct/numpy (``encode_bmp24``/``decode_bmp24``,
+1. **REAL decoding** — spec-conformant 24-bit BMP and mono PCM-16 WAV
+   in pure struct/numpy (``encode_bmp24``/``decode_bmp24``,
    ``encode_wav_pcm16``/``decode_wav_pcm16``,
    ``real_media_table``/``decode_media_real``): magic-byte sniffing,
-   BGR row-padding walk, RIFF chunk walk.  Declared + oracle-checked
-   as ``x_multimodal_real_decode``; container conformance is
-   independently struct-validated in tests.
-2. **Compressed codecs** (JPEG/PNG/MP3/MP4) — these genuinely need
-   codec libraries absent from this container, so the per-format
+   BGR row-padding walk, RIFF chunk walk — PLUS baseline JPEG (SOF0)
+   via the full pure-numpy codec in ``jpeg.py`` (Huffman from DHT,
+   dequant, IDCT, subsampling, restart markers).  Declared +
+   oracle-checked as ``x_multimodal_real_decode`` (BMP/WAV) and
+   ``x_multimodal_jpeg_decode`` (3-way incl. JPEG); container
+   conformance is independently struct-validated in tests.
+2. **Remaining compressed codecs** (progressive JPEG, PNG/MP3/MP4) —
+   these genuinely need codec libraries (zlib-inflate, MDCT audio,
+   video codecs) absent from this container, so the per-format
    decoders raise ``NotImplementedError`` for them; on a cluster with
    PIL/ffmpeg, only those marked bodies change.
 3. The original deterministic **fake parser** (``decode_media`` with
@@ -208,13 +211,73 @@ def real_media_table(spark, sf_dir: str):
     )
 
 
+def codec_media_table(spark, sf_dir: str):
+    """The r6 three-way media table: doc_id % 3 == 0 -> 24-bit BMP,
+    == 1 -> mono PCM-16 WAV, == 2 -> a GENUINE baseline JPEG (gray,
+    constant md5-derived EVEN level so the lossy codec reconstructs it
+    EXACTLY: with the Annex-K.1 DC step 16, v_dec = 2*round((v-128)/2)
+    + 128 = v for even v — see jpeg.py).  Dimensions/amplitude/level
+    are pure functions of (text length, md5(text)), so a SQL oracle
+    recomputes the decoded metadata closed-form while every payload is
+    a real container/codestream an external tool opens.  Built
+    map-side via mapInPandas (Arrow binary batches)."""
+    import hashlib
+
+    import numpy as np
+
+    from .jpeg import encode_jpeg_gray
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, payloads = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                h = hashlib.md5(text.encode()).digest()
+                ids.append(did)
+                m = did % 3
+                if m == 0:
+                    w, hh = n % 24 + 4, n % 12 + 4
+                    types.append("image")
+                    payloads.append(encode_bmp24(w, hh, (h[0], h[1], h[2])))
+                elif m == 1:
+                    amp = h[0] * 100 + 100
+                    ns = n % 500 + 50
+                    wave = [amp if i % 2 == 0 else -amp for i in range(ns)]
+                    types.append("audio")
+                    payloads.append(encode_wav_pcm16(8000, wave))
+                else:
+                    w, hh = n % 24 + 4, n % 12 + 4
+                    v = (h[0] % 128) * 2  # even -> lossless reconstruction
+                    types.append("image")
+                    payloads.append(
+                        encode_jpeg_gray(np.full((hh, w), v, dtype=np.uint8))
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": types,
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(
+        build, "media_id BIGINT, media_type STRING, payload BINARY"
+    )
+
+
 def decode_media_real(media_df):
     """REAL container decoding via ``mapInPandas`` — pure struct/numpy
-    parsing of uncompressed formats (24-bit BMP, mono PCM-16 WAV),
-    sniffed by magic bytes.  Compressed codecs (JPEG/PNG/MP3/MP4) still
+    parsing sniffed by magic bytes: 24-bit BMP, mono PCM-16 WAV, and
+    (r6) baseline JPEG through the full SOF0 codec in ``jpeg.py``.
+    Remaining compressed codecs (progressive JPEG, PNG/MP3/MP4) still
     raise NotImplementedError inside the per-format decoders — THAT is
     the remaining environment gap, not the decode plumbing, which this
     function executes end-to-end on genuine bytes."""
+    from .jpeg import decode_jpeg_baseline
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -235,10 +298,18 @@ def decode_media_real(media_df):
                     hs.append(0)
                     units.append(ns)
                     sums.append(s)
+                elif pl[:2] == b"\xff\xd8":
+                    w, hh, npix, s = decode_jpeg_baseline(pl)
+                    fmts.append("jpeg")
+                    ws.append(w)
+                    hs.append(hh)
+                    units.append(npix)
+                    sums.append(s)
                 else:
                     raise NotImplementedError(
-                        "compressed media formats require codec libraries "
-                        "not present in this environment"
+                        "compressed media formats beyond baseline JPEG "
+                        "(PNG/MP3/MP4) require codec libraries not "
+                        "present in this environment"
                     )
             yield pd.DataFrame(
                 {

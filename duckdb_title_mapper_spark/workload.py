@@ -2072,6 +2072,47 @@ def x_multimodal_real_resize(spark, sf_dir):
 
 
 @_q(
+    "x_multimodal_jpeg_decode",
+    """WITH d AS (
+      SELECT doc_id, length(text) AS n,
+             CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) AS b0,
+             CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) AS b1,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) AS b2
+      FROM documents)
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+                ELSE 'jpeg' END AS format,
+           CAST(CASE doc_id % 3 WHEN 1 THEN 8000
+                     ELSE n % 24 + 4 END AS INTEGER) AS width,
+           CAST(CASE doc_id % 3 WHEN 1 THEN 0
+                     ELSE n % 12 + 4 END AS INTEGER) AS height,
+           CAST(CASE doc_id % 3 WHEN 1 THEN n % 500 + 50
+                     ELSE (n % 24 + 4) * (n % 12 + 4) END AS BIGINT)
+             AS n_units,
+           CAST(CASE doc_id % 3
+                     WHEN 0 THEN (b0 + b1 + b2) * (n % 24 + 4) * (n % 12 + 4)
+                     WHEN 1 THEN (b0 * 100 + 100) * (n % 500 + 50)
+                     ELSE (b0 % 128) * 2 * (n % 24 + 4) * (n % 12 + 4) END
+                AS BIGINT) AS level_sum
+    FROM d""",
+    "REAL compressed-codec decoding (r6, closing the r5 JPEG stub): "
+    "one third of the corpus is encoded as GENUINE baseline JPEG "
+    "codestreams (FDCT + Annex-K quantization + canonical Huffman, "
+    "pure numpy — jpeg.py) and decoded back by the full general SOF0 "
+    "decoder (DHT-driven Huffman, dequant, IDCT, cropping) inside the "
+    "same magic-sniffing mapInPandas as BMP/WAV.  Constant even-level "
+    "gray makes the lossy reconstruction EXACT (DC step 16: "
+    "2*round((v-128)/2)+128 = v), so the oracle recomputes the decoded "
+    "metadata closed-form; progressive JPEG / PNG / MP3 / MP4 remain "
+    "the honestly-stubbed environment gap.",
+)
+def x_multimodal_jpeg_decode(spark, sf_dir):
+    from .operators.multimodal import codec_media_table, decode_media_real
+
+    return decode_media_real(codec_media_table(spark, sf_dir))
+
+
+@_q(
     "x_media_frame_stats",
     f"""SELECT media_type, CAST(sum(n_frames) AS BIGINT) AS total_frames,
            max(n_frames) AS max_frames

@@ -76,6 +76,7 @@ EXTRA = [
     "x_multimodal_real_decode",
     "x_multimodal_real_resize",
     "x_ewma_volume_dense",
+    "x_multimodal_jpeg_decode",
 ]
 
 
