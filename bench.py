@@ -66,7 +66,8 @@ EXTRA = [
     "x_decontaminate_ngrams",
     "x_pii_redact",
     "x_domain_mix_weights",
-    "x_substring_dup_spans",
+    "x_gram_census",
+    "x_substring_dup_rolling",
     "x_incremental_dedup",
     "src_python_datasource",
     # round-4 flagships
@@ -116,7 +117,7 @@ EXTRA = [
     "x_snapshot_diff",
     "x_l_diversity",
     # round-5 flagships
-    "x_winnow_fingerprints_coarse",
+    "x_winnow_coarse_rolling",
     "rel_recursive_cycle_walk",
     "x_boilerplate_ngrams",
     "x_bpe_merge_step",

@@ -4591,20 +4591,55 @@ def _substring_dup_sql(spark_dialect: bool, k: int = 32, stride: int = 8) -> str
     FROM per_doc"""
 
 
+def _substring_dup_tail_sql(grams_sql: str) -> str:
+    """Everything after the gram relation in _substring_dup_sql —
+    shared by the standalone oracle form and the census-derived Spark
+    form (identical result rows either way)."""
+    return f"""WITH grams AS ({grams_sql}),
+    gcount AS (
+      SELECT g, count(DISTINCT doc_id) AS n_docs_with
+      FROM grams GROUP BY g),
+    per_doc AS (
+      SELECT gr.doc_id,
+             count(*) AS n_spans,
+             CAST(sum(CASE WHEN gc.n_docs_with > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_spans
+      FROM grams gr JOIN gcount gc ON gr.g = gc.g
+      GROUP BY gr.doc_id)
+    SELECT doc_id, n_spans, n_dup_spans,
+           n_dup_spans * 2 >= n_spans AS mostly_duplicated
+    FROM per_doc"""
+
+
+def _q_substring_dup_rolling_oracle():
+    from .operators.grams import substring_dup_oracle_sql
+
+    return substring_dup_oracle_sql()
+
+
 @_q(
-    "x_substring_dup_spans",
-    _substring_dup_sql(False),
-    "Cross-document duplicated-substring spans: strided 32-char grams, "
-    "gram -> distinct-doc counts (one shuffle on the gram hash, "
-    "map-side combined), joined back per doc with an exact integer "
-    "mostly-duplicated flag.  The strided gram relation is the standard "
-    "scalable stand-in for suffix-array substring dedup: at 100 TB the "
-    "gram shuffle is len/stride rows and the hot grams (boilerplate) "
-    "are exactly what AQE skew-split handles.",
+    "x_substring_dup_rolling",
+    _q_substring_dup_rolling_oracle(),
+    "Cross-document duplicated-substring spans over ROLLING-COMPOSED "
+    "32-char fingerprints (r6; fresh name — the fingerprint function "
+    "changed from per-span md5 to the Rabin-style composition of four "
+    "neighboring 8-gram hashes, so results differ from the retired "
+    "x_substring_dup_spans): span fingerprints come from the shared "
+    "materialized gram census (operators/grams.py — ONE md5 per "
+    "position serves this plus both winnow presets, halving the "
+    "dominant hash cost), then gram -> distinct-doc counts (one "
+    "shuffle, map-side combined) joined back per doc with an exact "
+    "integer mostly-duplicated flag.  At 100 TB the gram shuffle is "
+    "len/stride rows and the hot fingerprints (boilerplate) are "
+    "exactly what AQE skew-split handles; the 47-bit compose widens "
+    "to a second independent md5-prefix lane (no extra md5) when span "
+    "counts approach 1e12.",
 )
-def x_substring_dup_spans(spark, sf_dir):
-    register_views(spark, sf_dir, "documents")
-    return spark.sql(_substring_dup_sql(True))
+def x_substring_dup_rolling(spark, sf_dir):
+    from .operators.grams import build_census, substring_grams_from_census_sql
+
+    build_census(spark, sf_dir)
+    return spark.sql(_substring_dup_tail_sql(substring_grams_from_census_sql()))
 
 
 # ---------------------------------------------------------------------------
@@ -4905,6 +4940,30 @@ def _winnow_final_sql(fp_rel: str) -> str:
     GROUP BY f.doc_id, f.n_grams"""
 
 
+from .operators.grams import census_manifest_sql as _census_manifest_sql
+
+
+@_q(
+    "x_gram_census",
+    _census_manifest_sql(False),
+    "Fused character-gram census (r6, VERDICT r5 #3): ONE corpus pass "
+    "emits per (doc, position) the 8-char and 12-char md5-prefix "
+    "hashes plus the stride-8 32-char gram digest, materialized per "
+    "session (plans/materialize) and shared by x_winnow_fingerprints, "
+    "x_winnow_coarse_rolling, and x_substring_dup_rolling — the "
+    "gram HASHING was measured to dominate all three, so the shared "
+    "pass replaces three corpus scans with one.  This query owns the "
+    "build (always rebuilds, so its bench time is the honest cold "
+    "cost) and emits a per-doc manifest: gram counts per family plus "
+    "integer hash checksums, exact against the DuckDB oracle.",
+)
+def x_gram_census(spark, sf_dir):
+    from .operators.grams import build_census, census_manifest_sql
+
+    build_census(spark, sf_dir, force=True)
+    return spark.sql(census_manifest_sql(True))
+
+
 @_q(
     "x_winnow_fingerprints",
     _winnow_sql(False),
@@ -4916,37 +4975,51 @@ def _winnow_final_sql(fp_rel: str) -> str:
     "MinHash.  All integer arithmetic.",
 )
 def x_winnow_fingerprints(spark, sf_dir):
+    from .operators.grams import build_census, winnow_fp_from_census_sql
     from .plans.materialize import materialize
 
-    register_views(spark, sf_dir, "documents")
-    # fp feeds the sharing aggregate AND the final join; Spark inlines
-    # the CTE per consumer (plan audit: two full gram-hash passes), so
-    # materialize the ~n/w-row fingerprint relation once.  Local[32]
-    # wall time is neutral (the pass is CPU-bound md5 the cores absorb
-    # either way); at cluster scale this halves corpus scan IO.
-    fp = materialize(spark.sql(_winnow_fp_sql(True)))
+    # r6: the gram hashing comes from the shared census (one fused
+    # corpus pass for both winnow presets + substring spans); fp still
+    # materializes because it feeds the sharing aggregate AND the final
+    # join (Spark inlines CTEs per consumer), and at ~n/w rows the
+    # winnowing guarantee makes it small by construction.
+    build_census(spark, sf_dir)
+    fp = materialize(spark.sql(winnow_fp_from_census_sql(8, 4)))
     fp.createOrReplaceTempView("__winnow_fp")
     return spark.sql(_winnow_final_sql("__winnow_fp"))
 
 
+def _q_winnow_coarse_oracle():
+    from .operators.grams import winnow_coarse_oracle_sql
+
+    return winnow_coarse_oracle_sql()
+
+
 @_q(
-    "x_winnow_fingerprints_coarse",
-    _winnow_sql(False, k=12, w=16),
-    "Winnowing at the COARSE preset (k=12, w=16): the storage-vs-"
-    "sensitivity knob made executable — ~2/17 of grams stored (vs 2/5 "
-    "at the default k=8/w=4) while still guaranteeing a shared "
-    "fingerprint for any overlap >= 27 chars; the preset a 100 TB "
-    "near-dup index runs when fingerprint storage, not detection of "
-    "short quotes, is the binding constraint.  Same rightmost-min tie "
-    "rule, all integer arithmetic.",
+    "x_winnow_coarse_rolling",
+    _q_winnow_coarse_oracle(),
+    "Winnowing at the COARSE preset (k=12, w=16) over ROLLING-COMPOSED "
+    "12-char fingerprints (r6; fresh name — the fingerprint changed "
+    "from a per-gram md5 prefix to h8[p]*31 + h8[p+4] composed from "
+    "the shared census, so results differ from the retired "
+    "x_winnow_fingerprints_coarse; the composed 37-bit hash has FEWER "
+    "birthday collisions than the 32-bit prefix it replaces and costs "
+    "NO extra md5): ~2/17 of grams stored (vs 2/5 at the default "
+    "k=8/w=4) while still guaranteeing a shared fingerprint for any "
+    "overlap >= 27 chars — the preset a 100 TB near-dup index runs "
+    "when fingerprint storage, not detection of short quotes, is the "
+    "binding constraint.  Same rightmost-min tie rule, all integer "
+    "arithmetic.",
 )
-def x_winnow_fingerprints_coarse(spark, sf_dir):
+def x_winnow_coarse_rolling(spark, sf_dir):
+    from .operators.grams import build_census, winnow_fp_from_census_sql
     from .plans.materialize import materialize
 
-    register_views(spark, sf_dir, "documents")
-    # same two-consumer shape as the default preset: pay the gram-hash
-    # pass once; the materialized relation here is ~4x smaller (w=16)
-    fp = materialize(spark.sql(_winnow_fp_sql(True, k=12, w=16)))
+    # same two-consumer shape as the default preset; the k=12
+    # fingerprints come from the shared census (h12 column), the
+    # materialized fp here is ~4x smaller (w=16)
+    build_census(spark, sf_dir)
+    fp = materialize(spark.sql(winnow_fp_from_census_sql(12, 16)))
     fp.createOrReplaceTempView("__winnow_fp_coarse")
     return spark.sql(_winnow_final_sql("__winnow_fp_coarse"))
 

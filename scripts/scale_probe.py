@@ -33,7 +33,8 @@ EXTRA = [
     "rel_merge_upsert", "rel_latest_per_key", "x_dedup_pipeline",
     # round-3 training-data-prep family
     "x_decontaminate_ngrams", "x_pii_redact", "x_domain_mix_weights",
-    "x_substring_dup_spans", "x_incremental_dedup",
+    "x_gram_census",
+    "x_substring_dup_rolling", "x_incremental_dedup",
     "src_python_datasource",
     # round-3 PQ + lake-hygiene ops
     "x_pq_encode", "x_pq_adc_topk", "x_pq_recall",
@@ -63,7 +64,7 @@ EXTRA = [
     "rel_correlated_scalar", "x_k_anonymity", "x_lineage_manifest",
     "x_snapshot_diff", "x_l_diversity",
     # round-5 flagships
-    "x_winnow_fingerprints_coarse", "rel_recursive_cycle_walk",
+    "x_winnow_coarse_rolling", "rel_recursive_cycle_walk",
     "x_boilerplate_ngrams", "x_bpe_merge_step", "x_t_closeness",
     "x_countmin_sketch", "x_linear_quality_scorer",
     "stream_full_outer_join", "stream_dedup_within_watermark",

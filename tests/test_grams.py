@@ -1,0 +1,116 @@
+"""Shared gram census (operators/grams.py, r6): one md5 per position,
+longer-gram fingerprints by Rabin-style composition.  The k=8 derived
+form must be row-identical to the legacy standalone winnow pass; the
+composed h12/g32 columns must equal an explicit md5-recomputation of
+the composition; the cache must actually share (reuse without force,
+rebuild with force)."""
+
+from duckdb_title_mapper_spark.operators.grams import (
+    CENSUS_VIEW,
+    _CENSUS_CACHE,
+    build_census,
+    winnow_fp_from_census_sql,
+)
+from duckdb_title_mapper_spark.workload import (
+    _winnow_fp_sql,
+    register_views,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_winnow_fine_fp_derivation_matches_standalone(spark):
+    """k=8 keeps the legacy md5-prefix fingerprint, so the census-derived
+    relation must equal the standalone gram pass row-for-row."""
+    register_views(spark, SF, "documents")
+    build_census(spark, SF, force=True)
+    legacy = _rows(spark.sql(_winnow_fp_sql(True, k=8, w=4)))
+    derived = _rows(spark.sql(winnow_fp_from_census_sql(8, 4)))
+    assert derived == legacy
+
+
+def test_census_compositions_match_explicit_md5_recompute(spark):
+    """h12 and g32 are pure arithmetic over neighboring h8 values; both
+    must equal a from-scratch recomputation that re-hashes each 8-gram
+    by position arithmetic (no lead())."""
+    register_views(spark, SF, "documents")
+    build_census(spark, SF, force=True)
+    h = ("CAST(conv(substr(md5(substr(text, {p}, 8)), 1, 8), 16, 10)"
+         " AS BIGINT)")
+    explicit = spark.sql(f"""
+        SELECT doc_id, pos,
+               CASE WHEN pos <= n_chars - 11
+                    THEN {h.format(p='pos')} * 31
+                         + {h.format(p='pos + 4')} END AS h12,
+               CASE WHEN pos % 8 = 1 AND pos <= n_chars - 31
+                    THEN (({h.format(p='pos')} * 31
+                           + {h.format(p='pos + 8')}) * 31
+                          + {h.format(p='pos + 16')}) * 31
+                         + {h.format(p='pos + 24')} END AS g32
+        FROM (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
+                     explode(sequence(1, length(text) - 7)) AS pos
+              FROM documents WHERE length(text) >= 8) st""")
+    got = spark.sql(f"SELECT doc_id, pos, h12, g32 FROM {CENSUS_VIEW}")
+    assert _rows(got) == _rows(explicit)
+
+
+def test_census_cache_reuses_and_force_rebuilds(spark):
+    a = build_census(spark, SF)
+    b = build_census(spark, SF)
+    assert b is a  # cache hit without force
+    c = build_census(spark, SF, force=True)
+    assert c is not a  # the declared query always pays the build
+    key = (spark.sparkContext.applicationId, SF)
+    assert _CENSUS_CACHE[key] is c
+    # the view points at the cached relation
+    assert spark.table(CENSUS_VIEW).columns == [
+        "doc_id", "n_chars", "pos", "h8", "h12", "g32",
+    ]
+
+
+def test_census_gram_guards(spark):
+    """h12 only where a 12-gram fits; g32 only on stride-8 positions
+    where a 32-gram fits — the fused pass fingerprints exactly the gram
+    sets the standalone passes hashed."""
+    build_census(spark, SF)
+    bad = spark.sql(
+        f"""SELECT count(*) AS n FROM {CENSUS_VIEW}
+        WHERE (h12 IS NOT NULL) != (pos <= n_chars - 11)
+           OR (g32 IS NOT NULL) != (pos % 8 = 1 AND pos <= n_chars - 31)
+           OR pos < 1 OR pos > n_chars - 7"""
+    ).first()["n"]
+    assert bad == 0
+
+
+def test_substring_rolling_spans_match_exact_string_dups(spark):
+    """The composed 47-bit fingerprint must induce the same dup-span
+    verdicts as exact 32-char substring comparison on this corpus (the
+    collision budget argument made checkable)."""
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    register_views(spark, SF, "documents")
+    exact = _rows(spark.sql(
+        """WITH grams AS (
+          SELECT doc_id, substr(text, s, 32) AS g
+          FROM (SELECT doc_id, text,
+                       explode(sequence(1, length(text) - 31, 8)) AS s
+                FROM documents WHERE length(text) >= 32) st),
+        gcount AS (SELECT g, count(DISTINCT doc_id) AS n_docs_with
+                   FROM grams GROUP BY g),
+        per_doc AS (
+          SELECT gr.doc_id, count(*) AS n_spans,
+                 CAST(sum(CASE WHEN gc.n_docs_with > 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_dup_spans
+          FROM grams gr JOIN gcount gc ON gr.g = gc.g
+          GROUP BY gr.doc_id)
+        SELECT doc_id, n_spans, n_dup_spans,
+               n_dup_spans * 2 >= n_spans AS mostly_duplicated
+        FROM per_doc"""))
+    rolling = _rows(
+        all_queries()["x_substring_dup_rolling"].spark_fn(spark, SF)
+    )
+    assert rolling == exact

@@ -290,7 +290,7 @@ def test_winnow_coarse_stores_fewer_fingerprints(spark):
     }
     coarse = {
         r.doc_id: r.n_fingerprints
-        for r in qs["x_winnow_fingerprints_coarse"]
+        for r in qs["x_winnow_coarse_rolling"]
         .spark_fn(spark, SF_DIR)
         .collect()
     }
