@@ -116,6 +116,85 @@ def lsh_buckets_sql(spark_dialect: bool, num_planes: int = NUM_PLANES) -> str:
     return f"SELECT vec_id, label, {bucket} AS bucket FROM embeddings"
 
 
+MAX_PLANES = 12  # adaptive ceiling: 4096 buckets
+TARGET_BUCKET_SIZE = 64  # aim ~this many vectors per bucket
+
+
+def adaptive_planes_sql() -> str:
+    """Corpus-size-derived plane count: the smallest p (clamped to
+    [NUM_PLANES, MAX_PLANES]) with n / 2^p <= TARGET_BUCKET_SIZE — the
+    executable form of the LSH sizing recipe (per-bucket candidate
+    volume stays ~constant as the corpus grows, so the same-bucket join
+    stays O(n * bucket_size), never O(n^2 / 2^p drifting upward).  An
+    integer CASE ladder over count(*), shared text in both dialects, so
+    the DuckDB oracle derives the identical integer (the
+    x_semantic_dedup_scaled pattern, VERDICT r5 #5)."""
+    ladder = " ".join(
+        f"WHEN count(*) > {TARGET_BUCKET_SIZE * (1 << (p - 1))} THEN {p}"
+        for p in range(MAX_PLANES, NUM_PLANES, -1)
+    )
+    return (f"SELECT CASE {ladder} ELSE {NUM_PLANES} END AS planes"
+            " FROM embeddings")
+
+
+def lsh_bucket_expr_adaptive(spark_dialect: bool, col: str,
+                             planes_col: str = "np.planes",
+                             dim: int = DIM) -> str:
+    """Bucket id gated by the in-query plane count: bit p participates
+    only WHEN p < planes, so the emitted SQL carries MAX_PLANES
+    hyperplane literals but evaluates (and pays) exactly ``planes``
+    projections per row — CASE short-circuits the rest.  Identical
+    text/semantics in both dialects."""
+    bits = []
+    for p in range(MAX_PLANES):
+        lit = _plane_literal(spark_dialect, hyperplane(p, dim))
+        proj = embed_dot(spark_dialect, col, lit)
+        bits.append(
+            f"(CASE WHEN {p} < {planes_col} AND {proj} > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+def ann_lsh_scaled_sql(spark_dialect: bool, k: int = 3, nq: int = 10) -> str:
+    """Scale-adaptive LSH top-k: identical mechanics to
+    ``ann_lsh_topk_sql`` but the plane count derives from corpus size
+    in-query (``adaptive_planes_sql``), so the index sharpens as the
+    table grows instead of buckets silently fattening — at sf0.01
+    (500 vectors) it picks 4 planes, at sf0.1 (2000) 5, at 1e9 vectors
+    it would cap at MAX_PLANES=12 with ~250k/bucket (where you add
+    multiprobe or a second table, not more bits, per the multiprobe
+    variant).  The one-row planes relation broadcasts (the sanctioned
+    scalar-BNLJ pattern).
+
+    Quality note: on the driver's near-isotropic random embeddings,
+    single-probe LSH recall approximates the scanned FRACTION (1/2^p)
+    for any p — the property the adaptive ladder actually preserves is
+    bounded per-bucket candidate volume; genuine near-neighbors (a
+    planted twin at cosine ~1) still co-bucket with probability
+    ~(1 - theta/pi)^p and tests assert that recall on planted pairs."""
+    nrm = "sqrt(" + embed_dot(spark_dialect, "embedding", "embedding") + ")"
+    if spark_dialect:
+        unit = "transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
+    else:
+        unit = "list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
+    bucket = lsh_bucket_expr_adaptive(spark_dialect, "embedding")
+    dot = embed_dot(spark_dialect, "q.uvec", "c.uvec")
+    return f"""WITH np AS ({adaptive_planes_sql()}),
+    bucketed AS (
+      SELECT vec_id, {unit} AS uvec, bucket
+      FROM (SELECT vec_id, embedding, {nrm} AS nrm, {bucket} AS bucket
+            FROM embeddings CROSS JOIN np) n)
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {dot} DESC, c.vec_id) AS BIGINT) AS rank
+        FROM (SELECT * FROM bucketed WHERE vec_id < {nq}) q
+        JOIN bucketed c
+          ON c.bucket = q.bucket AND c.vec_id <> q.vec_id) ranked
+    WHERE rank <= {k}"""
+
+
 def ann_lsh_topk_sql(spark_dialect: bool, k: int = 3, nq: int = 10,
                      num_planes: int = NUM_PLANES) -> str:
     """Approximate top-k: rank same-bucket candidates by exact cosine.
@@ -292,7 +371,7 @@ def cosine_near_dup_pairs_grouped(df, block_col: str = "label",
 
 def ivf_topk(df, k: int = 3, nq: int = 10, n_cells: int = 16,
              nprobe: int = 2, id_col: str = "vec_id",
-             vec_col: str = "embedding"):
+             vec_col: str = "embedding", adaptive: bool = False):
     """IVF-style ANN: a coarse quantizer (deterministic seed centroids —
     every ``N/n_cells``-th vector by id, no RNG) assigns vectors to
     cells; each query scans only its ``nprobe`` nearest cells, ranked by
@@ -302,12 +381,26 @@ def ivf_topk(df, k: int = 3, nq: int = 10, n_cells: int = 16,
 
     Rows-only in the driver gate (the seed-centroid argmin is not worth
     a thousand-line SQL oracle; LSH carries the oracle-checked ANN) —
-    recall against brute force is asserted in tests instead."""
+    recall against brute force is asserted in tests instead.
+
+    ``adaptive=True`` derives the knobs from corpus size (the IVF
+    sizing recipe: n_cells ~ sqrt(n) keeps cell lists ~sqrt(n)-sized so
+    assign cost n*n_cells and probe cost nq*nprobe*(n/n_cells) balance;
+    nprobe ~ n_cells/8 holds the probed fraction constant) — the same
+    grow-with-the-corpus contract as the scaled LSH/semantic-dedup
+    queries (VERDICT r5 #5).  One count() derives both; the centroid
+    collect stays a bounded n_cells x dim payload."""
+    import math
+
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
 
     src = df.select(id_col, vec_col)
+    if adaptive:
+        n = src.count()
+        n_cells = max(4, math.isqrt(n))
+        nprobe = max(2, n_cells // 8)
     # seed centroids in ONE job (the r1 form spent a count() + a collect()):
     # order by a content hash of the id — a deterministic pseudo-random
     # spread over the corpus, independent of partition layout, no RNG

@@ -78,6 +78,9 @@ EXTRA = [
     "x_multimodal_real_resize",
     "x_ewma_volume_dense",
     "x_multimodal_jpeg_decode",
+    "x_ann_lsh_scaled",
+    "x_ann_recall_scaled",
+    "x_ann_ivf_scaled",
 ]
 
 
