@@ -148,6 +148,7 @@ EXTRA = [
     "x_ann_lsh_scaled",
     "x_ann_recall_scaled",
     "x_ann_ivf_scaled",
+    "x_multimodal_png_decode",
 ]
 
 

@@ -269,15 +269,62 @@ def codec_media_table(spark, sf_dir: str):
     )
 
 
+def png_media_table(spark, sf_dir: str):
+    """All-PNG media table (r6b): every document becomes a GENUINE PNG
+    — even doc_id -> 8-bit grayscale at the md5-derived level, odd ->
+    8-bit RGB at the md5-derived constant color — encoded with the
+    per-row filter cycle so every de-filter path (None/Sub/Up/Average/
+    Paeth) runs on decode.  PNG is lossless, so the SQL oracle is the
+    input metadata verbatim, no quantization closed-form needed."""
+    import hashlib
+
+    import numpy as np
+
+    from .png import encode_png
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, payloads = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                h = hashlib.md5(text.encode()).digest()
+                w, hh = n % 24 + 4, n % 12 + 4
+                ids.append(did)
+                types.append("image")
+                if did % 2 == 0:
+                    img = np.full((hh, w), h[0], dtype=np.uint8)
+                else:
+                    img = np.empty((hh, w, 3), dtype=np.uint8)
+                    img[:, :] = (h[0], h[1], h[2])
+                payloads.append(encode_png(img))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": types,
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(
+        build, "media_id BIGINT, media_type STRING, payload BINARY"
+    )
+
+
 def decode_media_real(media_df):
     """REAL container decoding via ``mapInPandas`` — pure struct/numpy
     parsing sniffed by magic bytes: 24-bit BMP, mono PCM-16 WAV, and
     (r6) baseline JPEG through the full SOF0 codec in ``jpeg.py``.
-    Remaining compressed codecs (progressive JPEG, PNG/MP3/MP4) still
-    raise NotImplementedError inside the per-format decoders — THAT is
-    the remaining environment gap, not the decode plumbing, which this
+    (r6b) PNG through the stdlib-zlib codec in ``png.py``.  Remaining
+    compressed codecs (progressive JPEG, MP3/MP4) still raise
+    NotImplementedError inside the per-format decoders — THAT is the
+    remaining environment gap, not the decode plumbing, which this
     function executes end-to-end on genuine bytes."""
     from .jpeg import decode_jpeg_baseline
+    from .png import decode_png
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -305,10 +352,17 @@ def decode_media_real(media_df):
                     hs.append(hh)
                     units.append(npix)
                     sums.append(s)
+                elif pl[:8] == b"\x89PNG\r\n\x1a\n":
+                    w, hh, npix, s = decode_png(pl)
+                    fmts.append("png")
+                    ws.append(w)
+                    hs.append(hh)
+                    units.append(npix)
+                    sums.append(s)
                 else:
                     raise NotImplementedError(
                         "compressed media formats beyond baseline JPEG "
-                        "(PNG/MP3/MP4) require codec libraries not "
+                        "and PNG (MP3/MP4) require codec libraries not "
                         "present in this environment"
                     )
             yield pd.DataFrame(

@@ -2113,6 +2113,41 @@ def x_multimodal_jpeg_decode(spark, sf_dir):
 
 
 @_q(
+    "x_multimodal_png_decode",
+    """WITH d AS (
+      SELECT doc_id, length(text) AS n,
+             CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) AS b0,
+             CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) AS b1,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) AS b2
+      FROM documents)
+    SELECT doc_id AS media_id,
+           'png' AS format,
+           CAST(n % 24 + 4 AS INTEGER) AS width,
+           CAST(n % 12 + 4 AS INTEGER) AS height,
+           CAST((n % 24 + 4) * (n % 12 + 4) AS BIGINT) AS n_units,
+           CAST(CASE WHEN doc_id % 2 = 0
+                     THEN b0 * (n % 24 + 4) * (n % 12 + 4)
+                     ELSE (b0 + b1 + b2) * (n % 24 + 4) * (n % 12 + 4) END
+                AS BIGINT) AS level_sum
+    FROM d""",
+    "REAL PNG decoding (r6b, closing the r5 PNG stub with stdlib zlib "
+    "— the DEFLATE half ships with CPython, and the rest of PNG is "
+    "chunk walking, CRC32, and the five integer row filters, all "
+    "implemented exactly in png.py): every document becomes a genuine "
+    "gray or RGB PNG encoded with a per-row filter CYCLE so decode "
+    "exercises None/Sub/Up/Average/Paeth on every image, then the "
+    "magic-sniffing mapInPandas decoder inflates, de-filters, and "
+    "CRC-verifies it back.  PNG is lossless, so the oracle is the "
+    "input metadata verbatim; MP3/MP4 remain the honestly-stubbed "
+    "environment gap (MDCT/motion-compensation territory).",
+)
+def x_multimodal_png_decode(spark, sf_dir):
+    from .operators.multimodal import decode_media_real, png_media_table
+
+    return decode_media_real(png_media_table(spark, sf_dir))
+
+
+@_q(
     "x_media_frame_stats",
     f"""SELECT media_type, CAST(sum(n_frames) AS BIGINT) AS total_frames,
            max(n_frames) AS max_frames
