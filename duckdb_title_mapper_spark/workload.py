@@ -2145,8 +2145,6 @@ def x_multimodal_png_decode(spark, sf_dir):
     from .operators.multimodal import decode_media_real, png_media_table
 
     return decode_media_real(png_media_table(spark, sf_dir))
-
-
 @_q(
     "x_media_frame_stats",
     f"""SELECT media_type, CAST(sum(n_frames) AS BIGINT) AS total_frames,
@@ -8896,6 +8894,168 @@ def x_bpe_train(spark, sf_dir, iters: int = 8, passes: int = 5):
         FROM VALUES {rows}
           AS t(merge_step, sym_left, sym_right, pair_count)"""
     )
+
+
+def _sequence_packing_sql(spark_dialect: bool, seq_len: int = 512) -> str:
+    """LM training-sequence packing, the concat-and-chop recipe every
+    large pretraining pipeline runs (docs concatenated in a fixed
+    order, chopped into ``seq_len``-token sequences; a doc whose tokens
+    straddle a chop point is a boundary-crosser the loss masking /
+    attention-separator logic must handle).  Packing is PER SOURCE
+    (PARTITION BY source) — the scale-honest form: a global cumsum is
+    inherently sequential, while per-shard packing is how real
+    pipelines parallelize it (each shard's window is an independent
+    partition).  Output per (source, pack): docs starting in the pack,
+    their token mass, and how many cross into the next pack — all
+    integers from one windowed cumsum."""
+    if spark_dialect:
+        sz = "CAST(size(ts) AS BIGINT)"
+        idiv = "div"
+    else:
+        sz = "CAST(len(ts) AS BIGINT)"
+        idiv = "//"
+    return f"""WITH toks AS ({_toks_sql(spark_dialect, "doc_id, source")}),
+    t AS (SELECT doc_id, source, {sz} AS n_tok FROM toks WHERE {sz} > 0),
+    c AS (SELECT doc_id, source, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+          FROM t),
+    d AS (SELECT doc_id, source, n_tok,
+             cum_before {idiv} {seq_len} AS pack_first,
+             (cum_before + n_tok - 1) {idiv} {seq_len} AS pack_last
+          FROM c)
+    SELECT source, pack_first AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs_start,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens_start,
+           CAST(sum(CASE WHEN pack_last > pack_first THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_crossers
+    FROM d GROUP BY source, pack_first"""
+
+
+@_q(
+    "x_sequence_packing_sharded",
+    _sequence_packing_sql(False),
+    "LM training-sequence packing (concat-and-chop at 512 tokens, the "
+    "standard pretraining recipe): per-source cumulative token sums "
+    "assign every doc its first/last pack, emitting per (source, pack) "
+    "the docs starting there, their token mass, and the boundary-"
+    "crosser count the loss-masking logic must handle.  Packing "
+    "partitions by source — the scale-honest form (per-shard windows "
+    "parallelize; a global cumsum would be one sequential partition).  "
+    "All integers off one windowed cumsum.",
+)
+def x_sequence_packing_sharded(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_sequence_packing_sql(True))
+
+
+def _grpo_advantages_sql(spark_dialect: bool) -> str:
+    """Group-relative advantage computation (the GRPO/RLOO recipe:
+    center each sample's reward against its own group's mean, no
+    critic).  Rewards here are the deterministic integer token counts
+    and groups are sources, standing in for (prompt-group, sampled
+    completions).  Everything stays integer-exact by cross-
+    multiplication: the centered numerator is r*k - S (k = group size,
+    S = group reward sum — positive iff the sample beats its group
+    mean), and the normalized advantage divides by the group's total
+    absolute deviation via SIGN-SPLIT nonnegative integer division —
+    Spark's ``div`` truncates toward zero while DuckDB's ``//``
+    floors, so negative numerators MUST NOT reach the divide (a new
+    cross-engine trap this query documents)."""
+    if spark_dialect:
+        sz = "CAST(size(ts) AS BIGINT)"
+        idiv = "div"
+    else:
+        sz = "CAST(len(ts) AS BIGINT)"
+        idiv = "//"
+    return f"""WITH toks AS ({_toks_sql(spark_dialect, "doc_id, source")}),
+    r AS (SELECT doc_id, source, {sz} AS reward FROM toks),
+    g AS (SELECT source, CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(reward) AS BIGINT) AS s
+          FROM r GROUP BY source),
+    a AS (SELECT r.doc_id, r.source, r.reward, g.k,
+                 (r.reward * g.k - g.s) AS adv_num
+          FROM r JOIN g ON r.source = g.source),
+    m AS (SELECT source, CAST(sum(abs(adv_num)) AS BIGINT) AS tad
+          FROM a GROUP BY source)
+    SELECT a.doc_id, a.source, a.reward,
+           a.k AS group_size, a.adv_num,
+           CAST(CASE WHEN a.adv_num > 0 THEN 1
+                     WHEN a.adv_num < 0 THEN -1 ELSE 0 END AS BIGINT)
+             AS adv_sign,
+           CAST(CASE WHEN m.tad = 0 THEN 0
+                     WHEN a.adv_num >= 0
+                     THEN (a.adv_num * 10000 * a.k) {idiv} m.tad
+                     ELSE -((-a.adv_num * 10000 * a.k) {idiv} m.tad) END
+                AS BIGINT) AS adv_bp,
+           CAST(row_number() OVER (PARTITION BY a.source
+                ORDER BY a.reward DESC, a.doc_id) AS BIGINT) AS reward_rank
+    FROM a JOIN m ON a.source = m.source"""
+
+
+@_q(
+    "x_grpo_advantages",
+    _grpo_advantages_sql(False),
+    "Group-relative advantages (GRPO/RLOO, critic-free RLHF): per "
+    "group (source) the centered reward numerator r*k - S, its sign, "
+    "a total-absolute-deviation-normalized advantage in bp, and the "
+    "in-group reward rank — all integer-exact via cross-multiplication "
+    "and SIGN-SPLIT nonnegative division (Spark div truncates, DuckDB "
+    "// floors: negative numerators must never reach the divide).  "
+    "One group aggregate broadcast back, one deviation aggregate — "
+    "two vocabulary-sized shuffles, no per-row Python.",
+)
+def x_grpo_advantages(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_grpo_advantages_sql(True))
+
+
+def _zorder_skipping_sql(spark_dialect: bool) -> str:
+    """Data-skipping evaluation of the z-order layout: the CONSUMER
+    side of x_zorder_layout — given a selective predicate on x
+    (user_id), count which zbuckets' [x_min, x_max] bounding boxes can
+    be pruned without reading, and the row mass that skipping saves.
+    The probe range is derived in-query from the global bounds (the
+    middle fifth of the x span, nonneg integer arithmetic only), so
+    both engines compute the identical range and verdicts."""
+    idiv = "div" if spark_dialect else "//"
+    layout = _zorder_layout_sql(spark_dialect)
+    return f"""WITH L AS (SELECT * FROM ({layout}) AS zl),
+    b AS (SELECT CAST(min(x_min) AS BIGINT) AS x0,
+                 CAST(max(x_max) AS BIGINT) AS x1 FROM L),
+    p AS (SELECT x0 + ((x1 - x0) * 2) {idiv} 5 AS lo,
+                 x0 + ((x1 - x0) * 3) {idiv} 5 AS hi FROM b),
+    v AS (SELECT L.n_rows,
+                 CASE WHEN L.x_max < p.lo OR L.x_min > p.hi
+                      THEN 1 ELSE 0 END AS pruned
+          FROM L CROSS JOIN p)
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(pruned) AS BIGINT) AS n_pruned,
+           CAST(count(*) - sum(pruned) AS BIGINT) AS n_scanned,
+           CAST(sum(n_rows) AS BIGINT) AS rows_total,
+           CAST(sum(CASE WHEN pruned = 1 THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_skipped,
+           (CAST(sum(CASE WHEN pruned = 1 THEN n_rows ELSE 0 END)
+                 AS BIGINT) * 10000) {idiv} CAST(sum(n_rows) AS BIGINT)
+             AS skip_bp
+    FROM v"""
+
+
+@_q(
+    "x_zorder_skipping",
+    _zorder_skipping_sql(False),
+    "Data-skipping evaluator for the z-order layout (the consumer of "
+    "x_zorder_layout's bucket min/max index): a selective x-range "
+    "probe derived in-query from the global bounds prunes every bucket "
+    "whose bounding box misses it, reporting buckets pruned and row "
+    "mass skipped in bp — the read-side proof that Morton clustering "
+    "turns a predicate into IO savings.  Integer arithmetic only.",
+)
+def x_zorder_skipping(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_zorder_skipping_sql(True))
 
 
 GRADE_FIRST = [

@@ -82,6 +82,9 @@ EXTRA = [
     "x_ann_recall_scaled",
     "x_ann_ivf_scaled",
     "x_multimodal_png_decode",
+    "x_sequence_packing_sharded",
+    "x_grpo_advantages",
+    "x_zorder_skipping",
 ]
 
 
