@@ -88,24 +88,44 @@ def census_sql(spark_dialect: bool) -> str:
 
 
 def build_census(spark, sf_dir: str, force: bool = False):
-    """Materialize (or fetch the cached) census relation and register it
-    as the ``__gram_census`` temp view.  ``force=True`` rebuilds and
+    """Build (or fetch the cached) census relation and register it as
+    the ``__gram_census`` temp view.  ``force=True`` rebuilds and
     replaces the cache entry — the declared ``x_gram_census`` query uses
     it so the shared pass's cold cost is always the one being measured,
-    never a cache hit."""
-    from ..plans.materialize import materialize, release
+    never a cache hit.
+
+    The census persists as a PARQUET ROUND-TRIP under /tmp (versioned
+    dir per (session, sf_dir)), not as checkpoint/persist blocks: block
+    caches are session-fragile (bench.py unpersists all persistent RDDs
+    between queries as residue cleanup, which killed a localCheckpoint-
+    backed census mid-run), while a parquet scan survives any cache
+    eviction, prunes columns per consumer, and IS the documented 100 TB
+    shape — consumers scheduling against storage instead of re-scanning
+    the corpus."""
+    import hashlib
+    import os
+    import shutil
+
     from ..workload import register_views
 
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _CENSUS_CACHE.get(key)
     if cached is not None and not force:
-        cached.createOrReplaceTempView(CENSUS_VIEW)
-        return cached
+        cached[0].createOrReplaceTempView(CENSUS_VIEW)
+        return cached[0]
     register_views(spark, sf_dir, "documents")
-    df = materialize(spark.sql(census_sql(True)))
-    if cached is not None:
-        release(cached)
-    _CENSUS_CACHE[key] = df
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{os.path.realpath(sf_dir)}"
+        .encode()
+    ).hexdigest()[:16]
+    version = (cached[1] + 1) if cached is not None else 0
+    base = "/tmp/duckdb_title_mapper_spark_census"
+    path = f"{base}/{tag}.v{version}"
+    spark.sql(census_sql(True)).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    _CENSUS_CACHE[key] = (df, version)
+    if cached is not None:  # GC the superseded version dir
+        shutil.rmtree(f"{base}/{tag}.v{cached[1]}", ignore_errors=True)
     df.createOrReplaceTempView(CENSUS_VIEW)
     return df
 
