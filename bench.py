@@ -152,6 +152,7 @@ EXTRA = [
     "x_sequence_packing_sharded",
     "x_grpo_advantages",
     "x_zorder_skipping",
+    "x_mmr_rerank",
 ]
 
 

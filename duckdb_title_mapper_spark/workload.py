@@ -2493,6 +2493,114 @@ def x_ann_ivf_scaled(spark, sf_dir):
     return ivf_topk(load(spark, sf_dir, "embeddings"), adaptive=True)
 
 
+def _mmr_cand_sql(spark_dialect: bool, n_cand: int = 20) -> str:
+    """Candidate pool for MMR: exact-cosine top-``n_cand`` of query
+    vector 0 against the corpus, unit vectors carried along so every
+    later similarity is one dot product."""
+    from .operators.similarity import embed_dot
+
+    nrm = "sqrt(" + embed_dot(spark_dialect, "embedding", "embedding") + ")"
+    if spark_dialect:
+        unit = "transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
+    else:
+        unit = "list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
+    rel = embed_dot(spark_dialect, "u.uvec", "qv.quvec")
+    return f"""WITH u AS (
+      SELECT vec_id, {unit} AS uvec
+      FROM (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings) n),
+    qv AS (SELECT uvec AS quvec FROM u WHERE vec_id = 0)
+    SELECT u.vec_id, u.uvec, {rel} AS rel
+    FROM u CROSS JOIN qv WHERE u.vec_id <> 0
+    ORDER BY {rel} DESC, u.vec_id LIMIT {n_cand}"""
+
+
+def _mmr_round_sql(spark_dialect: bool, cand_rel: str, sel_rels: list[str],
+                   lam_num: str = "0.7", lam_rest: str = "0.3") -> str:
+    """One MMR selection round over ``cand_rel`` given the 1-row
+    selected-CTE names ``sel_rels``: score = 0.7*rel - 0.3*max sim to
+    any selected item (cross joins of 1-row relations; greatest() only
+    when arity >= 2 — both engines require it), ties -> lowest vec_id.
+    The identical expression SHAPE in both dialects is what keeps the
+    double comparisons bit-for-bit (the x_knn_bruteforce contract)."""
+    from .operators.similarity import embed_dot
+
+    if not sel_rels:
+        return (f"SELECT vec_id, uvec, rel FROM {cand_rel} "
+                "ORDER BY rel DESC, vec_id LIMIT 1")
+    dots = [embed_dot(spark_dialect, "c.uvec", f"{s}.uvec")
+            for s in sel_rels]
+    worst = dots[0] if len(dots) == 1 else ("greatest(" + ", ".join(dots) + ")")
+    joins = " ".join(f"CROSS JOIN {s}" for s in sel_rels)
+    not_in = ", ".join(f"(SELECT vec_id FROM {s})" for s in sel_rels)
+    return f"""SELECT vec_id, uvec, rel FROM (
+      SELECT c.vec_id, c.uvec, c.rel,
+             {lam_num} * c.rel - {lam_rest} * {worst} AS score
+      FROM {cand_rel} c {joins}
+      WHERE c.vec_id NOT IN ({not_in})) t
+    ORDER BY score DESC, vec_id LIMIT 1"""
+
+
+def _mmr_oracle_sql(k: int = 5) -> str:
+    """Unrolled-CTE DuckDB oracle for the MMR loop: cand, then s1..sk
+    each one _mmr_round_sql over the previous selections — the
+    x_pagerank technique (an iterative algorithm certified by unrolling
+    its exact rounds)."""
+    parts = [f"WITH cand AS ({_mmr_cand_sql(False)})"]
+    sels = []
+    for i in range(1, k + 1):
+        parts.append(f"s{i} AS ({_mmr_round_sql(False, 'cand', sels)})")
+        sels.append(f"s{i}")
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS mmr_rank, CAST(vec_id AS BIGINT)"
+        f" AS vec_id FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return ",\n    ".join(parts) + "\n    " + union
+
+
+@_q(
+    "x_mmr_rerank",
+    _mmr_oracle_sql(),
+    "Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998, "
+    "the diversity-aware rerank every retrieval stack runs after "
+    "top-k): from the exact-cosine top-20 pool of query vector 0, "
+    "iteratively select 5 items maximizing 0.7*relevance - "
+    "0.3*max-similarity-to-already-selected, ties -> lowest vec_id.  "
+    "Spark runs the driver-loop form (each round one SQL argmax over "
+    "the materialized candidate pool — a bounded 1-row collect per "
+    "round, the sanctioned iterative pattern); the DuckDB oracle "
+    "unrolls the identical rounds as CTEs (the x_pagerank technique).  "
+    "Exactness: every score is arithmetic on bit-identical dot "
+    "products with the same expression shape on both sides, and the "
+    "emitted columns are pure BIGINTs.",
+)
+def x_mmr_rerank(spark, sf_dir, k: int = 5):
+    from .plans.materialize import materialize
+
+    register_views(spark, sf_dir, "embeddings")
+    cand = materialize(spark.sql(_mmr_cand_sql(True)))
+    cand.createOrReplaceTempView("__mmr_cand")
+    sel_ids: list[int] = []
+    for step in range(1, k + 1):
+        sels = []
+        for j, vid in enumerate(sel_ids, start=1):
+            spark.sql(
+                f"SELECT vec_id, uvec, rel FROM __mmr_cand"
+                f" WHERE vec_id = {int(vid)}"
+            ).createOrReplaceTempView(f"__mmr_s{j}")
+            sels.append(f"__mmr_s{j}")
+        row = spark.sql(_mmr_round_sql(True, "__mmr_cand", sels)).collect()
+        sel_ids.append(row[0]["vec_id"])
+    rows = ", ".join(
+        f"({i}, {int(v)})" for i, v in enumerate(sel_ids, start=1)
+    )
+    return spark.sql(
+        f"""SELECT CAST(mmr_rank AS BIGINT) AS mmr_rank,
+               CAST(vec_id AS BIGINT) AS vec_id
+        FROM VALUES {rows} AS t(mmr_rank, vec_id)"""
+    )
+
+
 @_q(
     "x_embed_near_dup",
     near_dup_pairs_sql(False),
