@@ -153,6 +153,7 @@ EXTRA = [
     "x_grpo_advantages",
     "x_zorder_skipping",
     "x_mmr_rerank",
+    "x_ann_multiprobe_scaled",
 ]
 
 

@@ -266,6 +266,49 @@ def ann_lsh_multiprobe_sql(spark_dialect: bool, k: int = 3, nq: int = 10,
     WHERE rank <= {k}"""
 
 
+def ann_multiprobe_scaled_sql(spark_dialect: bool, k: int = 3,
+                              nq: int = 10) -> str:
+    """Scale-adaptive MULTI-PROBE LSH top-k: adaptive plane count
+    (``adaptive_planes_sql``) AND a probe list that adapts with it —
+    each query scans its own bucket plus the ``planes`` buckets at
+    Hamming distance 1, generated dynamically (sequence over the
+    derived plane count), so the recall knob follows the sharpening
+    index: this is exactly the documented move at the plane cap (add
+    probes, not bits).  Candidate volume is x(planes+1) of the
+    single-probe scaled query, still bucket-join bounded."""
+    nrm = "sqrt(" + embed_dot(spark_dialect, "embedding", "embedding") + ")"
+    if spark_dialect:
+        unit = "transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
+        probes = ("explode(concat(array(bucket), "
+                  "transform(sequence(0, planes - 1), "
+                  "p -> bucket ^ CAST(shiftleft(1, p) AS INT))))")
+    else:
+        unit = "list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
+        probes = ("unnest(list_concat([bucket], "
+                  "list_transform(range(0, planes), "
+                  "p -> CAST(xor(bucket, (1 << p)) AS INTEGER))))")
+    bucket = lsh_bucket_expr_adaptive(spark_dialect, "embedding")
+    dot = embed_dot(spark_dialect, "q.uvec", "c.uvec")
+    return f"""WITH np AS ({adaptive_planes_sql()}),
+    bucketed AS (
+      SELECT vec_id, {unit} AS uvec, CAST(bucket AS INTEGER) AS bucket,
+             planes
+      FROM (SELECT vec_id, embedding, {nrm} AS nrm, {bucket} AS bucket,
+                   np.planes AS planes
+            FROM embeddings CROSS JOIN np) n),
+    probes AS (
+      SELECT vec_id, uvec, {probes} AS probe
+      FROM bucketed WHERE vec_id < {nq})
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {dot} DESC, c.vec_id) AS BIGINT) AS rank
+        FROM probes q
+        JOIN bucketed c
+          ON c.bucket = q.probe AND c.vec_id <> q.vec_id) ranked
+    WHERE rank <= {k}"""
+
+
 def near_dup_pairs_sql(spark_dialect: bool, threshold: float = 0.35,
                        block_col: str = "label",
                        salt_buckets: int | None = None) -> str:

@@ -2493,6 +2493,30 @@ def x_ann_ivf_scaled(spark, sf_dir):
     return ivf_topk(load(spark, sf_dir, "embeddings"), adaptive=True)
 
 
+def _q_ann_multiprobe_scaled_oracle():
+    from .operators.similarity import ann_multiprobe_scaled_sql
+
+    return ann_multiprobe_scaled_sql(False)
+
+
+@_q(
+    "x_ann_multiprobe_scaled",
+    _q_ann_multiprobe_scaled_oracle(),
+    "Scale-adaptive MULTI-PROBE LSH ANN: the corpus-derived plane "
+    "count (x_ann_lsh_scaled's CASE ladder) plus a probe list that "
+    "adapts WITH it — own bucket + all Hamming-1 buckets, generated "
+    "dynamically from the derived count — the documented recall move "
+    "at the plane cap (add probes, not bits; Lv et al. VLDB'07).  "
+    "Candidate volume x(planes+1) of single-probe, still bucket-join "
+    "bounded; exact-cosine reranked, BIGINT ranks.",
+)
+def x_ann_multiprobe_scaled(spark, sf_dir):
+    from .operators.similarity import ann_multiprobe_scaled_sql
+
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(ann_multiprobe_scaled_sql(True))
+
+
 def _mmr_cand_sql(spark_dialect: bool, n_cand: int = 20) -> str:
     """Candidate pool for MMR: exact-cosine top-``n_cand`` of query
     vector 0 against the corpus, unit vectors carried along so every

@@ -102,6 +102,44 @@ def test_planted_twin_recall_scaled_ivf(spark):
     assert hits >= 8
 
 
+def test_multiprobe_scaled_recall_at_least_single_probe(spark):
+    """Multi-probe scans (planes+1)x the fraction of single-probe at
+    the SAME derived plane count, so its recall against exact top-3
+    must be >= single-probe's on the driver data at both SFs."""
+    from duckdb_title_mapper_spark.operators.similarity import (
+        ann_multiprobe_scaled_sql,
+    )
+    from duckdb_title_mapper_spark.workload import _topk_sql
+
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        register_views(spark, sf_dir, "embeddings")
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in spark.sql(_topk_sql(True, k=3, nq=10)).collect()
+        }
+        sp = {
+            (r.query_id, r.neighbor_id)
+            for r in spark.sql(ann_lsh_scaled_sql(True)).collect()
+        }
+        mp = {
+            (r.query_id, r.neighbor_id)
+            for r in spark.sql(ann_multiprobe_scaled_sql(True)).collect()
+        }
+        assert len(mp & exact) >= len(sp & exact), sf_dir
+
+
+def test_planted_twin_recall_multiprobe_scaled(spark):
+    from duckdb_title_mapper_spark.operators.similarity import (
+        ann_multiprobe_scaled_sql,
+    )
+
+    _planted_corpus(spark)
+    rows = spark.sql(ann_multiprobe_scaled_sql(True, k=1, nq=10)).collect()
+    top1 = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
+    hits = sum(1 for q in range(10) if top1.get(q) == q + 10000)
+    assert hits >= 9
+
+
 def test_ivf_adaptive_knobs_derive_from_count(spark):
     from duckdb_title_mapper_spark.workload import load
 
