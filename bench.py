@@ -154,6 +154,7 @@ EXTRA = [
     "x_zorder_skipping",
     "x_mmr_rerank",
     "x_ann_multiprobe_scaled",
+    "x_multimodal_gif_decode",
 ]
 
 

@@ -314,6 +314,54 @@ def png_media_table(spark, sf_dir: str):
     )
 
 
+def gif_media_table(spark, sf_dir: str):
+    """All-GIF media table (r6c): every document becomes a GENUINE
+    GIF — a 4-color md5-derived palette with row stripes (row index
+    y % 4), compressed by the real variable-width LZW in ``gif.py``;
+    odd doc_ids additionally INTERLACE (the 8/8/4/2 four-pass row
+    scramble), exercising the decoder's de-interlace on half the
+    corpus.  GIF is lossless over palette indices, so the decoded
+    level_sum has an exact closed form: w * sum_c rows(c) *
+    palette_rgb_sum(c) with rows(c) = (h + 3 - c) div 4."""
+    import hashlib
+
+    import numpy as np
+
+    from .gif import encode_gif
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, payloads = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                h = hashlib.md5(text.encode()).digest()
+                w, hh = n % 24 + 4, n % 12 + 4
+                pal = np.frombuffer(h[:12], np.uint8).reshape(4, 3)
+                idx = np.tile(
+                    (np.arange(hh, dtype=np.uint8) % 4)[:, None], (1, w)
+                )
+                ids.append(did)
+                types.append("image")
+                payloads.append(
+                    encode_gif(idx, pal, interlace=bool(did % 2))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": types,
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(
+        build, "media_id BIGINT, media_type STRING, payload BINARY"
+    )
+
+
 def decode_media_real(media_df):
     """REAL container decoding via ``mapInPandas`` — pure struct/numpy
     parsing sniffed by magic bytes: 24-bit BMP, mono PCM-16 WAV, and
@@ -323,6 +371,7 @@ def decode_media_real(media_df):
     NotImplementedError inside the per-format decoders — THAT is the
     remaining environment gap, not the decode plumbing, which this
     function executes end-to-end on genuine bytes."""
+    from .gif import decode_gif
     from .jpeg import decode_jpeg_baseline
     from .png import decode_png
 
@@ -359,11 +408,18 @@ def decode_media_real(media_df):
                     hs.append(hh)
                     units.append(npix)
                     sums.append(s)
+                elif pl[:6] in (b"GIF87a", b"GIF89a"):
+                    w, hh, npix, s = decode_gif(pl)
+                    fmts.append("gif")
+                    ws.append(w)
+                    hs.append(hh)
+                    units.append(npix)
+                    sums.append(s)
                 else:
                     raise NotImplementedError(
-                        "compressed media formats beyond baseline JPEG "
-                        "and PNG (MP3/MP4) require codec libraries not "
-                        "present in this environment"
+                        "compressed media formats beyond baseline JPEG, "
+                        "PNG, and GIF (MP3/MP4) require codec libraries "
+                        "not present in this environment"
                     )
             yield pd.DataFrame(
                 {

@@ -2145,6 +2145,51 @@ def x_multimodal_png_decode(spark, sf_dir):
     from .operators.multimodal import decode_media_real, png_media_table
 
     return decode_media_real(png_media_table(spark, sf_dir))
+
+
+@_q(
+    "x_multimodal_gif_decode",
+    """WITH d AS (
+      SELECT doc_id, length(text) AS n,
+             CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT)
+               + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT)
+               + CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) AS s0,
+             CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT)
+               + CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT)
+               + CAST(('0x' || substr(md5(text), 11, 2)) AS BIGINT) AS s1,
+             CAST(('0x' || substr(md5(text), 13, 2)) AS BIGINT)
+               + CAST(('0x' || substr(md5(text), 15, 2)) AS BIGINT)
+               + CAST(('0x' || substr(md5(text), 17, 2)) AS BIGINT) AS s2,
+             CAST(('0x' || substr(md5(text), 19, 2)) AS BIGINT)
+               + CAST(('0x' || substr(md5(text), 21, 2)) AS BIGINT)
+               + CAST(('0x' || substr(md5(text), 23, 2)) AS BIGINT) AS s3
+      FROM documents),
+    m AS (SELECT doc_id, n % 24 + 4 AS w, n % 12 + 4 AS h,
+                 s0, s1, s2, s3 FROM d)
+    SELECT doc_id AS media_id,
+           'gif' AS format,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS BIGINT) AS n_units,
+           CAST(w * (((h + 3) // 4) * s0 + ((h + 2) // 4) * s1
+                     + ((h + 1) // 4) * s2 + (h // 4) * s3)
+                AS BIGINT) AS level_sum
+    FROM m""",
+    "REAL GIF decoding (r6c — the third compressed codec done for "
+    "real, after baseline JPEG and PNG): every document becomes a "
+    "genuine GIF87a with an md5-derived 4-color palette and row "
+    "stripes, compressed by a REAL variable-width LZW (dictionary "
+    "growth to 12 bits, clear-code reset, KwKwK case — pure integer "
+    "work, which is why no codec library is needed); odd doc_ids are "
+    "INTERLACED so the four-pass de-scramble runs on half the corpus. "
+    "Lossless over palette indices, so the oracle computes the decoded "
+    "palette-expanded level sum closed-form (stripe row counts x "
+    "palette channel sums).  MP3/MP4 remain the honest stubs.",
+)
+def x_multimodal_gif_decode(spark, sf_dir):
+    from .operators.multimodal import decode_media_real, gif_media_table
+
+    return decode_media_real(gif_media_table(spark, sf_dir))
 @_q(
     "x_media_frame_stats",
     f"""SELECT media_type, CAST(sum(n_frames) AS BIGINT) AS total_frames,
