@@ -300,7 +300,13 @@ def png_media_table(spark, sf_dir: str):
                 else:
                     img = np.empty((hh, w, 3), dtype=np.uint8)
                     img[:, :] = (h[0], h[1], h[2])
-                payloads.append(encode_png(img))
+                # did % 4 in (2, 3) -> Adam7 interlace (orthogonal to
+                # the gray/RGB split; lossless, so the oracle metadata
+                # is identical either way — the decoder's seven-pass
+                # reassembly runs on half the corpus)
+                payloads.append(
+                    encode_png(img, interlace=did % 4 >= 2)
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),

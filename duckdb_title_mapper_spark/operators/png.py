@@ -10,9 +10,10 @@ exactly:
 - ``decode_png``: GENERAL decoder for 8-bit color types 0 (gray),
   2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA): signature + chunk
   walk with CRC verification, multi-IDAT concatenation, zlib inflate,
-  and full de-filtering of all five row filters (None/Sub/Up/Average/
-  Paeth — the exact integer recurrences from the spec).  Adam7
-  interlace and bit depths != 8 raise ``NotImplementedError``.
+  full de-filtering of all five row filters (None/Sub/Up/Average/
+  Paeth — the exact integer recurrences from the spec), and Adam7
+  interlace (seven independently-filtered sub-images reassembled on
+  the pixel grid).  Bit depths != 8 raise ``NotImplementedError``.
 - ``encode_png``: REAL encoder for gray/RGB with a deterministic
   per-row filter cycle (row % 5 → filter type), so generated payloads
   exercise every de-filter path; PNG is lossless, so decode(encode(x))
@@ -112,43 +113,73 @@ def _unfilter_row(ftype: int, cur: np.ndarray, prev: np.ndarray,
     raise ValueError(f"invalid PNG filter type {ftype}")
 
 
-def encode_png(img: np.ndarray, filter_cycle: bool = True) -> bytes:
-    """REAL PNG encoder for 8-bit grayscale (h, w) or RGB (h, w, 3)
-    arrays.  ``filter_cycle=True`` assigns row filters round-robin
-    (row % 5), exercising every de-filter path in any decoder; PNG is
-    lossless so the choice affects size only, never pixels."""
-    img = np.asarray(img, dtype=np.uint8)
-    if img.ndim == 2:
-        ctype, h, w = 0, *img.shape
-        raw = img
-    elif img.ndim == 3 and img.shape[2] == 3:
-        ctype = 2
-        h, w = img.shape[:2]
-        raw = img.reshape(h, w * 3)
-    else:
-        raise ValueError("encode_png takes (h,w) gray or (h,w,3) RGB uint8")
-    bpp = _CHANNELS[ctype]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    prev = np.zeros(raw.shape[1], dtype=np.uint8)
+# Adam7: per-pass (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _filter_pass(raw: np.ndarray, bpp: int, filter_cycle: bool) -> bytes:
+    """Filter one (sub-)image's scanlines: each pass of an interlaced
+    PNG filters against the previous scanline OF THE SAME PASS."""
     stream = bytearray()
-    for y in range(h):
+    prev = np.zeros(raw.shape[1], dtype=np.uint8)
+    for y in range(raw.shape[0]):
         ftype = (y % 5) if filter_cycle else 0
         stream.append(ftype)
         stream += _filter_row(ftype, raw[y], prev, bpp).tobytes()
         prev = raw[y]
+    return bytes(stream)
+
+
+def encode_png(img: np.ndarray, filter_cycle: bool = True,
+               interlace: bool = False) -> bytes:
+    """REAL PNG encoder for 8-bit grayscale (h, w) or RGB (h, w, 3)
+    arrays.  ``filter_cycle=True`` assigns row filters round-robin
+    (row % 5), exercising every de-filter path in any decoder;
+    ``interlace=True`` emits the Adam7 seven-pass layout (each pass an
+    independently filtered sub-image).  PNG is lossless so neither
+    choice ever changes pixels."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        ctype, h, w = 0, *img.shape
+        samples = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ctype = 2
+        h, w = img.shape[:2]
+        samples = img
+    else:
+        raise ValueError("encode_png takes (h,w) gray or (h,w,3) RGB uint8")
+    bpp = _CHANNELS[ctype]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0,
+                       1 if interlace else 0)
+    if interlace:
+        stream = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass for small images
+            raw = sub.reshape(sub.shape[0], sub.shape[1] * bpp)
+            stream += _filter_pass(raw, bpp, filter_cycle)
+        stream = bytes(stream)
+    else:
+        raw = samples.reshape(h, w * bpp)
+        stream = _filter_pass(raw, bpp, filter_cycle)
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(stream), 6))
+        + _chunk(b"IDAT", zlib.compress(stream, 6))
         + _chunk(b"IEND", b"")
     )
 
 
 def decode_png_planes(payload: bytes) -> tuple[int, int, np.ndarray]:
     """GENERAL PNG decode to (width, height, samples[h, w, channels])
-    for 8-bit color types 0/2/3/4/6.  Chunk CRCs are verified; palette
-    images are expanded through PLTE.  Raises NotImplementedError for
-    interlaced or non-8-bit streams, ValueError for malformed data."""
+    for 8-bit color types 0/2/3/4/6, Adam7-interlaced or not.  Chunk
+    CRCs are verified; palette images are expanded through PLTE.
+    Raises NotImplementedError for non-8-bit streams, ValueError for
+    malformed data."""
     if payload[: len(_SIG)] != _SIG:
         raise ValueError("not a PNG payload (bad signature)")
     pos = len(_SIG)
@@ -166,11 +197,8 @@ def decode_png_planes(payload: bytes) -> tuple[int, int, np.ndarray]:
                 w, h, depth, ctype, comp, filt, interlace = struct.unpack(
                     ">IIBBBBB", body
                 )
-                if interlace:
-                    raise NotImplementedError(
-                        "Adam7-interlaced PNG not supported by this "
-                        "pure-python decoder"
-                    )
+                if interlace not in (0, 1):
+                    raise ValueError("bad PNG interlace method")
                 if depth != 8 or ctype not in _CHANNELS:
                     raise NotImplementedError(
                         f"PNG bit depth {depth} / color type {ctype} "
@@ -178,7 +206,7 @@ def decode_png_planes(payload: bytes) -> tuple[int, int, np.ndarray]:
                     )
                 if comp != 0 or filt != 0:
                     raise ValueError("non-standard compression/filter")
-                ihdr = (w, h, ctype)
+                ihdr = (w, h, ctype, interlace)
             elif tag == b"PLTE":
                 plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
             elif tag == b"IDAT":
@@ -190,21 +218,45 @@ def decode_png_planes(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError(f"truncated PNG stream: {exc}")
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    w, h, ctype = ihdr
+    w, h, ctype, interlace = ihdr
     ch = _CHANNELS[ctype]
     raw = zlib.decompress(bytes(idat))
-    rowlen = w * ch
-    if len(raw) != h * (rowlen + 1):
-        raise ValueError("PNG pixel stream length mismatch")
-    out = np.zeros((h, rowlen), dtype=np.uint8)
-    prev = np.zeros(rowlen, dtype=np.uint8)
-    for y in range(h):
-        ftype = raw[y * (rowlen + 1)]
-        cur = np.frombuffer(
-            raw, np.uint8, count=rowlen, offset=y * (rowlen + 1) + 1
-        )
-        prev = _unfilter_row(ftype, cur, prev, ch)
-        out[y] = prev
+
+    def unfilter(buf: bytes, rows: int, rowlen: int,
+                 offset: int) -> tuple[np.ndarray, int]:
+        out = np.zeros((rows, rowlen), dtype=np.uint8)
+        prev = np.zeros(rowlen, dtype=np.uint8)
+        for y in range(rows):
+            if offset + 1 + rowlen > len(buf):
+                raise ValueError("PNG pixel stream truncated")
+            ftype = buf[offset]
+            cur = np.frombuffer(buf, np.uint8, count=rowlen,
+                                offset=offset + 1)
+            prev = _unfilter_row(ftype, cur, prev, ch)
+            out[y] = prev
+            offset += 1 + rowlen
+        return out, offset
+
+    if interlace:  # Adam7: seven independently-filtered sub-images
+        full = np.zeros((h, w * ch), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            rows = len(range(y0, h, dy))
+            cols = len(range(x0, w, dx))
+            if rows == 0 or cols == 0:
+                continue
+            sub, offset = unfilter(raw, rows, cols * ch, offset)
+            sub3 = sub.reshape(rows, cols, ch)
+            grid = full.reshape(h, w, ch)
+            grid[y0::dy, x0::dx] = sub3
+        if offset != len(raw):
+            raise ValueError("PNG pixel stream length mismatch")
+        out = full
+    else:
+        rowlen = w * ch
+        if len(raw) != h * (rowlen + 1):
+            raise ValueError("PNG pixel stream length mismatch")
+        out, _ = unfilter(raw, h, rowlen, 0)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")

@@ -2135,7 +2135,10 @@ def x_multimodal_jpeg_decode(spark, sf_dir):
     "chunk walking, CRC32, and the five integer row filters, all "
     "implemented exactly in png.py): every document becomes a genuine "
     "gray or RGB PNG encoded with a per-row filter CYCLE so decode "
-    "exercises None/Sub/Up/Average/Paeth on every image, then the "
+    "exercises None/Sub/Up/Average/Paeth on every image (and half the "
+    "corpus is Adam7-INTERLACED — r6c implemented the seven-pass "
+    "sub-image reassembly, removing that NotImplementedError; "
+    "lossless, so the oracle is unchanged), then the "
     "magic-sniffing mapInPandas decoder inflates, de-filters, and "
     "CRC-verifies it back.  PNG is lossless, so the oracle is the "
     "input metadata verbatim; MP3/MP4 remain the honestly-stubbed "

@@ -82,20 +82,28 @@ def test_crc_corruption_raises():
         decode_png_planes(bytes(payload))
 
 
-def test_interlace_and_16bit_raise_not_implemented():
+def test_adam7_interlace_lossless_roundtrip():
+    """Adam7 (r6c): seven independently-filtered sub-images must
+    reassemble to the exact input — gray and RGB, including sizes
+    where some passes are empty (w or h < pass stride)."""
+    rng = np.random.RandomState(9)
+    for shape in [(16, 16), (9, 17), (1, 1), (3, 2), (7, 5), (33, 40)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        payload = encode_png(img, interlace=True)
+        # the IHDR interlace byte must actually be set
+        assert payload[len(_SIG) + 8 + 12] == 1
+        w, h, s = decode_png_planes(payload)
+        assert (w, h) == shape[::-1]
+        assert np.array_equal(s[:, :, 0], img), shape
+    rgb = rng.randint(0, 256, (13, 21, 3)).astype(np.uint8)
+    w, h, s = decode_png_planes(encode_png(rgb, interlace=True))
+    assert np.array_equal(s, rgb)
+
+
+def test_16bit_raises_not_implemented():
     base = encode_png(np.full((8, 8), 1, np.uint8))
-    # rewrite IHDR: interlace flag
     b = bytearray(base)
     ihdr_off = len(_SIG) + 8
-    b2 = bytearray(base)
-    b2[ihdr_off + 12] = 1  # interlace byte
-    body = bytes(b2[ihdr_off : ihdr_off + 13])
-    b2[ihdr_off + 13 : ihdr_off + 17] = struct.pack(
-        ">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF
-    )
-    with pytest.raises(NotImplementedError):
-        decode_png_planes(bytes(b2))
-    # rewrite IHDR: 16-bit depth
     b[ihdr_off + 8] = 16
     body = bytes(b[ihdr_off : ihdr_off + 13])
     b[ihdr_off + 13 : ihdr_off + 17] = struct.pack(
