@@ -5,15 +5,19 @@ one (VERDICT r5 next-round #2): a complete ITU-T T.81 baseline
 sequential implementation —
 
 - ``decode_jpeg_baseline``: a GENERAL decoder.  Marker walk (SOI, APPn,
-  COM, DQT, DHT, DRI, SOF0, SOS, RSTn, EOI), canonical Huffman tables
-  rebuilt from the file's own DHT segments (standard or custom tables
-  both work), byte-unstuffed entropy reader, DC prediction + EXTEND,
-  zigzag de-scan, dequantization, float64 2-D IDCT (basis-matrix
-  multiply), level shift/clamp, interleaved-MCU layout with arbitrary
-  h/v sampling factors (4:4:4, 4:2:0, ...), restart-interval handling,
-  and edge-block cropping to the declared frame size.  Progressive
-  (SOF2) and arithmetic-coded streams raise ``NotImplementedError`` —
-  they are different entropy pipelines, honestly out of scope.
+  COM, DQT, DHT, DRI, SOF0/SOF2, SOS, RSTn, EOI), canonical Huffman
+  tables rebuilt from the file's own DHT segments (standard or custom
+  tables both work), byte-unstuffed entropy reader, DC prediction +
+  EXTEND, zigzag de-scan, dequantization, float64 2-D IDCT
+  (basis-matrix multiply), level shift/clamp, interleaved-MCU layout
+  with arbitrary h/v sampling factors (4:4:4, 4:2:0, ...),
+  restart-interval handling, edge-block cropping — AND full
+  PROGRESSIVE (SOF2) support: multi-scan spectral selection plus
+  successive approximation (DC/AC first and refinement scans,
+  correction bits, shared end-of-band runs — ITU-T T.81 G.2),
+  accumulated per-component coefficient stores reconstructed at EOI.
+  Arithmetic-coded and lossless/hierarchical streams raise
+  ``NotImplementedError`` — genuinely different pipelines.
 - ``encode_jpeg_gray`` / ``encode_jpeg_color420``: REAL encoders (FDCT
   -> quantize -> zigzag -> Huffman with tables emitted in DHT), so the
   payloads the multimodal queries decode are genuine JPEG files any
@@ -79,14 +83,16 @@ QUANT_CHROMA = np.array([
 ], dtype=np.int64)
 
 # Huffman tables the ENCODER emits (flat canonical codes: 12 DC symbols
-# at 4 bits, all 162 baseline AC symbols at 8 bits — spec-legal, and the
-# decoder never assumes them: it rebuilds whatever the DHT declares).
+# at 4 bits, AC symbols at 8 bits — spec-legal, and the decoder never
+# assumes them: it rebuilds whatever the DHT declares).  The AC alphabet
+# includes the EOBn symbols (r<<4 for r=1..14) progressive scans need
+# for end-of-band runs; 176 codes of length 8 still fit (< 255).
 _DC_SYMBOLS = list(range(12))
-_AC_SYMBOLS = [0x00, 0xF0] + [
+_AC_SYMBOLS = [r << 4 for r in range(15)] + [0xF0] + [
     (run << 4) | size for run in range(16) for size in range(1, 11)
 ]
 _DC_BITS = [0, 0, 0, 12] + [0] * 12          # 12 codes of length 4
-_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162] + [0] * 8  # 162 codes of length 8
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176] + [0] * 8  # 176 codes of length 8
 
 
 def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
@@ -193,9 +199,11 @@ def _dht_segment(tclass: int, tid: int, bits: list[int],
     return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
 
 
-def _headers(width: int, height: int, components, quants) -> bytes:
-    """SOI + DQT(s) + SOF0 + DHT(s); components = [(cid, h, v, qid,
-    dc_tid, ac_tid)], quants = [(qid, table)]."""
+def _headers(width: int, height: int, components, quants,
+             sof_marker: int = 0xC0) -> bytes:
+    """SOI + DQT(s) + SOF + DHT(s); components = [(cid, h, v, qid,
+    dc_tid, ac_tid)], quants = [(qid, table)].  ``sof_marker`` 0xC0 for
+    baseline, 0xC2 for progressive."""
     out = bytearray(b"\xff\xd8")  # SOI
     for qid, table in quants:
         out += _dqt_segment(qid, table)
@@ -204,7 +212,7 @@ def _headers(width: int, height: int, components, quants) -> bytes:
     )
     for cid, h, v, qid, _dc, _ac in components:
         sof += bytes([cid, (h << 4) | v, qid])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", 2 + len(sof)) + sof
     emitted = set()
     for _cid, _h, _v, _qid, dc_tid, ac_tid in components:
         if ("dc", dc_tid) not in emitted:
@@ -334,6 +342,165 @@ def encode_jpeg_color420(y: np.ndarray, cb: np.ndarray,
     return bytes(out)
 
 
+def _sos_progressive(components, ss: int, se: int, ah: int,
+                     al: int) -> bytes:
+    body = bytes([len(components)])
+    for cid, _h, _v, _qid, dc_tid, ac_tid in components:
+        body += bytes([cid, (dc_tid << 4) | ac_tid])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+
+# the default progressive scan script: DC first at 1-bit reduced
+# precision, AC bands split low/high at 1-bit reduced precision, then
+# the three refinement scans — exercises every G.2 decode path
+_PROG_SCRIPT = (
+    (0, 0, 0, 1), (1, 5, 0, 1), (6, 63, 0, 1),
+    (0, 0, 1, 0), (1, 5, 1, 0), (6, 63, 1, 0),
+)
+
+
+def encode_jpeg_gray_progressive(plane: np.ndarray,
+                                 script=_PROG_SCRIPT) -> bytes:
+    """REAL progressive (SOF2) JPEG encoder for grayscale: the same
+    FDCT/quantization as baseline, entropy-coded as successive scans —
+    spectral selection (band splits) AND successive approximation
+    (first scans at reduced precision + refinement scans with
+    correction bits and shared end-of-band runs).  Same quantized
+    coefficients as ``encode_jpeg_gray``, so the progressive decode
+    must equal the baseline decode EXACTLY (the test anchor)."""
+    plane = np.asarray(plane, dtype=np.uint8)
+    height, width = plane.shape
+    comps = [(1, 1, 1, 0, 0, 0)]
+    out = bytearray(_headers(width, height, comps, [(0, QUANT_LUMA)],
+                             sof_marker=0xC2))
+    dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+    blocks = _quantize_plane(plane, QUANT_LUMA)
+    for ss, se, ah, al in script:
+        out += _sos_progressive(comps, ss, se, ah, al)
+        writer = _BitWriter()
+        if ss == 0 and ah == 0:  # DC first
+            pred = 0
+            for zz in blocks:
+                v = zz[0] >> al  # arithmetic shift (spec DC transform)
+                diff = v - pred
+                pred = v
+                size = abs(diff).bit_length()
+                code, ln = dc_codes[size]
+                writer.put(code, ln)
+                if size:
+                    writer.put(diff if diff >= 0
+                               else diff + (1 << size) - 1, size)
+        elif ss == 0:  # DC refinement: one bit per block
+            for zz in blocks:
+                writer.put((zz[0] >> al) & 1, 1)
+        elif ah == 0:  # AC first scan for the band
+            eobrun = 0
+
+            def flush_eob(w=writer):
+                nonlocal eobrun
+                if eobrun:
+                    nbits = eobrun.bit_length() - 1
+                    code, ln = ac_codes[nbits << 4]
+                    w.put(code, ln)
+                    if nbits:
+                        w.put(eobrun - (1 << nbits), nbits)
+                    eobrun = 0
+
+            for zz in blocks:
+                vals = []
+                for k in range(ss, se + 1):
+                    mag = abs(zz[k]) >> al  # AC: magnitude shift
+                    vals.append(-mag if zz[k] < 0 else mag)
+                if not any(vals):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                last_nz = max(i for i, v in enumerate(vals) if v)
+                for i, v in enumerate(vals):
+                    if i > last_nz:
+                        eobrun += 1  # trailing zeros: EOB for block
+                        break
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, ln = ac_codes[0xF0]
+                        writer.put(code, ln)
+                        r -= 16
+                    size = abs(v).bit_length()
+                    code, ln = ac_codes[(r << 4) | size]
+                    writer.put(code, ln)
+                    writer.put(v if v >= 0 else v + (1 << size) - 1,
+                               size)
+                    r = 0
+            flush_eob()
+        else:  # AC refinement scan
+            eobrun = 0
+            be_bits: list[int] = []
+
+            def flush_eob_refine(w=writer):
+                nonlocal eobrun, be_bits
+                if eobrun:
+                    nbits = eobrun.bit_length() - 1
+                    code, ln = ac_codes[nbits << 4]
+                    w.put(code, ln)
+                    if nbits:
+                        w.put(eobrun - (1 << nbits), nbits)
+                    eobrun = 0
+                for b in be_bits:
+                    w.put(b, 1)
+                be_bits = []
+
+            p_now = 1 << al
+            for zz in blocks:
+                absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+                eobpos = -1
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eobpos = i
+                r = 0
+                br: list[int] = []
+                for i, t in enumerate(absv):
+                    k = ss + i
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eobpos:
+                        flush_eob_refine()
+                        code, ln = ac_codes[0xF0]
+                        writer.put(code, ln)
+                        r -= 16
+                        for b in br:
+                            writer.put(b, 1)
+                        br = []
+                    if t > 1:  # already significant: correction bit
+                        br.append(t & 1)
+                        continue
+                    flush_eob_refine()
+                    code, ln = ac_codes[(r << 4) | 1]
+                    writer.put(code, ln)
+                    writer.put(1 if zz[k] > 0 else 0, 1)
+                    for b in br:
+                        writer.put(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    be_bits.extend(br)
+                    if eobrun == 0x7FFF:
+                        flush_eob_refine()
+            flush_eob_refine()
+            _ = p_now
+        out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     """Entropy-segment reader: un-stuffs 0xFF00, stops at markers."""
 
@@ -426,9 +593,10 @@ def decode_jpeg_planes(payload: bytes):
     """GENERAL baseline-JPEG decode to per-component sample planes
     (uint8, each at the component's natural resolution, cropped to the
     frame size).  Returns (width, height, [plane, ...]) in frame
-    component order.  Raises NotImplementedError for progressive /
-    arithmetic streams (different entropy pipelines) and ValueError for
-    malformed or truncated data."""
+    component order.  Handles baseline (SOF0/1) and progressive (SOF2)
+    Huffman streams; raises NotImplementedError for arithmetic /
+    lossless / hierarchical ones and ValueError for malformed or
+    truncated data."""
     try:
         return _decode_jpeg_planes(payload)
     except (IndexError, struct.error) as exc:
@@ -443,6 +611,8 @@ def _decode_jpeg_planes(payload: bytes):
     ac_tables: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None  # (width, height, [(cid, h, v, qid)])
+    progressive = False
+    coeffs: dict[int, np.ndarray] = {}  # cid -> (bh, bw, 64) zigzag
     pos = 2
     d = payload
     while pos < len(d):
@@ -486,7 +656,7 @@ def _decode_jpeg_planes(payload: bytes):
                 table = _HuffTable(bits, symbols)
                 (ac_tables if tclass else dc_tables)[tid] = table
                 bp += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
             height, width = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
             comps = []
@@ -494,23 +664,33 @@ def _decode_jpeg_planes(payload: bytes):
                 cid, hv, qid = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, qid))
             frame = (width, height, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) is supported "
-                "in this pure-numpy decoder; progressive/arithmetic "
-                "streams need a different entropy pipeline"
+                "only baseline (SOF0/1) and progressive (SOF2) "
+                "Huffman JPEG are supported in this pure-numpy "
+                "decoder; lossless/hierarchical/arithmetic streams "
+                "need a different entropy pipeline"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS -> entropy-coded segment follows
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan = []
             for i in range(ns):
                 cid, tids = body[1 + 2 * i : 3 + 2 * i]
                 scan.append((cid, tids >> 4, tids & 0x0F))
+            if progressive:
+                ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+                pos = _progressive_scan(
+                    d, pos + seglen, frame, scan, ss, se,
+                    ahal >> 4, ahal & 0x0F, dc_tables, ac_tables,
+                    coeffs, restart_interval,
+                )
+                continue
             width, height, comps = frame
             hmax = max(h for _, h, _, _ in comps)
             vmax = max(v for _, _, v, _ in comps)
@@ -575,7 +755,188 @@ def _decode_jpeg_planes(payload: bytes):
                 out.append(p.astype(np.uint8))
             return width, height, out
         pos += seglen
+    if progressive and coeffs:
+        return _reconstruct_progressive(frame, quants, coeffs)
     raise ValueError("JPEG stream ended without a scan")
+
+
+def _comp_geometry(frame, cid):
+    """(comp_w, comp_h, blocks_x, blocks_y, padded_bx, padded_by) for a
+    component: natural dims scale by sampling factors; the padded grid
+    is what interleaved scans cover."""
+    width, height, comps = frame
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    _, h, v, _qid = next(c for c in comps if c[0] == cid)
+    cw = -(-width * h // hmax)
+    ch = -(-height * v // vmax)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    return cw, ch, -(-cw // 8), -(-ch // 8), mcux * h, mcuy * v
+
+
+def _progressive_scan(d, entry, frame, scan, ss, se, ah, al,
+                      dc_tables, ac_tables, coeffs, restart_interval):
+    """Decode one progressive (SOF2) scan into the per-component zigzag
+    coefficient store; returns the byte position after the entropy
+    segment.  Implements ITU-T T.81 G.2: DC first/refine (interleaved
+    or not), AC first/refine with EOB runs — non-interleaved by spec
+    for AC."""
+    width, height, comps = frame
+    by_cid = {c[0]: c for c in comps}
+    for cid, _dc, _ac in scan:
+        if cid not in coeffs:
+            *_xy, pbx, pby = _comp_geometry(frame, cid)
+            coeffs[cid] = np.zeros((pby, pbx, 64), dtype=np.int64)
+    reader = _BitReader(d, entry)
+    if ss == 0:  # DC scan (Se must be 0)
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se = 0")
+        hmax = max(h for _, h, _, _ in comps)
+        vmax = max(v for _, _, v, _ in comps)
+        mcux = -(-width // (8 * hmax))
+        mcuy = -(-height // (8 * vmax))
+        preds = {cid: 0 for cid, _d, _a in scan}
+        if len(scan) == 1:  # non-interleaved: the component's own grid
+            cid, dc_tid, _ac_tid = scan[0]
+            _cw, _ch, bx_n, by_n, _pbx, _pby = _comp_geometry(frame, cid)
+            units = [(cid, by, bx) for by in range(by_n)
+                     for bx in range(bx_n)]
+            groups = [[u] for u in units]
+        else:  # interleaved MCUs over the padded grids
+            groups = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    g = []
+                    for cid, _dc_tid, _ac_tid in scan:
+                        _, h, v, _q = by_cid[cid]
+                        for by in range(v):
+                            for bx in range(h):
+                                g.append((cid, my * v + by, mx * h + bx))
+                    groups.append(g)
+        tids = {cid: dc_tid for cid, dc_tid, _a in scan}
+        count = 0
+        for g in groups:
+            if (restart_interval and count
+                    and count % restart_interval == 0):
+                reader.sync_restart()
+                preds = {cid: 0 for cid in preds}
+            for cid, by, bx in g:
+                blk = coeffs[cid][by, bx]
+                if ah == 0:  # first DC scan: diff-coded, shifted
+                    size = dc_tables[tids[cid]].decode(reader)
+                    preds[cid] += _extend(reader.bits(size), size)
+                    blk[0] = preds[cid] << al
+                else:  # refinement: one bit per block
+                    if reader.bits(1):
+                        blk[0] |= 1 << al
+            count += 1
+        return reader.pos
+    # AC scan: single component by spec
+    if len(scan) != 1:
+        raise ValueError("progressive AC scans must be non-interleaved")
+    cid, _dc_tid, ac_tid = scan[0]
+    act = ac_tables[ac_tid]
+    _cw, _ch, bx_n, by_n, _pbx, _pby = _comp_geometry(frame, cid)
+    store = coeffs[cid]
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    count = 0
+    for by in range(by_n):
+        for bx in range(bx_n):
+            if (restart_interval and count
+                    and count % restart_interval == 0):
+                reader.sync_restart()
+                eobrun = 0
+            blk = store[by, bx]
+            if ah == 0:  # ----- AC first scan -----
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = act.decode(reader)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run past band end")
+                        blk[k] = _extend(reader.bits(s), s) << al
+                        k += 1
+            else:  # ----- AC refinement scan -----
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = act.decode(reader)
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break
+                            # r == 15: pass over 16 zero-history coeffs
+                        elif s == 1:
+                            newval = p1 if reader.bits(1) else m1
+                        else:
+                            raise ValueError(
+                                "AC refinement size must be 0 or 1")
+                        while k <= se:
+                            if blk[k] != 0:
+                                if reader.bits(1) and (blk[k] & p1) == 0:
+                                    blk[k] += p1 if blk[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:  # correction-bit tail for the run
+                    while k <= se:
+                        if blk[k] != 0:
+                            if reader.bits(1) and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+            count += 1
+    return reader.pos
+
+
+def _reconstruct_progressive(frame, quants, coeffs):
+    """Dequantize + IDCT the accumulated progressive coefficients into
+    cropped per-component planes (frame component order)."""
+    width, height, comps = frame
+    a = _dct_matrix()
+    out = []
+    for cid, _h, _v, qid in comps:
+        if cid not in coeffs:
+            raise ValueError(f"no scan data for component {cid}")
+        quant = quants[qid]
+        cw, ch, bx_n, by_n, _pbx, _pby = _comp_geometry(frame, cid)
+        plane = np.zeros((by_n * 8, bx_n * 8), dtype=np.float64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                zz = coeffs[cid][by, bx]
+                f = np.zeros((8, 8), dtype=np.float64)
+                for kk, (r, c) in enumerate(ZIGZAG):
+                    f[r, c] = zz[kk]
+                f *= quant
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    a.T @ f @ a + 128.0
+                )
+        p = np.clip(np.rint(plane[:ch, :cw]), 0, 255)
+        out.append(p.astype(np.uint8))
+    return width, height, out
 
 
 def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, int, int]:

@@ -5,23 +5,27 @@ metadata — the storage shape that survives 100 TB: payloads stay columnar
 in parquet, never hit the JVM heap as strings, and flow to Python workers
 as Arrow binary batches only in the stages that need bytes.
 
-Decode comes in three tiers (r5, JPEG promoted to tier 1 in r6):
+Decode comes in three tiers (r5; image/audio-container codecs all
+promoted to tier 1 across r6):
 
 1. **REAL decoding** — spec-conformant 24-bit BMP and mono PCM-16 WAV
    in pure struct/numpy (``encode_bmp24``/``decode_bmp24``,
    ``encode_wav_pcm16``/``decode_wav_pcm16``,
    ``real_media_table``/``decode_media_real``): magic-byte sniffing,
-   BGR row-padding walk, RIFF chunk walk — PLUS baseline JPEG (SOF0)
-   via the full pure-numpy codec in ``jpeg.py`` (Huffman from DHT,
-   dequant, IDCT, subsampling, restart markers).  Declared +
-   oracle-checked as ``x_multimodal_real_decode`` (BMP/WAV) and
-   ``x_multimodal_jpeg_decode`` (3-way incl. JPEG); container
-   conformance is independently struct-validated in tests.
-2. **Remaining compressed codecs** (progressive JPEG, PNG/MP3/MP4) —
-   these genuinely need codec libraries (zlib-inflate, MDCT audio,
-   video codecs) absent from this container, so the per-format
+   BGR row-padding walk, RIFF chunk walk — PLUS full JPEG (baseline
+   SOF0 AND progressive SOF2 with successive approximation) via the
+   pure-numpy codec in ``jpeg.py``, PNG (stdlib zlib + the five row
+   filters + Adam7) via ``png.py``, and GIF (real variable-width LZW
+   + interlace) via ``gif.py``.  Declared + oracle-checked as
+   ``x_multimodal_real_decode`` (BMP/WAV),
+   ``x_multimodal_jpeg_decode``, ``x_multimodal_png_decode``, and
+   ``x_multimodal_gif_decode``; container conformance is
+   independently validated in tests.
+2. **Remaining compressed codecs** (MP3/MP4) — perceptual audio/video
+   genuinely need DSP codec libraries (MDCT psychoacoustics, motion
+   compensation) absent from this container, so the per-format
    decoders raise ``NotImplementedError`` for them; on a cluster with
-   PIL/ffmpeg, only those marked bodies change.
+   ffmpeg, only those marked bodies change.
 3. The original deterministic **fake parser** (``decode_media`` with
    ``real=False``) stays as the arithmetic-oracle form.
 
@@ -213,10 +217,14 @@ def real_media_table(spark, sf_dir: str):
 
 def codec_media_table(spark, sf_dir: str):
     """The r6 three-way media table: doc_id % 3 == 0 -> 24-bit BMP,
-    == 1 -> mono PCM-16 WAV, == 2 -> a GENUINE baseline JPEG (gray,
-    constant md5-derived EVEN level so the lossy codec reconstructs it
-    EXACTLY: with the Annex-K.1 DC step 16, v_dec = 2*round((v-128)/2)
-    + 128 = v for even v — see jpeg.py).  Dimensions/amplitude/level
+    == 1 -> mono PCM-16 WAV, == 2 -> a GENUINE JPEG (gray, constant
+    md5-derived EVEN level so the lossy codec reconstructs it EXACTLY:
+    with the Annex-K.1 DC step 16, v_dec = 2*round((v-128)/2) + 128 =
+    v for even v — see jpeg.py); within the JPEG slice, did % 6 == 5
+    encodes PROGRESSIVE (SOF2, multi-scan successive approximation)
+    instead of baseline — same quantized coefficients, so the decoded
+    metadata and the oracle are identical while the progressive decode
+    path runs on half the slice.  Dimensions/amplitude/level
     are pure functions of (text length, md5(text)), so a SQL oracle
     recomputes the decoded metadata closed-form while every payload is
     a real container/codestream an external tool opens.  Built
@@ -225,7 +233,7 @@ def codec_media_table(spark, sf_dir: str):
 
     import numpy as np
 
-    from .jpeg import encode_jpeg_gray
+    from .jpeg import encode_jpeg_gray, encode_jpeg_gray_progressive
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
@@ -253,8 +261,10 @@ def codec_media_table(spark, sf_dir: str):
                     w, hh = n % 24 + 4, n % 12 + 4
                     v = (h[0] % 128) * 2  # even -> lossless reconstruction
                     types.append("image")
+                    enc = (encode_jpeg_gray_progressive
+                           if did % 6 == 5 else encode_jpeg_gray)
                     payloads.append(
-                        encode_jpeg_gray(np.full((hh, w), v, dtype=np.uint8))
+                        enc(np.full((hh, w), v, dtype=np.uint8))
                     )
             yield pd.DataFrame(
                 {
@@ -423,9 +433,10 @@ def decode_media_real(media_df):
                     sums.append(s)
                 else:
                     raise NotImplementedError(
-                        "compressed media formats beyond baseline JPEG, "
-                        "PNG, and GIF (MP3/MP4) require codec libraries "
-                        "not present in this environment"
+                        "compressed media formats beyond JPEG "
+                        "(baseline + progressive), PNG, and GIF "
+                        "(MP3/MP4) require codec libraries not present "
+                        "in this environment"
                     )
             yield pd.DataFrame(
                 {

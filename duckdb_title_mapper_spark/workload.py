@@ -2103,8 +2103,10 @@ def x_multimodal_real_resize(spark, sf_dir):
     "same magic-sniffing mapInPandas as BMP/WAV.  Constant even-level "
     "gray makes the lossy reconstruction EXACT (DC step 16: "
     "2*round((v-128)/2)+128 = v), so the oracle recomputes the decoded "
-    "metadata closed-form; progressive JPEG / PNG / MP3 / MP4 remain "
-    "the honestly-stubbed environment gap.",
+    "metadata closed-form; half the JPEG slice is encoded PROGRESSIVE "
+    "(SOF2 multi-scan successive approximation, decoded by the same "
+    "codec — r6c), and only MP3 / MP4 remain the honestly-stubbed "
+    "environment gap.",
 )
 def x_multimodal_jpeg_decode(spark, sf_dir):
     from .operators.multimodal import codec_media_table, decode_media_real

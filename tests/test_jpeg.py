@@ -118,10 +118,61 @@ def test_restart_markers_do_not_change_pixels():
         assert np.array_equal(base, got)
 
 
-def test_progressive_raises_not_implemented():
+def test_progressive_equals_baseline_reconstruction():
+    """r6c: full SOF2 support.  The progressive encoder entropy-codes
+    the SAME quantized coefficients as baseline, so the progressive
+    decode must equal the baseline decode EXACTLY — across noise,
+    gradient, and two-region images, with both the default scan script
+    and a deep 3-level successive-approximation script."""
+    from duckdb_title_mapper_spark.operators.jpeg import (
+        encode_jpeg_gray_progressive,
+    )
+
+    deep = (
+        (0, 0, 0, 2), (1, 2, 0, 2), (3, 9, 0, 2), (10, 63, 0, 2),
+        (0, 0, 2, 1), (1, 2, 2, 1), (3, 9, 2, 1), (10, 63, 2, 1),
+        (0, 0, 1, 0), (1, 2, 1, 0), (3, 9, 1, 0), (10, 63, 1, 0),
+    )
+    rng = np.random.RandomState(5)
+    for trial in range(12):
+        h, w = rng.randint(1, 60), rng.randint(1, 60)
+        kind = trial % 3
+        if kind == 0:
+            img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        elif kind == 1:
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = ((yy * 2 + xx * 3) % 256).astype(np.uint8)
+        else:
+            img = np.full((h, w), rng.randint(0, 256), np.uint8)
+            img[: h // 2] = rng.randint(0, 256)
+        base = decode_jpeg_planes(encode_jpeg_gray(img))[2][0]
+        for script in (None, deep):
+            payload = (encode_jpeg_gray_progressive(img)
+                       if script is None
+                       else encode_jpeg_gray_progressive(img, script))
+            # the SOF marker must genuinely be SOF2
+            assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+            prog = decode_jpeg_planes(payload)[2][0]
+            assert np.array_equal(base, prog), (h, w, kind)
+
+
+def test_progressive_constant_closed_form():
+    from duckdb_title_mapper_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_gray_progressive,
+    )
+
+    for v, w, h in [(0, 8, 8), (100, 17, 9), (254, 23, 5)]:
+        payload = encode_jpeg_gray_progressive(
+            np.full((h, w), v, dtype=np.uint8)
+        )
+        assert decode_jpeg_baseline(payload) == (w, h, w * h, v * w * h)
+
+
+def test_arithmetic_coded_raises_not_implemented():
     payload = bytearray(encode_jpeg_gray(np.full((8, 8), 100, np.uint8)))
     sof = payload.find(b"\xff\xc0")
-    payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    payload[sof + 1] = 0xC9  # SOF9: arithmetic-coded sequential
     with pytest.raises(NotImplementedError):
         decode_jpeg_planes(bytes(payload))
 
