@@ -88,6 +88,8 @@ EXTRA = [
     "x_mmr_rerank",
     "x_ann_multiprobe_scaled",
     "x_multimodal_gif_decode",
+    "src_webdataset_shards",
+    "src_tfrecord_roundtrip",
 ]
 
 
