@@ -21,11 +21,15 @@ promoted to tier 1 across r6):
    ``x_multimodal_jpeg_decode``, ``x_multimodal_png_decode``, and
    ``x_multimodal_gif_decode``; container conformance is
    independently validated in tests.
-2. **Remaining compressed codecs** (MP3/MP4) — perceptual audio/video
-   genuinely need DSP codec libraries (MDCT psychoacoustics, motion
-   compensation) absent from this container, so the per-format
-   decoders raise ``NotImplementedError`` for them; on a cluster with
-   ffmpeg, only those marked bodies change.
+2. **Container-level codecs** (r7): MP4 via a real ISO BMFF box walk
+   (``mp4.py`` — duration/timescale, track count, codec fourccs,
+   visual dimensions, sample counts) and MP3 via a real MPEG-1
+   Layer III frame walk (``mp3.py`` — per-frame header validation,
+   table-driven frame lengths, ID3v2 skip).  This is the level a
+   curation pipeline reads; perceptual SAMPLE reconstruction
+   (H.264/HEVC motion compensation, AAC/MP3 MDCT synthesis) is the
+   one remaining genuinely-library-bound layer, documented in those
+   modules — on a cluster with ffmpeg, only that layer changes.
 3. The original deterministic **fake parser** (``decode_media`` with
    ``real=False``) stays as the arithmetic-oracle form.
 
@@ -378,17 +382,191 @@ def gif_media_table(spark, sf_dir: str):
     )
 
 
+MP4_META_SCHEMA = (
+    "media_id BIGINT, n_tracks BIGINT, duration_ms BIGINT, "
+    "timescale BIGINT, video_codec STRING, width BIGINT, height BIGINT, "
+    "v_samples BIGINT, audio_codec STRING, a_frames BIGINT"
+)
+
+MP3_META_SCHEMA = (
+    "media_id BIGINT, sample_rate BIGINT, bitrate_kbps BIGINT, "
+    "n_frames BIGINT, n_samples BIGINT, duration_ms BIGINT, "
+    "stream_bytes BIGINT, has_id3 BOOLEAN"
+)
+
+_MP4_FPS = (24, 25, 30)
+
+
+def mp4_media_table(spark, sf_dir: str):
+    """All-MP4 media table (r7, closing the MP4 stub): every document
+    becomes a GENUINE two-track ISO BMFF file (``mp4.py``) — duration,
+    frame rate, dimensions, video codec fourcc (avc1/hvc1 split), and
+    audio rate all pure functions of (text length, md5(text)), so a
+    SQL oracle recomputes the box-walked metadata exactly while each
+    payload is a real container an external demuxer walks."""
+    import hashlib
+
+    from .mp4 import encode_mp4
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, payloads = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                h = hashlib.md5(text.encode()).digest()
+                ids.append(did)
+                types.append("video")
+                payloads.append(encode_mp4(
+                    width=(h[2] % 64 + 16) * 2,
+                    height=(h[3] % 36 + 9) * 2,
+                    v_codec="avc1" if did % 2 == 0 else "hvc1",
+                    fps=_MP4_FPS[h[1] % 3],
+                    secs=n % 30 + 1,
+                    a_rate=48000 if h[4] % 2 == 0 else 44100,
+                    fill=h[5],
+                ))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": types,
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(
+        build, "media_id BIGINT, media_type STRING, payload BINARY"
+    )
+
+
+def mp3_media_table(spark, sf_dir: str):
+    """All-MP3 media table (r7, closing the LAST codec stub): every
+    document becomes a GENUINE MPEG-1 Layer III frame stream
+    (``mp3.py``) — frame count, bitrate index, samplerate (48k/32k so
+    durations stay integral ms) from md5; odd doc_ids carry an ID3v2.4
+    tag the frame walk must skip.  Metadata is closed-form for the SQL
+    oracle; the payload is a real stream any frame-walker parses."""
+    import hashlib
+
+    from .mp3 import encode_mp3
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, payloads = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                h = hashlib.md5(text.encode()).digest()
+                ids.append(did)
+                types.append("audio")
+                payloads.append(encode_mp3(
+                    bitrate_idx=h[1] % 14 + 1,
+                    rate_idx=1 if h[2] % 2 == 0 else 2,
+                    n_frames=n % 40 + 5,
+                    fill=h[3],
+                    id3_pad=(h[4] % 128 + 16) if did % 2 == 1 else 0,
+                ))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": types,
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(
+        build, "media_id BIGINT, media_type STRING, payload BINARY"
+    )
+
+
+def extract_mp4_meta(media_df):
+    """ISO BMFF box-walk metadata extraction via ``mapInPandas`` — the
+    curation-pass read: movie duration/timescale, track count, codec
+    fourccs, visual dimensions, per-track sample counts, all from the
+    real moov tree (``mp4.parse_mp4_meta``).  Map-side only."""
+    from .mp4 import parse_mp4_meta
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [parse_mp4_meta(bytes(pl)) for pl in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_tracks": pd.Series(
+                        [m["n_tracks"] for m in rows], dtype="int64"),
+                    "duration_ms": pd.Series(
+                        [m["duration"] * 1000 // m["timescale"]
+                         for m in rows], dtype="int64"),
+                    "timescale": pd.Series(
+                        [m["timescale"] for m in rows], dtype="int64"),
+                    "video_codec": [m["video_codec"] for m in rows],
+                    "width": pd.Series(
+                        [m["width"] for m in rows], dtype="int64"),
+                    "height": pd.Series(
+                        [m["height"] for m in rows], dtype="int64"),
+                    "v_samples": pd.Series(
+                        [m["v_samples"] for m in rows], dtype="int64"),
+                    "audio_codec": [m["audio_codec"] for m in rows],
+                    "a_frames": pd.Series(
+                        [m["a_samples"] for m in rows], dtype="int64"),
+                }
+            )
+
+    return media_df.mapInPandas(work, MP4_META_SCHEMA)
+
+
+def extract_mp3_meta(media_df):
+    """MPEG-audio frame-walk metadata via ``mapInPandas``: per stream
+    the validated frame count, rate/bitrate, exact duration, and total
+    frame bytes (``mp3.parse_mp3_meta``).  Map-side only."""
+    from .mp3 import SAMPLES_PER_FRAME_V1L3, parse_mp3_meta
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [parse_mp3_meta(bytes(pl)) for pl in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.Series(
+                        [m["sample_rate"] for m in rows], dtype="int64"),
+                    "bitrate_kbps": pd.Series(
+                        [m["bitrate_kbps"] for m in rows], dtype="int64"),
+                    "n_frames": pd.Series(
+                        [m["n_frames"] for m in rows], dtype="int64"),
+                    "n_samples": pd.Series(
+                        [m["n_samples"] for m in rows], dtype="int64"),
+                    "duration_ms": pd.Series(
+                        [m["n_frames"] * SAMPLES_PER_FRAME_V1L3 * 1000
+                         // m["sample_rate"] for m in rows], dtype="int64"),
+                    "stream_bytes": pd.Series(
+                        [m["stream_bytes"] for m in rows], dtype="int64"),
+                    "has_id3": pd.Series(
+                        [m["has_id3"] for m in rows], dtype="bool"),
+                }
+            )
+
+    return media_df.mapInPandas(work, MP3_META_SCHEMA)
+
+
 def decode_media_real(media_df):
     """REAL container decoding via ``mapInPandas`` — pure struct/numpy
     parsing sniffed by magic bytes: 24-bit BMP, mono PCM-16 WAV, and
     (r6) baseline JPEG through the full SOF0 codec in ``jpeg.py``.
-    (r6b) PNG through the stdlib-zlib codec in ``png.py``.  Remaining
-    compressed codecs (progressive JPEG, MP3/MP4) still raise
-    NotImplementedError inside the per-format decoders — THAT is the
-    remaining environment gap, not the decode plumbing, which this
-    function executes end-to-end on genuine bytes."""
+    (r6b) PNG through the stdlib-zlib codec in ``png.py``.  (r7) MP4
+    and MP3 at CONTAINER level — ISO BMFF box walk / MPEG frame walk
+    via ``mp4.py``/``mp3.py`` (metadata-true; perceptual sample decode
+    is the one remaining genuinely-library-bound layer, documented in
+    those modules)."""
     from .gif import decode_gif
     from .jpeg import decode_jpeg_baseline
+    from .mp3 import parse_mp3_meta
+    from .mp4 import parse_mp4_meta
     from .png import decode_png
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -431,12 +609,28 @@ def decode_media_real(media_df):
                     hs.append(hh)
                     units.append(npix)
                     sums.append(s)
+                elif len(pl) >= 12 and pl[4:8] == b"ftyp":
+                    m = parse_mp4_meta(pl)
+                    fmts.append("mp4")
+                    ws.append(m["width"])
+                    hs.append(m["height"])
+                    units.append(m["v_samples"] + m["a_samples"])
+                    sums.append(m["duration"] * 1000 // m["timescale"])
+                elif pl[:3] == b"ID3" or (
+                    len(pl) >= 4 and pl[0] == 0xFF and pl[1] & 0xE0 == 0xE0
+                ):
+                    m = parse_mp3_meta(pl)
+                    fmts.append("mp3")
+                    ws.append(m["sample_rate"])
+                    hs.append(0)
+                    units.append(m["n_samples"])
+                    sums.append(m["stream_bytes"])
                 else:
                     raise NotImplementedError(
-                        "compressed media formats beyond JPEG "
-                        "(baseline + progressive), PNG, and GIF "
-                        "(MP3/MP4) require codec libraries not present "
-                        "in this environment"
+                        "unrecognized media container: BMP, WAV, JPEG "
+                        "(baseline + progressive), PNG, GIF, MP4 "
+                        "(box-walk), and MP3 (frame-walk) are the "
+                        "implemented sniffable formats"
                     )
             yield pd.DataFrame(
                 {

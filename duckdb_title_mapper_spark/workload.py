@@ -9357,6 +9357,97 @@ def x_zorder_skipping(spark, sf_dir):
     return spark.sql(_zorder_skipping_sql(True))
 
 
+@_q(
+    "x_multimodal_mp4_meta",
+    """WITH d AS (
+      SELECT doc_id, length(text) AS n,
+             ('0x' || substr(md5(text), 3, 2))::BIGINT AS b1,
+             ('0x' || substr(md5(text), 5, 2))::BIGINT AS b2,
+             ('0x' || substr(md5(text), 7, 2))::BIGINT AS b3,
+             ('0x' || substr(md5(text), 9, 2))::BIGINT AS b4
+      FROM documents),
+    m AS (SELECT doc_id, n % 30 + 1 AS secs,
+                 CASE b1 % 3 WHEN 0 THEN 24 WHEN 1 THEN 25
+                      ELSE 30 END AS fps,
+                 (b2 % 64 + 16) * 2 AS w, (b3 % 36 + 9) * 2 AS h,
+                 CASE WHEN doc_id % 2 = 0 THEN 'avc1'
+                      ELSE 'hvc1' END AS vc,
+                 CASE WHEN b4 % 2 = 0 THEN 48000 ELSE 44100 END AS ar
+          FROM d)
+    SELECT doc_id AS media_id,
+           CAST(2 AS BIGINT) AS n_tracks,
+           CAST(secs * 1000 AS BIGINT) AS duration_ms,
+           CAST(1000 AS BIGINT) AS timescale,
+           vc AS video_codec,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(secs * fps AS BIGINT) AS v_samples,
+           'mp4a' AS audio_codec,
+           CAST(secs * (ar // 1024) AS BIGINT) AS a_frames
+    FROM m""",
+    "REAL MP4 metadata extraction (r7, closing the r6 MP4 stub with a "
+    "pure-struct ISO BMFF box walk — mp4.py): every document becomes "
+    "a GENUINE two-track MP4 (ftyp + full moov tree with mvhd/trak/"
+    "tkhd/mdia/mdhd/hdlr/minf/dinf/stbl incl. avc1|hvc1 and mp4a "
+    "sample entries, stts/stsc/stsz/stco with ABSOLUTE two-pass chunk "
+    "offsets, mdat), then the box walk reads back duration/timescale, "
+    "track count, codec fourccs, visual dimensions, and stsz sample "
+    "counts — the fields a 100 TB curation pass filters on.  The "
+    "container is lossless over its metadata, so the oracle is the "
+    "input metadata verbatim (the PNG/GIF oracle construction).  "
+    "mapInPandas, map-side only; perceptual sample decode is the one "
+    "remaining library-bound layer, documented in mp4.py.",
+)
+def x_multimodal_mp4_meta(spark, sf_dir):
+    from .operators.multimodal import extract_mp4_meta, mp4_media_table
+
+    return extract_mp4_meta(mp4_media_table(spark, sf_dir))
+
+
+@_q(
+    "x_multimodal_mp3_meta",
+    """WITH d AS (
+      SELECT doc_id, length(text) AS n,
+             ('0x' || substr(md5(text), 3, 2))::BIGINT AS b1,
+             ('0x' || substr(md5(text), 5, 2))::BIGINT AS b2
+      FROM documents),
+    m AS (SELECT doc_id, n % 40 + 5 AS nf,
+                 CASE b1 % 14 + 1
+                      WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+                      WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+                      WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+                      WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+                      WHEN 13 THEN 256 ELSE 320 END AS kbps,
+                 CASE WHEN b2 % 2 = 0 THEN 48000 ELSE 32000 END AS rate
+          FROM d)
+    SELECT doc_id AS media_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(kbps AS BIGINT) AS bitrate_kbps,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(nf * 1152 AS BIGINT) AS n_samples,
+           CAST(nf * 1152 * 1000 // rate AS BIGINT) AS duration_ms,
+           CAST(nf * ((144000 * kbps) // rate) AS BIGINT) AS stream_bytes,
+           doc_id % 2 = 1 AS has_id3
+    FROM m""",
+    "REAL MP3 metadata extraction (r7, closing the LAST codec stub "
+    "with a pure-integer MPEG-1 Layer III frame walk — mp3.py): every "
+    "document becomes a GENUINE frame stream (valid sync + ISO/IEC "
+    "11172-3 table-coded headers; odd doc_ids carry an ID3v2.4 tag "
+    "with syncsafe size the walk must skip), then the parser "
+    "validates each frame, decodes bitrate/samplerate through the "
+    "real tables, advances by the closed-form 144*bitrate/rate frame "
+    "length, and reports frame count, exact duration (48k/32k rates "
+    "keep ms integral), and stream bytes.  Metadata-lossless, so the "
+    "oracle is the input metadata verbatim.  mapInPandas, map-side "
+    "only; MDCT sample synthesis is the library-bound layer, "
+    "documented in mp3.py.",
+)
+def x_multimodal_mp3_meta(spark, sf_dir):
+    from .operators.multimodal import extract_mp3_meta, mp3_media_table
+
+    return extract_mp3_meta(mp3_media_table(spark, sf_dir))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its
