@@ -66,8 +66,9 @@ EXTRA = [
     "x_decontaminate_ngrams",
     "x_pii_redact",
     "x_domain_mix_weights",
-    "x_gram_census",
+    "x_gram_census_dual",
     "x_substring_dup_rolling",
+    "x_substring_dup_dual",
     "x_incremental_dedup",
     "src_python_datasource",
     # round-4 flagships

@@ -38,9 +38,12 @@ passes combined.  On a cluster the materialization mode is ``reliable``
 census would be written partitioned-by-doc-bucket parquet so the three
 consumers (and tomorrow's fourth) schedule against storage.  Collision
 budget at extreme scale: the 47-bit ``g32`` compose is ample for bench
-corpora (~0.1 expected false spans at sf0.1) but a 1e12-span corpus
-wants a second independent lane — compose md5 hex chars 9..16 the same
-way (one extra ``conv``, NO extra md5) for 94 effective bits.  The
+corpora (~0.1 expected false spans at sf0.1); for a 1e12-span (true
+100 TB) corpus the census now ALSO emits the second independent lane
+it designed for — ``h8b``/``g32b`` composed from md5 hex chars 9..16
+of the same digest (one extra ``conv``, NO extra md5), giving the
+(g32, g32b) pair 94 effective bits (r7; ``x_substring_dup_dual`` keys
+spans on the pair, ``x_gram_census_dual`` certifies both lanes).  The
 word-5-gram pass (`x_boilerplate_ngrams`) keeps its own materialized
 relation: its explode unit is tokens, not characters, so there is
 nothing to share.
@@ -53,11 +56,14 @@ _CENSUS_CACHE: dict[tuple[str, str], object] = {}
 CENSUS_VIEW = "__gram_census"
 
 
-def _h8(spark_dialect: bool) -> str:
+def _hex32(spark_dialect: bool, start: int) -> str:
+    """BIGINT from 8 hex chars of the shared per-position md5 string
+    ``m`` — chars 1..8 are the h8 lane, 9..16 the independent h8b lane
+    (r7, VERDICT r6 #6): ONE md5 per position still, two 32-bit words
+    read out of it."""
     if spark_dialect:
-        return ("CAST(conv(substr(md5(substr(text, pos, 8)), 1, 8), 16, 10)"
-                " AS BIGINT)")
-    return "(('0x' || substr(md5(substr(text, pos, 8)), 1, 8))::BIGINT)"
+        return f"CAST(conv(substr(m, {start}, 8), 16, 10) AS BIGINT)"
+    return f"(('0x' || substr(m, {start}, 8))::BIGINT)"
 
 
 def _positions(spark_dialect: bool) -> str:
@@ -74,16 +80,32 @@ def census_sql(spark_dialect: bool) -> str:
     """The fused gram pass in either dialect: one md5 per position,
     longer-gram fingerprints composed from neighboring h8 values on a
     single window partitioning.  Shared text is what makes the derived
-    queries' DuckDB oracles recompute the identical integers."""
-    return f"""SELECT doc_id, n_chars, pos, h8,
+    queries' DuckDB oracles recompute the identical integers.
+
+    r7 adds the SECOND fingerprint lane the module docstring designed:
+    ``h8b`` reads md5 hex chars 9..16 of the SAME digest (no extra
+    md5, one extra conv) and ``g32b`` composes it over the same
+    stride-8 span positions — the (g32, g32b) pair carries 94
+    effective bits, the collision budget a 1e12-span (true 100 TB)
+    corpus needs.  h8/h12/g32 values are bit-identical to the r6
+    census, so every pre-existing consumer's output is unchanged."""
+    h8 = _hex32(spark_dialect, 1)
+    h8b = _hex32(spark_dialect, 9)
+    return f"""SELECT doc_id, n_chars, pos, h8, h8b,
            CASE WHEN pos <= n_chars - 11
                 THEN h8 * 31 + lead(h8, 4) OVER win END AS h12,
            CASE WHEN pos % 8 = 1 AND pos <= n_chars - 31
                 THEN ((h8 * 31 + lead(h8, 8) OVER win) * 31
                       + lead(h8, 16) OVER win) * 31
-                     + lead(h8, 24) OVER win END AS g32
-    FROM (SELECT doc_id, n_chars, pos, {_h8(spark_dialect)} AS h8
-          FROM ({_positions(spark_dialect)}) st) b
+                     + lead(h8, 24) OVER win END AS g32,
+           CASE WHEN pos % 8 = 1 AND pos <= n_chars - 31
+                THEN ((h8b * 31 + lead(h8b, 8) OVER win) * 31
+                      + lead(h8b, 16) OVER win) * 31
+                     + lead(h8b, 24) OVER win END AS g32b
+    FROM (SELECT doc_id, n_chars, pos, {h8} AS h8, {h8b} AS h8b
+          FROM (SELECT doc_id, n_chars, pos,
+                       md5(substr(text, pos, 8)) AS m
+                FROM ({_positions(spark_dialect)}) st) bm) b
     WINDOW win AS (PARTITION BY doc_id ORDER BY pos)"""
 
 
@@ -152,6 +174,32 @@ def census_manifest_sql(spark_dialect: bool) -> str:
         return _manifest_tail(CENSUS_VIEW)
     return (f"WITH census AS ({census_sql(False)})\n"
             + _manifest_tail("census"))
+
+
+def _manifest_dual_tail(src: str) -> str:
+    return f"""SELECT doc_id,
+           max(n_chars) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_grams8,
+           CAST(count(h12) AS BIGINT) AS n_grams12,
+           CAST(count(g32) AS BIGINT) AS n_spans32,
+           CAST(sum(h8) AS BIGINT) AS h8_sum,
+           CAST(sum(h8b) AS BIGINT) AS h8b_sum,
+           CAST(coalesce(sum(h12), 0) AS BIGINT) AS h12_sum,
+           CAST(count(DISTINCT g32) AS BIGINT) AS g32_distinct,
+           CAST(count(DISTINCT g32b) AS BIGINT) AS g32b_distinct
+    FROM {src} GROUP BY doc_id"""
+
+
+def census_manifest_dual_sql(spark_dialect: bool) -> str:
+    """Per-doc manifest over BOTH fingerprint lanes (r7): the r6
+    manifest columns plus the b-lane checksum and span-distinct count,
+    certifying that the census emits two independent 47-bit span
+    lanes off one md5 pass.  Same overflow headroom argument as
+    ``census_manifest_sql`` (h8b < 2^32, docs are 1e2-1e4 grams)."""
+    if spark_dialect:
+        return _manifest_dual_tail(CENSUS_VIEW)
+    return (f"WITH census AS ({census_sql(False)})\n"
+            + _manifest_dual_tail("census"))
 
 
 def winnow_fp_from_census_sql(k: int, w: int) -> str:
@@ -229,3 +277,37 @@ def substring_dup_oracle_sql() -> str:
     SELECT doc_id, n_spans, n_dup_spans,
            n_dup_spans * 2 >= n_spans AS mostly_duplicated
     FROM per_doc"""
+
+
+def _substring_dual_tail(src: str) -> str:
+    return f"""gcount AS (
+      SELECT g, gb, count(DISTINCT doc_id) AS n_docs_with
+      FROM {src} GROUP BY g, gb),
+    per_doc AS (
+      SELECT gr.doc_id,
+             count(*) AS n_spans,
+             CAST(sum(CASE WHEN gc.n_docs_with > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_spans
+      FROM {src} gr JOIN gcount gc ON gr.g = gc.g AND gr.gb = gc.gb
+      GROUP BY gr.doc_id)
+    SELECT doc_id, n_spans, n_dup_spans,
+           n_dup_spans * 2 >= n_spans AS mostly_duplicated
+    FROM per_doc"""
+
+
+def substring_dual_from_census_sql() -> str:
+    """Spark side of the dual-lane span query: spans keyed by the
+    (g32, g32b) PAIR — 94 effective bits, the 1e12-span collision
+    budget.  A span is duplicated only when another document matches
+    BOTH independent lanes."""
+    return (f"WITH grams AS (SELECT doc_id, g32 AS g, g32b AS gb "
+            f"FROM {CENSUS_VIEW} WHERE g32 IS NOT NULL),\n"
+            + _substring_dual_tail("grams"))
+
+
+def substring_dual_oracle_sql() -> str:
+    """DuckDB oracle for the dual-lane substring-span query."""
+    return (f"WITH census AS ({census_sql(False)}),\n"
+            "grams AS (SELECT doc_id, g32 AS g, g32b AS gb FROM census "
+            "WHERE g32 IS NOT NULL),\n"
+            + _substring_dual_tail("grams"))

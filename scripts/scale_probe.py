@@ -33,8 +33,9 @@ EXTRA = [
     "rel_merge_upsert", "rel_latest_per_key", "x_dedup_pipeline",
     # round-3 training-data-prep family
     "x_decontaminate_ngrams", "x_pii_redact", "x_domain_mix_weights",
-    "x_gram_census",
-    "x_substring_dup_rolling", "x_incremental_dedup",
+    "x_gram_census_dual",
+    "x_substring_dup_rolling",
+    "x_substring_dup_dual", "x_incremental_dedup",
     "src_python_datasource",
     # round-3 PQ + lake-hygiene ops
     "x_pq_encode", "x_pq_adc_topk", "x_pq_recall",

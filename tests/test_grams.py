@@ -68,22 +68,63 @@ def test_census_cache_reuses_and_force_rebuilds(spark):
     assert _CENSUS_CACHE[key][0] is c
     # the view points at the cached relation
     assert spark.table(CENSUS_VIEW).columns == [
-        "doc_id", "n_chars", "pos", "h8", "h12", "g32",
+        "doc_id", "n_chars", "pos", "h8", "h8b", "h12", "g32", "g32b",
     ]
 
 
 def test_census_gram_guards(spark):
-    """h12 only where a 12-gram fits; g32 only on stride-8 positions
-    where a 32-gram fits — the fused pass fingerprints exactly the gram
-    sets the standalone passes hashed."""
+    """h12 only where a 12-gram fits; g32/g32b only on stride-8
+    positions where a 32-gram fits — the fused pass fingerprints
+    exactly the gram sets the standalone passes hashed, and both span
+    lanes share the same support."""
     build_census(spark, SF)
     bad = spark.sql(
         f"""SELECT count(*) AS n FROM {CENSUS_VIEW}
         WHERE (h12 IS NOT NULL) != (pos <= n_chars - 11)
            OR (g32 IS NOT NULL) != (pos % 8 = 1 AND pos <= n_chars - 31)
+           OR (g32b IS NOT NULL) != (g32 IS NOT NULL)
            OR pos < 1 OR pos > n_chars - 7"""
     ).first()["n"]
     assert bad == 0
+
+
+def test_census_b_lane_matches_explicit_md5_recompute(spark):
+    """The r7 second lane: h8b must equal md5 hex chars 9..16 of the
+    SAME per-position digest, and g32b its stride-8 base-31 compose —
+    recomputed here from scratch with positional md5 calls (no lead(),
+    no shared m column)."""
+    register_views(spark, SF, "documents")
+    build_census(spark, SF, force=True)
+    hb = ("CAST(conv(substr(md5(substr(text, {p}, 8)), 9, 8), 16, 10)"
+          " AS BIGINT)")
+    explicit = spark.sql(f"""
+        SELECT doc_id, pos, {hb.format(p='pos')} AS h8b,
+               CASE WHEN pos % 8 = 1 AND pos <= n_chars - 31
+                    THEN (({hb.format(p='pos')} * 31
+                           + {hb.format(p='pos + 8')}) * 31
+                          + {hb.format(p='pos + 16')}) * 31
+                         + {hb.format(p='pos + 24')} END AS g32b
+        FROM (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
+                     explode(sequence(1, length(text) - 7)) AS pos
+              FROM documents WHERE length(text) >= 8) st""")
+    got = spark.sql(f"SELECT doc_id, pos, h8b, g32b FROM {CENSUS_VIEW}")
+    assert _rows(got) == _rows(explicit)
+
+
+def test_census_lanes_are_independent(spark):
+    """g32b must not be a function of g32 (the whole point of the
+    second lane): across the corpus the two lanes agree on far fewer
+    pairs than either lane has distinct values."""
+    build_census(spark, SF)
+    r = spark.sql(
+        f"""SELECT count(DISTINCT g32) AS a, count(DISTINCT g32b) AS b,
+                   count(DISTINCT CAST(g32 AS STRING) || ':'
+                         || CAST(g32b AS STRING)) AS pairs,
+                   sum(CASE WHEN g32 = g32b THEN 1 ELSE 0 END) AS eq
+            FROM {CENSUS_VIEW} WHERE g32 IS NOT NULL"""
+    ).first()
+    assert r["pairs"] >= max(r["a"], r["b"])  # pair at least as fine
+    assert r["eq"] == 0 or r["eq"] < r["pairs"] // 1000
 
 
 def test_census_survives_bench_residue_cleanup(spark):
