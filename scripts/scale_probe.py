@@ -91,6 +91,10 @@ EXTRA = [
     "x_multimodal_gif_decode",
     "src_webdataset_shards",
     "src_tfrecord_roundtrip",
+    # round-7 flagships
+    "x_multimodal_mp4_meta",
+    "x_multimodal_mp3_meta",
+    "x_media_curation_report",
 ]
 
 
