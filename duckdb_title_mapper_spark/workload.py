@@ -9576,6 +9576,117 @@ def x_media_curation_report(spark, sf_dir):
     )
 
 
+def _bloom_semijoin_sql(spark_dialect: bool) -> str:
+    """Bloom-filter semi-join pruning (Bloom 1970; the runtime-filter
+    technique Spark's own AQE applies as InjectRuntimeFilter, built
+    here FROM FIRST PRINCIPLES in integer SQL so it is oracle-
+    checkable): the build side (urgent orders) hashes each key to k=3
+    bit positions (three independent 32-bit md5 slices mod m), the
+    filter materializes as 63-bit words via bit_or (bits 0..62 only —
+    bit 63 would wrap negative in two's-complement BIGINT on both
+    engines), and the probe side (distinct lineitem orderkeys) passes
+    only if ALL three positions are set.  The report compares the
+    Bloom verdict against the exact semi-join: zero false negatives
+    BY CONSTRUCTION (same hashes both sides — the query would
+    hash-mismatch its oracle if the implementation broke that), and
+    the measured false-positive rate in bp against the m=258048-bit /
+    k=3 design point.
+
+    Scale: THE distributed join-reduction pattern — the filter is
+    m/8 = 32 KB regardless of build cardinality, broadcastable to
+    every scan task, and prunes probe rows BEFORE the shuffle; at
+    100 TB the probe side never ships non-matching rows.  Build is
+    one aggregate over the (small) dimension side; probe is a
+    broadcast-joinable word lookup, no all-pairs anywhere."""
+    m_words = 4096          # 4096 words x 63 usable bits = 258048 bits
+    if spark_dialect:
+        idiv = "div"
+
+        def h(start):
+            return (f"CAST(conv(substr(md5(CAST(key AS STRING)), {start},"
+                    " 8), 16, 10) AS BIGINT)")
+
+        def shl(e):
+            return f"shiftleft(CAST(1 AS BIGINT), CAST({e} AS INT))"
+    else:
+        idiv = "//"
+
+        def h(start):
+            return (f"(('0x' || substr(md5(CAST(key AS STRING)), {start},"
+                    " 8))::BIGINT)")
+
+        def shl(e):
+            return f"(CAST(1 AS BIGINT) << CAST(({e}) AS INTEGER))"
+
+    m = m_words * 63
+    return f"""WITH bk AS (
+      SELECT DISTINCT o_orderkey AS key FROM orders
+      WHERE o_orderpriority = '1-URGENT'),
+    pk AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+    bpos AS (
+      SELECT key, {h(1)} % {m} AS pos FROM bk
+      UNION ALL SELECT key, {h(9)} % {m} AS pos FROM bk
+      UNION ALL SELECT key, {h(17)} % {m} AS pos FROM bk),
+    filt AS (
+      SELECT w, CAST(bit_or(bitval) AS BIGINT) AS mask
+      FROM (SELECT pos {idiv} 63 AS w, {shl("pos % 63")} AS bitval
+            FROM bpos) fb
+      GROUP BY w),
+    ppos AS (
+      SELECT key, {h(1)} % {m} AS pos FROM pk
+      UNION ALL SELECT key, {h(9)} % {m} AS pos FROM pk
+      UNION ALL SELECT key, {h(17)} % {m} AS pos FROM pk),
+    probe AS (
+      SELECT p.key,
+             CAST(sum(CASE WHEN f.mask IS NOT NULL
+                            AND (f.mask & p.bitval) != 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS hits
+      FROM (SELECT key, pos {idiv} 63 AS w, {shl("pos % 63")} AS bitval
+            FROM ppos) p
+      LEFT JOIN filt f ON p.w = f.w
+      GROUP BY p.key),
+    truth AS (
+      SELECT p.key,
+             CASE WHEN b.key IS NOT NULL THEN 1 ELSE 0 END AS is_true
+      FROM pk p LEFT JOIN bk b ON p.key = b.key),
+    cells AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_probe,
+             CAST(sum(CASE WHEN pr.hits = 3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pass,
+             CAST(sum(t.is_true) AS BIGINT) AS n_true,
+             CAST(sum(CASE WHEN pr.hits = 3 AND t.is_true = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+             CAST(sum(CASE WHEN pr.hits < 3 AND t.is_true = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+      FROM probe pr JOIN truth t ON pr.key = t.key)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM bk) AS n_build,
+           CAST({m} AS BIGINT) AS m_bits,
+           (SELECT CAST(count(*) AS BIGINT) FROM filt) AS n_words_used,
+           n_probe, n_pass, n_true, n_false_pos, n_false_neg,
+           CASE WHEN n_probe = n_true THEN CAST(0 AS BIGINT)
+                ELSE (n_false_pos * 10000) {idiv} (n_probe - n_true)
+           END AS fp_bp
+    FROM cells"""
+
+
+@_q(
+    "x_bloom_semijoin_prune",
+    _bloom_semijoin_sql(False),
+    "Bloom-filter semi-join pruning from first principles in integer "
+    "SQL (k=3 md5-slice hashes into a 258048-bit filter stored as "
+    "63-bit bit_or words): build over the urgent-orders dimension, "
+    "probe over distinct lineitem orderkeys, report Bloom verdicts vs "
+    "the exact semi-join — n_false_neg is ZERO by construction (the "
+    "oracle would catch any break) and the measured fp_bp lands at "
+    "the m/k design point.  The 100 TB join-reduction pattern: a "
+    "32 KB broadcastable filter prunes probe rows before any "
+    "shuffle.",
+)
+def x_bloom_semijoin_prune(spark, sf_dir):
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_bloom_semijoin_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -95,6 +95,7 @@ EXTRA = [
     "x_multimodal_mp4_meta",
     "x_multimodal_mp3_meta",
     "x_media_curation_report",
+    "x_bloom_semijoin_prune",
 ]
 
 
