@@ -275,6 +275,90 @@ def countmin_stream_sketch(spark, sf_dir: str, d: int = 4, w: int = 64):
     )
 
 
+def bloom_stream_words(spark, sf_dir: str, m_words: int = 512, k: int = 3):
+    """STREAMING Bloom-filter maintenance — the OR-merge member that
+    completes the sketch-monoid trio (count-min ADDs, HLL MAXes, Bloom
+    ORs): each micro-batch folds its user keys into k=3 md5-slice bit
+    positions and foreachBatch ORs the 63-bit words into the persisted
+    filter via the same atomic version-pointer store.  OR is
+    idempotent, so at-least-once redelivery is absorbed for free, and
+    words merge across shards/batches in any order — the membership
+    filter a 100 TB ingest keeps per shard to pre-prune downstream
+    semi-joins (x_bloom_semijoin_prune is the batch consumer of this
+    state shape).  After the 4-slice availableNow replay the store
+    equals the batch-computed filter exactly (the oracle)."""
+    from pyspark.sql import functions as F
+
+    m = m_words * 63  # 63 usable bits per BIGINT word (bit 63 = sign)
+    src_dir = _stage_events_multi(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="dtm_stream_bloom_")
+    chk = os.path.join(out, "chk")
+    ptr = os.path.join(out, "CURRENT")
+
+    def current_store():
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            name = f.read().strip()
+        path = os.path.join(out, name)
+        return path if name and os.path.exists(path) else None
+
+    def merge(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        batch_df.createOrReplaceTempView("__bloom_batch")
+        slices = "\n      UNION ALL ".join(
+            "SELECT CAST(conv(substr(md5(CAST(user_id AS STRING)), "
+            f"{1 + 8 * i}, 8), 16, 10) AS BIGINT) % {m} AS pos "
+            "FROM __bloom_batch"
+            for i in range(k)
+        )
+        part = sess.sql(f"""
+            SELECT pos div 63 AS w,
+                   CAST(bit_or(shiftleft(CAST(1 AS BIGINT),
+                        CAST(pos % 63 AS INT))) AS BIGINT) AS mask
+            FROM ({slices}) p
+            GROUP BY pos div 63""")
+        cur = current_store()
+        if cur is not None:
+            old = sess.read.parquet(cur)
+            part = (
+                old.unionByName(part)
+                .groupBy("w")
+                .agg(F.bit_or("mask").cast("bigint").alias("mask"))
+            )
+        vname = f"store.v{batch_id}"
+        vdir = os.path.join(out, vname)
+        part.coalesce(1).write.mode("overwrite").parquet(vdir)
+        tmp_ptr = os.path.join(out, f"CURRENT.tmp{batch_id}")
+        with open(tmp_ptr, "w") as f:
+            f.write(vname)
+        os.replace(tmp_ptr, ptr)
+        for dd in os.listdir(out):
+            if dd.startswith("store.v") and dd != vname:
+                shutil.rmtree(os.path.join(out, dd), ignore_errors=True)
+
+    raw = (
+        spark.readStream.schema(
+            "event_id BIGINT, user_id BIGINT, event_type STRING"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = current_store()
+    if final is None:
+        raise RuntimeError("streaming Bloom produced no store version")
+    return spark.read.parquet(final).select(
+        F.col("w").cast("bigint").alias("w"), "mask"
+    )
+
+
 def hll_stream_registers(spark, sf_dir: str):
     """STREAMING HyperLogLog maintenance — the MAX-merge companion to
     countmin_stream_sketch's ADD-merge: each micro-batch computes its

@@ -1883,6 +1883,37 @@ def stream_hll_cells(spark, sf_dir):
 
 
 @_q(
+    "stream_bloom_words",
+    """SELECT CAST(pos // 63 AS BIGINT) AS w,
+           CAST(bit_or(CAST(1 AS BIGINT)
+                << CAST((pos % 63) AS INTEGER)) AS BIGINT) AS mask
+    FROM (
+      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+             % 32256 AS pos FROM events
+      UNION ALL
+      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT
+             % 32256 AS pos FROM events
+      UNION ALL
+      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 17, 8))::BIGINT
+             % 32256 AS pos FROM events) p
+    GROUP BY pos // 63""",
+    "Streaming Bloom-filter maintenance (r7) — the OR-merge member "
+    "completing the sketch-monoid trio (count-min ADDs, HLL MAXes, "
+    "Bloom ORs): per micro-batch the user keys fold into k=3 md5-"
+    "slice bit positions and foreachBatch ORs the 63-bit words into "
+    "the atomic version-pointer store; OR idempotence absorbs "
+    "at-least-once redelivery free, and words merge in any order — "
+    "the per-shard membership state whose batch consumer is "
+    "x_bloom_semijoin_prune.  After the 4-slice replay the store "
+    "equals the batch filter, the oracle.",
+)
+def stream_bloom_words(spark, sf_dir):
+    from .streaming.sinks import bloom_stream_words
+
+    return bloom_stream_words(spark, sf_dir)
+
+
+@_q(
     "stream_sessionize_stateful",
     _SESSION_ISLANDS_CTE
     + """,

@@ -96,6 +96,7 @@ EXTRA = [
     "x_multimodal_mp3_meta",
     "x_media_curation_report",
     "x_bloom_semijoin_prune",
+    "stream_bloom_words",
 ]
 
 

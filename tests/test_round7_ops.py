@@ -1,0 +1,128 @@
+"""Round-7 operator semantics: Bloom semi-join pruning, streaming
+Bloom-filter maintenance (the OR-monoid sketch member), and the MP4
+curation-report composition."""
+
+import hashlib
+
+
+def _h32(s: str, start: int = 0) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[start:start + 8], 16)
+
+
+SF = SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bloom_semijoin_no_false_negatives_and_sane_fp(spark):
+    """Every true semi-join key must pass the filter (zero false
+    negatives is the Bloom contract) and false positives can only
+    inflate, never deflate, the pass set."""
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    row = all_queries()["x_bloom_semijoin_prune"].spark_fn(
+        spark, SF
+    ).collect()[0]
+    assert row.n_false_neg == 0
+    assert row.n_pass >= row.n_true
+    assert row.n_pass == row.n_true + row.n_false_pos
+    assert row.n_probe >= row.n_pass
+    assert row.n_build > 0 and row.n_words_used > 0
+
+
+def test_bloom_filter_bits_match_python_recompute(spark):
+    """The filter words the query builds must equal a from-scratch
+    Python Bloom over the same build keys (k=3 md5 slices, 63-bit
+    words) — proves the SQL bit arithmetic, not just the verdict."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import register_views
+
+    register_views(spark, SF, "orders", "lineitem")
+    m = 4096 * 63
+    got = {
+        r.w: r.mask
+        for r in spark.sql(f"""
+            WITH bk AS (SELECT DISTINCT o_orderkey AS key FROM orders
+                        WHERE o_orderpriority = '1-URGENT'),
+            bpos AS (
+              SELECT CAST(conv(substr(md5(CAST(key AS STRING)), 1, 8),
+                   16, 10) AS BIGINT) % {m} AS pos FROM bk
+              UNION ALL
+              SELECT CAST(conv(substr(md5(CAST(key AS STRING)), 9, 8),
+                   16, 10) AS BIGINT) % {m} AS pos FROM bk
+              UNION ALL
+              SELECT CAST(conv(substr(md5(CAST(key AS STRING)), 17, 8),
+                   16, 10) AS BIGINT) % {m} AS pos FROM bk)
+            SELECT w, CAST(bit_or(bv) AS BIGINT) AS mask
+            FROM (SELECT pos div 63 AS w,
+                         shiftleft(CAST(1 AS BIGINT),
+                                   CAST(pos % 63 AS INT)) AS bv
+                  FROM bpos) b GROUP BY w""").collect()
+    }
+    keys = [
+        k for (k,) in duckdb.sql(
+            f"SELECT DISTINCT o_orderkey FROM '{SF}/orders.parquet' "
+            "WHERE o_orderpriority = '1-URGENT'"
+        ).fetchall()
+    ]
+    want = {}
+    for k in keys:
+        for start in (0, 8, 16):
+            pos = _h32(str(k), start) % m
+            w, b = pos // 63, pos % 63
+            want[w] = want.get(w, 0) | (1 << b)
+    assert got == want
+
+
+def test_stream_bloom_equals_batch_filter(spark):
+    """The OR-merged streaming store must equal the batch filter over
+    all user keys — and OR-merging the store with itself must be a
+    no-op (idempotence, the at-least-once absorption property)."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["stream_bloom_words"].spark_fn(
+        spark, SF_DIR
+    ).collect()
+    got = {r.w: r.mask for r in rows}
+
+    users = [
+        u for (u,) in duckdb.sql(
+            f"SELECT user_id FROM '{SF_DIR}/events.parquet'"
+        ).fetchall()
+    ]
+    m = 512 * 63
+    want = {}
+    for u in users:
+        for start in (0, 8, 16):
+            pos = _h32(str(u), start) % m
+            w, b = pos // 63, pos % 63
+            want[w] = want.get(w, 0) | (1 << b)
+    assert got == want
+    # idempotence: OR with itself changes nothing
+    assert {w: mk | mk for w, mk in got.items()} == got
+    # 63-bit discipline: no word ever goes negative
+    assert all(mk >= 0 for mk in got.values())
+
+
+def test_media_curation_report_masses_are_consistent(spark):
+    """Cell masses must tie out: kept <= total per cell, and the
+    global video count equals the corpus size (every doc is one MP4)."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_media_curation_report"].spark_fn(
+        spark, SF
+    ).collect()
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_videos for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_videos
+        assert 0 <= r.kept_secs <= r.total_secs
+        assert r.min_pixels <= r.max_pixels
+        if r.dur_class == "clip":
+            # keep rule needs secs >= 3; clips are < 5s so kept <= total
+            assert r.n_kept <= r.n_videos
