@@ -164,6 +164,8 @@ EXTRA = [
     "x_media_curation_report",
     "x_bloom_semijoin_prune",
     "stream_bloom_words",
+    "x_skyline_pareto",
+    "x_kcore_peel",
 ]
 
 

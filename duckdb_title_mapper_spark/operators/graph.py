@@ -199,3 +199,92 @@ def triangle_count(edges_df, src: str = "src", dst: str = "dst"):
         .union(tri.select(F.col("vc").alias("vertex")))
     )
     return verts.groupBy("vertex").agg(F.count("*").alias("n_triangles"))
+
+
+def kcore_peel_trajectory(edges_df, src: str = "src", dst: str = "dst",
+                          rounds: int = 5):
+    """k-core peeling with the threshold k derived IN-QUERY as the
+    median initial degree: each round drops every vertex whose degree
+    *within the surviving subgraph* is below k, and the query reports
+    the per-round trajectory (survivor count, in-core degree sum/max) —
+    the degeneracy probe a graph pipeline runs to size a core-extraction
+    budget.  On near-random graphs (the co-purchase projection) the
+    collapse is the classic sharp core phase transition; the trajectory
+    IS the informative output, so rounds are FIXED (both engines run
+    exactly ``rounds`` refinements — no data-dependent loop count to
+    certify).
+
+    Spark shape: the alive set is re-derived per round by one
+    edges-to-alive semi-join + groupBy (all Catalyst) and MATERIALIZED —
+    each round consumes the previous alive relation twice (va and vb
+    sides), so leaving rounds lazy would double the logical plan per
+    round (the x_bpe_train CTE-inlining trap, ~2^rounds recompute).
+    The DuckDB oracle unrolls the identical rounds as CTEs (DuckDB
+    materializes CTEs, so the unrolled text is linear there).
+
+    The median rank is selected WITHOUT division: rn*2 <= n < (rn+1)*2
+    picks floor(n/2) — one integer idiom valid in both dialects.
+    At 100 TB: per-round cost is one shuffle join on vertex ids (AQE
+    skew-split handles hubs); the alive set shrinks monotonically, so
+    round cost decays; O(diameter)-bounded variants swap the fixed
+    count for a convergence probe (connected_components pattern).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..plans.materialize import materialize as _mat
+
+    edges = _mat(
+        edges_df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges_df.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    deg0 = _mat(
+        edges.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
+        .select(F.col("a").alias("id"), "d")
+    )
+    nv = F.broadcast(deg0.agg(F.count("*").cast("bigint").alias("n0")))
+    # k = degree at ascending rank floor(n0/2) (ties broken by id) —
+    # the same total order the oracle uses
+    kpick = F.broadcast(
+        deg0.select(
+            "d",
+            F.row_number().over(Window.orderBy("d", "id"))
+            .cast("bigint").alias("rn"),
+        )
+        .crossJoin(nv)
+        .where((F.col("rn") * 2 <= F.col("n0"))
+               & ((F.col("rn") + 1) * 2 > F.col("n0")))
+        .select(F.col("d").alias("k"), "n0")
+    )
+    alive = deg0
+    stats = []
+    for r in range(rounds + 1):
+        stats.append(
+            alive.agg(
+                F.count("*").cast("bigint").alias("n_alive"),
+                F.coalesce(F.sum("d"), F.lit(0)).cast("bigint")
+                 .alias("degree_sum"),
+                F.coalesce(F.max("d"), F.lit(0)).cast("bigint")
+                 .alias("degree_max"),
+            ).select(F.lit(r).cast("bigint").alias("round"), "*")
+        )
+        if r == rounds:
+            break
+        nxt = _mat(
+            edges.join(alive.select(F.col("id").alias("bid")),
+                       edges.b == F.col("bid"))
+            .join(alive.select(F.col("id")), edges.a == F.col("id"))
+            .groupBy("id")
+            .agg(F.count("*").cast("bigint").alias("d"))
+            .crossJoin(kpick.select("k"))
+            .where(F.col("d") >= F.col("k"))
+            .select("id", "d")
+        )
+        alive = nxt
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.crossJoin(kpick).select(
+        "round", "n_alive", "degree_sum", "degree_max", "k", "n0"
+    )

@@ -9718,6 +9718,130 @@ def x_bloom_semijoin_prune(spark, sf_dir):
     return spark.sql(_bloom_semijoin_sql(True))
 
 
+def _kcore_sql(rounds: int = 5) -> str:
+    """DuckDB oracle for the fixed-round k-core peel: identical rounds
+    unrolled as CTEs with EXPLICIT ``AS MATERIALIZED`` hints.  The hints
+    are load-bearing: DuckDB 1.0 inlines CTEs per consumer just like
+    Spark, and each round consumes the previous alive relation TWICE
+    (va and vb sides), so the bare text went ~2^rounds — measured
+    >14 GB of temp spill at sf0.1 before failing, while the hinted form
+    runs in seconds.  (x_pagerank's unhinted unrolled oracle survives
+    only because each of its round CTEs has a SINGLE consumer.)  The
+    Spark side must not run this text either way — the driver loop in
+    operators/graph.kcore_peel_trajectory materializes per round."""
+    steps = []
+    prev = "a0"
+    for r in range(1, rounds + 1):
+        steps.append(f"""a{r} AS MATERIALIZED (
+      SELECT id, d FROM (
+        SELECT va.id AS id, CAST(count(*) AS BIGINT) AS d
+        FROM {prev} va
+        JOIN edges e ON e.a = va.id
+        JOIN {prev} vb ON vb.id = e.b
+        GROUP BY va.id) t
+      WHERE d >= (SELECT k FROM kpick))""")
+        prev = f"a{r}"
+    chain = ",\n    ".join(steps)
+    stat_rows = "\n      UNION ALL ".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+             CAST(count(*) AS BIGINT) AS n_alive,
+             CAST(coalesce(sum(d), 0) AS BIGINT) AS degree_sum,
+             CAST(coalesce(max(d), 0) AS BIGINT) AS degree_max
+      FROM a{r}"""
+        for r in range(rounds + 1)
+    )
+    return f"""WITH e0 AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0),
+    edges AS MATERIALIZED (SELECT src AS a, dst AS b FROM e1
+              UNION ALL SELECT dst, src FROM e1),
+    a0 AS MATERIALIZED (SELECT a AS id, CAST(count(*) AS BIGINT) AS d
+           FROM edges GROUP BY a),
+    nv AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM a0),
+    kpick AS MATERIALIZED (
+      SELECT d AS k, n0 FROM (
+        SELECT d, row_number() OVER (ORDER BY d, id) AS rn FROM a0) r
+      CROSS JOIN nv
+      WHERE rn * 2 <= n0 AND (rn + 1) * 2 > n0),
+    {chain},
+    stats AS (
+      {stat_rows})
+    SELECT s.round, s.n_alive, s.degree_sum, s.degree_max, kp.k, kp.n0
+    FROM stats s CROSS JOIN kpick kp"""
+
+
+@_q(
+    "x_kcore_peel",
+    _kcore_sql(),
+    "k-core peeling over the co-purchase projection with the threshold "
+    "k derived IN-QUERY (median initial degree, rank picked by the "
+    "division-free rn*2<=n0<(rn+1)*2 idiom): five fixed rounds each "
+    "drop vertices whose in-subgraph degree falls below k, and the "
+    "query reports the per-round trajectory (survivors, in-core degree "
+    "sum/max) — the degeneracy probe that sizes a core-extraction "
+    "budget, here exhibiting the sharp core collapse of a near-random "
+    "graph.  Spark runs a driver loop with per-round materialization "
+    "(each round consumes the previous alive set TWICE — unrolled CTEs "
+    "would go ~2^rounds under Spark's per-consumer inlining); the "
+    "oracle unrolls the identical rounds as CTEs, which DuckDB "
+    "materializes.  All-BIGINT.",
+)
+def x_kcore_peel(spark, sf_dir):
+    from .operators.graph import kcore_peel_trajectory
+
+    register_views(spark, sf_dir, "lineitem")
+    edges = spark.sql(
+        """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey"""
+    )
+    return kcore_peel_trajectory(edges)
+
+
+_shared(
+    "x_skyline_pareto",
+    """WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS total_cents
+      FROM orders GROUP BY o_custkey),
+    pts AS (
+      SELECT n.n_name AS nation, p.total_cents, p.n_orders,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(min(c.c_custkey) AS BIGINT) AS rep_custkey
+      FROM per_cust p
+      JOIN customer c ON c.c_custkey = p.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, p.total_cents, p.n_orders),
+    flagged AS (
+      SELECT nation, total_cents, n_orders, n_customers, rep_custkey,
+             max(n_orders) OVER (PARTITION BY nation
+                 ORDER BY total_cents DESC, n_orders DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM pts)
+    SELECT nation, total_cents, n_orders, n_customers, rep_custkey
+    FROM flagged
+    WHERE prev_max IS NULL OR prev_max < n_orders""",
+    ("orders", "customer", "nation"),
+    "Skyline (Pareto frontier) per nation over two maximize-criteria "
+    "(customer lifetime cents, order count) in O(n log n): points are "
+    "deduped per (nation, x, y), then one window pass ordered "
+    "(x DESC, y DESC) keeps a point iff the running max of y over "
+    "STRICTLY PRECEDING rows doesn't reach it — after dedup a "
+    "preceding row dominates exactly when its y >= this row's y, so "
+    "the cummax test IS the dominance test (validated against the "
+    "quadratic NOT EXISTS form).  All-BIGINT; shared dialect text.  "
+    "At 100 TB: skyline(U) = skyline(skyline(P1) u skyline(P2)), so "
+    "partitions compute local skylines map-side and only frontier "
+    "points (tiny) reach the per-nation window.",
+)
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -126,3 +126,88 @@ def test_media_curation_report_masses_are_consistent(spark):
         if r.dur_class == "clip":
             # keep rule needs secs >= 3; clips are < 5s so kept <= total
             assert r.n_kept <= r.n_videos
+
+
+def test_skyline_pareto_matches_brute_force(spark):
+    """The one-window-pass skyline must equal the quadratic NOT EXISTS
+    dominance definition, and no returned point may dominate another
+    within the same nation (frontier property)."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_skyline_pareto"].spark_fn(spark, SF).collect()
+    got = sorted((r.nation, r.total_cents, r.n_orders) for r in rows)
+    want = sorted(duckdb.sql(f"""
+        WITH per_cust AS (
+          SELECT o_custkey, count(*) AS n_orders,
+                 sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS total_cents
+          FROM '{SF}/orders.parquet' GROUP BY o_custkey),
+        pts AS (
+          SELECT n.n_name AS nation, p.total_cents, p.n_orders
+          FROM per_cust p
+          JOIN '{SF}/customer.parquet' c ON c.c_custkey = p.o_custkey
+          JOIN '{SF}/nation.parquet' n ON n.n_nationkey = c.c_nationkey
+          GROUP BY ALL)
+        SELECT nation, total_cents, n_orders FROM pts a
+        WHERE NOT EXISTS (SELECT 1 FROM pts b WHERE b.nation = a.nation
+          AND b.total_cents >= a.total_cents
+          AND b.n_orders >= a.n_orders
+          AND (b.total_cents > a.total_cents
+               OR b.n_orders > a.n_orders))""").fetchall())
+    assert got == want
+    for na, xa, ya in got:
+        for nb, xb, yb in got:
+            if na == nb and (xa, ya) != (xb, yb):
+                assert not (xb >= xa and yb >= ya)
+
+
+def test_kcore_peel_matches_python_recompute(spark):
+    """The fixed-round peel trajectory must equal a from-scratch Python
+    peel over the same co-purchase edges (median-degree k, in-subgraph
+    degree recount per round) — proves the iterative operator, not just
+    the oracle text."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_kcore_peel"].spark_fn(spark, SF).collect()
+    got = sorted(
+        (r["round"], r.n_alive, r.degree_sum, r.degree_max, r.k, r.n0)
+        for r in rows
+    )
+    pairs = duckdb.sql(f"""
+        SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM '{SF}/lineitem.parquet' a JOIN '{SF}/lineitem.parquet' b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey""").fetchall()
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    n0 = len(deg)
+    ranked = sorted(deg.items(), key=lambda kv: (kv[1], kv[0]))
+    k = ranked[n0 // 2 - 1][1]  # rank floor(n0/2), 1-indexed rn
+    alive = dict(deg)
+    want = []
+    for r in range(6):
+        want.append((
+            r, len(alive), sum(alive.values()),
+            max(alive.values()) if alive else 0, k, n0,
+        ))
+        if r == 5:
+            break
+        alive = {
+            v: d
+            for v, d in (
+                (v, sum(1 for u in adj[v] if u in alive)) for v in alive
+            )
+            if d >= k
+        }
+    assert got == sorted(want)
+    n_alive_seq = [t[1] for t in sorted(want)]
+    assert n_alive_seq == sorted(n_alive_seq, reverse=True)
