@@ -9718,6 +9718,241 @@ def x_bloom_semijoin_prune(spark, sf_dir):
     return spark.sql(_bloom_semijoin_sql(True))
 
 
+def _record_linkage_sql(spark_dialect: bool) -> str:
+    """Fellegi-Sunter record linkage with INTEGER log-odds weights
+    (centibans — the classic published-table form, so scoring stays
+    engine-exact): candidate pairs come from a compound blocking key
+    (first token x length bucket — an EQUI self-join, never corpus x
+    corpus), each pair gets a field-agreement vector (lang, 3-level
+    token-Jaccard via cross-multiplied integer inequalities, source,
+    length-within-6.25%), the weighted sum classifies match/possible,
+    and non-matches are dropped before output.  Weights: lang +161/-278
+    (m=.95,u=.19), Jaccard +300/+80/-150, source +50/-20, length
+    +100/-80; thresholds 350/0.  At 100 TB blocking is the standard
+    linkage scale lever (block sizes bound the quadratic term; skewed
+    blocks split by AQE), and the agreement vector is one pass per
+    pair."""
+    if spark_dialect:
+        tok = r"array_distinct(regexp_extract_all(lower(text), '\\w+', 0))"
+        inter = "CAST(size(array_intersect(a.tok, b.tok)) AS BIGINT)"
+        sz = "CAST(size({0}.tok) AS BIGINT)"
+        idiv = "div"
+    else:
+        tok = r"list_distinct(regexp_extract_all(lower(text), '\w+'))"
+        inter = "CAST(len(list_intersect(a.tok, b.tok)) AS BIGINT)"
+        sz = "CAST(len({0}.tok) AS BIGINT)"
+        idiv = "//"
+    return f"""WITH toks AS (
+      SELECT doc_id, lang, source, n_chars,
+             split_part(text, ' ', 1) AS blk_tok,
+             n_chars {idiv} 128 AS blk_len,
+             {tok} AS tok
+      FROM documents),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS lang_agree,
+             {inter} AS inter_sz,
+             {sz.format('a')} + {sz.format('b')} AS sum_sz,
+             CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS src_agree,
+             CASE WHEN abs(a.n_chars - b.n_chars) * 16
+                       <= least(a.n_chars, b.n_chars)
+                  THEN 1 ELSE 0 END AS len_agree
+      FROM toks a JOIN toks b
+        ON a.blk_tok = b.blk_tok AND a.blk_len = b.blk_len
+       AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT doc_a, doc_b, CAST(lang_agree AS BIGINT) AS lang_agree,
+             CAST(CASE WHEN 3 * inter_sz >= sum_sz THEN 2
+                       WHEN 6 * inter_sz >= sum_sz THEN 1
+                       ELSE 0 END AS BIGINT) AS jac_level,
+             CAST(src_agree AS BIGINT) AS src_agree,
+             CAST(len_agree AS BIGINT) AS len_agree,
+             CAST(CASE WHEN lang_agree = 1 THEN 161 ELSE -278 END
+                + CASE WHEN 3 * inter_sz >= sum_sz THEN 300
+                       WHEN 6 * inter_sz >= sum_sz THEN 80
+                       ELSE -150 END
+                + CASE WHEN src_agree = 1 THEN 50 ELSE -20 END
+                + CASE WHEN len_agree = 1 THEN 100 ELSE -80 END
+                AS BIGINT) AS score
+      FROM cand)
+    SELECT doc_a, doc_b, lang_agree, jac_level, src_agree, len_agree,
+           score,
+           CASE WHEN score >= 350 THEN 'match'
+                ELSE 'possible' END AS link_class
+    FROM scored WHERE score >= 0"""
+
+
+@_q(
+    "x_record_linkage_fs",
+    _record_linkage_sql(False),
+    "Fellegi-Sunter record linkage in integer centiban weights: "
+    "compound blocking (first token x length bucket, equi self-join), "
+    "field-agreement vector (lang / 3-level cross-multiplied token "
+    "Jaccard / source / length-ratio), weighted-sum classification "
+    "into match-possible with non-matches dropped — the entity-"
+    "resolution scorer a curation pipeline runs between blocking and "
+    "transitive closure (x_connected_components consumes the match "
+    "edges).  Integer weights keep every score and class boundary "
+    "engine-exact.",
+)
+def x_record_linkage_fs(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_record_linkage_sql(True))
+
+
+_IVM_CENTS = (
+    "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+    " AS BIGINT)) AS BIGINT)"
+)
+_IVM_SPLIT = "TIMESTAMP '2000-10-01 00:00:00'"
+
+
+def _ivm_incremental_sql() -> str:
+    """The INCREMENTAL plan (what Spark runs): the maintained view
+    (base aggregate — in production the STORED table, here derived by
+    the base predicate so the query is self-contained) is merged with
+    the delta batch's partial aggregate via one FULL OUTER JOIN +
+    coalesce-add.  count/sum are commutative monoids, so base (+) delta
+    == recompute; the oracle IS the recompute (see x_ivm_agg_merge), so
+    a driver match executes that equivalence across engines rather than
+    assuming it.  At 100 TB this is the nightly-view pattern: the merge
+    touches |view| + |delta| rows, never the raw fact history, and the
+    op column (insert/update/carry) is exactly the write-set a MERGE
+    INTO sink needs."""
+    agg = f"""SELECT o_custkey, o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             {_IVM_CENTS} AS total_cents
+      FROM orders WHERE o_orderdate {{op}} {_IVM_SPLIT}
+      GROUP BY o_custkey, o_orderpriority"""
+    return f"""WITH base AS (
+      {agg.format(op='<')}),
+    delta AS (
+      {agg.format(op='>=')})
+    SELECT coalesce(b.o_custkey, d.o_custkey) AS o_custkey,
+           coalesce(b.o_orderpriority, d.o_orderpriority)
+             AS o_orderpriority,
+           coalesce(b.n_orders, CAST(0 AS BIGINT))
+             + coalesce(d.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+           coalesce(b.total_cents, CAST(0 AS BIGINT))
+             + coalesce(d.total_cents, CAST(0 AS BIGINT)) AS total_cents,
+           CASE WHEN b.o_custkey IS NULL THEN 'insert'
+                WHEN d.o_custkey IS NULL THEN 'carry'
+                ELSE 'update' END AS op
+    FROM base b FULL OUTER JOIN delta d
+      ON b.o_custkey = d.o_custkey
+     AND b.o_orderpriority = d.o_orderpriority"""
+
+
+@_q(
+    "x_ivm_agg_merge",
+    f"""SELECT o_custkey, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {_IVM_CENTS} AS total_cents,
+           CASE WHEN count(CASE WHEN o_orderdate < {_IVM_SPLIT}
+                           THEN 1 END) = 0 THEN 'insert'
+                WHEN count(CASE WHEN o_orderdate >= {_IVM_SPLIT}
+                           THEN 1 END) = 0 THEN 'carry'
+                ELSE 'update' END AS op
+    FROM orders GROUP BY o_custkey, o_orderpriority""",
+    "Incremental view maintenance for a grouped aggregate: Spark runs "
+    "the INCREMENTAL plan (stored base view (+) delta-batch partial "
+    "aggregate via one FULL OUTER JOIN + coalesce-add, emitting the "
+    "insert/update/carry write-set a MERGE INTO sink consumes) while "
+    "the oracle recomputes the view from all raw rows — the driver "
+    "match executes the monoid equivalence base (+) delta == "
+    "recompute across engines.  The 100 TB nightly-view pattern: "
+    "maintenance cost scales with |view| + |delta|, not fact history.",
+)
+def x_ivm_agg_merge(spark, sf_dir):
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_ivm_incremental_sql())
+
+
+def _hll_rollup_sql(spark_dialect: bool) -> str:
+    """Mergeable-sketch ROLLUP: per-source HLL register sets (the
+    x_hll_sketch construction, m=64 buckets, integer estimator) are
+    MAX-merged into a global 'ALL' sketch WITHOUT re-reading the data —
+    the regs_all relation derives from regs_src, not from documents.
+    This is the 100 TB cube pattern: shards sketch locally (64 small
+    integers each), any grouping-set rollup is a per-bucket MAX over
+    sketch state, and the estimator runs on merged registers.  The
+    oracle recomputes everything from raw rows, so a driver match
+    certifies that merge(regs_src) == direct global registers (max
+    associativity, executed rather than assumed).  All integers."""
+    if spark_dialect:
+        h = "CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT)"
+        idiv = "div"
+
+        def shl(e):
+            return f"shiftleft(CAST(1 AS BIGINT), CAST({e} AS INT))"
+    else:
+        h = "(('0x' || substr(md5(text), 1, 8))::BIGINT)"
+        idiv = "//"
+
+        def shl(e):
+            return f"(CAST(1 AS BIGINT) << CAST(({e}) AS INTEGER))"
+
+    est = f"(709 * 4096 * {shl('k.rmax')}) {idiv} k.k_total {idiv} 1000"
+    return f"""WITH h AS (
+      SELECT DISTINCT source, {h} AS hv FROM documents),
+    parts AS (
+      SELECT source, hv {idiv} 67108864 AS j, hv % 67108864 AS w FROM h),
+    regs_src AS (
+      SELECT source AS scope, j,
+             CAST(max(CASE WHEN w = 0 THEN 27
+                           ELSE 27 - length(bin(w)) END) AS BIGINT) AS r
+      FROM parts GROUP BY source, j),
+    regs_all AS (
+      SELECT 'ALL' AS scope, j, CAST(max(r) AS BIGINT) AS r
+      FROM regs_src GROUP BY j),
+    regs AS (
+      SELECT scope, j, r FROM regs_src
+      UNION ALL SELECT scope, j, r FROM regs_all),
+    agg AS (
+      SELECT scope, CAST(max(r) AS BIGINT) AS rmax,
+             CAST(count(*) AS BIGINT) AS n_used,
+             CAST(count(CASE WHEN r = 0 THEN 1 END) AS BIGINT)
+               AS n_zero_used
+      FROM regs GROUP BY scope),
+    ksum AS (
+      SELECT regs.scope,
+             CAST(sum({shl("a.rmax - regs.r")}) AS BIGINT)
+               + (64 - max(a.n_used)) * max({shl("a.rmax")}) AS k_total,
+             max(a.rmax) AS rmax,
+             64 - max(a.n_used) + max(a.n_zero_used) AS n_zero_registers
+      FROM regs JOIN agg a ON a.scope = regs.scope
+      GROUP BY regs.scope),
+    truth AS (
+      SELECT source AS scope, CAST(count(*) AS BIGINT) AS true_distinct
+      FROM h GROUP BY source
+      UNION ALL
+      SELECT 'ALL', CAST(count(DISTINCT hv) AS BIGINT) FROM h)
+    SELECT k.scope, CAST(64 AS BIGINT) AS m, k.rmax, k.k_total,
+           k.n_zero_registers,
+           {est} AS est_distinct,
+           t.true_distinct,
+           (abs({est} - t.true_distinct) * 10000) {idiv} t.true_distinct
+             AS err_bp
+    FROM ksum k JOIN truth t ON t.scope = k.scope"""
+
+
+@_q(
+    "x_hll_rollup",
+    _hll_rollup_sql(False),
+    "Mergeable-sketch rollup: per-source HLL register sets MAX-merged "
+    "into a global sketch WITHOUT re-reading documents (regs_all "
+    "derives from regs_src) — the cube pattern where shards sketch "
+    "locally and any rollup is a per-bucket MAX over 64-int state; "
+    "the oracle recomputes from raw rows, so the driver match "
+    "executes the merge(shards) == direct-global claim instead of "
+    "assuming it.  Integer estimator throughout (the x_hll_sketch "
+    "construction), est + err_bp exact.",
+)
+def x_hll_rollup(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_hll_rollup_sql(True))
+
+
 def _kcore_sql(rounds: int = 5) -> str:
     """DuckDB oracle for the fixed-round k-core peel: identical rounds
     unrolled as CTEs with EXPLICIT ``AS MATERIALIZED`` hints.  The hints

@@ -99,6 +99,9 @@ EXTRA = [
     "stream_bloom_words",
     "x_skyline_pareto",
     "x_kcore_peel",
+    "x_hll_rollup",
+    "x_ivm_agg_merge",
+    "x_record_linkage_fs",
 ]
 
 

@@ -211,3 +211,107 @@ def test_kcore_peel_matches_python_recompute(spark):
     assert got == sorted(want)
     n_alive_seq = [t[1] for t in sorted(want)]
     assert n_alive_seq == sorted(n_alive_seq, reverse=True)
+
+
+def test_hll_rollup_merge_equals_direct(spark):
+    """The 'ALL' row must be derivable from per-source registers by
+    per-bucket MAX and must equal a direct Python HLL over all hashes
+    — the mergeability property, executed."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_hll_rollup"].spark_fn(spark, SF).collect()
+    by_scope = {r.scope: r for r in rows}
+    texts = [t for (t,) in duckdb.sql(
+        f"SELECT text FROM '{SF}/documents.parquet'"
+    ).fetchall()]
+    regs = {}
+    seen = set()
+    for t in texts:
+        hv = _h32(t)
+        if hv in seen:
+            continue
+        seen.add(hv)
+        j, w = hv >> 26, hv & ((1 << 26) - 1)
+        r = 27 if w == 0 else 27 - w.bit_length()
+        regs[j] = max(regs.get(j, -1), r)
+    rmax = max(regs.values())
+    k_total = sum(1 << (rmax - r) for r in regs.values()) \
+        + (64 - len(regs)) * (1 << rmax)
+    got = by_scope["ALL"]
+    assert got.rmax == rmax and got.k_total == k_total
+    assert got.true_distinct == len(seen)
+    assert got.est_distinct == 709 * 4096 * (1 << rmax) // k_total // 1000
+    src_scopes = [s for s in by_scope if s != "ALL"]
+    assert len(src_scopes) >= 2
+    assert sum(by_scope[s].true_distinct for s in src_scopes) \
+        >= got.true_distinct
+
+
+def test_ivm_merge_equals_recompute_and_op_classes(spark):
+    """The incremental full-outer merge must equal the direct
+    recompute, and op classes must reflect base/delta membership."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_ivm_agg_merge"].spark_fn(spark, SF).collect()
+    got = {(r.o_custkey, r.o_orderpriority):
+           (r.n_orders, r.total_cents, r.op) for r in rows}
+    want = {}
+    for ck, pri, n, cents, op in duckdb.sql(f"""
+        SELECT o_custkey, o_orderpriority, count(*),
+               sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)),
+               CASE WHEN count(CASE WHEN o_orderdate <
+                      TIMESTAMP '2000-10-01 00:00:00' THEN 1 END) = 0
+                    THEN 'insert'
+                    WHEN count(CASE WHEN o_orderdate >=
+                      TIMESTAMP '2000-10-01 00:00:00' THEN 1 END) = 0
+                    THEN 'carry' ELSE 'update' END
+        FROM '{SF}/orders.parquet'
+        GROUP BY o_custkey, o_orderpriority""").fetchall():
+        want[(ck, pri)] = (n, cents, op)
+    assert got == want
+    assert {op for (_, _, op) in got.values()} <= {
+        "insert", "update", "carry"
+    }
+    assert any(op == "update" for (_, _, op) in got.values())
+
+
+def test_record_linkage_scores_recompute(spark):
+    """Every returned pair's score must equal the Python recompute of
+    the agreement-weight sum, class boundaries must hold, and no pair
+    may cross a blocking key."""
+    import re
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_record_linkage_fs"].spark_fn(
+        spark, SF
+    ).collect()
+    docs = {
+        d: (t, lang, srcv, n) for d, t, lang, srcv, n in duckdb.sql(
+            f"SELECT doc_id, text, lang, source, n_chars "
+            f"FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    }
+    assert rows
+    for r in rows:
+        ta, la, sa, na = docs[r.doc_a]
+        tb, lb, sb, nb = docs[r.doc_b]
+        assert ta.split(" ")[0] == tb.split(" ")[0]
+        assert na // 128 == nb // 128
+        wa = set(re.findall(r"\w+", ta.lower()))
+        wb = set(re.findall(r"\w+", tb.lower()))
+        inter, ssum = len(wa & wb), len(wa) + len(wb)
+        score = (161 if la == lb else -278)
+        score += 300 if 3 * inter >= ssum else (
+            80 if 6 * inter >= ssum else -150)
+        score += 50 if sa == sb else -20
+        score += 100 if abs(na - nb) * 16 <= min(na, nb) else -80
+        assert score == r.score and score >= 0
+        assert r.link_class == ("match" if score >= 350 else "possible")
