@@ -9718,6 +9718,201 @@ def x_bloom_semijoin_prune(spark, sf_dir):
     return spark.sql(_bloom_semijoin_sql(True))
 
 
+# Hilbert-curve 4-state machine, derived from the classic xy2d loop
+# (Wikipedia "Hilbert curve" C form) and verified exhaustively against
+# it for all 65536 points of the 256x256 grid (tests re-pin a sample).
+# key = state*4 + xbit*2 + ybit  ->  packed = digit*4 + next_state.
+_HILBERT_PACKED = [1, 4, 14, 8, 0, 15, 5, 9, 10, 6, 12, 3, 11, 13, 7, 2]
+
+
+def _hilbert_chain(idiv: str, bits: int = 8, src: str = "d") -> str:
+    """Chained per-level CTEs computing the Hilbert index of (xb, yb)
+    MSB-first through the 4-state machine.  One CASE per level packs
+    (digit, next_state) into a single integer (digit = c {idiv} 4,
+    state = c % 4); every CTE has a SINGLE consumer, so both engines'
+    per-consumer CTE inlining stays linear (the x_kcore_peel lesson)."""
+    whens = " ".join(
+        f"WHEN {k} THEN {v}" for k, v in enumerate(_HILBERT_PACKED)
+    )
+    ctes = [f"""h0 AS (
+      SELECT x, y, xb, yb, CAST(0 AS BIGINT) AS hidx,
+             CAST(0 AS BIGINT) AS st FROM {src})"""]
+    for i in range(1, bits + 1):
+        b = 1 << (bits - i)
+        ctes.append(f"""h{i} AS (
+      SELECT x, y, xb, yb, hidx * 4 + (c {idiv} 4) AS hidx, c % 4 AS st
+      FROM (SELECT x, y, xb, yb, hidx,
+                   CASE st * 4 + ((xb {idiv} {b}) % 2) * 2
+                        + ((yb {idiv} {b}) % 2)
+                        {whens} END AS c
+            FROM h{i - 1}) t)""")
+    return ",\n    ".join(ctes)
+
+
+def _layout_faceoff_sql(spark_dialect: bool, n_buckets: int = 64) -> str:
+    """Three clustering layouts under the same selective x-predicate:
+    LINEAR (sort by the y dimension — the default time-ordered write),
+    MORTON z-order, and HILBERT (chained 4-state machine — better
+    locality: every curve step is distance 1, so bucket bounding boxes
+    are tighter than Morton's quadrant jumps).  Each layout buckets its
+    curve position into {n_buckets} equal ranges, keeps per-bucket
+    x-min/max zone maps, and the probe (middle fifth of the x span,
+    derived in-query) prunes buckets whose box misses — one row per
+    layout with buckets pruned, row mass skipped, AND the probe's
+    curve FRAGMENTATION (contiguous curve runs touched — the Moon et
+    al. 2001 clustering number, where Hilbert's unit-step locality
+    beats Morton's quadrant jumps; aligned power-of-4 bucket bboxes
+    tie by construction).  Linear-
+    by-y bounds only y, so its x-zone-maps prune ~nothing; the two
+    curves trade write-side sort cost for read-side pruning on BOTH
+    dimensions.  All integers."""
+    if spark_dialect:
+        hour = "CAST(date_trunc('hour', ts) AS BIGINT)"
+        idiv = "div"
+    else:
+        hour = "CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)"
+        idiv = "//"
+    morton = _morton_expr("xb", "yb", idiv, bits=8)
+    shift = (1 << 16) // n_buckets
+    return f"""WITH e AS (
+      SELECT CAST(user_id AS BIGINT) AS x,
+             {hour} {idiv} 3600 AS h FROM events),
+    m AS (SELECT CAST(min(x) AS BIGINT) AS x0, CAST(max(x) AS BIGINT) AS x1,
+                 CAST(min(h) AS BIGINT) AS h0, CAST(max(h) AS BIGINT) AS h1
+          FROM e),
+    d AS (SELECT x, (h - h0) AS y,
+                 ((x - x0) * 256) {idiv} (x1 - x0 + 1) AS xb,
+                 ((h - h0) * 256) {idiv} (h1 - h0 + 1) AS yb
+          FROM e CROSS JOIN m),
+    {_hilbert_chain(idiv)},
+    curves AS (
+      SELECT 'linear_y' AS layout, yb * 256 + xb AS cpos, x, y FROM d
+      UNION ALL
+      SELECT 'morton' AS layout, {morton} AS cpos, x, y FROM d
+      UNION ALL
+      SELECT 'hilbert' AS layout, hidx AS cpos, x, y FROM h8),
+    buckets AS (
+      SELECT layout, cpos {idiv} {shift} AS bkt,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(min(x) AS BIGINT) AS x_min,
+             CAST(max(x) AS BIGINT) AS x_max,
+             (CAST(max(x) AS BIGINT) - CAST(min(x) AS BIGINT) + 1)
+               * (CAST(max(y) AS BIGINT) - CAST(min(y) AS BIGINT) + 1)
+               AS bbox_area
+      FROM curves GROUP BY layout, cpos {idiv} {shift}),
+    p AS (SELECT x0 + ((x1 - x0) * 2) {idiv} 5 AS lo,
+                 x0 + ((x1 - x0) * 3) {idiv} 5 AS hi FROM m),
+    v AS (SELECT b.layout, b.n_rows, b.bbox_area,
+                 CASE WHEN b.x_max < p.lo OR b.x_min > p.hi
+                      THEN 1 ELSE 0 END AS pruned
+          FROM buckets b CROSS JOIN p),
+    probe_cells AS (
+      SELECT DISTINCT c.layout, c.cpos
+      FROM curves c CROSS JOIN p WHERE c.x >= p.lo AND c.x <= p.hi),
+    runs AS (
+      SELECT layout,
+             CAST(sum(CASE WHEN prev IS NULL OR cpos - prev > 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS probe_runs
+      FROM (SELECT layout, cpos,
+                   lag(cpos) OVER (PARTITION BY layout ORDER BY cpos)
+                     AS prev
+            FROM probe_cells) q
+      GROUP BY layout)
+    SELECT v.layout,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(pruned) AS BIGINT) AS n_pruned,
+           CAST(sum(n_rows) AS BIGINT) AS rows_total,
+           CAST(sum(CASE WHEN pruned = 1 THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_skipped,
+           (CAST(sum(CASE WHEN pruned = 1 THEN n_rows ELSE 0 END)
+                 AS BIGINT) * 10000) {idiv} CAST(sum(n_rows) AS BIGINT)
+             AS skip_bp,
+           CAST(sum(bbox_area) AS BIGINT) AS bbox_area_sum,
+           max(r.probe_runs) AS probe_runs
+    FROM v JOIN runs r ON r.layout = v.layout
+    GROUP BY v.layout"""
+
+
+@_q(
+    "x_layout_skipping_faceoff",
+    _layout_faceoff_sql(False),
+    "Three-way layout faceoff under one selective x-predicate: linear "
+    "time-sorted writes vs Morton z-order vs a HILBERT curve encoded "
+    "by a chained 4-state machine (one packed CASE per bit level, "
+    "exhaustively verified against the classic xy2d loop) — per-"
+    "layout zone-map pruning verdicts and row mass skipped, the "
+    "measured ranking a table-layout decision needs.  Hilbert's "
+    "unit-step locality tightens bucket bounding boxes over Morton's "
+    "quadrant jumps; linear-by-time prunes ~nothing on x.  Integer "
+    "arithmetic only.",
+)
+def x_layout_skipping_faceoff(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_layout_faceoff_sql(True))
+
+
+def _kmv_set_ops_sql(spark_dialect: bool, k: int = 64) -> str:
+    """KMV / theta-sketch SET ALGEBRA (Dasgupta et al., the DataSketches
+    theta construction): two overlapping document sets (langs en+de vs
+    en+fr) are sketched as bottom-k 32-bit hash sets; the UNION sketch
+    is the bottom-k of the merged sketches (exact KMV property), theta
+    is its k-th hash, and the INTERSECTION estimate counts union-sample
+    hashes present in both sides (rho), scaled rho * est_union / k —
+    every step integer, so estimates AND their error reports are
+    engine-exact.  The 100 TB story: cross-dataset overlap questions
+    (contamination, audience intersection) answered from k-row sketch
+    state per shard, never a full-data join; sketches OR together
+    across shards by bottom-k merge exactly as computed here."""
+    if spark_dialect:
+        h = "CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT)"
+        idiv = "div"
+    else:
+        h = "(('0x' || substr(md5(text), 1, 8))::BIGINT)"
+        idiv = "//"
+    est_u = f"(CAST({k - 1} AS BIGINT) * 4294967296) {idiv} theta"
+    return f"""WITH a AS (
+      SELECT DISTINCT {h} AS hv FROM documents
+      WHERE lang IN ('en', 'de')),
+    b AS (
+      SELECT DISTINCT {h} AS hv FROM documents
+      WHERE lang IN ('en', 'fr')),
+    u AS (SELECT hv FROM a UNION SELECT hv FROM b),
+    kth AS (SELECT max(hv) AS theta
+            FROM (SELECT hv FROM u ORDER BY hv LIMIT {k}) t),
+    rho AS (
+      SELECT CAST(count(*) AS BIGINT) AS rho
+      FROM a JOIN b ON a.hv = b.hv CROSS JOIN kth
+      WHERE a.hv <= theta),
+    truth AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS true_union,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM a JOIN b ON a.hv = b.hv) AS true_inter)
+    SELECT CAST({k} AS BIGINT) AS k, theta,
+           {est_u} AS est_union, true_union,
+           (abs({est_u} - true_union) * 10000) {idiv} true_union
+             AS err_union_bp,
+           (rho * ({est_u})) {idiv} {k} AS est_inter, true_inter,
+           (abs((rho * ({est_u})) {idiv} {k} - true_inter) * 10000)
+             {idiv} true_inter AS err_inter_bp
+    FROM kth CROSS JOIN rho CROSS JOIN truth"""
+
+
+@_q(
+    "x_kmv_set_ops",
+    _kmv_set_ops_sql(False),
+    "Theta-sketch set algebra over KMV bottom-k sketches: union "
+    "cardinality from the merged sketch's k-th hash, intersection "
+    "from the union-sample overlap count rho scaled by est_union/k — "
+    "the cross-dataset overlap estimator (contamination, audience "
+    "intersection) that runs on k-row sketch state instead of a "
+    "full-data join; exact truths and integer error reports ride "
+    "along.  All integer arithmetic, engine-exact.",
+)
+def x_kmv_set_ops(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_kmv_set_ops_sql(True))
+
+
 def _record_linkage_sql(spark_dialect: bool) -> str:
     """Fellegi-Sunter record linkage with INTEGER log-odds weights
     (centibans — the classic published-table form, so scoring stays

@@ -102,6 +102,8 @@ EXTRA = [
     "x_hll_rollup",
     "x_ivm_agg_merge",
     "x_record_linkage_fs",
+    "x_kmv_set_ops",
+    "x_layout_skipping_faceoff",
 ]
 
 

@@ -315,3 +315,76 @@ def test_record_linkage_scores_recompute(spark):
         score += 100 if abs(na - nb) * 16 <= min(na, nb) else -80
         assert score == r.score and score >= 0
         assert r.link_class == ("match" if score >= 350 else "possible")
+
+
+def test_hilbert_table_matches_reference_xy2d():
+    """_HILBERT_PACKED must reproduce the classic xy2d loop for every
+    point of the 256x256 grid — the pure-Python pin of the state
+    machine the SQL chain encodes."""
+    from duckdb_title_mapper_spark.workload import _HILBERT_PACKED
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    for x in range(0, 256, 7):
+        for y in range(0, 256, 5):
+            st, d = 0, 0
+            for i in range(7, -1, -1):
+                key = st * 4 + ((x >> i) & 1) * 2 + ((y >> i) & 1)
+                c = _HILBERT_PACKED[key]
+                d, st = d * 4 + c // 4, c % 4
+            assert d == xy2d(256, x, y)
+
+
+def test_layout_faceoff_invariants(spark):
+    """Same rows under every layout; the y-sorted layout cannot prune
+    on x; curve layouts must prune the ~20%-wide probe heavily; and
+    Hilbert's probe fragmentation must not exceed Morton's (unit-step
+    locality)."""
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = {r.layout: r for r in all_queries()[
+        "x_layout_skipping_faceoff"].spark_fn(spark, SF).collect()}
+    assert set(rows) == {"linear_y", "morton", "hilbert"}
+    totals = {r.rows_total for r in rows.values()}
+    assert len(totals) == 1
+    assert rows["linear_y"].skip_bp == 0
+    assert rows["morton"].skip_bp > 5000
+    assert rows["hilbert"].skip_bp > 5000
+    assert rows["hilbert"].probe_runs <= rows["morton"].probe_runs
+
+
+def test_kmv_set_ops_python_recompute(spark):
+    """Theta, rho-based intersection estimate, and exact truths must
+    all equal a from-scratch Python KMV over the same hashes."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    row = all_queries()["x_kmv_set_ops"].spark_fn(spark, SF).collect()[0]
+    texts = duckdb.sql(
+        f"SELECT DISTINCT text, lang FROM '{SF}/documents.parquet' "
+        "WHERE lang IN ('en','de','fr')"
+    ).fetchall()
+    a = {_h32(t) for t, lg in texts if lg in ("en", "de")}
+    b = {_h32(t) for t, lg in texts if lg in ("en", "fr")}
+    u = sorted(a | b)
+    k = row.k
+    theta = u[k - 1]
+    est_union = (k - 1) * 4294967296 // theta
+    rho = sum(1 for h in u[:k] if h in a and h in b)
+    assert row.theta == theta
+    assert row.est_union == est_union
+    assert row.true_union == len(u)
+    assert row.true_inter == len(a & b)
+    assert row.est_inter == rho * est_union // k
