@@ -171,6 +171,8 @@ EXTRA = [
     "x_record_linkage_fs",
     "x_kmv_set_ops",
     "x_layout_skipping_faceoff",
+    "x_phrase_search",
+    "x_cdc_replay",
 ]
 
 

@@ -9718,6 +9718,95 @@ def x_bloom_semijoin_prune(spark, sf_dir):
     return spark.sql(_bloom_semijoin_sql(True))
 
 
+_shared(
+    "x_cdc_replay",
+    """WITH log AS (
+      SELECT user_id AS k, event_id AS lsn,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             event_type, value
+      FROM events),
+    latest AS (
+      SELECT * FROM (
+        SELECT k, lsn, op, event_type, value,
+               row_number() OVER (PARTITION BY k ORDER BY lsn DESC)
+                 AS rn,
+               CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n_ops,
+               CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY k) AS BIGINT) AS n_tombstones
+        FROM log) t
+      WHERE rn = 1)
+    SELECT k AS user_id, lsn AS last_lsn, event_type AS last_type,
+           value AS last_value, n_ops, n_tombstones
+    FROM latest WHERE op <> 'D'""",
+    ("events",),
+    "CDC log replay / compaction: the event stream read as a change "
+    "log (LSN = event_id, 'error' rows as DELETE tombstones, the rest "
+    "as upserts) replayed to final table state — latest-wins per key, "
+    "keys whose newest op is a tombstone dropped, with per-key op and "
+    "tombstone counts riding along.  One window pass per key (the "
+    "rel_latest_per_key shape plus tombstone semantics); at 100 TB "
+    "this is log-structured compaction: shuffle by key once, replay "
+    "any log segment order-independently because LSN ordering is "
+    "total.  last_value is copied, never computed — bit-identical "
+    "doubles are cross-engine safe.",
+)
+
+
+def _phrase_search_sql(spark_dialect: bool, t1: str = "merge",
+                       t2: str = "join") -> str:
+    """Positional-index phrase search, the IR-canonical form: tokenize
+    into a POSITIONAL POSTINGS relation (term, doc, pos), filter each
+    phrase term's postings (pushed-down, tiny relations), and join on
+    (doc, pos+1) adjacency — never re-scanning text per query.  At
+    100 TB the postings relation is the stored inverted index bucketed
+    by term: a phrase query touches only its terms' postings and the
+    adjacency test is an equi-join, which is why positional indexes
+    (Lucene, ES) answer phrase queries without document access.  The
+    position generator is guarded ``size >= 1`` (Spark sequence(1,0)
+    DESCENDS while DuckDB generate_series(1,0) is empty — the r5
+    x_bpe_train trap)."""
+    if spark_dialect:
+        toks = r"regexp_extract_all(lower(text), '\\w+', 0)"
+        gen = "explode(sequence(1, size(toks)))"
+        ext = "element_at(toks, i)"
+        ln = "size(toks)"
+    else:
+        toks = r"regexp_extract_all(lower(text), '\w+')"
+        gen = "unnest(generate_series(1, len(toks)))"
+        ext = "toks[i]"
+        ln = "len(toks)"
+    return f"""WITH t AS (
+      SELECT doc_id, {toks} AS toks FROM documents),
+    posting AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, {ext} AS term
+      FROM (SELECT doc_id, toks, {gen} AS i
+            FROM t WHERE {ln} >= 1) s),
+    p1 AS (SELECT doc_id, pos FROM posting WHERE term = '{t1}'),
+    p2 AS (SELECT doc_id, pos FROM posting WHERE term = '{t2}')
+    SELECT p1.doc_id,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(min(p1.pos) AS BIGINT) AS first_pos,
+           CAST(max(p1.pos) AS BIGINT) AS last_pos
+    FROM p1 JOIN p2
+      ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+    GROUP BY p1.doc_id"""
+
+
+@_q(
+    "x_phrase_search",
+    _phrase_search_sql(False),
+    "Phrase query over a POSITIONAL inverted index: postings (term, "
+    "doc, pos) filtered per phrase term, adjacency via a (doc, pos+1) "
+    "equi-join, per-doc hit counts and first/last positions — the "
+    "Lucene-style phrase primitive that answers 'merge join' without "
+    "re-scanning text; at scale the postings are the stored term-"
+    "bucketed index and a query touches only its terms' rows.",
+)
+def x_phrase_search(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_phrase_search_sql(True))
+
+
 # Hilbert-curve 4-state machine, derived from the classic xy2d loop
 # (Wikipedia "Hilbert curve" C form) and verified exhaustively against
 # it for all 65536 points of the 256x256 grid (tests re-pin a sample).

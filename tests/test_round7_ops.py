@@ -388,3 +388,58 @@ def test_kmv_set_ops_python_recompute(spark):
     assert row.true_union == len(u)
     assert row.true_inter == len(a & b)
     assert row.est_inter == rho * est_union // k
+
+
+def test_phrase_search_python_recompute(spark):
+    """Per-doc hit counts and first/last positions must equal a direct
+    Python scan for the phrase 'merge join' (1-based positions)."""
+    import re
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_phrase_search"].spark_fn(spark, SF).collect()
+    got = {r.doc_id: (r.n_hits, r.first_pos, r.last_pos) for r in rows}
+    want = {}
+    for d, t in duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        toks = re.findall(r"\w+", t.lower())
+        hits = [
+            i + 1
+            for i in range(len(toks) - 1)
+            if toks[i] == "merge" and toks[i + 1] == "join"
+        ]
+        if hits:
+            want[d] = (len(hits), hits[0], hits[-1])
+    assert got == want and got
+
+
+def test_cdc_replay_python_recompute(spark):
+    """Final state must be latest-wins by LSN with tombstoned keys
+    dropped and correct per-key op counts."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_cdc_replay"].spark_fn(spark, SF).collect()
+    got = {r.user_id: (r.last_lsn, r.last_type, r.n_ops, r.n_tombstones)
+           for r in rows}
+    log = {}
+    for eid, uid, et in duckdb.sql(
+        f"SELECT event_id, user_id, event_type "
+        f"FROM '{SF}/events.parquet'"
+    ).fetchall():
+        log.setdefault(uid, []).append((eid, et))
+    want = {}
+    for uid, ops in log.items():
+        ops.sort()
+        last_lsn, last_type = ops[-1]
+        if last_type == "error":
+            continue  # tombstoned
+        want[uid] = (
+            last_lsn, last_type, len(ops),
+            sum(1 for _, t in ops if t == "error"),
+        )
+    assert got == want and got
