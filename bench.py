@@ -173,6 +173,7 @@ EXTRA = [
     "x_layout_skipping_faceoff",
     "x_phrase_search",
     "x_cdc_replay",
+    "x_setsim_ppjoin",
 ]
 
 

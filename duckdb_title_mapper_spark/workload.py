@@ -9718,6 +9718,148 @@ def x_bloom_semijoin_prune(spark, sf_dir):
     return spark.sql(_bloom_semijoin_sql(True))
 
 
+def _ppjoin_sh_sql(spark_dialect: bool) -> str:
+    """The shingle-set relation alone (Spark materializes it once)."""
+    if spark_dialect:
+        toks = r"regexp_extract_all(lower(text), '\\w+', 0)"
+        gen = "explode(sequence(1, size(toks) - 2))"
+        ln = "size(toks)"
+        ext = "element_at"
+    else:
+        toks = r"regexp_extract_all(lower(text), '\w+')"
+        gen = "unnest(generate_series(1, len(toks) - 2))"
+        ln = "len(toks)"
+        ext = "list_extract"
+    return f"""SELECT DISTINCT doc_id,
+             {ext}(toks, i) || ' ' || {ext}(toks, i + 1) || ' '
+               || {ext}(toks, i + 2) AS g
+      FROM (SELECT doc_id, toks, {gen} AS i
+            FROM (SELECT doc_id, {toks} AS toks FROM documents) t0
+            WHERE {ln} >= 3) t"""
+
+
+def _ppjoin_sql(spark_dialect: bool, sh_view: str | None = None,
+                prefix_view: str | None = None) -> str:
+    """EXACT set-similarity join via PREFIX FILTERING (Chaudhuri et al.
+    SSJoin / Bayardo All-Pairs / PPJoin): documents as 3-gram shingle
+    sets in a global rarest-first order (df asc, shingle asc); any pair
+    with Jaccard >= 1/2 MUST share a shingle inside each side's
+    (|x| - ceil(|x|/2) + 1)-prefix, so candidates come from an
+    equi-join of PREFIX postings only, plus the length filter
+    |a| <= 2|b|.  Verification recounts the exact intersection and
+    keeps 3*inter >= |a|+|b| (Jaccard >= 1/2 cross-multiplied).  This
+    is the scalable EXACT near-dup join — completeness is a theorem,
+    not a probability (vs MinHash LSH) — and the prefix join touches
+    only the rare tail of each set.  Tests verify completeness against
+    the naive quadratic join.  Oracle CTEs carry AS MATERIALIZED
+    (multi-consumer CTEs inline per consumer in DuckDB too — the
+    x_kcore_peel finding)."""
+    if spark_dialect:
+        toks = r"regexp_extract_all(lower(text), '\\w+', 0)"
+        gen = "explode(sequence(1, size(toks) - 2))"
+        ln = "size(toks)"
+        ext = "element_at"
+        idiv = "div"
+        mat = ""
+    else:
+        toks = r"regexp_extract_all(lower(text), '\w+')"
+        gen = "unnest(generate_series(1, len(toks) - 2))"
+        ln = "len(toks)"
+        ext = "list_extract"
+        idiv = "//"
+        mat = "MATERIALIZED "
+    sh_def = f"""SELECT DISTINCT doc_id,
+             {ext}(toks, i) || ' ' || {ext}(toks, i + 1) || ' '
+               || {ext}(toks, i + 2) AS g
+      FROM (SELECT doc_id, toks, {gen} AS i
+            FROM (SELECT doc_id, {toks} AS toks FROM documents) t0
+            WHERE {ln} >= 3) t"""
+    if sh_view is not None:
+        # Spark path: sh AND prefix are MATERIALIZED once outside (5 and
+        # 2 consumers respectively would re-run their subplans per
+        # consumer under per-consumer inlining)
+        sh_cte = f"sh AS (SELECT doc_id, g FROM {sh_view})"
+    else:
+        sh_cte = f"sh AS {mat}(\n      {sh_def})"
+    prefix_body = f"""SELECT r.doc_id, r.g
+      FROM (SELECT s.doc_id, s.g,
+                   CAST(row_number() OVER (
+                       PARTITION BY s.doc_id
+                       ORDER BY d.df, s.g) AS BIGINT) AS rn
+            FROM sh s JOIN df d ON d.g = s.g) r
+      JOIN sz l ON l.doc_id = r.doc_id
+      WHERE r.rn <= l.sz - (l.sz + 1) {idiv} 2 + 1"""
+    prefix_cte = (
+        f"prefix AS (SELECT doc_id, g FROM {prefix_view})"
+        if prefix_view is not None
+        else f"prefix AS {mat}({prefix_body})"
+    )
+    return f"""WITH {sh_cte},
+    df AS {mat}(
+      SELECT g, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY g),
+    sz AS {mat}(
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+      FROM sh GROUP BY doc_id),
+    {prefix_cte},
+    cand AS {mat}(
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM prefix a JOIN prefix b
+        ON a.g = b.g AND a.doc_id < b.doc_id),
+    ver AS (
+      SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS inter_sz
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.da
+      JOIN sh y ON y.doc_id = c.db AND y.g = x.g
+      GROUP BY c.da, c.db)
+    SELECT v.da AS doc_a, v.db AS doc_b, v.inter_sz,
+           la.sz AS sz_a, lb.sz AS sz_b,
+           (v.inter_sz * 10000) {idiv} (la.sz + lb.sz - v.inter_sz)
+             AS jaccard_bp
+    FROM ver v
+    JOIN sz la ON la.doc_id = v.da
+    JOIN sz lb ON lb.doc_id = v.db
+    WHERE la.sz <= 2 * lb.sz AND lb.sz <= 2 * la.sz
+      AND 3 * v.inter_sz >= la.sz + lb.sz"""
+
+
+@_q(
+    "x_setsim_ppjoin",
+    _ppjoin_sql(False),
+    "Exact set-similarity join with PPJoin prefix filtering: 3-gram "
+    "shingle sets in rarest-first global order, candidates only from "
+    "an equi-join of (|x| - ceil(|x|/2) + 1)-prefix postings plus the "
+    "2x length filter, exact-intersection verify at Jaccard >= 1/2 "
+    "(3*inter >= |a|+|b|).  Completeness is a THEOREM (tests check it "
+    "against the naive quadratic join), unlike MinHash LSH recall — "
+    "the scalable exact near-dup join for corpora where misses are "
+    "unacceptable.  All integer.",
+)
+def x_setsim_ppjoin(spark, sf_dir):
+    from .plans.materialize import materialize
+
+    register_views(spark, sf_dir, "documents")
+    sh = materialize(spark.sql(_ppjoin_sh_sql(True)))
+    sh.createOrReplaceTempView("__ppjoin_sh")
+    pfx = materialize(spark.sql(
+        """WITH sh AS (SELECT doc_id, g FROM __ppjoin_sh),
+        df AS (SELECT g, CAST(count(*) AS BIGINT) AS df
+               FROM sh GROUP BY g),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+               FROM sh GROUP BY doc_id)
+        SELECT r.doc_id, r.g
+        FROM (SELECT s.doc_id, s.g,
+                     CAST(row_number() OVER (
+                         PARTITION BY s.doc_id
+                         ORDER BY d.df, s.g) AS BIGINT) AS rn
+              FROM sh s JOIN df d ON d.g = s.g) r
+        JOIN sz l ON l.doc_id = r.doc_id
+        WHERE r.rn <= l.sz - (l.sz + 1) div 2 + 1"""
+    ))
+    pfx.createOrReplaceTempView("__ppjoin_prefix")
+    return spark.sql(_ppjoin_sql(True, sh_view="__ppjoin_sh",
+                                 prefix_view="__ppjoin_prefix"))
+
+
 _shared(
     "x_cdc_replay",
     """WITH log AS (

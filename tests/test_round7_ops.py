@@ -443,3 +443,40 @@ def test_cdc_replay_python_recompute(spark):
             sum(1 for _, t in ops if t == "error"),
         )
     assert got == want and got
+
+
+def test_ppjoin_complete_vs_naive(spark):
+    """Prefix filtering must lose NOTHING: the PPJoin result must equal
+    the naive all-pairs exact-Jaccard join (>= 1/2 on 3-gram shingle
+    sets) — completeness is the theorem the operator sells."""
+    import re
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_setsim_ppjoin"].spark_fn(spark, SF).collect()
+    got = {(r.doc_a, r.doc_b): (r.inter_sz, r.sz_a, r.sz_b, r.jaccard_bp)
+           for r in rows}
+    shingles = {}
+    for d, t in duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        toks = re.findall(r"\w+", t.lower())
+        shingles[d] = {
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        }
+    want = {}
+    ids = sorted(shingles)
+    for i, da in enumerate(ids):
+        for db in ids[i + 1:]:
+            a, b = shingles[da], shingles[db]
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            if 3 * inter >= len(a) + len(b):
+                want[(da, db)] = (
+                    inter, len(a), len(b),
+                    inter * 10000 // (len(a) + len(b) - inter),
+                )
+    assert got == want and got
