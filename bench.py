@@ -174,6 +174,7 @@ EXTRA = [
     "x_phrase_search",
     "x_cdc_replay",
     "x_setsim_ppjoin",
+    "x_quantile_hist_sketch",
 ]
 
 

@@ -9718,6 +9718,88 @@ def x_bloom_semijoin_prune(spark, sf_dir):
     return spark.sql(_bloom_semijoin_sql(True))
 
 
+def _quantile_hist_sql(spark_dialect: bool) -> str:
+    """Mergeable QUANTILE sketch from log2 histograms — the ADD-monoid
+    member of the quantile family (HLL rolls up by MAX, Bloom by OR,
+    count-min and THIS by ADD): bucket = floor(log2(cents)) via
+    length(bin(x)) - 1 (the integer log trick the HLL rank shares),
+    per-priority histograms SUM-merge into the global histogram
+    (hist derives from hist_g, never from raw rows — the shard-rollup
+    form), and p50/p90/p99 come from the cumulative merged histogram
+    with integer within-bucket interpolation.  The exact rank values
+    (global row_number) and integer err_bp ride along, so the sketch's
+    own accuracy is part of the certified output.  At 100 TB the
+    histogram is ~40 small integers per shard, merged associatively —
+    the way a fleet answers latency-percentile questions without a
+    global sort; the exact-rank companion here is the oracle-side
+    truth, not part of the production plan."""
+    if spark_dialect:
+        idiv = "div"
+
+        def shl(e):
+            return f"shiftleft(CAST(1 AS BIGINT), CAST({e} AS INT))"
+    else:
+        idiv = "//"
+
+        def shl(e):
+            return f"(CAST(1 AS BIGINT) << CAST(({e}) AS INTEGER))"
+
+    return f"""WITH cents AS (
+      SELECT o_orderpriority AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS c
+      FROM orders),
+    hist_g AS (
+      SELECT grp, CAST(length(bin(c)) - 1 AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM cents GROUP BY grp, length(bin(c)) - 1),
+    hist AS (
+      SELECT b, CAST(sum(n) AS BIGINT) AS n FROM hist_g GROUP BY b),
+    cum AS (
+      SELECT b, n, CAST(sum(n) OVER (ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum
+      FROM hist),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM hist),
+    qs AS (SELECT 50 AS p UNION ALL SELECT 90 UNION ALL SELECT 99),
+    t AS (SELECT CAST(p AS BIGINT) AS p,
+                 (p * nt + 99) {idiv} 100 AS target, nt
+          FROM qs CROSS JOIN tot),
+    sel AS (
+      SELECT t.p, t.target, t.nt, min(c.b) AS qb
+      FROM t JOIN cum c ON c.cum >= t.target
+      GROUP BY t.p, t.target, t.nt),
+    est AS (
+      SELECT s.p, s.target, s.nt, s.qb,
+             {shl("s.qb")}
+               + ({shl("s.qb")} * (s.target - (c.cum - c.n))) {idiv} c.n
+               AS est_val
+      FROM sel s JOIN cum c ON c.b = s.qb),
+    ranked AS (
+      SELECT c, CAST(row_number() OVER (ORDER BY c) AS BIGINT) AS rn
+      FROM cents)
+    SELECT e.p, e.nt AS n_total, e.qb AS bucket, e.est_val,
+           r.c AS exact_val,
+           (abs(e.est_val - r.c) * 10000) {idiv} r.c AS err_bp
+    FROM est e JOIN ranked r ON r.rn = e.target"""
+
+
+@_q(
+    "x_quantile_hist_sketch",
+    _quantile_hist_sql(False),
+    "Mergeable quantile sketch: per-priority log2 histograms (bucket "
+    "via length(bin(cents))-1) SUM-merged into the global histogram, "
+    "p50/p90/p99 estimated from the cumulative merged counts with "
+    "integer within-bucket interpolation, exact global-rank values "
+    "and err_bp alongside — the ADD-monoid quantile state a fleet "
+    "merges associatively instead of global-sorting; all integer, "
+    "engine-exact.",
+)
+def x_quantile_hist_sketch(spark, sf_dir):
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_quantile_hist_sql(True))
+
+
 def _ppjoin_sh_sql(spark_dialect: bool) -> str:
     """The shingle-set relation alone (Spark materializes it once)."""
     if spark_dialect:

@@ -480,3 +480,42 @@ def test_ppjoin_complete_vs_naive(spark):
                     inter * 10000 // (len(a) + len(b) - inter),
                 )
     assert got == want and got
+
+
+def test_quantile_hist_sketch_python_recompute(spark):
+    """Estimates, exact-rank values, and the merged histogram math
+    must equal a from-scratch Python recompute; estimator error is
+    bounded by one bucket width (factor 2)."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_quantile_hist_sketch"].spark_fn(
+        spark, SF
+    ).collect()
+    cents = sorted(
+        c for (c,) in duckdb.sql(
+            f"SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
+            f"AS BIGINT) FROM '{SF}/orders.parquet'"
+        ).fetchall()
+    )
+    hist = {}
+    for c in cents:
+        b = c.bit_length() - 1
+        hist[b] = hist.get(b, 0) + 1
+    nt = len(cents)
+    assert {r.p for r in rows} == {50, 90, 99}
+    for r in rows:
+        target = (r.p * nt + 99) // 100
+        exact = cents[target - 1]
+        cum = 0
+        for b in sorted(hist):
+            if cum + hist[b] >= target:
+                lo = 1 << b
+                est = lo + lo * (target - cum) // hist[b]
+                break
+            cum += hist[b]
+        assert r.n_total == nt
+        assert r.exact_val == exact and r.est_val == est
+        assert r.err_bp == abs(est - exact) * 10000 // exact
+        assert est <= 2 * exact and exact <= 2 * est
