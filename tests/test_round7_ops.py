@@ -519,3 +519,23 @@ def test_quantile_hist_sketch_python_recompute(spark):
         assert r.exact_val == exact and r.est_val == est
         assert r.err_bp == abs(est - exact) * 10000 // exact
         assert est <= 2 * exact and exact <= 2 * est
+
+
+def test_round7_join_plan_shapes(spark):
+    """No round-7 operator may fall back to a cartesian /
+    broadcast-nested-loop join: linkage, PPJoin, phrase search, and the
+    skyline all have equi keys that must reach the join operator."""
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    for name in ("x_record_linkage_fs", "x_setsim_ppjoin",
+                 "x_phrase_search", "x_skyline_pareto",
+                 "x_layout_skipping_faceoff"):
+        df = core_queries()[name].spark_fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        if name != "x_layout_skipping_faceoff":
+            # the faceoff's BNLJs are 1-row scalar-relation cross joins
+            # (global bounds m, probe p) — the sanctioned scalar-attach
+            # shape, same as x_zorder_layout; all data-data joins above
+            # must stay hash/merge
+            assert "BroadcastNestedLoopJoin" not in plan, name
