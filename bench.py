@@ -175,6 +175,8 @@ EXTRA = [
     "x_cdc_replay",
     "x_setsim_ppjoin",
     "x_quantile_hist_sketch",
+    "stream_kmv_minset",
+    "x_dpp_star_join",
 ]
 
 

@@ -359,6 +359,87 @@ def bloom_stream_words(spark, sf_dir: str, m_words: int = 512, k: int = 3):
     )
 
 
+def kmv_stream_minset(spark, sf_dir: str, k: int = 64):
+    """STREAMING KMV maintenance — the MIN-merge member completing the
+    sketch-monoid QUARTET (count-min ADDs, HLL MAXes, Bloom ORs, KMV
+    MINs): each micro-batch computes its bottom-k distinct user hashes
+    and foreachBatch merges by taking the bottom-k OF THE UNION with
+    the persisted set — an idempotent, commutative, associative merge,
+    so at-least-once redelivery and shard order are absorbed exactly
+    like the other three.  After the 4-slice availableNow replay the
+    store equals the batch bottom-k (the oracle), which carries the
+    (k-1)*2^32/h_k cardinality estimate of x_kmv_sketch."""
+    from pyspark.sql import functions as F
+
+    src_dir = _stage_events_multi(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="dtm_stream_kmv_")
+    chk = os.path.join(out, "chk")
+    ptr = os.path.join(out, "CURRENT")
+
+    def current_store():
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            name = f.read().strip()
+        path = os.path.join(out, name)
+        return path if name and os.path.exists(path) else None
+
+    def merge(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        batch_df.createOrReplaceTempView("__kmv_batch")
+        part = sess.sql(f"""
+            SELECT hv FROM (
+              SELECT DISTINCT CAST(conv(substr(md5(CAST(user_id
+                     AS STRING)), 1, 8), 16, 10) AS BIGINT) AS hv
+              FROM __kmv_batch) h
+            ORDER BY hv LIMIT {k}""")
+        cur = current_store()
+        if cur is not None:
+            old = sess.read.parquet(cur)
+            part = (
+                old.unionByName(part).distinct()
+                .orderBy("hv").limit(k)
+            )
+        vname = f"store.v{batch_id}"
+        vdir = os.path.join(out, vname)
+        part.coalesce(1).write.mode("overwrite").parquet(vdir)
+        tmp_ptr = os.path.join(out, f"CURRENT.tmp{batch_id}")
+        with open(tmp_ptr, "w") as f:
+            f.write(vname)
+        os.replace(tmp_ptr, ptr)
+        for dd in os.listdir(out):
+            if dd.startswith("store.v") and dd != vname:
+                shutil.rmtree(os.path.join(out, dd), ignore_errors=True)
+
+    raw = (
+        spark.readStream.schema(
+            "event_id BIGINT, user_id BIGINT, event_type STRING"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = current_store()
+    if final is None:
+        raise RuntimeError("streaming KMV produced no store version")
+    from pyspark.sql.window import Window
+
+    return (
+        spark.read.parquet(final)
+        .select(
+            F.row_number().over(Window.orderBy("hv"))
+            .cast("bigint").alias("rank"),
+            F.col("hv").cast("bigint").alias("hv"),
+        )
+    )
+
+
 def hll_stream_registers(spark, sf_dir: str):
     """STREAMING HyperLogLog maintenance — the MAX-merge companion to
     countmin_stream_sketch's ADD-merge: each micro-batch computes its

@@ -1914,6 +1914,31 @@ def stream_bloom_words(spark, sf_dir):
 
 
 @_q(
+    "stream_kmv_minset",
+    """SELECT CAST(row_number() OVER (ORDER BY hv) AS BIGINT) AS rank, hv
+    FROM (
+      SELECT hv FROM (
+        SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+               1, 8))::BIGINT AS hv
+        FROM events) h
+      ORDER BY hv LIMIT 64) t""",
+    "Streaming KMV maintenance (r7) — the MIN-merge member completing "
+    "the sketch-monoid QUARTET (count-min ADDs, HLL MAXes, Bloom ORs, "
+    "KMV MINs): per micro-batch the bottom-64 distinct user hashes "
+    "merge into the store as bottom-64 OF THE UNION via the atomic "
+    "version-pointer store; the merge is idempotent + commutative + "
+    "associative, so redelivery and shard order are absorbed.  After "
+    "the 4-slice replay the store equals the batch bottom-k, the "
+    "oracle — the state that carries x_kmv_sketch's cardinality "
+    "estimate and x_kmv_set_ops' theta set algebra.",
+)
+def stream_kmv_minset(spark, sf_dir):
+    from .streaming.sinks import kmv_stream_minset
+
+    return kmv_stream_minset(spark, sf_dir)
+
+
+@_q(
     "stream_sessionize_stateful",
     _SESSION_ISLANDS_CTE
     + """,
@@ -2965,6 +2990,67 @@ def rel_latest_per_key(spark, sf_dir):
                      ORDER BY ts DESC, event_id DESC) AS rn
           FROM events) t
         WHERE rn = 1"""
+    )
+
+
+_DPP_FACT = "/tmp/duckdb_title_mapper_spark_io/dpp_orders_by_status"
+_DPP_DIM = "/tmp/duckdb_title_mapper_spark_io/dpp_dim_status"
+
+
+def _dpp_stage(spark, sf_dir):
+    """Write the status-partitioned fact and the parquet status dim.
+    The dim MUST be a real file source: a VALUES LocalRelation gets its
+    filter constant-folded away, and with no surviving selective
+    predicate on the dim plan Spark's PartitionPruning rule never
+    injects the dynamic filter (probed; the negative control in
+    tests/test_round7_ops.py pins it)."""
+    orders = load(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(
+        _DPP_FACT
+    )
+    spark.sql(
+        "SELECT * FROM (VALUES ('F', 'final'), ('O', 'open'), "
+        "('P', 'pending')) AS d(status, label)"
+    ).write.mode("overwrite").parquet(_DPP_DIM)
+    spark.read.parquet(_DPP_FACT).createOrReplaceTempView("dpp_fact")
+    spark.read.parquet(_DPP_DIM).createOrReplaceTempView("dpp_dim")
+
+
+@_q(
+    "x_dpp_star_join",
+    """SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_orderstatus IN (SELECT status FROM (VALUES ('F', 'final'),
+          ('O', 'open'), ('P', 'pending')) AS d(status, label)
+          WHERE label = 'final')
+    GROUP BY o_orderpriority""",
+    "DYNAMIC partition pruning star join: the fact is written "
+    "partitioned by o_orderstatus and joined to a parquet dimension "
+    "filtered on a non-partition attribute — Spark injects "
+    "dynamicpruningexpression(o_orderstatus IN dynamicpruning#N) into "
+    "the fact scan's PartitionFilters, so only the dim-selected "
+    "partition directories are read at RUNTIME (broadcast reuse, no "
+    "second dim scan).  The 100 TB star-schema staple: a date-dim "
+    "predicate prunes years of fact partitions the optimizer cannot "
+    "prune statically.  Executable plan lock incl. the negative "
+    "control (a VALUES dim constant-folds and never triggers DPP) in "
+    "tests/test_round7_ops.py.",
+)
+def x_dpp_star_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    _dpp_stage(spark, sf_dir)
+    return spark.sql(
+        """SELECT f.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(CAST(f.o_totalprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT)) AS BIGINT) AS total_cents
+        FROM dpp_fact f JOIN dpp_dim d ON d.status = f.o_orderstatus
+        WHERE d.label = 'final'
+        GROUP BY f.o_orderpriority"""
     )
 
 

@@ -539,3 +539,57 @@ def test_round7_join_plan_shapes(spark):
             # shape, same as x_zorder_layout; all data-data joins above
             # must stay hash/merge
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_dpp_fires_and_localrelation_negative_control(spark):
+    """The parquet-dim star join must carry a dynamicpruningexpression
+    in the fact scan's PartitionFilters (runtime partition pruning);
+    the SAME join against a VALUES dim must NOT — constant folding
+    strips the dim filter, so PartitionPruning sees no selective
+    predicate and stays out.  Both plans aggregate to identical
+    results."""
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    df = core_queries()["x_dpp_star_join"].spark_fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan
+    pos = {(r.o_orderpriority, r.n_orders) for r in df.collect()}
+    # negative control reuses the views the query just staged — a
+    # second stage would overwrite the dim files under the live plan
+    neg = spark.sql(
+        """SELECT f.o_orderpriority, count(*) AS n
+        FROM dpp_fact f
+        JOIN (SELECT * FROM (VALUES ('F', 'final'), ('O', 'open'),
+              ('P', 'pending')) AS d(status, label)) d
+          ON d.status = f.o_orderstatus
+        WHERE d.label = 'final'
+        GROUP BY f.o_orderpriority"""
+    )
+    neg_plan = neg._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" not in neg_plan
+    negr = {(r.o_orderpriority, r.n) for r in neg.collect()}
+    assert pos == negr
+
+
+def test_stream_kmv_equals_batch_bottom_k(spark):
+    """The MIN-merged streaming store must equal the batch bottom-64
+    over all user hashes — and re-merging the store with itself is a
+    no-op (idempotence)."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["stream_kmv_minset"].spark_fn(
+        spark, SF_DIR
+    ).collect()
+    got = [(r.rank, r.hv) for r in sorted(rows, key=lambda r: r.rank)]
+    users = {
+        u for (u,) in duckdb.sql(
+            f"SELECT DISTINCT user_id FROM '{SF_DIR}/events.parquet'"
+        ).fetchall()
+    }
+    hs = sorted({_h32(str(u)) for u in users})[:64]
+    want = [(i + 1, h) for i, h in enumerate(hs)]
+    assert got == want
+    merged = sorted(set(h for _, h in got) | set(hs))[:64]
+    assert [h for _, h in got] == merged
