@@ -9804,6 +9804,122 @@ def x_bloom_semijoin_prune(spark, sf_dir):
     return spark.sql(_bloom_semijoin_sql(True))
 
 
+def _bigram_best_sql(spark_dialect: bool) -> str:
+    """The deterministic bigram transition table alone (argmax next
+    token per token, count-desc then lexicographic tie-break) — Spark
+    materializes it once; the oracle marks it AS MATERIALIZED."""
+    if spark_dialect:
+        toks = r"regexp_extract_all(lower(text), '\\w+', 0)"
+        gen = "explode(sequence(1, size(toks) - 1))"
+        ln = "size(toks)"
+        ext = "element_at"
+    else:
+        toks = r"regexp_extract_all(lower(text), '\w+')"
+        gen = "unnest(generate_series(1, len(toks) - 1))"
+        ln = "len(toks)"
+        ext = "list_extract"
+    return f"""SELECT w1, w2 FROM (
+        SELECT w1, w2,
+               row_number() OVER (PARTITION BY w1
+                   ORDER BY c DESC, w2) AS rn
+        FROM (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT {ext}(toks, i) AS w1,
+                           {ext}(toks, i + 1) AS w2
+                    FROM (SELECT toks, {gen} AS i
+                          FROM (SELECT {toks} AS toks
+                                FROM documents) t0
+                          WHERE {ln} >= 2) t1) t2
+              GROUP BY w1, w2) cnt) r
+      WHERE rn = 1"""
+
+
+def _bigram_decode_sql(spark_dialect: bool, steps: int = 20,
+                       best_view: str | None = None) -> str:
+    """GREEDY LM DECODING in SQL: train a bigram model (adjacent-token
+    counts over the corpus), reduce it to a deterministic transition
+    table (argmax next-token per token, count-desc then lexicographic
+    tie-break), then auto-regressively decode ``steps`` tokens from the
+    corpus's most frequent seed token.  The decode chain carries the
+    whole generated PATH as an ARRAY in a 1-row relation — each round
+    consumes only the previous round (single-consumer chain, linear
+    under BOTH engines' per-consumer CTE inlining) and joins the
+    transition table once.  A (steps UNION-of-rows) formulation would
+    give every round TWO consumers and go 2^steps — the x_kcore_peel
+    trap, avoided here by construction rather than by hints.  The
+    transition table has ``steps`` consumers, so Spark materializes it
+    (best_view) and the oracle marks it AS MATERIALIZED.  At scale:
+    training is one (w1,w2) partial-agg shuffle; decoding is chained
+    1-row broadcast joins — driver-free iterative inference."""
+    if spark_dialect:
+        toks = r"regexp_extract_all(lower(text), '\\w+', 0)"
+        gen = "explode(sequence(1, size(toks) - 1))"
+        ln = "size(toks)"
+        ext = "element_at"
+        append = "array_append"
+        arr1 = "array(seed_tok)"
+        mat = ""
+    else:
+        toks = r"regexp_extract_all(lower(text), '\w+')"
+        gen = "unnest(generate_series(1, len(toks) - 1))"
+        ln = "len(toks)"
+        ext = "list_extract"
+        append = "list_append"
+        arr1 = "[seed_tok]"
+        mat = "MATERIALIZED "
+    best_body = _bigram_best_sql(spark_dialect)
+    best_cte = (
+        f"best AS (SELECT w1, w2 FROM {best_view})"
+        if best_view is not None
+        else f"best AS {mat}({best_body})"
+    )
+    chain = ["""s0 AS (
+      SELECT {arr1} AS path, seed_tok AS last_tok
+      FROM (SELECT w1 AS seed_tok FROM (
+        SELECT w1, row_number() OVER (ORDER BY c DESC, w1) AS rn
+        FROM (SELECT {ext}(toks, i) AS w1, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT toks, {gen0} AS i
+                    FROM (SELECT {toks} AS toks FROM documents) u0
+                    WHERE {ln} >= 1) u1
+              GROUP BY w1) uc) ur WHERE rn = 1) sd)""".format(
+        arr1=arr1, ext=ext, toks=toks, ln=ln,
+        gen0=("explode(sequence(1, size(toks)))" if spark_dialect
+              else "unnest(generate_series(1, len(toks)))"))]
+    for i in range(1, steps + 1):
+        chain.append(f"""s{i} AS (
+      SELECT {append}(p.path, b.w2) AS path, b.w2 AS last_tok
+      FROM s{i - 1} p JOIN best b ON b.w1 = p.last_tok)""")
+    chain_txt = ",\n    ".join(chain)
+    gen_pos = ("explode(sequence(1, size(path)))" if spark_dialect
+               else "unnest(generate_series(1, len(path)))")
+    return f"""WITH {best_cte},
+    {chain_txt}
+    SELECT CAST(i - 1 AS BIGINT) AS step, {ext}(path, i) AS token
+    FROM (SELECT path, {gen_pos} AS i FROM s{steps}) fin"""
+
+
+@_q(
+    "x_bigram_greedy_decode",
+    _bigram_decode_sql(False),
+    "Greedy LM decoding in SQL: a bigram model trained as one "
+    "(w1,w2) partial-agg pass, reduced to a deterministic argmax "
+    "transition table, then 20 tokens auto-regressively decoded from "
+    "the most frequent seed — the decode chain carries the path as an "
+    "ARRAY in a 1-row relation, so every round has a SINGLE consumer "
+    "and both engines stay linear (a UNION-of-steps form would go "
+    "2^steps under per-consumer CTE inlining); the transition table "
+    "is materialized on both sides.  Driver-free iterative inference: "
+    "chained 1-row broadcast joins, engine-exact by integer counts + "
+    "lexicographic tie-breaks.",
+)
+def x_bigram_greedy_decode(spark, sf_dir):
+    from .plans.materialize import materialize
+
+    register_views(spark, sf_dir, "documents")
+    best = materialize(spark.sql(_bigram_best_sql(True)))
+    best.createOrReplaceTempView("__bigram_best")
+    return spark.sql(_bigram_decode_sql(True, best_view="__bigram_best"))
+
+
 def _quantile_hist_sql(spark_dialect: bool) -> str:
     """Mergeable QUANTILE sketch from log2 histograms — the ADD-monoid
     member of the quantile family (HLL rolls up by MAX, Bloom by OR,

@@ -110,6 +110,7 @@ EXTRA = [
     "x_quantile_hist_sketch",
     "stream_kmv_minset",
     "x_dpp_star_join",
+    "x_bigram_greedy_decode",
 ]
 
 

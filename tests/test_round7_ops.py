@@ -593,3 +593,36 @@ def test_stream_kmv_equals_batch_bottom_k(spark):
     assert got == want
     merged = sorted(set(h for _, h in got) | set(hs))[:64]
     assert [h for _, h in got] == merged
+
+
+def test_bigram_greedy_decode_python_recompute(spark):
+    """The 21-token greedy decode must equal a from-scratch Python
+    bigram train + argmax rollout (count-desc, lexicographic ties)."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_bigram_greedy_decode"].spark_fn(
+        spark, SF
+    ).collect()
+    got = [r.token for r in sorted(rows, key=lambda r: r.step)]
+    uni, bi = Counter(), Counter()
+    for (t,) in duckdb.sql(
+        f"SELECT text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        toks = re.findall(r"\w+", t.lower())
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    seed = min(uni, key=lambda w: (-uni[w], w))
+    best = {}
+    for (w1, w2), c in bi.items():
+        cur = best.get(w1)
+        if cur is None or (-c, w2) < (-cur[0], cur[1]):
+            best[w1] = (c, w2)
+    path = [seed]
+    for _ in range(20):
+        path.append(best[path[-1]][1])
+    assert got == path
