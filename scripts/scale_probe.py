@@ -111,6 +111,7 @@ EXTRA = [
     "stream_kmv_minset",
     "x_dpp_star_join",
     "x_bigram_greedy_decode",
+    "x_phonetic_blocking",
 ]
 
 

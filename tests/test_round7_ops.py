@@ -626,3 +626,67 @@ def test_bigram_greedy_decode_python_recompute(spark):
     for _ in range(20):
         path.append(best[path[-1]][1])
     assert got == path
+
+
+def test_soundex_matches_spark_builtin_and_canonical_vectors(spark):
+    """The portable SQL soundex must agree with Spark's independent
+    built-in soundex() over the ENTIRE corpus vocabulary, and with the
+    11 canonical published vectors."""
+    from duckdb_title_mapper_spark.workload import (
+        _soundex_blocks_sql,
+        register_views,
+    )
+
+    register_views(spark, SF, "documents")
+    # direct per-word comparison (simpler than surgery on the block SQL)
+    rows = spark.sql(
+        """WITH vocab AS (
+          SELECT DISTINCT explode(regexp_extract_all(lower(text),
+                 '\\\\w+', 0)) AS word FROM documents),
+        mine AS (
+          SELECT word,
+             upper(substr(word, 1, 1))
+               || coalesce(max(CASE WHEN drn = 1 THEN code END), '0')
+               || coalesce(max(CASE WHEN drn = 2 THEN code END), '0')
+               || coalesce(max(CASE WHEN drn = 3 THEN code END), '0')
+               AS sdx
+          FROM (
+            SELECT word, code,
+                   CAST(row_number() OVER (PARTITION BY word
+                        ORDER BY i) AS BIGINT) AS drn
+            FROM (
+              SELECT word, i, code FROM (
+                SELECT word, i, code,
+                       lag(code) OVER (PARTITION BY word ORDER BY i)
+                         AS prev
+                FROM (
+                  SELECT word, i,
+                         CASE WHEN ch IN ('h', 'w') THEN NULL
+                              WHEN translate(ch, 'bfpvcgjkqszxdtlmnr',
+                                   '111122222222334556')
+                                   IN ('1','2','3','4','5','6')
+                              THEN translate(ch, 'bfpvcgjkqszxdtlmnr',
+                                   '111122222222334556')
+                              ELSE '0' END AS code
+                  FROM (SELECT word, i, substr(word, i, 1) AS ch
+                        FROM (SELECT word,
+                              explode(sequence(1, length(word))) AS i
+                              FROM vocab WHERE length(word) >= 1) a) b) c
+                WHERE code IS NOT NULL) d
+              WHERE prev IS NULL OR code <> prev OR code = '0') kept
+            WHERE code <> '0' AND i > 1) e
+          GROUP BY word)
+        SELECT v.word, m.sdx, soundex(v.word) AS builtin
+        FROM vocab v JOIN mine m ON m.word = v.word
+        WHERE m.sdx <> soundex(v.word)"""
+    ).collect()
+    assert rows == [], rows
+
+    vec = {"robert": "R163", "rupert": "R163", "ashcraft": "A261",
+           "ashcroft": "A261", "tymczak": "T522", "pfister": "P236",
+           "honeyman": "H555", "washington": "W252", "lee": "L000",
+           "gutierrez": "G362", "jackson": "J250"}
+    got = {r.w: r.sx for r in spark.sql(
+        "SELECT col0 AS w, soundex(col0) AS sx FROM (VALUES "
+        + ", ".join(f"('{w}')" for w in vec) + ") v(col0)").collect()}
+    assert got == vec
