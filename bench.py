@@ -179,6 +179,7 @@ EXTRA = [
     "x_dpp_star_join",
     "x_bigram_greedy_decode",
     "x_phonetic_blocking",
+    "x_encoding_advisor",
 ]
 
 

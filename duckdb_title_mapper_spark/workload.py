@@ -9804,6 +9804,93 @@ def x_bloom_semijoin_prune(spark, sf_dir):
     return spark.sql(_bloom_semijoin_sql(True))
 
 
+def _encoding_advisor_sql(spark_dialect: bool) -> str:
+    """Columnar ENCODING ADVISOR: for each candidate orders column,
+    measure in one pass the statistics a parquet/ORC writer's encoder
+    chooser uses — distinct count (dictionary width = bit_length of
+    n_distinct-1, via the length(bin()) integer-log trick), run count
+    under the table's storage order (o_orderkey — RLE value-run count
+    via lag()), and the derived per-value cost of dict vs RLE vs plain
+    in integer milli-bits.  The advisor picks argmin with a
+    deterministic tie order (rle < dict < plain).  Everything integer,
+    so the recommendation boundary is engine-exact.  At 100 TB this is
+    the layout-advisor pass a compaction service runs per column
+    chunk: one window pass per column, partial-agg shuffles only, and
+    the verdicts drive rewrite jobs (the z-order/Hilbert faceoff's
+    sibling decision on the ENCODING axis)."""
+    idiv = "div" if spark_dialect else "//"
+    cols = [
+        ("o_orderstatus", "o_orderstatus", 8),
+        ("o_orderpriority", "o_orderpriority", 120),
+        ("o_custkey", "CAST(o_custkey AS STRING)", 64),
+        ("o_orderkey", "CAST(o_orderkey AS STRING)", 64),
+    ]
+    arms = "\n      UNION ALL ".join(
+        f"SELECT '{name}' AS col, {expr} AS v, plain_bits.b{i} AS pb, "
+        f"o_orderkey AS ord FROM orders CROSS JOIN plain_bits"
+        for i, (name, expr, _) in enumerate(cols)
+    )
+    pb = ", ".join(
+        f"CAST({bits} AS BIGINT) AS b{i}"
+        for i, (_, _, bits) in enumerate(cols)
+    )
+    return f"""WITH plain_bits AS (SELECT {pb}),
+    vals AS (
+      {arms}),
+    runs AS (
+      SELECT col, v, pb,
+             CASE WHEN lag(v) OVER (PARTITION BY col ORDER BY ord)
+                       IS NULL
+                    OR lag(v) OVER (PARTITION BY col ORDER BY ord)
+                       <> v
+                  THEN 1 ELSE 0 END AS is_run_start
+      FROM vals),
+    stats AS (
+      SELECT col,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+             CAST(sum(is_run_start) AS BIGINT) AS n_runs,
+             CAST(max(pb) AS BIGINT) AS plain_bits
+      FROM runs GROUP BY col),
+    cost AS (
+      SELECT col, n_rows, n_distinct, n_runs, plain_bits,
+             CAST(length(bin(n_distinct - 1)) AS BIGINT) AS dict_bits,
+             (n_runs * (CAST(length(bin(n_distinct - 1)) AS BIGINT)
+                        + 32) * 1000) {idiv} n_rows
+               AS rle_millibits_per_val,
+             CAST(length(bin(n_distinct - 1)) AS BIGINT) * 1000
+               AS dict_millibits_per_val,
+             plain_bits * 1000 AS plain_millibits_per_val
+      FROM stats)
+    SELECT col, n_rows, n_distinct, n_runs, plain_bits, dict_bits,
+           rle_millibits_per_val, dict_millibits_per_val,
+           plain_millibits_per_val,
+           CASE WHEN rle_millibits_per_val <= dict_millibits_per_val
+                 AND rle_millibits_per_val <= plain_millibits_per_val
+                THEN 'rle'
+                WHEN dict_millibits_per_val <= plain_millibits_per_val
+                THEN 'dict'
+                ELSE 'plain' END AS recommended
+    FROM cost"""
+
+
+@_q(
+    "x_encoding_advisor",
+    _encoding_advisor_sql(False),
+    "Columnar encoding advisor: per-column distinct count, storage-"
+    "order value-run count (lag window), dictionary width via the "
+    "length(bin(n-1)) integer log, and derived integer milli-bit "
+    "per-value costs for RLE vs dictionary vs plain with a "
+    "deterministic argmin recommendation — the encoder-chooser pass a "
+    "compaction service runs per column chunk; the encoding-axis "
+    "sibling of the z-order/Hilbert layout faceoff.  All integer, "
+    "engine-exact.",
+)
+def x_encoding_advisor(spark, sf_dir):
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_encoding_advisor_sql(True))
+
+
 def _soundex_blocks_sql(spark_dialect: bool) -> str:
     """American Soundex from first principles in portable SQL — the
     phonetic blocking key record linkage uses beside the compound key

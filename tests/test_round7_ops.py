@@ -690,3 +690,43 @@ def test_soundex_matches_spark_builtin_and_canonical_vectors(spark):
         "SELECT col0 AS w, soundex(col0) AS sx FROM (VALUES "
         + ", ".join(f"('{w}')" for w in vec) + ") v(col0)").collect()}
     assert got == vec
+
+
+def test_encoding_advisor_python_recompute(spark):
+    """Distinct/run counts, bit widths, milli-bit costs, and the
+    argmin recommendation must equal a from-scratch Python pass in
+    the same storage order."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_encoding_advisor"].spark_fn(
+        spark, SF
+    ).collect()
+    got = {r.col: r for r in rows}
+    data = duckdb.sql(
+        f"SELECT o_orderkey, o_orderstatus, o_orderpriority, o_custkey "
+        f"FROM '{SF}/orders.parquet' ORDER BY o_orderkey"
+    ).fetchall()
+    cols = {
+        "o_orderstatus": ([r[1] for r in data], 8),
+        "o_orderpriority": ([r[2] for r in data], 120),
+        "o_custkey": ([str(r[3]) for r in data], 64),
+        "o_orderkey": ([str(r[0]) for r in data], 64),
+    }
+    for name, (vals, plain) in cols.items():
+        n = len(vals)
+        nd = len(set(vals))
+        runs = 1 + sum(1 for a, b in zip(vals, vals[1:]) if a != b)
+        dict_bits = (nd - 1).bit_length() if nd > 1 else 1
+        rle = runs * (dict_bits + 32) * 1000 // n
+        dct = dict_bits * 1000
+        pl = plain * 1000
+        rec = ("rle" if rle <= dct and rle <= pl
+               else "dict" if dct <= pl else "plain")
+        r = got[name]
+        assert (r.n_rows, r.n_distinct, r.n_runs) == (n, nd, runs), name
+        assert (r.plain_bits, r.dict_bits) == (plain, dict_bits), name
+        assert (r.rle_millibits_per_val, r.dict_millibits_per_val,
+                r.plain_millibits_per_val) == (rle, dct, pl), name
+        assert r.recommended == rec, name
