@@ -180,6 +180,8 @@ EXTRA = [
     "x_bigram_greedy_decode",
     "x_phonetic_blocking",
     "x_encoding_advisor",
+    "x_compaction_planner",
+    "x_interval_concurrency",
 ]
 
 

@@ -10956,6 +10956,140 @@ _shared(
 )
 
 
+def _compaction_planner_sql(spark_dialect: bool) -> str:
+    """Lakehouse small-file COMPACTION PLANNER: simulated file listing
+    (one file per 256-orderkey stripe within each o_orderpriority
+    partition, integer byte estimate), then cumulative-boundary bin
+    packing — a file opens a new output bin whenever the running byte
+    total BEFORE it has crossed a multiple of the 16 KiB target.  This
+    is exactly how Spark's own file coalescing carves target splits
+    over cumulative bytes, and unlike greedy first-fit it is a pure
+    window expression: each planner task computes its bins from one
+    running sum, no sequential state.  Output compares the small-file
+    ratio before vs after per partition.  All operands nonnegative, so
+    Spark `div` (truncate) and DuckDB `//` (floor) agree.  At 100 TB:
+    the file listing is metadata (millions of rows, not data); one
+    partition-local window pass plans every OPTIMIZE job."""
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH files AS (
+      SELECT o_orderpriority AS part,
+             o_orderkey {idiv} 256 AS file_id,
+             CAST(count(*) * 40 + sum(length(o_orderstatus))
+                  AS BIGINT) AS file_bytes
+      FROM orders
+      GROUP BY o_orderpriority, o_orderkey {idiv} 256),
+    packed AS (
+      SELECT part, file_id, file_bytes,
+             CAST(coalesce(sum(file_bytes) OVER (
+                    PARTITION BY part ORDER BY file_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum_prev
+      FROM files),
+    bins AS (
+      SELECT part, cum_prev {idiv} 16384 AS bin_id,
+             CAST(sum(file_bytes) AS BIGINT) AS bin_bytes,
+             CAST(count(*) AS BIGINT) AS n_files_in_bin
+      FROM packed GROUP BY part, cum_prev {idiv} 16384),
+    fstats AS (
+      SELECT part, CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(file_bytes) AS BIGINT) AS total_bytes,
+             CAST(sum(CASE WHEN file_bytes < 8192 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_small_files
+      FROM files GROUP BY part),
+    bstats AS (
+      SELECT part, CAST(count(*) AS BIGINT) AS n_bins,
+             CAST(sum(CASE WHEN bin_bytes < 8192 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_small_bins,
+             CAST(max(bin_bytes) AS BIGINT) AS max_bin_bytes,
+             CAST(min(bin_bytes) AS BIGINT) AS min_bin_bytes,
+             CAST(max(n_files_in_bin) AS BIGINT) AS max_files_per_bin
+      FROM bins GROUP BY part)
+    SELECT f.part, f.n_files, f.n_small_files, f.total_bytes,
+           b.n_bins, b.n_small_bins, b.max_bin_bytes, b.min_bin_bytes,
+           b.max_files_per_bin
+    FROM fstats f JOIN bstats b ON f.part = b.part"""
+
+
+@_q(
+    "x_compaction_planner",
+    _compaction_planner_sql(False),
+    "Lakehouse small-file compaction planner: per-partition file "
+    "listing (integer byte estimates) packed into ~16 KiB output bins "
+    "by cumulative-boundary packing (a file starts a new bin when the "
+    "running total before it crossed a target multiple — Spark's own "
+    "file-coalescing rule, expressible as ONE window pass with no "
+    "sequential state, unlike greedy first-fit).  Reports small-file "
+    "counts before vs after, bin fill extremes.  All-BIGINT, "
+    "nonnegative idiv only.  The maintenance-pass sibling of "
+    "x_encoding_advisor (encoding axis) and x_layout_skipping_faceoff "
+    "(ordering axis): together they are the OPTIMIZE decision suite.",
+)
+def x_compaction_planner(spark, sf_dir):
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_compaction_planner_sql(True))
+
+
+def _interval_concurrency_sql(epoch_expr: str) -> str:
+    """Sweep-line PEAK-CONCURRENCY: each event opens a 900 s interval;
+    +1/-1 boundary points are sorted per event_type on (t, delta DESC,
+    event_id) — starts before ends at the same instant, so touching
+    intervals count as overlapping, and the unique (delta, event_id)
+    pair makes the running sum's frame a total order (engine-exact).
+    The peak and its first attainment time fall out of one running-sum
+    window plus one join-back.  At 100 TB: boundary points are 2 rows
+    per event, the window partitions by event_type (parallel across
+    types); for a single giant type, split the time axis into coarse
+    epochs, compute per-epoch local sweeps map-side, and carry each
+    epoch's net sum as the additive offset — the same two-level plan
+    as any prefix-sum at scale."""
+    return f"""WITH iv AS (
+      SELECT event_id, event_type,
+             {epoch_expr} AS s_t, {epoch_expr} + 900 AS e_t
+      FROM events),
+    pts AS (
+      SELECT event_type, s_t AS t, CAST(1 AS BIGINT) AS delta, event_id
+      FROM iv
+      UNION ALL
+      SELECT event_type, e_t AS t, CAST(-1 AS BIGINT) AS delta, event_id
+      FROM iv),
+    sweep AS (
+      SELECT event_type, t,
+             CAST(sum(delta) OVER (PARTITION BY event_type
+                    ORDER BY t, delta DESC, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS running
+      FROM pts),
+    peaks AS (
+      SELECT event_type, CAST(max(running) AS BIGINT) AS peak
+      FROM sweep GROUP BY event_type),
+    counts AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals
+      FROM iv GROUP BY event_type)
+    SELECT p.event_type, p.peak,
+           CAST(min(s.t) AS BIGINT) AS first_peak_t,
+           CAST(min(c.n_intervals) AS BIGINT) AS n_intervals
+    FROM sweep s
+    JOIN peaks p ON s.event_type = p.event_type AND s.running = p.peak
+    JOIN counts c ON c.event_type = p.event_type
+    GROUP BY p.event_type, p.peak"""
+
+
+@_q(
+    "x_interval_concurrency",
+    _interval_concurrency_sql("CAST(floor(epoch(ts)) AS BIGINT)"),
+    "Sweep-line peak concurrency per event_type: 900 s activity "
+    "intervals become +1/-1 boundary points, one running-sum window "
+    "ordered (t, delta DESC, event_id) — a total order, so the "
+    "running count is engine-exact — yields the maximum number of "
+    "simultaneously-open intervals and the first time it is attained. "
+    "The classic capacity-planning sweep (max concurrent sessions / "
+    "connections) in one window pass.  All-BIGINT epoch seconds.",
+)
+def x_interval_concurrency(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_interval_concurrency_sql("CAST(ts AS BIGINT)"))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -730,3 +730,81 @@ def test_encoding_advisor_python_recompute(spark):
         assert (r.rle_millibits_per_val, r.dict_millibits_per_val,
                 r.plain_millibits_per_val) == (rle, dct, pl), name
         assert r.recommended == rec, name
+
+
+def test_compaction_planner_python_recompute(spark):
+    """File stripes, cumulative-boundary bin assignment, and the
+    before/after small-file stats must equal a from-scratch Python
+    pass over the same orders."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_compaction_planner"].spark_fn(
+        spark, SF
+    ).collect()
+    got = {r.part: r for r in rows}
+    data = duckdb.sql(
+        f"SELECT o_orderpriority, o_orderkey, o_orderstatus "
+        f"FROM '{SF}/orders.parquet'"
+    ).fetchall()
+    parts = {}
+    for pr, ok, st in data:
+        parts.setdefault(pr, {}).setdefault(ok // 256, []).append(st)
+    assert set(got) == set(parts)
+    for pr, files in parts.items():
+        sizes = [
+            40 * len(sts) + sum(len(s) for s in sts)
+            for _, sts in sorted(files.items())
+        ]
+        bins = {}
+        cum = 0
+        for b in sizes:
+            bins.setdefault(cum // 16384, []).append(b)
+            cum += b
+        r = got[pr]
+        assert r.n_files == len(sizes)
+        assert r.total_bytes == sum(sizes)
+        assert r.n_small_files == sum(1 for b in sizes if b < 8192)
+        assert r.n_bins == len(bins)
+        bb = [sum(v) for v in bins.values()]
+        assert (r.max_bin_bytes, r.min_bin_bytes) == (max(bb), min(bb))
+        assert r.n_small_bins == sum(1 for b in bb if b < 8192)
+        assert r.max_files_per_bin == max(len(v) for v in bins.values())
+
+
+def test_interval_concurrency_python_recompute(spark):
+    """Peak overlap and first attainment time must equal a direct
+    sweep over (+1 at s, -1 at s+900) with starts-before-ends ties."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_interval_concurrency"].spark_fn(
+        spark, SF
+    ).collect()
+    got = {r.event_type: r for r in rows}
+    data = duckdb.sql(
+        f"SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT), event_id "
+        f"FROM '{SF}/events.parquet'"
+    ).fetchall()
+    by_type = {}
+    for et, s, eid in data:
+        by_type.setdefault(et, []).append((s, eid))
+    assert set(got) == set(by_type)
+    for et, ivs in by_type.items():
+        pts = [(s, -1, eid) for s, eid in ivs] + [
+            (s + 900, 1, eid) for s, eid in ivs
+        ]  # delta stored NEGATED so ascending sort puts +1 first
+        pts.sort()
+        run = peak = 0
+        first_t = None
+        for t, nd, _ in pts:
+            run -= nd
+            if run > peak:
+                peak, first_t = run, t
+            elif run == peak and first_t is None:
+                first_t = t
+        r = got[et]
+        assert r.n_intervals == len(ivs)
+        assert (r.peak, r.first_peak_t) == (peak, first_t), et
