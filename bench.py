@@ -182,6 +182,8 @@ EXTRA = [
     "x_encoding_advisor",
     "x_compaction_planner",
     "x_interval_concurrency",
+    "x_bitmap_index",
+    "x_merkle_manifest",
 ]
 
 

@@ -11090,6 +11090,149 @@ def x_interval_concurrency(spark, sf_dir):
     return spark.sql(_interval_concurrency_sql("CAST(ts AS BIGINT)"))
 
 
+def _bitmap_index_sql(spark_dialect: bool) -> str:
+    """BITMAP-INDEX predicate evaluation: rows take dense positions in
+    storage order (row_number over the unique o_orderkey), packed 62
+    positions per BIGINT word (62, not 64 — keeps every word
+    nonnegative so ``bit_count``/``&``/``|`` semantics can't diverge
+    on sign).  One bitmap per (column, value) is built as sum of
+    distinct single-bit masks (positions are unique per word, so SUM
+    is exactly OR with no bit_or portability risk).  A conjunctive
+    predicate is then AND of words + popcount; a disjunctive one is OR
+    over the full-outer word join — each checked against the direct
+    scan count.  At 100 TB this is the low-cardinality secondary-index
+    path every warehouse uses: bitmaps build in one partial-agg pass
+    per column, AND/OR evaluation touches words not rows, and word
+    ranges co-partition so the combine is an equi-join."""
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH pos AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS prio,
+             CAST(row_number() OVER (ORDER BY o_orderkey) - 1
+                  AS BIGINT) AS p
+      FROM orders),
+    cells AS (
+      SELECT status, prio, p {idiv} 62 AS w,
+             (CAST(1 AS BIGINT) << (p % 62)) AS m
+      FROM pos),
+    bm_status AS (
+      SELECT w, CAST(sum(m) AS BIGINT) AS bits
+      FROM cells WHERE status = 'F' GROUP BY w),
+    bm_prio AS (
+      SELECT w, CAST(sum(m) AS BIGINT) AS bits
+      FROM cells WHERE prio = '1-URGENT' GROUP BY w),
+    anded AS (
+      SELECT CAST(coalesce(sum(bit_count(a.bits & b.bits)), 0)
+                  AS BIGINT) AS n
+      FROM bm_status a JOIN bm_prio b ON a.w = b.w),
+    ored AS (
+      SELECT CAST(sum(bit_count(coalesce(a.bits, 0)
+                                | coalesce(b.bits, 0))) AS BIGINT) AS n
+      FROM bm_status a FULL OUTER JOIN bm_prio b ON a.w = b.w),
+    direct AS (
+      SELECT CAST(sum(CASE WHEN status = 'F' AND prio = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_and,
+             CAST(sum(CASE WHEN status = 'F' OR prio = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_or,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM pos),
+    widths AS (
+      SELECT CAST((SELECT count(*) FROM bm_status) AS BIGINT)
+               AS status_words,
+             CAST((SELECT count(*) FROM bm_prio) AS BIGINT)
+               AS prio_words,
+             CAST((SELECT sum(bit_count(bits)) FROM bm_status)
+               AS BIGINT) AS status_set_bits,
+             CAST((SELECT sum(bit_count(bits)) FROM bm_prio)
+               AS BIGINT) AS prio_set_bits)
+    SELECT d.n_rows, (d.n_rows + 61) {idiv} 62 AS n_words_total,
+           w.status_words, w.prio_words,
+           w.status_set_bits, w.prio_set_bits,
+           a.n AS bitmap_and, d.n_and AS direct_and,
+           o.n AS bitmap_or, d.n_or AS direct_or,
+           CASE WHEN a.n = d.n_and THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS and_exact,
+           CASE WHEN o.n = d.n_or THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS or_exact
+    FROM direct d CROSS JOIN widths w
+    CROSS JOIN anded a CROSS JOIN ored o"""
+
+
+@_q(
+    "x_bitmap_index",
+    _bitmap_index_sql(False),
+    "Bitmap secondary index: storage-order row positions packed 62/"
+    "word (nonnegative words, so popcount/AND/OR are sign-safe on "
+    "both engines), per-value bitmaps built by summing distinct "
+    "single-bit masks (SUM == OR for disjoint bits), then a "
+    "conjunctive predicate evaluated as word-AND + popcount and a "
+    "disjunctive one as full-outer word-OR — each certified equal to "
+    "the direct scan count in the same row.  All-BIGINT.  The "
+    "low-cardinality index path: per-column partial-agg build, "
+    "word-equi-join evaluation that touches words not rows.",
+)
+def x_bitmap_index(spark, sf_dir):
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_bitmap_index_sql(True))
+
+
+def _merkle_manifest_sql(spark_dialect: bool) -> str:
+    """Hierarchical MERKLE MANIFEST for dataset versioning: row digest
+    = md5(doc_id ':' text) binds identity to content; chunk digest =
+    md5 of the SORTED concatenation of its row digests (sort makes
+    the combine order-free, so map tasks need no intra-chunk order
+    guarantee); source digest = md5 of sorted chunk digests; root =
+    md5 of sorted source digests.  Any single-byte change flips its
+    row, chunk, source, and root digests — diffing two snapshots
+    descends only into unequal branches, which is how a 100 TB
+    dataset is integrity-checked without rereading it: chunk digests
+    compute map-side in one pass, the upper levels aggregate hex
+    strings (KBs), and the manifest is the versioning primitive a
+    data registry (DVC-style) stores per release."""
+    if spark_dialect:
+        sorted_concat = "array_join(array_sort(collect_list({h})), '')"
+    else:
+        sorted_concat = "array_to_string(list_sort(list({h})), '')"
+    return f"""WITH rows_d AS (
+      SELECT source, doc_id {"div" if spark_dialect else "//"} 64
+               AS chunk_id,
+             md5(concat(CAST(doc_id AS STRING), ':', text)) AS rh
+      FROM documents),
+    chunks AS (
+      SELECT source, chunk_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             md5({sorted_concat.format(h='rh')}) AS ch
+      FROM rows_d GROUP BY source, chunk_id),
+    sources AS (
+      SELECT source,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             md5({sorted_concat.format(h='ch')}) AS source_digest
+      FROM chunks GROUP BY source),
+    root AS (
+      SELECT md5({sorted_concat.format(h='source_digest')})
+               AS root_digest
+      FROM sources)
+    SELECT s.source, s.n_docs, s.n_chunks, s.source_digest,
+           r.root_digest
+    FROM sources s CROSS JOIN root r"""
+
+
+@_q(
+    "x_merkle_manifest",
+    _merkle_manifest_sql(False),
+    "Merkle integrity manifest over documents: md5 row digests "
+    "(identity-bound), chunk digests as md5 of SORTED row-digest "
+    "concatenation (order-free combine — no intra-chunk order "
+    "contract needed from the scan), source digests, and one root. "
+    "Snapshot diffing descends only unequal branches, the 100 TB "
+    "integrity-check/versioning primitive.  Doc ids are nonnegative "
+    "so idiv is engine-exact; digests are hex strings.",
+)
+def x_merkle_manifest(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_merkle_manifest_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -808,3 +808,87 @@ def test_interval_concurrency_python_recompute(spark):
         r = got[et]
         assert r.n_intervals == len(ivs)
         assert (r.peak, r.first_peak_t) == (peak, first_t), et
+
+
+def test_bitmap_index_exact_and_word_math(spark):
+    """Bitmap AND/OR popcounts must certify equal to direct scan
+    counts, and the word/bit totals must equal a Python recompute."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    r = all_queries()["x_bitmap_index"].spark_fn(spark, SF).collect()[0]
+    assert r.and_exact == 1 and r.or_exact == 1
+    assert r.bitmap_and == r.direct_and
+    assert r.bitmap_or == r.direct_or
+    data = duckdb.sql(
+        f"SELECT o_orderstatus, o_orderpriority "
+        f"FROM '{SF}/orders.parquet' ORDER BY o_orderkey"
+    ).fetchall()
+    n = len(data)
+    assert r.n_rows == n
+    assert r.n_words_total == (n + 61) // 62
+    s_pos = [i for i, (st, _) in enumerate(data) if st == "F"]
+    p_pos = [i for i, (_, pr) in enumerate(data) if pr == "1-URGENT"]
+    assert r.status_set_bits == len(s_pos)
+    assert r.prio_set_bits == len(p_pos)
+    assert r.status_words == len({p // 62 for p in s_pos})
+    assert r.prio_words == len({p // 62 for p in p_pos})
+    assert r.direct_and == len(set(s_pos) & set(p_pos))
+    assert r.direct_or == len(set(s_pos) | set(p_pos))
+
+
+def test_merkle_manifest_python_recompute_and_sensitivity(spark):
+    """Source and root digests must equal a from-scratch Python Merkle
+    build, and flipping one byte of one doc must flip its source's
+    digest and the root (descend-only-unequal-branches property)."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_merkle_manifest"].spark_fn(
+        spark, SF
+    ).collect()
+    data = duckdb.sql(
+        f"SELECT source, doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+
+    def build(docs):
+        chunks = {}
+        for src, did, text in docs:
+            h = hashlib.md5(f"{did}:{text}".encode()).hexdigest()
+            chunks.setdefault(src, {}).setdefault(did // 64, []).append(h)
+        srcs = {
+            src: hashlib.md5(
+                "".join(
+                    hashlib.md5("".join(sorted(hs)).encode()).hexdigest()
+                    for _, hs in sorted(
+                        by_chunk.items(),
+                        key=lambda kv: hashlib.md5(
+                            "".join(sorted(kv[1])).encode()
+                        ).hexdigest(),
+                    )
+                ).encode()
+            ).hexdigest()
+            for src, by_chunk in chunks.items()
+        }
+        root = hashlib.md5(
+            "".join(sorted(srcs.values())).encode()
+        ).hexdigest()
+        return srcs, root
+
+    srcs, root = build(data)
+    for r in rows:
+        assert r.source_digest == srcs[r.source], r.source
+        assert r.root_digest == root
+    mutated = [
+        (s, d, t + "!") if i == 0 else (s, d, t)
+        for i, (s, d, t) in enumerate(data)
+    ]
+    srcs2, root2 = build(mutated)
+    changed_src = data[0][0]
+    assert srcs2[changed_src] != srcs[changed_src]
+    assert root2 != root
+    assert all(
+        srcs2[s] == srcs[s] for s in srcs if s != changed_src
+    )
