@@ -288,3 +288,59 @@ def kcore_peel_trajectory(edges_df, src: str = "src", dst: str = "dst",
     return out.crossJoin(kpick).select(
         "round", "n_alive", "degree_sum", "degree_max", "k", "n0"
     )
+
+
+LP_B = 1_000_000_000  # argmax packing base: count*B - label, label < B
+
+
+def label_propagation_rounds(edges_df, src: str = "src", dst: str = "dst",
+                             rounds: int = 3):
+    """Synchronous LABEL-PROPAGATION community detection, the
+    deterministic variant: labels start as vertex ids; each round every
+    vertex adopts the most frequent label among its neighbors, ties
+    broken toward the SMALLEST label.  The argmax is packed into one
+    integer — max(c*LP_B - label) — so round semantics are pure integer
+    arithmetic, bit-equal across engines (labels are vertex ids < LP_B;
+    c <= degree, so the packed score stays far inside BIGINT).  Rounds
+    are FIXED (the trajectory after ``rounds`` synchronous steps is the
+    declared result — no data-dependent stop to certify), and unlike
+    k-core each round's labels relation has exactly ONE consumer (the
+    next round's neighbor join), so the chain stays LAZY with linear
+    plan growth; only the symmetrized edge relation (consumed every
+    round) is materialized once.
+
+    Returns (node, label) after ``rounds`` steps.  At 100 TB: one
+    shuffle join + two partial-agged groupBys per round on vertex-id
+    keys; hub vertices are AQE-skew territory like every other
+    vertex-keyed join here.
+    """
+    from pyspark.sql import functions as F
+
+    from ..plans.materialize import materialize as _mat
+
+    edges = _mat(
+        edges_df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges_df.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node").cast("bigint"))
+    )
+    for _ in range(rounds):
+        counts = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(edges.a, labels.label)
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+        packed = counts.groupBy("a").agg(
+            F.max(F.col("c") * F.lit(LP_B) - F.col("label")).alias("m")
+        )
+        # unpack: c = ceil(m/B) (m is never a multiple of B: labels>=1),
+        # label = c*B - m; all operands nonnegative => div/floor agree
+        labels = packed.selectExpr(
+            "a AS node",
+            f"CAST(((m + {LP_B - 1}) div {LP_B}) * {LP_B} - m "
+            "AS BIGINT) AS label",
+        )
+    return labels

@@ -11233,6 +11233,79 @@ def x_merkle_manifest(spark, sf_dir):
     return spark.sql(_merkle_manifest_sql(True))
 
 
+def _label_prop_oracle(rounds: int = 3) -> str:
+    """Unrolled synchronous label-propagation rounds.  ``pairs`` (2
+    consumers: both symmetrization arms) and ``edges`` (consumed by l0
+    + every round) carry AS MATERIALIZED — the DuckDB per-consumer
+    CTE-inlining trap (x_kcore_peel finding); each round relation has
+    exactly one consumer so the chain itself stays bare/linear."""
+    ctes = [
+        """pairs AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+        """edges AS MATERIALIZED (
+      SELECT s AS a, d AS b FROM pairs
+      UNION ALL SELECT d AS a, s AS b FROM pairs)""",
+        """l0 AS (
+      SELECT a AS node, CAST(a AS BIGINT) AS label
+      FROM (SELECT DISTINCT a FROM edges) t)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""c{r} AS (
+      SELECT e.a AS node, l.label AS label,
+             CAST(count(*) AS BIGINT) AS c
+      FROM edges e JOIN l{r - 1} l ON l.node = e.b
+      GROUP BY e.a, l.label)""")
+        ctes.append(f"""l{r} AS (
+      SELECT node,
+             CAST(((m + 999999999) // 1000000000) * 1000000000 - m
+                  AS BIGINT) AS label
+      FROM (SELECT node, max(c * 1000000000 - label) AS m
+            FROM c{r} GROUP BY node) t)""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_member,
+           CAST(max(node) AS BIGINT) AS max_member
+    FROM l{rounds} GROUP BY label"""
+    )
+
+
+@_q(
+    "x_label_propagation",
+    _label_prop_oracle(),
+    "Synchronous label-propagation communities over the co-purchase "
+    "projection, deterministic variant: 3 fixed rounds, each vertex "
+    "adopts its neighbors' most frequent label with ties to the "
+    "SMALLEST label — the argmax packed as max(c*1e9 - label) so every "
+    "round is integer arithmetic, engine-exact.  Spark runs the rounds "
+    "LAZILY (one consumer per round relation => linear plan; only the "
+    "edge relation, consumed every round, is materialized); the oracle "
+    "unrolls identical rounds with AS MATERIALIZED on the multi-"
+    "consumer pairs/edges CTEs (the x_kcore_peel DuckDB inlining "
+    "trap).  Output: per-community size and id range.  All-BIGINT.",
+)
+def x_label_propagation(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .operators.graph import label_propagation_rounds
+
+    register_views(spark, sf_dir, "lineitem")
+    pairs = spark.sql(
+        """SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey"""
+    )
+    labels = label_propagation_rounds(pairs, "s", "d", rounds=3)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.min("node").cast("bigint").alias("min_member"),
+        F.max("node").cast("bigint").alias("max_member"),
+    )
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -117,6 +117,7 @@ EXTRA = [
     "x_interval_concurrency",
     "x_bitmap_index",
     "x_merkle_manifest",
+    "x_label_propagation",
 ]
 
 

@@ -892,3 +892,42 @@ def test_merkle_manifest_python_recompute_and_sensitivity(spark):
     assert all(
         srcs2[s] == srcs[s] for s in srcs if s != changed_src
     )
+
+
+def test_label_propagation_python_recompute(spark):
+    """Three synchronous rounds with most-frequent-neighbor-label /
+    smallest-label ties must equal a direct Python simulation."""
+    import duckdb
+    from collections import Counter
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_label_propagation"].spark_fn(
+        spark, SF
+    ).collect()
+    got = {r.community: (r.n_members, r.min_member, r.max_member)
+           for r in rows}
+    pairs = duckdb.sql(
+        f"""SELECT DISTINCT a.l_partkey, b.l_partkey
+            FROM '{SF}/lineitem.parquet' a
+            JOIN '{SF}/lineitem.parquet' b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey"""
+    ).fetchall()
+    nbrs = {}
+    for s, d in pairs:
+        nbrs.setdefault(s, []).append(d)
+        nbrs.setdefault(d, []).append(s)
+    labels = {v: v for v in nbrs}
+    for _ in range(3):
+        new = {}
+        for v, ns in nbrs.items():
+            cnt = Counter(labels[u] for u in ns)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        labels = new
+    comm = {}
+    for v, l in labels.items():
+        comm.setdefault(l, []).append(v)
+    want = {l: (len(vs), min(vs), max(vs)) for l, vs in comm.items()}
+    assert got == want
