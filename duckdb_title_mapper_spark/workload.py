@@ -11306,6 +11306,109 @@ def x_label_propagation(spark, sf_dir):
     )
 
 
+def _cdc_per_chunk_sql(census_rel: str) -> str:
+    """CONTENT-DEFINED CHUNKING boundary pass: a chunk cut lands
+    wherever the census's rolling 8-gram hash satisfies h8 % 64 == 0
+    (expected spacing 64 chars — the baseline CDC rule storage dedup
+    systems use; FastCDC adds min/max clamps on the same principle),
+    plus a forced cut at position 1.  Because boundaries depend only
+    on LOCAL content, an insertion early in a document shifts every
+    byte offset but re-synchronizes the chunking within ~one chunk —
+    the property that makes chunk-level dedup robust where fixed-size
+    blocking is not.  One window lead() turns cut positions into
+    [start, next) chunks; md5 of the substring is the chunk identity."""
+    return f"""WITH starts AS (
+      SELECT doc_id, CAST(1 AS BIGINT) AS pos
+      FROM documents WHERE length(text) >= 1
+      UNION ALL
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos
+      FROM {census_rel} WHERE h8 % 64 = 0 AND pos > 1),
+    bounds AS (
+      SELECT doc_id, pos,
+             lead(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS next_pos
+      FROM starts)
+    SELECT d.source, b.doc_id, b.pos AS start_pos,
+           CAST(coalesce(b.next_pos, length(d.text) + 1) - b.pos
+                AS BIGINT) AS clen,
+           md5(substr(d.text, CAST(b.pos AS INT),
+                      CAST(coalesce(b.next_pos, length(d.text) + 1)
+                           - b.pos AS INT))) AS ch
+    FROM bounds b JOIN documents d ON d.doc_id = b.doc_id"""
+
+
+def _cdc_stats_sql(rel: str) -> str:
+    """Per-source + global dedup accounting over the chunk relation:
+    stored_bytes keeps each distinct chunk once (min length per hash —
+    identical hashes have identical content, so min==max; min just
+    avoids asserting that to the planner)."""
+    return f"""WITH src_stats AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(count(DISTINCT ch) AS BIGINT) AS n_distinct,
+             CAST(sum(clen) AS BIGINT) AS total_bytes
+      FROM {rel} GROUP BY source),
+    src_stored AS (
+      SELECT source, CAST(sum(mn) AS BIGINT) AS stored_bytes
+      FROM (SELECT source, min(clen) AS mn FROM {rel}
+            GROUP BY source, ch) t
+      GROUP BY source),
+    g_stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(count(DISTINCT ch) AS BIGINT) AS n_distinct,
+             CAST(sum(clen) AS BIGINT) AS total_bytes
+      FROM {rel}),
+    g_stored AS (
+      SELECT CAST(sum(mn) AS BIGINT) AS stored_bytes
+      FROM (SELECT min(clen) AS mn FROM {rel} GROUP BY ch) t)
+    SELECT s.source, s.n_chunks, s.n_distinct, s.total_bytes,
+           st.stored_bytes,
+           s.total_bytes - st.stored_bytes AS saved_bytes
+    FROM src_stats s JOIN src_stored st ON s.source = st.source
+    UNION ALL
+    SELECT '__ALL__' AS source, g.n_chunks, g.n_distinct,
+           g.total_bytes, gs.stored_bytes,
+           g.total_bytes - gs.stored_bytes AS saved_bytes
+    FROM g_stats g CROSS JOIN g_stored gs"""
+
+
+def _q_cdc_chunking_oracle():
+    from .operators.grams import census_sql
+
+    return (
+        f"WITH census AS ({census_sql(False)}),\n"
+        f"    per_chunk AS MATERIALIZED ({_cdc_per_chunk_sql('census')})\n"
+        + _cdc_stats_sql("per_chunk").replace("WITH ", ", ", 1)
+    )
+
+
+@_q(
+    "x_cdc_chunking",
+    _q_cdc_chunking_oracle(),
+    "Content-defined chunking dedup (the storage/code-corpus dedup "
+    "primitive): cut points where the shared gram census's rolling "
+    "8-gram hash hits h8 % 64 == 0 (local content only, so an early "
+    "edit re-synchronizes within ~one chunk — the robustness fixed-"
+    "size blocks lack), chunks via one lead() window, md5 chunk "
+    "identities, then per-source + global rows of (chunks, distinct, "
+    "total vs stored vs saved bytes).  The chunk relation feeds four "
+    "aggregates, so Spark materializes it (per-consumer inlining) and "
+    "the oracle marks it AS MATERIALIZED (the DuckDB twin trap).  At "
+    "100 TB the census already exists for the gram family; chunking "
+    "adds one boundary filter + window per doc partition, and chunk-"
+    "hash dedup is the same partial-agged distinct the exact-dedup "
+    "family uses.  All-BIGINT/text.",
+)
+def x_cdc_chunking(spark, sf_dir):
+    from .operators.grams import CENSUS_VIEW, build_census
+    from .plans.materialize import materialize as _mat
+
+    build_census(spark, sf_dir)
+    register_views(spark, sf_dir, "documents")
+    per_chunk = _mat(spark.sql(_cdc_per_chunk_sql(CENSUS_VIEW)))
+    per_chunk.createOrReplaceTempView("cdc_chunks")
+    return spark.sql(_cdc_stats_sql("cdc_chunks"))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

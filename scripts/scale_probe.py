@@ -118,6 +118,7 @@ EXTRA = [
     "x_bitmap_index",
     "x_merkle_manifest",
     "x_label_propagation",
+    "x_cdc_chunking",
 ]
 
 

@@ -931,3 +931,56 @@ def test_label_propagation_python_recompute(spark):
         comm.setdefault(l, []).append(v)
     want = {l: (len(vs), min(vs), max(vs)) for l, vs in comm.items()}
     assert got == want
+
+
+def _cdc_chunks(text: str):
+    """Reference CDC: cut at 1-based pos p>1 where md5 of the 8-gram
+    starting at p has (first 8 hex) % 64 == 0."""
+    cuts = [1] + [
+        p
+        for p in range(2, max(len(text) - 6, 2))
+        if _h32(text[p - 1 : p + 7]) % 64 == 0
+    ]
+    cuts.append(len(text) + 1)
+    return [text[a - 1 : b - 1] for a, b in zip(cuts, cuts[1:])]
+
+
+def test_cdc_chunking_python_recompute(spark):
+    """Per-source and global chunk/dedup accounting must equal a
+    from-scratch Python CDC pass."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_cdc_chunking"].spark_fn(spark, SF).collect()
+    got = {r.source: r for r in rows}
+    data = duckdb.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    per_src, everything = {}, []
+    for src, text in data:
+        cs = _cdc_chunks(text)
+        per_src.setdefault(src, []).extend(cs)
+        everything.extend(cs)
+    per_src["__ALL__"] = everything
+    assert set(got) == set(per_src)
+    for src, cs in per_src.items():
+        r = got[src]
+        assert r.n_chunks == len(cs), src
+        assert r.n_distinct == len(set(cs)), src
+        assert r.total_bytes == sum(len(c) for c in cs), src
+        assert r.stored_bytes == sum(len(c) for c in set(cs)), src
+        assert r.saved_bytes == r.total_bytes - r.stored_bytes
+
+
+def test_cdc_resynchronizes_after_edit():
+    """Inserting one char at the front of a long text must leave most
+    chunk identities intact (the CDC robustness property; fixed-size
+    blocking would shift every block)."""
+    base = "".join(
+        _h32(f"w{i}") .__format__("x") for i in range(400)
+    )
+    a, b = _cdc_chunks(base), _cdc_chunks("Z" + base)
+    assert len(a) > 10
+    shared = len(set(a) & set(b))
+    assert shared >= len(a) - 2  # only the first chunk(s) may differ
