@@ -186,6 +186,7 @@ EXTRA = [
     "x_merkle_manifest",
     "x_label_propagation",
     "x_cdc_chunking",
+    "x_wordpiece_segment",
 ]
 
 

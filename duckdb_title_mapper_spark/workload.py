@@ -11409,6 +11409,145 @@ def x_cdc_chunking(spark, sf_dir):
     return spark.sql(_cdc_stats_sql("cdc_chunks"))
 
 
+def _wordpiece_vocab_sql(spark_dialect: bool) -> tuple[str, str]:
+    """(words_sql, vocab_sql): corpus words (length <= 12, weighted by
+    occurrence) and the derived WordPiece-style vocabulary — every
+    single character seen in any word (guarantees greedy segmentation
+    always advances) plus the 200 highest-weight character n-grams of
+    length 2..6, ties broken on the piece string."""
+    if spark_dialect:
+        toks = (r"SELECT explode(regexp_extract_all(lower(text),"
+                r" '\\w+', 0)) AS tok FROM documents")
+        gen = "explode(sequence({a}, {b}))"
+    else:
+        toks = (r"SELECT unnest(regexp_extract_all(lower(text),"
+                r" '\w+')) AS tok FROM documents")
+        gen = "unnest(generate_series({a}, {b}))"
+    words = f"""SELECT tok AS word, CAST(count(*) AS BIGINT) AS n_occ
+      FROM ({toks}) t
+      GROUP BY tok HAVING length(tok) <= 12"""
+    p_char = gen.format(a="1", b="length(word)")
+    l_gen = gen.format(a="2", b="6")
+    p_gen = gen.format(a="1", b="length(word) - L + 1")
+    vocab = f"""SELECT piece, CAST(length(piece) AS BIGINT) AS plen
+      FROM (
+        SELECT DISTINCT substr(word, CAST(p AS INT), 1) AS piece
+        FROM (SELECT word, {p_char} AS p FROM {{words}}) c
+        UNION
+        SELECT piece FROM (
+          SELECT piece,
+                 row_number() OVER (ORDER BY c DESC, piece) AS rnk
+          FROM (
+            SELECT substr(word, CAST(p AS INT), CAST(L AS INT))
+                     AS piece,
+                   CAST(sum(n_occ) AS BIGINT) AS c
+            FROM (SELECT word, n_occ, L, {p_gen} AS p
+                  FROM (SELECT word, n_occ, {l_gen} AS L
+                        FROM {{words}}) lv
+                  WHERE length(word) >= L) pv
+            GROUP BY substr(word, CAST(p AS INT), CAST(L AS INT))) g
+          ) r WHERE rnk <= 200) u"""
+    return words, vocab
+
+
+def _wordpiece_chain_sql(spark_dialect: bool, words_rel: str,
+                         vocab_rel: str, rounds: int = 12) -> str:
+    """Greedy LONGEST-MATCH-FIRST segmentation as a single-consumer
+    CTE chain: each round explodes candidate prefix lengths 1..6 of
+    the unconsumed remainder (equi-joinable computed prefixes — the
+    expanded-arm idiom that keeps Catalyst off the BroadcastNestedLoop
+    path), left-joins the vocabulary, takes the longest hit per word,
+    and strips it onto the segmentation.  Finished words ride along
+    (their empty remainder matches nothing, bestlen=0, state
+    unchanged), so no round needs a second consumer of the previous
+    state; single chars are always in vocab, so every active round
+    strips >= 1 char and ``rounds`` >= max word length terminates."""
+    if spark_dialect:
+        l_gen = "explode(sequence(1, least(6, greatest(length(rest), 1))))"
+    else:
+        l_gen = ("unnest(generate_series(1, "
+                 "least(6, greatest(length(rest), 1))))")
+    ctes = [f"""s0 AS (
+      SELECT word, n_occ, word AS rest, '' AS seg,
+             CAST(0 AS BIGINT) AS n_pieces
+      FROM {words_rel})"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""x{r} AS (
+      SELECT word, n_occ, rest, seg, n_pieces, CAST(L AS BIGINT) AS L,
+             substr(rest, 1, CAST(L AS INT)) AS prefix
+      FROM (SELECT word, n_occ, rest, seg, n_pieces, {l_gen} AS L
+            FROM s{r - 1}) e)""")
+        ctes.append(f"""m{r} AS (
+      SELECT x.word, max(x.n_occ) AS n_occ, max(x.rest) AS rest,
+             max(x.seg) AS seg, max(x.n_pieces) AS n_pieces,
+             max(CASE WHEN v.piece IS NOT NULL THEN x.L
+                      ELSE CAST(0 AS BIGINT) END) AS bestlen
+      FROM x{r} x LEFT JOIN {vocab_rel} v ON v.piece = x.prefix
+      GROUP BY x.word)""")
+        ctes.append(f"""s{r} AS (
+      SELECT word, n_occ,
+             CASE WHEN bestlen >= 1
+                  THEN substr(rest, CAST(bestlen + 1 AS INT))
+                  ELSE rest END AS rest,
+             CASE WHEN bestlen >= 1
+                  THEN concat(seg,
+                              CASE WHEN n_pieces > 0 THEN '|'
+                                   ELSE '' END,
+                              substr(rest, 1, CAST(bestlen AS INT)))
+                  ELSE seg END AS seg,
+             CASE WHEN bestlen >= 1 THEN n_pieces + 1
+                  ELSE n_pieces END AS n_pieces
+      FROM m{r})""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT word, n_occ, seg, n_pieces FROM (
+      SELECT word, n_occ, seg, n_pieces,
+             row_number() OVER (ORDER BY n_occ DESC, word) AS rnk
+      FROM s{rounds}) t
+    WHERE rnk <= 50"""
+    )
+
+
+def _q_wordpiece_oracle():
+    words, vocab = _wordpiece_vocab_sql(False)
+    chain = _wordpiece_chain_sql(False, "wp_words", "wp_vocab")
+    return (
+        "WITH wp_words AS MATERIALIZED (" + words + "),\n"
+        "    wp_vocab AS MATERIALIZED ("
+        + vocab.format(words="wp_words") + "),\n"
+        + chain.replace("WITH ", "    ", 1)
+    )
+
+
+@_q(
+    "x_wordpiece_segment",
+    _q_wordpiece_oracle(),
+    "WordPiece-style greedy longest-match-first segmentation, driver-"
+    "free: vocabulary = every corpus character + top-200 weighted "
+    "char n-grams (2..6, deterministic ties); 12 unrolled rounds each "
+    "explode prefix lengths 1..6 of the remainder (computed-prefix "
+    "equi-join arms — no BNLJ), left-join the vocab, strip the "
+    "longest hit onto the segmentation.  Single chars in vocab => "
+    "every active round advances, so 12 rounds >= max word length "
+    "terminates; finished words pass through with bestlen=0, keeping "
+    "each round relation single-consumer (linear under per-consumer "
+    "CTE inlining on BOTH engines; the multi-consumer words/vocab "
+    "CTEs are materialized on both sides).  Output: top-50 words with "
+    "piece-delimited segmentations.  The greedy-longest-match "
+    "companion to x_bpe_apply's merge-order tokenizer.",
+)
+def x_wordpiece_segment(spark, sf_dir):
+    from .plans.materialize import materialize as _mat
+
+    register_views(spark, sf_dir, "documents")
+    words_sql, vocab_sql = _wordpiece_vocab_sql(True)
+    words = _mat(spark.sql(words_sql))
+    words.createOrReplaceTempView("wp_words")
+    vocab = _mat(spark.sql(vocab_sql.format(words="wp_words")))
+    vocab.createOrReplaceTempView("wp_vocab")
+    return spark.sql(_wordpiece_chain_sql(True, "wp_words", "wp_vocab"))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -119,6 +119,7 @@ EXTRA = [
     "x_merkle_manifest",
     "x_label_propagation",
     "x_cdc_chunking",
+    "x_wordpiece_segment",
 ]
 
 

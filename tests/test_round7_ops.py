@@ -984,3 +984,61 @@ def test_cdc_resynchronizes_after_edit():
     assert len(a) > 10
     shared = len(set(a) & set(b))
     assert shared >= len(a) - 2  # only the first chunk(s) may differ
+
+
+def test_wordpiece_segment_python_recompute(spark):
+    """Vocabulary build + greedy longest-match segmentation must equal
+    a from-scratch Python pass; each segmentation must reconstruct its
+    word and be piecewise-greedy."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_wordpiece_segment"].spark_fn(
+        spark, SF
+    ).collect()
+    texts = [
+        t
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    wc = Counter(
+        w
+        for t in texts
+        for w in re.findall(r"\w+", t.lower())
+        if len(w) <= 12
+    )
+    chars = {c for w in wc for c in w}
+    ng = Counter()
+    for w, n in wc.items():
+        for L in range(2, 7):
+            for p in range(len(w) - L + 1):
+                ng[w[p : p + L]] += n
+    top = [
+        p
+        for p, _ in sorted(ng.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    ]
+    vocab = chars | set(top)
+
+    def seg(w):
+        out, i = [], 0
+        while i < len(w):
+            for L in range(min(6, len(w) - i), 0, -1):
+                if w[i : i + L] in vocab:
+                    out.append(w[i : i + L])
+                    i += L
+                    break
+        return out
+
+    want = {
+        w: (n, "|".join(seg(w)), len(seg(w)))
+        for w, n in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    }
+    got = {r.word: (r.n_occ, r.seg, r.n_pieces) for r in rows}
+    assert got == want
+    for r in rows:
+        assert r.seg.replace("|", "") == r.word
