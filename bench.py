@@ -187,6 +187,8 @@ EXTRA = [
     "x_label_propagation",
     "x_cdc_chunking",
     "x_wordpiece_segment",
+    "x_postinglist_bytes",
+    "x_kcenter_coreset",
 ]
 
 

@@ -11548,6 +11548,133 @@ def x_wordpiece_segment(spark, sf_dir):
     return spark.sql(_wordpiece_chain_sql(True, "wp_words", "wp_vocab"))
 
 
+def _postinglist_bytes_sql(spark_dialect: bool) -> str:
+    """Inverted-index COMPRESSION ADVISOR: per-term postings (sorted
+    distinct doc ids) are delta-gap encoded, then costed three ways in
+    exact integer bytes — LEB128 varint (1 + (bitlen-1)/7 bytes per
+    gap), whole-list bitpacking (max gap bitlen * count, the
+    PForDelta frame cost without exceptions), and plain 8-byte ids.
+    Terms aggregate into document-frequency magnitude buckets
+    (bitlen(df)), exposing the classic crossover: short tails want
+    varint, long dense lists want bitpacking.  bitlen via the
+    length(bin(x)) integer log (x_encoding_advisor idiom).  At 100 TB
+    this is the index-build decision pass: gaps come from one lag()
+    window per term partition, costs are partial-agged, and the
+    per-bucket verdicts pick each segment's codec."""
+    idiv = "div" if spark_dialect else "//"
+    if spark_dialect:
+        toks = (r"SELECT doc_id, explode(regexp_extract_all(lower(text),"
+                r" '\\w+', 0)) AS tok FROM documents")
+    else:
+        toks = (r"SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+                r" '\w+')) AS tok FROM documents")
+    return f"""WITH post AS (
+      SELECT tok, doc_id FROM ({toks}) t GROUP BY tok, doc_id),
+    gaps AS (
+      SELECT tok,
+             doc_id - coalesce(lag(doc_id) OVER (PARTITION BY tok
+                                 ORDER BY doc_id), 0) AS gap
+      FROM post),
+    per_term AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(1 + (length(bin(gap)) - 1) {idiv} 7)
+                  AS BIGINT) AS varint_bytes,
+             CAST((max(length(bin(gap))) * count(*) + 7) {idiv} 8
+                  AS BIGINT) AS bitpack_bytes,
+             CAST(8 * count(*) AS BIGINT) AS plain_bytes
+      FROM gaps GROUP BY tok)
+    SELECT CAST(length(bin(df)) AS BIGINT) AS df_bucket,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(df) AS BIGINT) AS n_postings,
+           CAST(sum(varint_bytes) AS BIGINT) AS varint_bytes,
+           CAST(sum(bitpack_bytes) AS BIGINT) AS bitpack_bytes,
+           CAST(sum(plain_bytes) AS BIGINT) AS plain_bytes,
+           CAST(sum(CASE WHEN varint_bytes <= bitpack_bytes
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_varint_wins
+    FROM per_term GROUP BY length(bin(df))"""
+
+
+@_q(
+    "x_postinglist_bytes",
+    _postinglist_bytes_sql(False),
+    "Posting-list compression advisor: delta-gap encoding per term "
+    "(one lag window over sorted distinct doc ids), exact integer "
+    "byte costs for LEB128 varint vs whole-list bitpacking vs plain "
+    "ids, rolled up by document-frequency magnitude bucket with "
+    "per-bucket varint-wins counts — the codec chooser an index "
+    "builder runs per segment; the inverted-index sibling of "
+    "x_encoding_advisor's columnar pass.  All integer (gaps >= 1 on "
+    "distinct ids; bitlen via length(bin(x))), engine-exact.",
+)
+def x_postinglist_bytes(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_postinglist_bytes_sql(True))
+
+
+def _kcenter_sql(spark_dialect: bool, k: int = 8) -> str:
+    """Gonzalez FARTHEST-FIRST k-center coreset as a single-consumer
+    window chain: state s{r} = every point with its distance to the
+    nearest chosen center.  Each round, ONE window over the previous
+    state (ORDER BY dmin DESC, vec_id) simultaneously identifies the
+    farthest point (row_number()=1 — it becomes the next center) and
+    broadcasts its embedding to every row (first_value over the same
+    window), so the state relation never needs a second consumer — no
+    per-round materialization, no 2^rounds inlining on either engine.
+    Initial dmin = 1e300 makes round 1 pick the smallest vec_id (the
+    deterministic seed).  dmin updates are index-order IEEE folds on
+    identical inputs (cross-engine exact), so comparisons, ties, and
+    the 2-approximation radius are all bit-reproducible."""
+    l2 = _embed_l2(spark_dialect, "embedding", "cvec")
+    ctes = ["""s0 AS (
+      SELECT vec_id, embedding, CAST(1e300 AS DOUBLE) AS dmin,
+             CAST(0 AS BIGINT) AS sel_round
+      FROM embeddings)"""]
+    for r in range(1, k + 1):
+        ctes.append(f"""s{r} AS (
+      SELECT vec_id, embedding,
+             least(dmin, {l2}) AS dmin,
+             CASE WHEN rn1 = 1 THEN CAST({r} AS BIGINT)
+                  ELSE sel_round END AS sel_round
+      FROM (
+        SELECT vec_id, embedding, dmin, sel_round,
+               first_value(embedding) OVER (ORDER BY dmin DESC, vec_id)
+                 AS cvec,
+               row_number() OVER (ORDER BY dmin DESC, vec_id) AS rn1
+        FROM s{r - 1}) t)""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT sel_round, vec_id,
+           CAST(CAST(radius AS STRING) AS DECIMAL(20,9)) AS radius_sq
+    FROM (
+      SELECT sel_round, vec_id, max(dmin) OVER () AS radius
+      FROM s{k}) t
+    WHERE sel_round >= 1"""
+    )
+
+
+@_q(
+    "x_kcenter_coreset",
+    _kcenter_sql(False),
+    "Farthest-first (Gonzalez) k-center coreset over the embeddings — "
+    "the classic diversity-selection / data-pruning pass: 8 unrolled "
+    "rounds, each ONE window that both picks the farthest point "
+    "(row_number=1 on dmin DESC, vec_id) and ships its embedding to "
+    "all rows (first_value over the same order), keeping every round "
+    "relation single-consumer — driver-free and linear under per-"
+    "consumer CTE inlining on both engines.  Distances are index-"
+    "order IEEE folds (bit-identical), so selection order is engine-"
+    "exact; the final max-min radius (the 2-approx k-center "
+    "objective) is quantized via the exact STRING->DECIMAL route.  "
+    "At 100 TB: the window's global sort is the textbook "
+    "max-reduction — per-partition maxima then one tiny reduce; "
+    "distance updates stay map-side against the 1-row new center.",
+)
+def x_kcenter_coreset(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_kcenter_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -1042,3 +1042,85 @@ def test_wordpiece_segment_python_recompute(spark):
     assert got == want
     for r in rows:
         assert r.seg.replace("|", "") == r.word
+
+
+def test_postinglist_bytes_python_recompute(spark):
+    """Delta-gap varint/bitpack/plain byte costs per df-bucket must
+    equal a from-scratch Python pass."""
+    import re
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_postinglist_bytes"].spark_fn(
+        spark, SF
+    ).collect()
+    got = {r.df_bucket: r for r in rows}
+    data = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    post = {}
+    for did, text in data:
+        for tok in set(re.findall(r"\w+", text.lower())):
+            post.setdefault(tok, set()).add(did)
+    buckets = {}
+    for tok, ids in post.items():
+        ids = sorted(ids)
+        gaps = [ids[0]] + [b - a for a, b in zip(ids, ids[1:])]
+        bl = lambda x: max(x.bit_length(), 1)
+        var = sum(1 + (bl(g) - 1) // 7 for g in gaps)
+        bp = (max(bl(g) for g in gaps) * len(gaps) + 7) // 8
+        b = buckets.setdefault(bl(len(ids)), [0, 0, 0, 0, 0, 0])
+        b[0] += 1
+        b[1] += len(ids)
+        b[2] += var
+        b[3] += bp
+        b[4] += 8 * len(ids)
+        b[5] += 1 if var <= bp else 0
+    assert set(got) == set(buckets)
+    for k, (nt, np_, var, bp, pl, wins) in buckets.items():
+        r = got[k]
+        assert (r.n_terms, r.n_postings, r.varint_bytes,
+                r.bitpack_bytes, r.plain_bytes,
+                r.n_varint_wins) == (nt, np_, var, bp, pl, wins)
+
+
+def test_kcenter_coreset_python_recompute(spark):
+    """Selection order and radius must equal a direct Gonzalez
+    farthest-first pass (squared L2, ties to smallest vec_id)."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_kcenter_coreset"].spark_fn(
+        spark, SF
+    ).collect()
+    got = sorted((r.sel_round, r.vec_id) for r in rows)
+    vecs = dict(
+        duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'"
+        ).fetchall()
+    )
+
+    def l2(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (float(x) - float(y)) * (float(x) - float(y))
+        return s
+
+    dmin = {v: 1e300 for v in vecs}
+    sel = []
+    for r in range(1, 9):
+        pick = max(dmin, key=lambda v: (dmin[v], -v))
+        sel.append((r, pick))
+        for v in vecs:
+            d = l2(vecs[v], vecs[pick])
+            if d < dmin[v]:
+                dmin[v] = d
+    assert got == sorted(sel)
+    radius = max(dmin.values())
+    from decimal import Decimal
+
+    want = Decimal(repr(radius)).quantize(Decimal("1.000000000"))
+    assert rows[0].radius_sq == want
