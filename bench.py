@@ -189,6 +189,8 @@ EXTRA = [
     "x_wordpiece_segment",
     "x_postinglist_bytes",
     "x_kcenter_coreset",
+    "x_referential_audit",
+    "x_textrank_sentences",
 ]
 
 

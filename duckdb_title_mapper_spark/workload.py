@@ -11675,6 +11675,181 @@ def x_kcenter_coreset(spark, sf_dir):
     return spark.sql(_kcenter_sql(True))
 
 
+_FK_EDGES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _referential_audit_sql() -> str:
+    """Schema-wide REFERENTIAL-INTEGRITY audit: one row per declared
+    FK edge with child row count, null-FK count, distinct FK values,
+    orphan rows (left anti join to the parent key), and a 0/1 pass
+    verdict.  The expectation-suite pass a warehouse runs after every
+    load; at 100 TB each edge is one partial-agged anti-join whose
+    parent side is a broadcastable key projection — edges audit in
+    parallel and the report is O(#constraints)."""
+    arms = []
+    for child, fk, parent, pk in _FK_EDGES:
+        arms.append(f"""SELECT '{child}.{fk}->{parent}.{pk}' AS fk_edge,
+             CAST(count(*) AS BIGINT) AS n_child_rows,
+             CAST(sum(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null_fk,
+             CAST(count(DISTINCT c.{fk}) AS BIGINT) AS n_distinct_fk,
+             CAST(sum(CASE WHEN c.{fk} IS NOT NULL AND p.{pk} IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+             CASE WHEN sum(CASE WHEN c.{fk} IS NOT NULL
+                                 AND p.{pk} IS NULL
+                           THEN 1 ELSE 0 END) = 0
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+               AS fk_valid
+      FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+        ON c.{fk} = p.{pk}""")
+    return "\n      UNION ALL ".join(arms)
+
+
+_shared(
+    "x_referential_audit",
+    _referential_audit_sql(),
+    ("orders", "customer", "lineitem", "part", "supplier", "nation",
+     "region"),
+    "Referential-integrity expectation suite over every declared FK "
+    "edge of the star schema: child/null/distinct/orphan counts and a "
+    "pass verdict per edge via left joins against distinct parent "
+    "keys — the post-load constraint audit.  All-BIGINT; shared "
+    "dialect text; each edge's parent side is a broadcastable key "
+    "projection, so the whole report is a union of parallel "
+    "partial-agged probes.",
+)
+
+
+def _textrank_edges_sql(spark_dialect: bool) -> str:
+    """Sentence-similarity edges for TextRank.  The synthetic corpus
+    carries no punctuation, so "sentences" are fixed 12-token windows
+    of the token stream (the positional pseudo-sentence segmentation
+    summarizers fall back to on unpunctuated text); vertex id =
+    doc_id*1000 + window index; an edge joins two windows of the SAME
+    document sharing >= 2 distinct lowercase tokens — the integer
+    edge criterion standing in for TextRank's overlap/log-length
+    weight (no floats, no ratio boundary to certify)."""
+    if spark_dialect:
+        sent = (r"SELECT doc_id, CAST(tpos div 12 AS BIGINT) AS idx, tok"
+                r" FROM (SELECT doc_id, posexplode("
+                r"regexp_extract_all(lower(text), '\\w+', 0))"
+                r" AS (tpos, tok) FROM documents) p"
+                r" WHERE tpos div 12 < 1000")
+    else:
+        sent = (r"SELECT doc_id, CAST((i - 1) // 12 AS BIGINT) AS idx,"
+                r" arr[i] AS tok"
+                r" FROM (SELECT doc_id, arr,"
+                r" unnest(generate_series(1, len(arr))) AS i"
+                r" FROM (SELECT doc_id,"
+                r" regexp_extract_all(lower(text), '\w+') AS arr"
+                r" FROM documents) q) s"
+                r" WHERE (i - 1) // 12 < 1000")
+    return f"""WITH sent AS ({sent}),
+    tok AS (
+      SELECT DISTINCT doc_id, doc_id * 1000 + idx AS sid, tok
+      FROM sent)
+    SELECT a.sid AS src, b.sid AS dst
+    FROM tok a JOIN tok b
+      ON a.doc_id = b.doc_id AND a.tok = b.tok AND a.sid < b.sid
+    GROUP BY a.sid, b.sid HAVING count(*) >= 2"""
+
+
+def _textrank_oracle(iters: int = 5) -> str:
+    """Unrolled fixed-point PageRank (the x_pagerank CTE technique,
+    damping 17/20, 1e-12 rank units) over the sentence graph, then
+    top-1 per document.  ``tok`` self-joins and ``e0``/``edges`` feed
+    multiple consumers -> AS MATERIALIZED (DuckDB per-consumer
+    inlining); the rank chain is single-consumer and stays bare."""
+    from .operators.graph import PR_SCALE
+
+    steps = []
+    prev = "r0"
+    base = f"(CAST({3 * PR_SCALE} AS BIGINT) // (20 * n))"
+    for i in range(1, iters + 1):
+        steps.append(f"""r{i} AS (
+      SELECT v.id,
+             {base} + (17 * coalesce(s.s, CAST(0 AS BIGINT))) // 20 AS r
+      FROM verts v CROSS JOIN nn
+      LEFT JOIN (SELECT e.b AS b,
+                        CAST(sum(rp.r // d.deg) AS BIGINT) AS s
+                 FROM edges e JOIN {prev} rp ON rp.id = e.a
+                 JOIN deg d ON d.a = e.a
+                 GROUP BY e.b) s ON s.b = v.id)""")
+        prev = f"r{i}"
+    inner = _textrank_edges_sql(False)
+    # hoist the edge query's WITH into the outer chain, materialized
+    inner_m = inner.replace("WITH sent AS (", "sent AS (").replace(
+        "tok AS (", "tok AS MATERIALIZED (", 1
+    )
+    body, tail = inner_m.split("\n    SELECT a.sid AS src", 1)
+    return f"""WITH {body},
+    e0 AS MATERIALIZED (
+      SELECT a.sid AS src{tail}),
+    edges AS MATERIALIZED (
+      SELECT src AS a, dst AS b FROM e0
+      UNION
+      SELECT dst AS a, src AS b FROM e0),
+    deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+    verts AS (SELECT DISTINCT a AS id FROM edges),
+    nn AS (SELECT count(*) AS n FROM verts),
+    r0 AS (SELECT id, CAST({PR_SCALE} AS BIGINT) // n AS r
+           FROM verts CROSS JOIN nn),
+    {",".join(steps)}
+    SELECT doc_id, sentence_idx, rank_fp FROM (
+      SELECT id // 1000 AS doc_id, id % 1000 AS sentence_idx,
+             r AS rank_fp,
+             row_number() OVER (PARTITION BY id // 1000
+                                ORDER BY r DESC, id) AS rn
+      FROM {prev}) t
+    WHERE rn = 1"""
+
+
+@_q(
+    "x_textrank_sentences",
+    _textrank_oracle(),
+    "TextRank extractive summarization: sentences become vertices "
+    "(doc_id*1000 + original part index), same-document sentence "
+    "pairs sharing >= 2 distinct tokens become edges, fixed-point "
+    "BIGINT PageRank (operators/graph.pagerank_fixed_point, damping "
+    "17/20, 1e-12 units, 5 iterations) ranks them, and the top "
+    "sentence per document is the summary pick — the composition "
+    "flagship reusing the certified pagerank kernel on a derived "
+    "graph.  Oracle unrolls identical rounds as CTEs with AS "
+    "MATERIALIZED on the multi-consumer tok/e0/edges relations.  "
+    "All-BIGINT.  At 100 TB: token-postings self-join per document "
+    "(bounded by sentence count), then the pagerank shuffle shapes.",
+)
+def x_textrank_sentences(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .operators.graph import pagerank_fixed_point
+
+    register_views(spark, sf_dir, "documents")
+    e0 = spark.sql(_textrank_edges_sql(True))
+    ranks = pagerank_fixed_point(e0, "src", "dst", iters=5)
+    w = Window.partitionBy(F.expr("vertex div 1000")).orderBy(
+        F.desc("rank_fp"), F.asc("vertex")
+    )
+    return (
+        ranks.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .selectExpr(
+            "CAST(vertex div 1000 AS BIGINT) AS doc_id",
+            "CAST(vertex % 1000 AS BIGINT) AS sentence_idx",
+            "rank_fp",
+        )
+    )
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -122,6 +122,8 @@ EXTRA = [
     "x_wordpiece_segment",
     "x_postinglist_bytes",
     "x_kcenter_coreset",
+    "x_referential_audit",
+    "x_textrank_sentences",
 ]
 
 

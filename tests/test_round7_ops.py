@@ -1124,3 +1124,58 @@ def test_kcenter_coreset_python_recompute(spark):
 
     want = Decimal(repr(radius)).quantize(Decimal("1.000000000"))
     assert rows[0].radius_sq == want
+
+
+def test_textrank_python_recompute(spark):
+    """Window segmentation, edge building, 5 fixed-point pagerank
+    rounds, and the per-doc argmax must equal a direct Python pass."""
+    import re
+    from collections import defaultdict
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.operators.graph import PR_SCALE
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_textrank_sentences"].spark_fn(
+        spark, SF
+    ).collect()
+    got = {r.doc_id: (r.sentence_idx, r.rank_fp) for r in rows}
+    data = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    toks = {}
+    for did, text in data:
+        ws = re.findall(r"\w+", text.lower())
+        for i, w in enumerate(ws):
+            toks.setdefault(did * 1000 + i // 12, set()).add(w)
+    sids = sorted(toks)
+    e = set()
+    for i, a in enumerate(sids):
+        for b in sids[i + 1:]:
+            if a // 1000 != b // 1000:
+                continue
+            if len(toks[a] & toks[b]) >= 2:
+                e.add((a, b))
+                e.add((b, a))
+    adj_out = defaultdict(list)
+    for a, b in e:
+        adj_out[a].append(b)
+    verts = sorted({v for ab in e for v in ab})
+    n = len(verts)
+    r = {v: PR_SCALE // n for v in verts}
+    for _ in range(5):
+        s = defaultdict(int)
+        for u in verts:
+            c = r[u] // len(adj_out[u])
+            for v in adj_out[u]:
+                s[v] += c
+        r = {v: 3 * PR_SCALE // (20 * n) + 17 * s[v] // 20
+             for v in verts}
+    best = {}
+    for v in verts:
+        d = v // 1000
+        if d not in best or (r[v], -v) > (r[best[d]], -best[d]):
+            best[d] = v
+    want = {d: (v % 1000, r[v]) for d, v in best.items()}
+    assert got == want
