@@ -191,6 +191,8 @@ EXTRA = [
     "x_kcenter_coreset",
     "x_referential_audit",
     "x_textrank_sentences",
+    "x_cusum_changepoint",
+    "x_gini_split",
 ]
 
 

@@ -11850,6 +11850,147 @@ def x_textrank_sentences(spark, sf_dir):
     )
 
 
+def _cusum_changepoint_sql(epoch_expr: str, idiv: str) -> str:
+    """Integer CUSUM change-point detection over hourly volumes: the
+    classic statistic cumsum(c_i - mean) is scaled by n (the hour
+    count) so every term is the INTEGER n*c_i - total — no division,
+    no floats, and the running sum provably returns to exactly 0 at
+    the last hour.  The change point is the hour of maximum |CUSUM|
+    (ties -> earliest), the standard single-change estimator.  One
+    grouped count + two window passes per event_type; at 100 TB the
+    hourly rollup is the only data-sized shuffle (partial-agged), and
+    the per-type window runs over hours, not events."""
+    return f"""WITH hourly AS (
+      SELECT event_type, {epoch_expr} {idiv} 3600 AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, {epoch_expr} {idiv} 3600),
+    aug AS (
+      SELECT event_type, h, c,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT)
+               AS total
+      FROM hourly),
+    cus AS (
+      SELECT event_type, h, n, total,
+             CAST(sum(n * c - total) OVER (PARTITION BY event_type
+                    ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS cusum
+      FROM aug),
+    ranked AS (
+      SELECT event_type, h, n, total, cusum,
+             row_number() OVER (PARTITION BY event_type
+                 ORDER BY abs(cusum) DESC, h) AS rn
+      FROM cus)
+    SELECT event_type, n AS n_hours, total AS total_events,
+           h * 3600 AS cp_hour_s, abs(cusum) AS max_abs_cusum,
+           CASE WHEN cusum >= 0 THEN CAST(1 AS BIGINT)
+                ELSE CAST(-1 AS BIGINT) END AS direction
+    FROM ranked WHERE rn = 1"""
+
+
+@_q(
+    "x_cusum_changepoint",
+    _cusum_changepoint_sql("CAST(floor(epoch(ts)) AS BIGINT)", "//"),
+    "CUSUM change-point detection per event_type, scaled to pure "
+    "integers (terms n*c_i - total, so the running statistic is "
+    "division-free and ends at exactly 0): hourly volume rollup, one "
+    "running-sum window, argmax |CUSUM| with earliest-hour ties — the "
+    "single-change estimator a volume monitor runs; reports the "
+    "change hour, magnitude, and direction.  All-BIGINT epoch "
+    "arithmetic, engine-exact.",
+)
+def x_cusum_changepoint(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        _cusum_changepoint_sql("CAST(ts AS BIGINT)", "div")
+    )
+
+
+def _gini_split_sql(idiv: str) -> str:
+    """Decision-STUMP training in pure integers: find the $1000-grid
+    price threshold that best separates order status by Gini.
+    Minimizing weighted Gini impurity is equivalent to maximizing
+    sum_c cL_c^2 / nL + sum_c cR_c^2 / nR, so the argmax works on the
+    micro-scaled integer score (sum^2 * 1e6) div n per side — a
+    deterministic truncation identical on both engines (all operands
+    nonnegative), with no floating impurity to certify.  Class counts
+    per candidate come from ONE running-sum window over the bucketed
+    class histogram (buckets, not rows), the standard histogram-based
+    split search every distributed tree learner (XGBoost/LightGBM
+    style) uses: at 100 TB only the per-(bucket,class) partial-agg
+    touches data; the split scan is over ~500 histogram rows."""
+    return f"""WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               {idiv} 100000 AS b,
+             o_orderstatus AS s
+      FROM orders),
+    byb AS (
+      SELECT b,
+             CAST(sum(CASE WHEN s = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS f,
+             CAST(sum(CASE WHEN s = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+               AS o,
+             CAST(sum(CASE WHEN s = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+               AS p
+      FROM cents GROUP BY b),
+    cum AS (
+      SELECT b,
+             CAST(sum(f) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cf,
+             CAST(sum(o) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS co,
+             CAST(sum(p) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+             CAST(sum(f) OVER () AS BIGINT) AS tf,
+             CAST(sum(o) OVER () AS BIGINT) AS tto,
+             CAST(sum(p) OVER () AS BIGINT) AS tp
+      FROM byb),
+    scored AS (
+      SELECT b, cf, co, cp,
+             tf - cf AS rf, tto - co AS ro, tp - cp AS rp,
+             cf + co + cp AS n_left,
+             (tf - cf) + (tto - co) + (tp - cp) AS n_right,
+             (cf * cf + co * co + cp * cp) * 1000000
+               {idiv} (cf + co + cp)
+             + ((tf - cf) * (tf - cf) + (tto - co) * (tto - co)
+                + (tp - cp) * (tp - cp)) * 1000000
+               {idiv} ((tf - cf) + (tto - co) + (tp - cp))
+               AS score_s6
+      FROM cum
+      WHERE (tf - cf) + (tto - co) + (tp - cp) > 0)
+    SELECT b AS threshold_bucket, (b + 1) * 100000 AS threshold_cents,
+           n_left, n_right, cf AS left_f, co AS left_o, cp AS left_p,
+           score_s6,
+           CASE WHEN cf >= co AND cf >= cp THEN 'F'
+                WHEN co >= cp THEN 'O' ELSE 'P' END AS left_majority,
+           CASE WHEN rf >= ro AND rf >= rp THEN 'F'
+                WHEN ro >= rp THEN 'O' ELSE 'P' END AS right_majority
+    FROM (SELECT s2.*,
+                 row_number() OVER (ORDER BY score_s6 DESC, b) AS rn
+          FROM scored s2) r
+    WHERE rn = 1"""
+
+
+@_q(
+    "x_gini_split",
+    _gini_split_sql("//"),
+    "Histogram-based decision-stump training in pure integers: best "
+    "$1000-grid price threshold separating order status by Gini — "
+    "impurity minimization recast as maximizing (sum of squared class "
+    "counts * 1e6) div n per side, a deterministic nonnegative "
+    "truncation, so the split choice is engine-exact with no floating "
+    "impurity.  Cumulative class counts from ONE running-sum window "
+    "over the (bucket, class) histogram — the XGBoost/LightGBM "
+    "histogram split search shape: data is touched only by the "
+    "partial-agged histogram build; the split scan is over ~500 "
+    "buckets.  Reports both sides' majority classes.",
+)
+def x_gini_split(spark, sf_dir):
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_gini_split_sql("div"))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

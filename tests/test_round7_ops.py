@@ -1179,3 +1179,78 @@ def test_textrank_python_recompute(spark):
             best[d] = v
     want = {d: (v % 1000, r[v]) for d, v in best.items()}
     assert got == want
+
+
+def test_cusum_changepoint_python_recompute(spark):
+    """Integer CUSUM (terms n*c - total) and the argmax-|CUSUM| change
+    point must equal a direct Python pass; the statistic must return
+    to 0 at the last hour by construction."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_cusum_changepoint"].spark_fn(
+        spark, SF
+    ).collect()
+    got = {r.event_type: r for r in rows}
+    data = duckdb.sql(
+        f"SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 "
+        f"FROM '{SF}/events.parquet'"
+    ).fetchall()
+    hourly = {}
+    for et, h in data:
+        hourly.setdefault(et, {}).setdefault(h, 0)
+        hourly[et][h] += 1
+    for et, hs in hourly.items():
+        items = sorted(hs.items())
+        n, total = len(items), sum(c for _, c in items)
+        run, best = 0, None
+        for h, c in items:
+            run += n * c - total
+            if best is None or abs(run) > best[0]:
+                best = (abs(run), h, 1 if run >= 0 else -1)
+        assert run == 0
+        r = got[et]
+        assert (r.n_hours, r.total_events) == (n, total)
+        assert (r.max_abs_cusum, r.cp_hour_s, r.direction) == (
+            best[0], best[1] * 3600, best[2])
+
+
+def test_gini_split_python_recompute(spark):
+    """The chosen threshold must equal an exhaustive Python scan with
+    the same integer-truncated score, and must beat (or tie, earlier
+    bucket) every other candidate."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    r = all_queries()["x_gini_split"].spark_fn(spark, SF).collect()[0]
+    data = duckdb.sql(
+        f"SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
+        f"AS BIGINT) // 100000, o_orderstatus "
+        f"FROM '{SF}/orders.parquet'"
+    ).fetchall()
+    byb = {}
+    for b, s in data:
+        d = byb.setdefault(b, {"F": 0, "O": 0, "P": 0})
+        d[s] += 1
+    tot = {c: sum(d[c] for d in byb.values()) for c in "FOP"}
+    cum = {c: 0 for c in "FOP"}
+    cands = []
+    for b in sorted(byb):
+        for c in "FOP":
+            cum[c] += byb[b][c]
+        nl = sum(cum.values())
+        nr = sum(tot.values()) - nl
+        if nr == 0:
+            continue
+        sl = sum(v * v for v in cum.values()) * 1000000 // nl
+        sr = (sum((tot[c] - cum[c]) ** 2 for c in "FOP")
+              * 1000000 // nr)
+        cands.append((sl + sr, -b, b, nl, nr, dict(cum)))
+    best = max(cands)
+    assert r.threshold_bucket == best[2]
+    assert (r.n_left, r.n_right) == (best[3], best[4])
+    assert (r.left_f, r.left_o, r.left_p) == (
+        best[5]["F"], best[5]["O"], best[5]["P"])
+    assert r.score_s6 == best[0]
