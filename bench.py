@@ -193,6 +193,8 @@ EXTRA = [
     "x_textrank_sentences",
     "x_cusum_changepoint",
     "x_gini_split",
+    "x_attribution_touch",
+    "x_view_selection_greedy",
 ]
 
 

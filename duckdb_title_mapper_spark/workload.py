@@ -11991,6 +11991,173 @@ def x_gini_split(spark, sf_dir):
     return spark.sql(_gini_split_sql("div"))
 
 
+def _attribution_sql(us_expr: str, idiv: str) -> str:
+    """Multi-touch ATTRIBUTION: every purchase is a conversion; the
+    same user's non-purchase events in the strict 7-day lookback are
+    its touches.  First/last-touch credit via two row_number windows
+    (ties on the unique event id), linear credit as integer
+    millicredits 1e6 div n_touches (truncation documented — the
+    per-conversion credit mass is <= 1e6 by floor division).  The
+    touch pairing is a per-user equi-join with a range predicate
+    (the certified as-of/range-join family shape); at 100 TB it
+    shuffles on user_id and AQE handles hot users."""
+    return f"""WITH conv AS (
+      SELECT user_id, event_id AS conv_id, {us_expr} AS cus
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT user_id, event_id AS touch_id, event_type AS channel,
+             {us_expr} AS tus
+      FROM events WHERE event_type <> 'purchase'),
+    paired AS (
+      SELECT c.conv_id, t.channel, t.touch_id, t.tus
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.tus < c.cus AND t.tus >= c.cus - 604800000000),
+    ranked AS (
+      SELECT conv_id, channel,
+             row_number() OVER (PARTITION BY conv_id
+                 ORDER BY tus, touch_id) AS rn_first,
+             row_number() OVER (PARTITION BY conv_id
+                 ORDER BY tus DESC, touch_id DESC) AS rn_last,
+             CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
+               AS n_touches
+      FROM paired)
+    SELECT channel,
+           CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_first_touch,
+           CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_last_touch,
+           CAST(count(*) AS BIGINT) AS n_touch_events,
+           CAST(sum(1000000 {idiv} n_touches) AS BIGINT)
+             AS linear_millicredits
+    FROM ranked GROUP BY channel"""
+
+
+@_q(
+    "x_attribution_touch",
+    _attribution_sql("epoch_us(ts)", "//"),
+    "Marketing-style multi-touch attribution over the event log: "
+    "purchases are conversions, the same user's prior non-purchase "
+    "events within a strict 7-day lookback are touches; first- and "
+    "last-touch counts from two deterministic windows and linear "
+    "credit as 1e6 div n_touches integer millicredits, rolled up per "
+    "channel.  All-BIGINT microsecond arithmetic; the pairing is the "
+    "user-keyed range-join shape.",
+)
+def x_attribution_touch(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_attribution_sql("unix_micros(ts)", "div"))
+
+
+def _view_selection_sql(spark_dialect: bool, rounds: int = 3) -> str:
+    """Greedy MATERIALIZED-VIEW SELECTION over the orders cube lattice
+    (Harinarayan/Rajaraman/Ullman, "Implementing Data Cubes
+    Efficiently", SIGMOD'96): cuboid sizes for the 8 groupings of
+    {status, priority, month} come from ONE GROUPING SETS pass (mask
+    from grouping() bits); with the full cuboid always materialized,
+    each of ``rounds`` greedy steps picks the view maximizing total
+    benefit sum_w max(0, cost(w) - size(v)) over the queries w it can
+    answer ((v & w) = w on the dimension bitmask), ties to the
+    smallest mask.  Everything downstream of the materialized sizes
+    relation is 7-8 rows, so the multi-consumer round CTEs are free
+    to inline; only ``sizes`` (the real scan) is materialized on both
+    engines.  All-BIGINT."""
+    mat = "" if spark_dialect else "MATERIALIZED "
+    ym = ("year(o_orderdate) * 100 + month(o_orderdate)")
+    ctes = [f"""sizes AS {mat}(
+      SELECT CAST(4 * (1 - grouping(m)) + 2 * (1 - grouping(p))
+                  + (1 - grouping(s)) AS BIGINT) AS mask,
+             CAST(count(*) AS BIGINT) AS sz
+      FROM (SELECT o_orderstatus AS s, o_orderpriority AS p,
+                   {ym} AS m
+            FROM orders) b
+      GROUP BY GROUPING SETS ((s, p, m), (s, p), (s, m), (p, m),
+                              (s), (p), (m), ())
+      ) sets_outer_wrap""",
+    ]
+    # the GROUPING SETS pass yields one row per GROUP; count per mask
+    ctes[0] = f"""g AS {mat}(
+      SELECT CAST(4 * (1 - grouping(m)) + 2 * (1 - grouping(p))
+                  + (1 - grouping(s)) AS BIGINT) AS mask
+      FROM (SELECT o_orderstatus AS s, o_orderpriority AS p,
+                   {ym} AS m
+            FROM orders) b
+      GROUP BY GROUPING SETS ((s, p, m), (s, p), (s, m), (p, m),
+                              (s), (p), (m), ())),
+    sizes AS {mat}(
+      SELECT mask, CAST(count(*) AS BIGINT) AS sz
+      FROM g GROUP BY mask)"""
+    ctes.append("""c0 AS (
+      SELECT s.mask AS w, t.sz AS cost
+      FROM sizes s CROSS JOIN (SELECT sz FROM sizes WHERE mask = 7) t)""")
+    ctes.append("""k0 AS (
+      SELECT mask AS v, sz, CAST(0 AS BIGINT) AS taken_round
+      FROM sizes WHERE mask < 7)""")
+    for r in range(1, rounds + 1):
+        ctes.append(f"""b{r} AS (
+      SELECT k.v, k.sz, k.taken_round,
+             CAST(sum(CASE WHEN (k.v & c.w) = c.w
+                             AND k.taken_round = 0
+                           THEN greatest(c.cost - k.sz, 0)
+                           ELSE 0 END) AS BIGINT) AS benefit
+      FROM k{r - 1} k CROSS JOIN c{r - 1} c
+      GROUP BY k.v, k.sz, k.taken_round)""")
+        ctes.append(f"""p{r} AS (
+      SELECT v AS pv, sz AS psz, benefit AS pbenefit FROM (
+        SELECT v, sz, benefit, taken_round,
+               row_number() OVER (ORDER BY
+                   CASE WHEN taken_round = 0 THEN benefit
+                        ELSE -1 END DESC, v) AS rn
+        FROM b{r}) t WHERE rn = 1)""")
+        ctes.append(f"""c{r} AS (
+      SELECT c.w,
+             CAST(CASE WHEN (p.pv & c.w) = c.w
+                       THEN least(c.cost, p.psz)
+                       ELSE c.cost END AS BIGINT) AS cost
+      FROM c{r - 1} c CROSS JOIN p{r} p)""")
+        ctes.append(f"""k{r} AS (
+      SELECT k.v, k.sz,
+             CASE WHEN k.v = p.pv THEN CAST({r} AS BIGINT)
+                  ELSE k.taken_round END AS taken_round
+      FROM k{r - 1} k CROSS JOIN p{r} p)""")
+    picks = "\n    UNION ALL ".join(
+        f"""SELECT CAST({r} AS BIGINT) AS pick_round, pv AS mask,
+             concat(CASE WHEN (pv & 4) > 0 THEN 'M' ELSE '' END,
+                    CASE WHEN (pv & 2) > 0 THEN 'P' ELSE '' END,
+                    CASE WHEN (pv & 1) > 0 THEN 'S' ELSE '' END)
+               AS dims,
+             psz AS view_rows, pbenefit AS benefit FROM p{r}"""
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + picks
+
+
+@_q(
+    "x_view_selection_greedy",
+    _view_selection_sql(False),
+    "Greedy materialized-view selection over the 3-dim orders cube "
+    "lattice (the HRU SIGMOD'96 algorithm): cuboid cardinalities "
+    "from one GROUPING SETS pass, then 3 greedy rounds each pick the "
+    "view with maximum total benefit sum max(0, cost(w) - size(v)) "
+    "over the cuboids it answers (bitmask containment), updating "
+    "per-query costs — the OLAP cube-advisor decision pass.  Only "
+    "the sizes relation touches data (materialized on both engines); "
+    "the rounds run over <= 8-row relations where per-consumer "
+    "inlining is free.  All-BIGINT.",
+)
+def x_view_selection_greedy(spark, sf_dir):
+    from .plans.materialize import materialize as _mat
+
+    register_views(spark, sf_dir, "orders")
+    sql = _view_selection_sql(True)
+    # materialize the one data-sized relation; the round chain inlines
+    head, tail = sql.split("),\n    c0 AS (", 1)
+    sizes = _mat(spark.sql(head + ")\n    SELECT mask, sz FROM sizes"))
+    sizes.createOrReplaceTempView("mv_sizes")
+    rest = "WITH c0 AS (" + tail.replace("FROM sizes", "FROM mv_sizes")
+    return spark.sql(rest)
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

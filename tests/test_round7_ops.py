@@ -1254,3 +1254,101 @@ def test_gini_split_python_recompute(spark):
     assert (r.left_f, r.left_o, r.left_p) == (
         best[5]["F"], best[5]["O"], best[5]["P"])
     assert r.score_s6 == best[0]
+
+
+def test_attribution_touch_python_recompute(spark):
+    """First/last-touch counts and integer linear millicredits per
+    channel must equal a direct Python pass over the event log."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_attribution_touch"].spark_fn(
+        spark, SF
+    ).collect()
+    got = {r.channel: (r.n_first_touch, r.n_last_touch,
+                       r.n_touch_events, r.linear_millicredits)
+           for r in rows}
+    data = duckdb.sql(
+        f"SELECT user_id, event_id, event_type, epoch_us(ts) "
+        f"FROM '{SF}/events.parquet'"
+    ).fetchall()
+    by_user = {}
+    for uid, eid, et, us in data:
+        by_user.setdefault(uid, []).append((eid, et, us))
+    agg = {}
+    for uid, evs in by_user.items():
+        for ceid, cet, cus in evs:
+            if cet != "purchase":
+                continue
+            touches = [
+                (tus, teid, tet)
+                for teid, tet, tus in evs
+                if tet != "purchase"
+                and cus - 604800000000 <= tus < cus
+            ]
+            if not touches:
+                continue
+            touches.sort()
+            n = len(touches)
+            for i, (tus, teid, tet) in enumerate(touches):
+                a = agg.setdefault(tet, [0, 0, 0, 0])
+                a[2] += 1
+                a[3] += 1000000 // n
+                if i == 0:
+                    a[0] += 1
+                if i == n - 1:
+                    a[1] += 1
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_view_selection_greedy_python_recompute(spark):
+    """Cuboid sizes and all three HRU greedy picks must equal a direct
+    Python run of the algorithm."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_view_selection_greedy"].spark_fn(
+        spark, SF
+    ).collect()
+    got = sorted((r.pick_round, r.mask, r.dims, r.view_rows, r.benefit)
+                 for r in rows)
+    data = duckdb.sql(
+        f"SELECT o_orderstatus, o_orderpriority, "
+        f"year(o_orderdate) * 100 + month(o_orderdate) "
+        f"FROM '{SF}/orders.parquet'"
+    ).fetchall()
+    sizes = {}
+    for mask in range(8):
+        combos = {
+            (s if mask & 1 else None,
+             p if mask & 2 else None,
+             m if mask & 4 else None)
+            for s, p, m in data
+        }
+        sizes[mask] = len(combos)
+    cost = {w: sizes[7] for w in range(8)}
+    taken = set()
+    want = []
+    for r in range(1, 4):
+        best = None
+        for v in range(7):
+            if v in taken:
+                continue
+            ben = sum(
+                max(0, cost[w] - sizes[v])
+                for w in range(8)
+                if (v & w) == w
+            )
+            if best is None or (ben, -v) > (best[0], -best[1]):
+                best = (ben, v)
+        ben, v = best
+        taken.add(v)
+        for w in range(8):
+            if (v & w) == w:
+                cost[w] = min(cost[w], sizes[v])
+        dims = ("M" if v & 4 else "") + ("P" if v & 2 else "") + (
+            "S" if v & 1 else "")
+        want.append((r, v, dims, sizes[v], ben))
+    assert got == sorted(want)
