@@ -12158,6 +12158,166 @@ def x_view_selection_greedy(spark, sf_dir):
     return spark.sql(rest)
 
 
+def _colbert_maxsim_sql(spark_dialect: bool) -> str:
+    """Late-interaction (ColBERT-style) MaxSim retrieval: query tokens
+    = the first 4 embedding vectors, documents = label groups of the
+    embedding table; score(doc) = sum over query tokens of the MAX
+    cosine against any doc token.  Per-pair cosines are index-order
+    IEEE folds (bit-identical), the per-(token,doc) max over
+    bit-identical doubles is exact, and the cross-token SUM — the one
+    order-sensitive step — runs in nano-unit BIGINTs after the exact
+    STRING->DECIMAL(12,9) quantization (widened to (28,9) before the
+    1e9 scale, the overflow-safe idiom), so ranking boundaries are
+    engine-exact.  At 100 TB: the query side is a broadcast (tokens
+    of one query batch), the max partial-aggregates map-side per
+    (token, doc), and the doc-token scan is the only data-sized
+    pass — the standard MaxSim plan with an IVF/LSH prefilter slot
+    in front (certified separately by the ANN family)."""
+    dot = _embed_dot(spark_dialect, "q.qv", "d.dv")
+    qn = "sqrt(" + _embed_dot(spark_dialect, "qv", "qv") + ")"
+    dn = "sqrt(" + _embed_dot(spark_dialect, "dv", "dv") + ")"
+    return f"""WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, {qn.replace('qv', 'embedding')} AS qn
+      FROM embeddings WHERE vec_id < 4),
+    d AS (
+      SELECT label, vec_id AS did, embedding AS dv,
+             {dn.replace('dv', 'embedding')} AS dn
+      FROM embeddings),
+    pair AS (
+      SELECT q.qid, d.label,
+             max(CASE WHEN q.qn * d.dn = 0 THEN CAST(0.0 AS DOUBLE)
+                      ELSE {dot} / (q.qn * d.dn) END) AS best
+      FROM q CROSS JOIN d GROUP BY q.qid, d.label),
+    scored AS (
+      SELECT label,
+             CAST(sum(CAST(CAST(CAST(CAST(best AS STRING)
+                    AS DECIMAL(12,9)) AS DECIMAL(28,9)) * 1000000000
+                    AS BIGINT)) AS BIGINT) AS maxsim_s9,
+             CAST(count(*) AS BIGINT) AS n_query_tokens
+      FROM pair GROUP BY label)
+    SELECT CAST(label AS BIGINT) AS label, maxsim_s9, n_query_tokens,
+           rnk
+    FROM (SELECT label, maxsim_s9, n_query_tokens,
+                 CAST(row_number() OVER (ORDER BY maxsim_s9 DESC,
+                      label) AS BIGINT) AS rnk
+          FROM scored) t
+    WHERE rnk <= 3"""
+
+
+@_q(
+    "x_colbert_maxsim",
+    _colbert_maxsim_sql(False),
+    "Late-interaction MaxSim retrieval (the ColBERT scoring rule): 4 "
+    "query token vectors against label-grouped document token sets; "
+    "per-pair cosine folds are bit-identical IEEE, per-(token,doc) "
+    "maxes are exact, and the cross-token sum runs in nano-unit "
+    "BIGINTs via the exact STRING->DECIMAL route — top-3 documents "
+    "with engine-exact rank boundaries.  Broadcast query side, "
+    "map-side max partials; the modern multi-vector retrieval shape "
+    "beside BM25/RRF/MMR.",
+)
+def x_colbert_maxsim(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_colbert_maxsim_sql(True))
+
+
+def _dbscan_core_sql(spark_dialect: bool) -> str:
+    """Grid-density core cells: points land in a 1/32-unit grid on the
+    first two embedding dims (floor of bit-identical doubles — exact),
+    cells with >= 3 points are core.  cid packs the (shifted) coords
+    into one BIGINT."""
+    x = "embedding[0]" if spark_dialect else "embedding[1]"
+    y = "embedding[1]" if spark_dialect else "embedding[2]"
+    return f"""SELECT cx, cy, (cx + 100) * 1000 + (cy + 100) AS cid,
+             CAST(count(*) AS BIGINT) AS n_pts
+      FROM (SELECT CAST(floor(CAST({x} AS DOUBLE) * 32) AS BIGINT)
+                     AS cx,
+                   CAST(floor(CAST({y} AS DOUBLE) * 32) AS BIGINT)
+                     AS cy
+            FROM embeddings) p
+      GROUP BY cx, cy HAVING count(*) >= 3"""
+
+
+_DBSCAN_ARMS = [(1, 0), (1, 1), (0, 1), (-1, 1)]
+
+
+def _dbscan_edges_sql(core_rel: str) -> str:
+    """8-neighborhood adjacency between core cells as FOUR literal-
+    offset equi-join arms (each undirected edge produced once) — the
+    expanded-arm idiom that keeps the planner off the offsets-relation
+    BroadcastNestedLoop trap."""
+    return "\n      UNION ALL ".join(
+        f"""SELECT a.cid AS src, b.cid AS dst
+      FROM {core_rel} a JOIN {core_rel} b
+        ON a.cx + {dx} = b.cx AND a.cy + {dy} = b.cy"""
+        for dx, dy in _DBSCAN_ARMS
+    )
+
+
+def _q_dbscan_grid_oracle():
+    return f"""WITH RECURSIVE core AS MATERIALIZED (
+      {_dbscan_core_sql(False)}),
+    e0 AS MATERIALIZED (
+      {_dbscan_edges_sql('core')}),
+    edges AS (SELECT src, dst FROM e0
+              UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    reach(id, label) AS (
+      SELECT cid, cid FROM core
+      UNION
+      SELECT e.src, r.label
+      FROM edges e JOIN reach r ON r.id = e.dst
+      WHERE r.label < e.src),
+    comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)
+    SELECT c.cluster, CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(k.n_pts) AS BIGINT) AS n_pts,
+           CAST(min(k.cx) AS BIGINT) AS min_cx,
+           CAST(min(k.cy) AS BIGINT) AS min_cy
+    FROM core k JOIN comp c ON c.id = k.cid
+    GROUP BY c.cluster"""
+
+
+@_q(
+    "x_dbscan_grid",
+    _q_dbscan_grid_oracle(),
+    "Grid-density clustering (the DBSCAN recipe at warehouse scale): "
+    "1/32-unit grid cells on the first two embedding dims, cells with "
+    ">= 3 points are core, clusters = connected components of the "
+    "8-neighborhood core-cell graph (four literal-offset equi-join "
+    "arms — no BNLJ).  Spark runs the iterative min-label CC operator "
+    "(driver-bounded convergence probe); the oracle is the "
+    "recursive-CTE fixpoint with the multi-consumer core/e0 CTEs "
+    "MATERIALIZED.  Cluster summaries are all-BIGINT; floors of "
+    "bit-identical doubles make cell membership engine-exact.  At "
+    "100 TB: cells aggregate map-side (points never pair), the cell "
+    "graph is tiny, and CC rounds are O(cluster diameter in cells).",
+)
+def x_dbscan_grid(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .operators.graph import connected_components
+    from .plans.materialize import materialize as _mat
+
+    register_views(spark, sf_dir, "embeddings")
+    core = _mat(spark.sql(_dbscan_core_sql(True)))
+    core.createOrReplaceTempView("dbscan_core")
+    edges = spark.sql(_dbscan_edges_sql("dbscan_core"))
+    comp = connected_components(edges)
+    return (
+        core.join(comp, core.cid == comp.vertex, "left")
+        .select(
+            F.coalesce(F.col("component"), F.col("cid")).alias("cluster"),
+            "n_pts", "cx", "cy",
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum("n_pts").cast("bigint").alias("n_pts"),
+            F.min("cx").cast("bigint").alias("min_cx"),
+            F.min("cy").cast("bigint").alias("min_cy"),
+        )
+    )
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -128,6 +128,8 @@ EXTRA = [
     "x_gini_split",
     "x_attribution_touch",
     "x_view_selection_greedy",
+    "x_colbert_maxsim",
+    "x_dbscan_grid",
 ]
 
 

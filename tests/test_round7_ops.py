@@ -1352,3 +1352,97 @@ def test_view_selection_greedy_python_recompute(spark):
             "S" if v & 1 else "")
         want.append((r, v, dims, sizes[v], ben))
     assert got == sorted(want)
+
+
+def test_colbert_maxsim_python_recompute(spark):
+    """MaxSim scores (nano-unit quantized per-token maxes) and the
+    top-3 ranking must equal a direct Python pass."""
+    import math
+    from decimal import Decimal
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_colbert_maxsim"].spark_fn(
+        spark, SF
+    ).collect()
+    got = [(r.rnk, r.label, r.maxsim_s9, r.n_query_tokens)
+           for r in sorted(rows, key=lambda r: r.rnk)]
+    data = duckdb.sql(
+        f"SELECT vec_id, label, embedding "
+        f"FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    qs = [(v, e) for v, _, e in data if v < 4]
+    scores = {}
+    labels = sorted({l for _, l, _ in data})
+    for lab in labels:
+        docs = [e for _, l, e in data if l == lab]
+        total = 0
+        for _, qv in sorted(qs):
+            qn = math.sqrt(sum(float(x) * float(x) for x in qv))
+            best = None
+            for dv in docs:
+                dn = math.sqrt(sum(float(x) * float(x) for x in dv))
+                s = 0.0
+                for x, y in zip(qv, dv):
+                    s += float(x) * float(y)
+                c = 0.0 if qn * dn == 0 else s / (qn * dn)
+                best = c if best is None or c > best else best
+            total += int(
+                Decimal(repr(best)).quantize(Decimal("1.000000000"))
+                * 1000000000
+            )
+        scores[lab] = total
+    want = sorted(
+        ((lab, sc) for lab, sc in scores.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:3]
+    assert got == [
+        (i + 1, lab, sc, len(qs)) for i, (lab, sc) in enumerate(want)
+    ]
+
+
+def test_dbscan_grid_python_recompute(spark):
+    """Core cells, 8-neighborhood components, and cluster summaries
+    must equal a from-scratch Python flood fill."""
+    import math
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_dbscan_grid"].spark_fn(spark, SF).collect()
+    got = sorted((r.cluster, r.n_cells, r.n_pts, r.min_cx, r.min_cy)
+                 for r in rows)
+    data = duckdb.sql(
+        f"SELECT embedding[1], embedding[2] "
+        f"FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    cells = {}
+    for x, y in data:
+        c = (math.floor(float(x) * 32), math.floor(float(y) * 32))
+        cells[c] = cells.get(c, 0) + 1
+    core = {c: n for c, n in cells.items() if n >= 3}
+    cid = {c: (c[0] + 100) * 1000 + (c[1] + 100) for c in core}
+    seen, want = set(), []
+    for c in sorted(core):
+        if c in seen:
+            continue
+        stack, comp = [c], []
+        seen.add(c)
+        while stack:
+            cur = stack.pop()
+            comp.append(cur)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nb = (cur[0] + dx, cur[1] + dy)
+                    if nb in core and nb not in seen:
+                        seen.add(nb)
+                        stack.append(nb)
+        want.append((
+            min(cid[m] for m in comp), len(comp),
+            sum(core[m] for m in comp),
+            min(m[0] for m in comp), min(m[1] for m in comp),
+        ))
+    assert got == sorted(want)
