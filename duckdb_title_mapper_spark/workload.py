@@ -12318,6 +12318,141 @@ def x_dbscan_grid(spark, sf_dir):
     )
 
 
+def _join_order_dp_sql(spark_dialect: bool) -> str:
+    """SELINGER JOIN-ORDER DP (Access Path Selection, SIGMOD'79) in
+    SQL, with an integer cost model fed by REAL statistics: base
+    cardinalities and per-edge join-key NDVs come from the data; the
+    estimate for S join R is |S|*|R| div (product of max-side NDVs of
+    the edges connecting R to S — at most 2 in this chain schema, so
+    the product is min*max, exact), cross products get no divisor;
+    cost = sum of intermediate cardinalities.  DP over subset masks
+    (N=1, C=2, O=4, L=8): round k extends every best size-(k-1) state
+    by one absent relation and keeps the per-mask argmin (cost, then
+    order string) — each state relation has ONE consumer, so the
+    chain is linear; the tiny stats/divisor relations are
+    materialized.  All operands nonnegative and bounded (worst
+    pre-division product ~1e15 at sf0.1), so idiv is engine-exact.
+    This is the optimizer-internals sibling of x_view_selection_greedy
+    — the engine reasoning ABOUT plans as data."""
+    idiv = "div" if spark_dialect else "//"
+    mat = "" if spark_dialect else "MATERIALIZED "
+    return f"""WITH base AS {mat}(
+      SELECT CAST(1 AS BIGINT) AS bit, 'N' AS name,
+             (SELECT CAST(count(*) AS BIGINT) FROM nation) AS rows_r
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'C',
+             (SELECT CAST(count(*) AS BIGINT) FROM customer)
+      UNION ALL
+      SELECT CAST(4 AS BIGINT), 'O',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders)
+      UNION ALL
+      SELECT CAST(8 AS BIGINT), 'L',
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem)),
+    ndv AS {mat}(
+      SELECT CAST(1 AS BIGINT) AS a, CAST(2 AS BIGINT) AS b,
+             greatest(
+               (SELECT CAST(count(DISTINCT n_nationkey) AS BIGINT)
+                FROM nation),
+               (SELECT CAST(count(DISTINCT c_nationkey) AS BIGINT)
+                FROM customer)) AS nd
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), CAST(4 AS BIGINT),
+             greatest(
+               (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT)
+                FROM customer),
+               (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+                FROM orders))
+      UNION ALL
+      SELECT CAST(4 AS BIGINT), CAST(8 AS BIGINT),
+             greatest(
+               (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                FROM orders),
+               (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                FROM lineitem))),
+    redges AS {mat}(
+      SELECT a AS r, b AS other, nd FROM ndv
+      UNION ALL SELECT b AS r, a AS other, nd FROM ndv),
+    masks AS (
+      SELECT CAST(m1 + m2 + m4 + m8 AS BIGINT) AS mask
+      FROM (SELECT 0 AS m1 UNION ALL SELECT 1) a
+      CROSS JOIN (SELECT 0 AS m2 UNION ALL SELECT 2) b
+      CROSS JOIN (SELECT 0 AS m4 UNION ALL SELECT 4) c
+      CROSS JOIN (SELECT 0 AS m8 UNION ALL SELECT 8) d
+      WHERE m1 + m2 + m4 + m8 > 0),
+    divs AS {mat}(
+      SELECT m.mask, e.r,
+             CAST(CASE WHEN count(*) = 2 THEN min(e.nd) * max(e.nd)
+                       ELSE max(e.nd) END AS BIGINT) AS divisor
+      FROM masks m JOIN redges e
+        ON (m.mask & e.other) = e.other AND (m.mask & e.r) = 0
+      GROUP BY m.mask, e.r),
+    s1 AS (
+      SELECT bit AS mask, rows_r AS est, CAST(0 AS BIGINT) AS cost,
+             name AS ord
+      FROM base),
+    e2 AS (
+      SELECT s.mask | b.bit AS nmask,
+             CAST((s.est * b.rows_r) {idiv} coalesce(d.divisor, 1)
+                  AS BIGINT) AS nest,
+             s.cost + CAST((s.est * b.rows_r)
+                  {idiv} coalesce(d.divisor, 1) AS BIGINT) AS ncost,
+             concat(s.ord, '-', b.name) AS nord
+      FROM s1 s JOIN base b ON (s.mask & b.bit) = 0
+      LEFT JOIN divs d ON d.mask = s.mask AND d.r = b.bit),
+    s2 AS (
+      SELECT nmask AS mask, nest AS est, ncost AS cost, nord AS ord
+      FROM (SELECT e2.*, row_number() OVER (PARTITION BY nmask
+                 ORDER BY ncost, nord) AS rn FROM e2) t
+      WHERE rn = 1),
+    e3 AS (
+      SELECT s.mask | b.bit AS nmask,
+             CAST((s.est * b.rows_r) {idiv} coalesce(d.divisor, 1)
+                  AS BIGINT) AS nest,
+             s.cost + CAST((s.est * b.rows_r)
+                  {idiv} coalesce(d.divisor, 1) AS BIGINT) AS ncost,
+             concat(s.ord, '-', b.name) AS nord
+      FROM s2 s JOIN base b ON (s.mask & b.bit) = 0
+      LEFT JOIN divs d ON d.mask = s.mask AND d.r = b.bit),
+    s3 AS (
+      SELECT nmask AS mask, nest AS est, ncost AS cost, nord AS ord
+      FROM (SELECT e3.*, row_number() OVER (PARTITION BY nmask
+                 ORDER BY ncost, nord) AS rn FROM e3) t
+      WHERE rn = 1),
+    e4 AS (
+      SELECT s.mask | b.bit AS nmask,
+             CAST((s.est * b.rows_r) {idiv} coalesce(d.divisor, 1)
+                  AS BIGINT) AS nest,
+             s.cost + CAST((s.est * b.rows_r)
+                  {idiv} coalesce(d.divisor, 1) AS BIGINT) AS ncost,
+             concat(s.ord, '-', b.name) AS nord
+      FROM s3 s JOIN base b ON (s.mask & b.bit) = 0
+      LEFT JOIN divs d ON d.mask = s.mask AND d.r = b.bit)
+    SELECT nmask AS mask, nord AS best_order, nest AS est_rows,
+           ncost AS est_cost
+    FROM (SELECT e4.*, row_number() OVER (PARTITION BY nmask
+               ORDER BY ncost, nord) AS rn FROM e4) t
+    WHERE rn = 1"""
+
+
+@_q(
+    "x_join_order_dp",
+    _join_order_dp_sql(False),
+    "Selinger join-order dynamic programming (SIGMOD'79) with a real "
+    "statistics feed: base cardinalities and join-key NDVs measured "
+    "from the data, integer cost model |S|*|R| div edge-NDV product "
+    "(cross products undivided), DP over subset bitmasks keeping the "
+    "per-mask argmin — returns the best left-deep order for the "
+    "4-relation chain N-C-O-L with its estimated rows and cost.  "
+    "Single-consumer state chain (linear on both engines), "
+    "materialized stats, all-BIGINT.  The optimizer-as-a-query "
+    "companion to x_view_selection_greedy and x_join_size_forecast.",
+)
+def x_join_order_dp(spark, sf_dir):
+    register_views(spark, sf_dir, "nation", "customer", "orders",
+                   "lineitem")
+    return spark.sql(_join_order_dp_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -130,6 +130,7 @@ EXTRA = [
     "x_view_selection_greedy",
     "x_colbert_maxsim",
     "x_dbscan_grid",
+    "x_join_order_dp",
 ]
 
 

@@ -1446,3 +1446,59 @@ def test_dbscan_grid_python_recompute(spark):
             min(m[0] for m in comp), min(m[1] for m in comp),
         ))
     assert got == sorted(want)
+
+
+def test_join_order_dp_python_recompute(spark):
+    """The DP's winning order/est/cost must equal an exhaustive Python
+    enumeration of all left-deep orders under the same cost model."""
+    from itertools import permutations
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    r = all_queries()["x_join_order_dp"].spark_fn(
+        spark, SF
+    ).collect()[0]
+    q = lambda sql: duckdb.sql(sql).fetchone()[0]
+    rows = {
+        1: q(f"SELECT count(*) FROM '{SF}/nation.parquet'"),
+        2: q(f"SELECT count(*) FROM '{SF}/customer.parquet'"),
+        4: q(f"SELECT count(*) FROM '{SF}/orders.parquet'"),
+        8: q(f"SELECT count(*) FROM '{SF}/lineitem.parquet'"),
+    }
+    names = {1: "N", 2: "C", 4: "O", 8: "L"}
+    nd = {
+        (1, 2): max(
+            q(f"SELECT count(DISTINCT n_nationkey) FROM '{SF}/nation.parquet'"),
+            q(f"SELECT count(DISTINCT c_nationkey) FROM '{SF}/customer.parquet'"),
+        ),
+        (2, 4): max(
+            q(f"SELECT count(DISTINCT c_custkey) FROM '{SF}/customer.parquet'"),
+            q(f"SELECT count(DISTINCT o_custkey) FROM '{SF}/orders.parquet'"),
+        ),
+        (4, 8): max(
+            q(f"SELECT count(DISTINCT o_orderkey) FROM '{SF}/orders.parquet'"),
+            q(f"SELECT count(DISTINCT l_orderkey) FROM '{SF}/lineitem.parquet'"),
+        ),
+    }
+    edges = {**nd, **{(b, a): v for (a, b), v in nd.items()}}
+    best = None
+    for perm in permutations([1, 2, 4, 8]):
+        mask, est, cost, ordr = perm[0], rows[perm[0]], 0, names[perm[0]]
+        for b in perm[1:]:
+            divs = [v for (x, y), v in edges.items()
+                    if x == b and (mask & y)]
+            d = 1
+            if len(divs) == 1:
+                d = divs[0]
+            elif len(divs) == 2:
+                d = divs[0] * divs[1]
+            est = est * rows[b] // d
+            cost += est
+            mask |= b
+            ordr += "-" + names[b]
+        if best is None or (cost, ordr) < (best[0], best[1]):
+            best = (cost, ordr, est)
+    assert (r.est_cost, r.best_order, r.est_rows) == best
+    assert r.mask == 15
