@@ -12453,6 +12453,153 @@ def x_join_order_dp(spark, sf_dir):
     return spark.sql(_join_order_dp_sql(True))
 
 
+def _symspell_sql(spark_dialect: bool) -> tuple[str, str]:
+    """(vocab_sql, match_sql): corpus vocabulary with counts, and the
+    SymSpell match query over views ``ss_vocab``.  SymSpell turns
+    fuzzy lookup into EQUI-joins: every vocab word is indexed under
+    itself plus all single-character deletes; a probe generates the
+    same key family; a shared key implies edit distance <= 2, then
+    the exact levenshtein() (identical DP on both engines) verifies
+    and ranks.  No pairwise scan ever happens — the delete-key join
+    is the blocking structure, which is exactly why SymSpell beats
+    brute-force edit distance at dictionary scale."""
+    if spark_dialect:
+        toks = (r"SELECT explode(regexp_extract_all(lower(text),"
+                r" '\\w+', 0)) AS tok FROM documents")
+        gen = "explode(sequence(0, length({w})))"
+    else:
+        toks = (r"SELECT unnest(regexp_extract_all(lower(text),"
+                r" '\w+')) AS tok FROM documents")
+        gen = "unnest(generate_series(0, length({w})))"
+    vocab = f"""SELECT tok AS word, CAST(count(*) AS BIGINT) AS n_occ
+      FROM ({toks}) t GROUP BY tok"""
+    # key at i=0 is the word itself; i>=1 deletes char i
+    key = ("CASE WHEN i = 0 THEN {w} ELSE concat(substr({w}, 1, "
+           "CAST(i - 1 AS INT)), substr({w}, CAST(i + 1 AS INT))) END")
+    probes = """SELECT word AS probe_src,
+             concat(substr(word, 1, 1), substr(word, 3)) AS probe
+      FROM (SELECT word,
+                   row_number() OVER (ORDER BY n_occ DESC, word) AS rnk
+            FROM ss_vocab WHERE length(word) >= 4) t
+      WHERE rnk <= 10"""
+    match = f"""WITH probes AS ({probes}),
+    pkeys AS (
+      SELECT DISTINCT probe, {key.format(w='probe')} AS k
+      FROM (SELECT probe, {gen.format(w='probe')} AS i FROM probes) e),
+    vkeys AS (
+      SELECT DISTINCT word, n_occ, {key.format(w='word')} AS k
+      FROM (SELECT word, n_occ, {gen.format(w='word')} AS i
+            FROM ss_vocab) e),
+    cand AS (
+      SELECT DISTINCT p.probe, v.word, v.n_occ
+      FROM pkeys p JOIN vkeys v ON v.k = p.k),
+    scored AS (
+      SELECT probe, word, n_occ,
+             CAST(levenshtein(probe, word) AS BIGINT) AS dist
+      FROM cand)
+    SELECT probe, word AS correction, dist, n_occ,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT scored.*,
+                 row_number() OVER (PARTITION BY probe
+                     ORDER BY dist, n_occ DESC, word) AS rnk
+          FROM scored WHERE dist <= 2) t
+    WHERE rnk <= 3"""
+    return vocab, match
+
+
+def _q_symspell_oracle():
+    vocab, match = _symspell_sql(False)
+    return ("WITH ss_vocab AS MATERIALIZED (" + vocab + ")"
+            + match.replace("WITH ", ", ", 1))
+
+
+@_q(
+    "x_symspell_correct",
+    _q_symspell_oracle(),
+    "SymSpell spelling correction: vocabulary indexed under itself "
+    "plus all 1-deletes, probes (top words with their 2nd char "
+    "deleted) generate the same key family, and the shared-key "
+    "EQUI-join is the entire candidate search — no pairwise edit-"
+    "distance scan; exact levenshtein() (identical DP both engines) "
+    "verifies and ranks top-3 per probe (dist, freq DESC, word).  "
+    "The delete-key trick is what makes dictionary-scale fuzzy "
+    "lookup a hash join at 100 TB; the blocking-index sibling of "
+    "x_phonetic_blocking and x_sorted_neighborhood.  All BIGINT/"
+    "string.",
+)
+def x_symspell_correct(spark, sf_dir):
+    from .plans.materialize import materialize as _mat
+
+    register_views(spark, sf_dir, "documents")
+    vocab_sql, match_sql = _symspell_sql(True)
+    _mat(spark.sql(vocab_sql)).createOrReplaceTempView("ss_vocab")
+    return spark.sql(match_sql)
+
+
+def _feature_prop_sql(spark_dialect: bool) -> str:
+    """GNN-style neighbor FEATURE PROPAGATION (GraphSAGE mean
+    aggregator, 2 hops) in integer fixed point: node features are
+    part retail prices in cents; each round replaces a node's feature
+    with the integer mean (sum div degree — nonnegative, engine-
+    exact) of its neighbors' previous features.  The h-chain is
+    single-consumer (linear); the edge/degree relations feed every
+    round and are materialized.  This is the feature-smoothing
+    preprocessing pass GNN training pipelines run before sampling."""
+    idiv = "div" if spark_dialect else "//"
+    mat = "" if spark_dialect else "MATERIALIZED "
+    return f"""WITH pairs AS {mat}(
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey < b.l_partkey),
+    edges AS {mat}(
+      SELECT s AS a, d AS b FROM pairs
+      UNION ALL SELECT d AS a, s AS b FROM pairs),
+    deg AS {mat}(
+      SELECT a, CAST(count(*) AS BIGINT) AS deg
+      FROM edges GROUP BY a),
+    h0 AS (
+      SELECT p.p_partkey AS node,
+             CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS h
+      FROM part p JOIN deg g ON g.a = p.p_partkey),
+    h1 AS (
+      SELECT e.a AS node,
+             CAST(sum(x.h) AS BIGINT) {idiv} max(g.deg) AS h
+      FROM edges e JOIN h0 x ON x.node = e.b
+      JOIN deg g ON g.a = e.a
+      GROUP BY e.a),
+    h2 AS (
+      SELECT e.a AS node,
+             CAST(sum(x.h) AS BIGINT) {idiv} max(g.deg) AS h
+      FROM edges e JOIN h1 x ON x.node = e.b
+      JOIN deg g ON g.a = e.a
+      GROUP BY e.a)
+    SELECT h2.node, g.deg,
+           CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100
+                AS BIGINT) AS feat0_cents,
+           h2.h AS feat2_cents
+    FROM h2 JOIN deg g ON g.a = h2.node
+    JOIN part p ON p.p_partkey = h2.node
+    ORDER BY feat2_cents DESC, node LIMIT 20"""
+
+
+@_q(
+    "x_graph_feature_prop",
+    _feature_prop_sql(False),
+    "GraphSAGE-style 2-hop mean feature propagation over the "
+    "co-purchase graph in integer cents (sum div degree, nonnegative "
+    "idiv — engine-exact): the feature-smoothing pass a GNN data "
+    "pipeline runs; single-consumer h-chain, materialized edge/"
+    "degree relations, top-20 smoothed nodes.  Per round: one "
+    "vertex-keyed shuffle join + partial-agged groupBy — the "
+    "message-passing shape at any scale.",
+)
+def x_graph_feature_prop(spark, sf_dir):
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_feature_prop_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -131,6 +131,8 @@ EXTRA = [
     "x_colbert_maxsim",
     "x_dbscan_grid",
     "x_join_order_dp",
+    "x_symspell_correct",
+    "x_graph_feature_prop",
 ]
 
 

@@ -1502,3 +1502,90 @@ def test_join_order_dp_python_recompute(spark):
             best = (cost, ordr, est)
     assert (r.est_cost, r.best_order, r.est_rows) == best
     assert r.mask == 15
+
+
+def test_symspell_correct_python_recompute(spark):
+    """Delete-key candidate generation + levenshtein ranking must
+    equal a from-scratch Python SymSpell, and every probe's true
+    source word must appear among its candidates (dist <= 1 => the
+    1-delete index cannot miss it)."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    rows = all_queries()["x_symspell_correct"].spark_fn(
+        spark, SF
+    ).collect()
+    got = sorted((r.probe, r.rnk, r.correction, r.dist, r.n_occ)
+                 for r in rows)
+    texts = [t for (t,) in duckdb.sql(
+        f"SELECT text FROM '{SF}/documents.parquet'").fetchall()]
+    wc = Counter(w for t in texts for w in re.findall(r"\w+", t.lower()))
+
+    def dels(w):
+        return {w} | {w[:i] + w[i + 1:] for i in range(len(w))}
+
+    vidx = {}
+    for w in wc:
+        for k in dels(w):
+            vidx.setdefault(k, set()).add(w)
+    probes = [w[:1] + w[2:] for w, _ in sorted(
+        ((w, c) for w, c in wc.items() if len(w) >= 4),
+        key=lambda kv: (-kv[1], kv[0]))[:10]]
+    want = []
+    for p in set(probes):
+        cands = set()
+        for k in dels(p):
+            cands |= vidx.get(k, set())
+        scored = sorted(
+            ((lev(p, w), -wc[w], w) for w in cands if lev(p, w) <= 2))
+        for i, (d, negn, w) in enumerate(scored[:3], 1):
+            want.append((p, i, w, d, -negn))
+    assert got == sorted(want)
+
+
+def test_graph_feature_prop_python_recompute(spark):
+    """Two rounds of integer mean aggregation over neighbors must
+    equal a direct Python pass."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_graph_feature_prop"].spark_fn(
+        spark, SF
+    ).collect()
+    pairs = duckdb.sql(f"""
+        SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM '{SF}/lineitem.parquet' a JOIN '{SF}/lineitem.parquet' b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey""").fetchall()
+    price = dict(duckdb.sql(
+        f"SELECT p_partkey, CAST(CAST(p_retailprice AS DECIMAL(18,2))"
+        f" * 100 AS BIGINT) FROM '{SF}/part.parquet'").fetchall())
+    nbr = {}
+    for a, b in pairs:
+        nbr.setdefault(a, []).append(b)
+        nbr.setdefault(b, []).append(a)
+    h = {v: price[v] for v in nbr}
+    for _ in range(2):
+        h = {v: sum(h[u] for u in ns) // len(ns)
+             for v, ns in nbr.items()}
+    want = sorted(
+        ((v, len(nbr[v]), price[v], h[v]) for v in nbr),
+        key=lambda t: (-t[3], t[0]),
+    )[:20]
+    got = [(r.node, r.deg, r.feat0_cents, r.feat2_cents)
+           for r in sorted(rows, key=lambda r: (-r.feat2_cents, r.node))]
+    assert got == want
