@@ -200,6 +200,8 @@ EXTRA = [
     "x_join_order_dp",
     "x_symspell_correct",
     "x_graph_feature_prop",
+    "x_auc_exact",
+    "x_score_calibration",
 ]
 
 

