@@ -202,6 +202,8 @@ EXTRA = [
     "x_graph_feature_prop",
     "x_auc_exact",
     "x_score_calibration",
+    "x_stump_confusion",
+    "x_bfs_levels",
 ]
 
 

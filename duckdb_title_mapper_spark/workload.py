@@ -12689,6 +12689,150 @@ def x_score_calibration(spark, sf_dir):
     return spark.sql(_score_calibration_sql("div"))
 
 
+def _stump_confusion_sql(idiv: str) -> str:
+    """CONFUSION MATRIX of the trained Gini stump: the 1-row best-split
+    relation (threshold + per-side majority classes) cross-joins the
+    scored rows (a legitimate 1-row broadcast — the r7 scalar-cross
+    exemption) and the prediction is a CASE on the bucket; counts per
+    (actual, predicted) cell plus an exact micro-unit accuracy column.
+    Training and evaluation in one certified composition — the
+    eval-follows-train pattern every AutoML loop runs."""
+    return f"""WITH best AS (
+      SELECT threshold_bucket, left_majority, right_majority
+      FROM ({_gini_split_sql(idiv)}) g),
+    pred AS (
+      SELECT o.o_orderstatus AS actual,
+             CASE WHEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) {idiv} 100000 <= b.threshold_bucket
+                  THEN b.left_majority ELSE b.right_majority END
+               AS predicted
+      FROM orders o CROSS JOIN best b),
+    cells AS (
+      SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY actual, predicted)
+    SELECT c.actual, c.predicted, c.n,
+           CAST(t.n_correct * 1000000 {idiv} t.n_total AS BIGINT)
+             AS accuracy_s6
+    FROM cells c CROSS JOIN (
+      SELECT CAST(sum(CASE WHEN actual = predicted THEN n ELSE 0 END)
+                  AS BIGINT) AS n_correct,
+             CAST(sum(n) AS BIGINT) AS n_total
+      FROM cells) t"""
+
+
+@_q(
+    "x_stump_confusion",
+    _stump_confusion_sql("//"),
+    "Train-then-evaluate composition: the x_gini_split stump's 1-row "
+    "best split broadcasts onto the full table, predictions fall out "
+    "of one CASE, and the confusion matrix plus exact micro-unit "
+    "accuracy certify the classifier end to end — all integer, the "
+    "AutoML eval loop in SQL.  The 1-row cross joins are the "
+    "sanctioned scalar-broadcast shape.",
+)
+def x_stump_confusion(spark, sf_dir):
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_stump_confusion_sql("div"))
+
+
+def _bfs_levels_oracle(rounds: int = 4) -> str:
+    """Unrolled BFS relaxation: dist starts 0 at the seed (min vertex)
+    and 999 elsewhere; each round takes min(own, 1 + min neighbor).
+    Every round consumes the previous dist TWICE (self + neighbor
+    join), so each round CTE carries AS MATERIALIZED (the k-core
+    finding); pairs/edges likewise."""
+    ctes = [
+        """pairs AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+        """edges AS MATERIALIZED (
+      SELECT s AS a, d AS b FROM pairs
+      UNION ALL SELECT d AS a, s AS b FROM pairs)""",
+        """seed AS (SELECT min(a) AS sv FROM edges)""",
+        """d0 AS MATERIALIZED (
+      SELECT t.a AS node,
+             CASE WHEN t.a = s.sv THEN CAST(0 AS BIGINT)
+                  ELSE CAST(999 AS BIGINT) END AS dist
+      FROM (SELECT DISTINCT a FROM edges) t CROSS JOIN seed s)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""d{r} AS MATERIALIZED (
+      SELECT p.node,
+             least(p.dist, coalesce(n.nd, CAST(999 AS BIGINT)))
+               AS dist
+      FROM d{r - 1} p
+      LEFT JOIN (SELECT e.a AS node,
+                        CAST(min(x.dist) + 1 AS BIGINT) AS nd
+                 FROM edges e JOIN d{r - 1} x ON x.node = e.b
+                 GROUP BY e.a) n ON n.node = p.node)""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT dist AS level, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM d{rounds} GROUP BY dist"""
+    )
+
+
+@_q(
+    "x_bfs_levels",
+    _bfs_levels_oracle(),
+    "Single-source BFS over the co-purchase graph (4 fixed relaxation "
+    "rounds from the smallest vertex): each round takes min(own, 1 + "
+    "min neighbor distance) — pure integer, so the level histogram "
+    "(unreached = 999) is engine-exact.  The previous round feeds "
+    "TWO consumers (self + neighbor join), so Spark materializes "
+    "each round and the oracle marks every round CTE AS MATERIALIZED "
+    "(the k-core inlining finding).  Completes the graph family's "
+    "shortest-path axis beside CC, PageRank, k-core, label "
+    "propagation, triangles, and feature propagation.",
+)
+def x_bfs_levels(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .plans.materialize import materialize as _mat
+
+    register_views(spark, sf_dir, "lineitem")
+    pairs = spark.sql(
+        """SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey"""
+    )
+    edges = _mat(
+        pairs.selectExpr("s AS a", "d AS b")
+        .union(pairs.selectExpr("d AS a", "s AS b"))
+        .distinct()
+    )
+    seed = F.broadcast(edges.agg(F.min("a").alias("sv")))
+    dist = _mat(
+        edges.select("a").distinct()
+        .crossJoin(seed)
+        .selectExpr(
+            "a AS node",
+            "CASE WHEN a = sv THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(999 AS BIGINT) END AS dist",
+        )
+    )
+    for _ in range(4):
+        nbr = (
+            edges.join(dist.selectExpr("node AS nb", "dist AS nd"),
+                       F.col("b") == F.col("nb"))
+            .groupBy("a")
+            .agg((F.min("nd") + 1).cast("bigint").alias("nd1"))
+        )
+        dist = _mat(
+            dist.join(nbr, dist.node == nbr.a, "left")
+            .selectExpr(
+                "node",
+                "least(dist, coalesce(nd1, CAST(999 AS BIGINT)))"
+                " AS dist",
+            )
+        )
+    return dist.groupBy(F.col("dist").alias("level")).agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -350,3 +350,75 @@ def test_round5_plan_shapes(spark):
     plan = explain_str(suite)
     assert shuffle_count(suite) == 1, plan[:800]
     assert any("o_custkey" in f for f in pushed_filters(suite))
+
+
+def test_round7_session3_plan_shapes(spark):
+    """Plan locks for the session-3 ops: bitmap/gini/cusum keep
+    map-side partial aggregation (their scale story), attribution and
+    MaxSim push their filters to the scan and prune columns, the
+    SymSpell candidate join and label-propagation rounds stay off the
+    BroadcastNestedLoop path (equi keys throughout), the WordPiece
+    chain broadcasts its vocabulary every round, and the chunking/
+    merkle scans read only the columns they use."""
+    from duckdb_title_mapper_spark.plans import explain_str, shuffle_count
+    from duckdb_title_mapper_spark.workload import core_queries as all_queries
+
+    qs = all_queries()
+
+    bm = qs["x_bitmap_index"].spark_fn(spark, SF)
+    assert has_partial_aggregation(bm)
+    assert all(
+        set(s) <= {"o_orderkey", "o_orderstatus", "o_orderpriority"}
+        for s in read_schema_columns(bm)
+    )
+
+    att = qs["x_attribution_touch"].spark_fn(spark, SF)
+    assert any("purchase" in f for f in pushed_filters(att))
+    assert all(
+        set(s) <= {"event_id", "ts", "user_id", "event_type"}
+        for s in read_schema_columns(att)
+    )
+
+    mx = qs["x_colbert_maxsim"].spark_fn(spark, SF)
+    assert any("vec_id" in f for f in pushed_filters(mx))
+    assert all(
+        set(s) <= {"vec_id", "embedding", "label"}
+        for s in read_schema_columns(mx)
+    )
+    assert has_partial_aggregation(mx)
+
+    sy = qs["x_symspell_correct"].spark_fn(spark, SF)
+    plan = explain_str(sy)
+    assert "BroadcastNestedLoop" not in plan, plan[:800]
+
+    lp = qs["x_label_propagation"].spark_fn(spark, SF)
+    plan = explain_str(lp)
+    assert "BroadcastNestedLoop" not in plan, plan[:800]
+    assert has_partial_aggregation(lp)
+
+    wp = qs["x_wordpiece_segment"].spark_fn(spark, SF)
+    assert broadcast_join_count(wp) >= 10  # vocab join per round
+
+    gini = qs["x_gini_split"].spark_fn(spark, SF)
+    assert has_partial_aggregation(gini)
+    assert all(
+        set(s) <= {"o_totalprice", "o_orderstatus"}
+        for s in read_schema_columns(gini)
+    )
+
+    cu = qs["x_cusum_changepoint"].spark_fn(spark, SF)
+    assert has_partial_aggregation(cu)
+
+    mk = qs["x_merkle_manifest"].spark_fn(spark, SF)
+    assert all(
+        set(s) <= {"source", "doc_id", "text"}
+        for s in read_schema_columns(mk)
+    )
+
+    # the three advisors decide from histograms/metadata: one shuffle
+    # budget apiece keeps them cheap at any scale
+    for name, budget in (("x_encoding_advisor", 6),
+                         ("x_postinglist_bytes", 6),
+                         ("x_compaction_planner", 8)):
+        df = qs[name].spark_fn(spark, SF)
+        assert shuffle_count(df) <= budget, (name, shuffle_count(df))

@@ -1646,3 +1646,84 @@ def test_score_calibration_python_recompute(spark):
         assert r.rate_s6 == r.n_pos * 1000000 // r.n
         assert r.base_rate_s6 == base
     assert max(sizes) - min(sizes) <= 1
+
+
+def test_stump_confusion_python_recompute(spark):
+    """Confusion cells and accuracy must equal applying the
+    Python-recomputed best stump to every row."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_stump_confusion"].spark_fn(
+        spark, SF
+    ).collect()
+    got = sorted((r.actual, r.predicted, r.n) for r in rows)
+    acc = {r.accuracy_s6 for r in rows}
+    assert len(acc) == 1
+    data = duckdb.sql(
+        f"SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
+        f"AS BIGINT) // 100000, o_orderstatus "
+        f"FROM '{SF}/orders.parquet'"
+    ).fetchall()
+    byb = {}
+    for b, s in data:
+        d = byb.setdefault(b, {"F": 0, "O": 0, "P": 0})
+        d[s] += 1
+    tot = {c: sum(d[c] for d in byb.values()) for c in "FOP"}
+    cum = {c: 0 for c in "FOP"}
+    cands = []
+    for b in sorted(byb):
+        for c in "FOP":
+            cum[c] += byb[b][c]
+        nl, nr = sum(cum.values()), sum(tot.values()) - sum(cum.values())
+        if nr == 0:
+            continue
+        score = (sum(v * v for v in cum.values()) * 1000000 // nl
+                 + sum((tot[c] - cum[c]) ** 2 for c in "FOP")
+                 * 1000000 // nr)
+        maj = lambda d: ("F" if d["F"] >= d["O"] and d["F"] >= d["P"]
+                         else "O" if d["O"] >= d["P"] else "P")
+        cands.append((score, -b, b, maj(dict(cum)),
+                      maj({c: tot[c] - cum[c] for c in "FOP"})))
+    _, _, thr, lm, rm = max(cands)
+    cells = {}
+    correct = 0
+    for b, s in data:
+        p = lm if b <= thr else rm
+        cells[(s, p)] = cells.get((s, p), 0) + 1
+        correct += s == p
+    assert got == sorted((a, p, n) for (a, p), n in cells.items())
+    assert acc == {correct * 1000000 // len(data)}
+
+
+def test_bfs_levels_python_recompute(spark):
+    """Four-round BFS level histogram must equal a direct Python BFS
+    from the smallest vertex (999 = unreached)."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_bfs_levels"].spark_fn(spark, SF).collect()
+    got = {r.level: r.n_nodes for r in rows}
+    pairs = duckdb.sql(f"""
+        SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM '{SF}/lineitem.parquet' a JOIN '{SF}/lineitem.parquet' b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey""").fetchall()
+    nbr = {}
+    for a, b in pairs:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    seed = min(nbr)
+    dist = {v: (0 if v == seed else 999) for v in nbr}
+    for _ in range(4):
+        dist = {
+            v: min(dist[v],
+                   1 + min((dist[u] for u in nbr[v]), default=998))
+            for v in nbr
+        }
+    want = {}
+    for v, d in dist.items():
+        want[d] = want.get(d, 0) + 1
+    assert got == want
