@@ -204,6 +204,8 @@ EXTRA = [
     "x_score_calibration",
     "x_stump_confusion",
     "x_bfs_levels",
+    "x_cms_topk_precision",
+    "x_twap",
 ]
 
 

@@ -12833,6 +12833,121 @@ def x_bfs_levels(spark, sf_dir):
     )
 
 
+def _cms_topk_precision_sql(spark_dialect: bool, d: int = 4,
+                            w: int = 64, topk: int = 20) -> str:
+    """The count-min sketch as the RANKER, not just the estimator:
+    every term is estimated from the sketch alone (min over its d
+    cells), the estimate-ordered top-k is compared against the true
+    top-k, and each reported term carries its estimate, truth, and an
+    in-true-top flag — precision@k of the sketch-only pipeline, the
+    question a production heavy-hitter service actually answers.
+    Ties break on the term string in both rankings.  All integer."""
+    def cm_hash(row_expr: str, term_expr: str) -> str:
+        if spark_dialect:
+            return (f"CAST(conv(substr(md5(concat(CAST({row_expr} AS"
+                    f" STRING), ':', {term_expr})), 1, 8), 16, 10)"
+                    f" AS BIGINT)")
+        return (f"CAST(('0x' || substr(md5(concat(CAST({row_expr} AS"
+                f" VARCHAR), ':', {term_expr})), 1, 8)) AS BIGINT)")
+
+    if spark_dialect:
+        term = "explode(ts)"
+        rows = f"explode(sequence(0, {d - 1}))"
+    else:
+        term = "unnest(ts)"
+        rows = f"unnest(generate_series(0, {d - 1}))"
+    mat = "" if spark_dialect else "MATERIALIZED "
+    return f"""WITH toks AS ({_toks_sql(spark_dialect, "doc_id")}),
+    tc AS {mat}(
+      SELECT term, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT {term} AS term FROM toks) x
+      GROUP BY term),
+    hashed AS {mat}(
+      SELECT term, n, r, {cm_hash("r", "term")} % {w} AS col
+      FROM (SELECT term, n, {rows} AS r FROM tc) e),
+    sketch AS (
+      SELECT r, col, CAST(sum(n) AS BIGINT) AS cell
+      FROM hashed GROUP BY r, col),
+    est AS (
+      SELECT h.term, max(h.n) AS true_n,
+             CAST(min(s.cell) AS BIGINT) AS est_n
+      FROM hashed h JOIN sketch s ON s.r = h.r AND s.col = h.col
+      GROUP BY h.term),
+    est_top AS (
+      SELECT term, true_n, est_n,
+             CAST(row_number() OVER (ORDER BY est_n DESC, term)
+                  AS BIGINT) AS est_rank
+      FROM est),
+    true_top AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY n DESC, term) AS rnk
+        FROM tc) t WHERE rnk <= {topk})
+    SELECT e.est_rank, e.term, e.est_n, e.true_n,
+           e.est_n - e.true_n AS overestimate,
+           CASE WHEN t.term IS NOT NULL THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS in_true_top
+    FROM est_top e LEFT JOIN true_top t ON t.term = e.term
+    WHERE e.est_rank <= {topk}"""
+
+
+@_q(
+    "x_cms_topk_precision",
+    _cms_topk_precision_sql(False),
+    "Count-min sketch as the RANKER: every term estimated from the "
+    "sketch alone (min over its d cells via a cell equi-join back), "
+    "the estimate-ordered top-20 compared against the true top-20 "
+    "with per-term overestimates and an in-true-top flag — "
+    "precision@k of the sketch-only heavy-hitter pipeline, the "
+    "consumer-side eval completing x_countmin_sketch's build-side "
+    "audit.  CM estimates are provably >= truth; all integer, "
+    "deterministic term ties.",
+)
+def x_cms_topk_precision(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_cms_topk_precision_sql(True))
+
+
+def _twap_sql(epoch_expr: str, idiv: str) -> str:
+    """Time-weighted average in exact integers: per event_type, each
+    observation holds until the next one (step interpolation, the
+    TWAP convention); value quantized to cents via the exact
+    STRING->DECIMAL(18,2) route BEFORE any cross-row arithmetic, then
+    sum(cents * dt) div sum(dt).  One lead() window per type; the
+    last observation (no successor) contributes no segment."""
+    return f"""WITH obs AS (
+      SELECT event_type, {epoch_expr} AS s, event_id,
+             CAST(CAST(CAST(value AS STRING) AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS cents
+      FROM events),
+    seg AS (
+      SELECT event_type, cents,
+             lead(s) OVER (PARTITION BY event_type
+                 ORDER BY s, event_id) - s AS dt
+      FROM obs)
+    SELECT event_type,
+           CAST(sum(cents * dt) AS BIGINT)
+             {idiv} CAST(sum(dt) AS BIGINT) AS twap_cents,
+           CAST(sum(dt) AS BIGINT) AS total_secs,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM seg WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY event_type"""
+
+
+@_q(
+    "x_twap",
+    _twap_sql("CAST(floor(epoch(ts)) AS BIGINT)", "//"),
+    "Time-weighted average price per event_type (step interpolation: "
+    "each value holds until the next observation): values quantized "
+    "to cents via the exact STRING->DECIMAL route per row, then "
+    "integer sum(cents*dt) div sum(dt) — the finance/metering rollup "
+    "that order-insensitive plain AVG gets wrong, engine-exact.  One "
+    "lead() window per type partition.",
+)
+def x_twap(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_twap_sql("CAST(ts AS BIGINT)", "div"))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

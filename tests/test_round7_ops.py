@@ -1727,3 +1727,77 @@ def test_bfs_levels_python_recompute(spark):
     for v, d in dist.items():
         want[d] = want.get(d, 0) + 1
     assert got == want
+
+
+def test_cms_topk_precision_python_recompute(spark):
+    """Sketch-only estimates, ranking, and overestimates must equal a
+    from-scratch CM build, and every estimate must be >= truth."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_cms_topk_precision"].spark_fn(
+        spark, SF
+    ).collect()
+    texts = [t for (t,) in duckdb.sql(
+        f"SELECT text FROM '{SF}/documents.parquet'").fetchall()]
+    tc = Counter(w for t in texts for w in re.findall(r"\w+", t.lower()))
+    d, w = 4, 64
+    sketch = {}
+    for term, n in tc.items():
+        for r in range(d):
+            col = _h32(f"{r}:{term}") % w
+            sketch[(r, col)] = sketch.get((r, col), 0) + n
+    est = {
+        term: min(sketch[(r, _h32(f"{r}:{term}") % w)] for r in range(d))
+        for term in tc
+    }
+    est_rank = sorted(est.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    true_top = {t for t, _ in sorted(
+        tc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]}
+    want = [
+        (i + 1, term, e, tc[term], e - tc[term],
+         1 if term in true_top else 0)
+        for i, (term, e) in enumerate(est_rank)
+    ]
+    got = [(r.est_rank, r.term, r.est_n, r.true_n, r.overestimate,
+            r.in_true_top) for r in sorted(rows, key=lambda r: r.est_rank)]
+    assert got == want
+    assert all(r.overestimate >= 0 for r in rows)
+
+
+def test_twap_python_recompute(spark):
+    """Step-interpolated integer TWAP must equal a direct Python pass
+    (cents quantized per row before any cross-row arithmetic)."""
+    from decimal import Decimal
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_twap"].spark_fn(spark, SF).collect()
+    got = {r.event_type: (r.twap_cents, r.total_secs, r.n_segments)
+           for r in rows}
+    data = duckdb.sql(
+        f"SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT), "
+        f"event_id, value FROM '{SF}/events.parquet'"
+    ).fetchall()
+    by_type = {}
+    for et, s, eid, v in data:
+        cents = int(Decimal(repr(v)).quantize(Decimal("0.01")) * 100)
+        by_type.setdefault(et, []).append((s, eid, cents))
+    want = {}
+    for et, obs in by_type.items():
+        obs.sort()
+        num = den = nseg = 0
+        for (s, _, c), (s2, _, _) in zip(obs, obs[1:]):
+            dt = s2 - s
+            if dt > 0:
+                num += c * dt
+                den += dt
+                nseg += 1
+        want[et] = (num // den, den, nseg)
+    assert got == want
