@@ -206,6 +206,8 @@ EXTRA = [
     "x_bfs_levels",
     "x_cms_topk_precision",
     "x_twap",
+    "x_mad_outliers",
+    "x_benford_audit",
 ]
 
 

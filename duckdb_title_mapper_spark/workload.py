@@ -12948,6 +12948,118 @@ def x_twap(spark, sf_dir):
     return spark.sql(_twap_sql("CAST(ts AS BIGINT)", "div"))
 
 
+def _mad_outliers_sql() -> str:
+    """Robust outlier detection via MEDIAN / MAD in pure integers:
+    value cents via the exact STRING route; the median is the value at
+    ascending rank floor(n/2)+... picked with the division-free
+    rn*2 <= n+1 < (rn+1)*2 idiom (lower median, deterministic ties by
+    event_id); MAD is the same selection over |x - median|.  A point
+    is an outlier when |x - med| > 3 * MAD (integer comparison).
+    Unlike mean/stddev, one wild point cannot mask others — the
+    robust twin of the EWMA/z-score detectors.  Two window passes per
+    type; at 100 TB the exact median swaps for the mergeable
+    log2-histogram sketch (x_quantile_hist_sketch) with the same
+    downstream comparison."""
+    return """WITH obs AS (
+      SELECT event_type, event_id,
+             CAST(CAST(CAST(value AS STRING) AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS cents
+      FROM events),
+    med AS (
+      SELECT event_type, cents AS med_cents FROM (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY cents, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM obs) t
+      WHERE rn * 2 <= n + 1 AND (rn + 1) * 2 > n + 1),
+    dev AS (
+      SELECT o.event_type, o.event_id, o.cents, m.med_cents,
+             abs(o.cents - m.med_cents) AS adev
+      FROM obs o JOIN med m ON m.event_type = o.event_type),
+    mad AS (
+      SELECT event_type, adev AS mad_cents FROM (
+        SELECT event_type, adev,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY adev, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev) t
+      WHERE rn * 2 <= n + 1 AND (rn + 1) * 2 > n + 1)
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(max(d.med_cents) AS BIGINT) AS med_cents,
+           CAST(max(m.mad_cents) AS BIGINT) AS mad_cents,
+           CAST(sum(CASE WHEN d.adev > 3 * m.mad_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(max(CASE WHEN d.adev > 3 * m.mad_cents
+                         THEN d.adev ELSE 0 END) AS BIGINT)
+             AS max_outlier_adev
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type"""
+
+
+@_q(
+    "x_mad_outliers",
+    _mad_outliers_sql(),
+    "Robust outlier detection per event_type: integer cents (exact "
+    "STRING route), lower median and MAD picked by the division-free "
+    "rank idiom with deterministic ties, outliers where |x - med| > "
+    "3*MAD — the masking-resistant robust twin of the EWMA/z-score "
+    "detectors; shared dialect text, all-BIGINT.  At 100 TB the "
+    "exact rank selection swaps for the mergeable log2-histogram "
+    "sketch with the same comparison downstream.",
+)
+def x_mad_outliers(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_mad_outliers_sql())
+
+
+_BENFORD_PERMILLE = [301, 176, 125, 97, 79, 67, 58, 51, 46]
+
+
+def _benford_sql(idiv: str) -> str:
+    """BENFORD first-digit audit over order totals: observed leading-
+    digit counts vs the Benford expectation (standard per-mille
+    constants as literals), with per-digit observed per-mille and the
+    absolute deviation — the fraud/data-quality screen auditors run.
+    First digit extracted integer-only (substr of the cent amount's
+    digits).  All integer."""
+    expect = " ".join(
+        f"WHEN {i + 1} THEN {p}" for i, p in enumerate(_BENFORD_PERMILLE)
+    )
+    return f"""WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                   * 100 AS BIGINT) AS STRING), 1, 1) AS BIGINT)
+               AS d1
+      FROM orders),
+    counts AS (
+      SELECT d1, CAST(count(*) AS BIGINT) AS n_obs
+      FROM digits GROUP BY d1),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts)
+    SELECT c.d1, c.n_obs,
+           CAST(c.n_obs * 1000 {idiv} t.n AS BIGINT) AS obs_permille,
+           CAST(CASE c.d1 {expect} ELSE 0 END AS BIGINT)
+             AS benford_permille,
+           abs(CAST(c.n_obs * 1000 {idiv} t.n AS BIGINT)
+               - CAST(CASE c.d1 {expect} ELSE 0 END AS BIGINT))
+             AS abs_dev_permille
+    FROM counts c CROSS JOIN tot t"""
+
+
+@_q(
+    "x_benford_audit",
+    _benford_sql("//"),
+    "Benford first-digit audit of order totals: leading digit of the "
+    "integer cent amount (string of a BIGINT — no float formatting), "
+    "observed per-mille vs the standard Benford constants, absolute "
+    "deviations per digit — the fraud/data-quality screen.  One "
+    "partial-agged digit histogram; all integer.",
+)
+def x_benford_audit(spark, sf_dir):
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_benford_sql("div"))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -1801,3 +1801,70 @@ def test_twap_python_recompute(spark):
                 nseg += 1
         want[et] = (num // den, den, nseg)
     assert got == want
+
+
+def test_mad_outliers_python_recompute(spark):
+    """Lower-median, MAD, and outlier counts must equal a direct
+    Python pass with the same deterministic rank selection."""
+    from decimal import Decimal
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_mad_outliers"].spark_fn(spark, SF).collect()
+    got = {r.event_type: (r.n_points, r.med_cents, r.mad_cents,
+                          r.n_outliers, r.max_outlier_adev)
+           for r in rows}
+    data = duckdb.sql(
+        f"SELECT event_type, event_id, value "
+        f"FROM '{SF}/events.parquet'"
+    ).fetchall()
+    by_type = {}
+    for et, eid, v in data:
+        cents = int(Decimal(repr(v)).quantize(Decimal("0.01")) * 100)
+        by_type.setdefault(et, []).append((cents, eid))
+
+    def lower_median(vals):  # rank floor((n+1)/2) over (v, eid) order
+        vals = sorted(vals)
+        n = len(vals)
+        return vals[(n + 1) // 2 - 1][0]
+
+    for et, vs in by_type.items():
+        med = lower_median(vs)
+        adevs = [(abs(c - med), eid) for c, eid in vs]
+        mad = lower_median(adevs)
+        outl = [a for a, _ in adevs if a > 3 * mad]
+        assert got[et] == (
+            len(vs), med, mad, len(outl), max(outl, default=0)), et
+
+
+def test_benford_audit_python_recompute(spark):
+    """Digit histogram and per-mille deviations must equal a direct
+    pass; digits must cover exactly the observed set."""
+    from decimal import Decimal
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_benford_audit"].spark_fn(spark, SF).collect()
+    got = {r.d1: r for r in rows}
+    data = duckdb.sql(
+        f"SELECT o_totalprice FROM '{SF}/orders.parquet'"
+    ).fetchall()
+    exp = {i + 1: p for i, p in enumerate(
+        [301, 176, 125, 97, 79, 67, 58, 51, 46])}
+    counts = {}
+    for (v,) in data:
+        cents = int(Decimal(repr(v)).quantize(Decimal("0.01")) * 100)
+        d = int(str(cents)[0])
+        counts[d] = counts.get(d, 0) + 1
+    n = sum(counts.values())
+    assert set(got) == set(counts)
+    for d, c in counts.items():
+        r = got[d]
+        assert r.n_obs == c
+        assert r.obs_permille == c * 1000 // n
+        assert r.benford_permille == exp.get(d, 0)
+        assert r.abs_dev_permille == abs(c * 1000 // n - exp.get(d, 0))
