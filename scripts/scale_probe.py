@@ -141,6 +141,8 @@ EXTRA = [
     "x_twap",
     "x_mad_outliers",
     "x_benford_audit",
+    "x_fk_discovery",
+    "x_selectivity_hist_eval",
 ]
 
 

@@ -1868,3 +1868,76 @@ def test_benford_audit_python_recompute(spark):
         assert r.obs_permille == c * 1000 // n
         assert r.benford_permille == exp.get(d, 0)
         assert r.abs_dev_permille == abs(c * 1000 // n - exp.get(d, 0))
+
+
+def test_fk_discovery_finds_declared_edges(spark):
+    """Every DECLARED FK edge must surface as a full-containment
+    candidate, and every reported containment must equal a Python
+    recompute over the distinct value sets."""
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import (
+        _FK_EDGES, _IND_COLUMNS, all_queries,
+    )
+
+    rows = all_queries()["x_fk_discovery"].spark_fn(spark, SF).collect()
+    got = {(r.child_col, r.parent_col): r for r in rows}
+    vals = {
+        f"{t}.{c}": {
+            v for (v,) in duckdb.sql(
+                f"SELECT DISTINCT {c} FROM '{SF}/{t}.parquet' "
+                f"WHERE {c} IS NOT NULL").fetchall()
+        }
+        for t, c in _IND_COLUMNS
+    }
+    for child, fk, parent, pk in _FK_EDGES:
+        key = (f"{child}.{fk}", f"{parent}.{pk}")
+        assert key in got, key
+        assert got[key].containment_permille == 1000, key
+    for (a, b), r in got.items():
+        inter = len(vals[a] & vals[b])
+        assert r.n_shared == inter
+        assert r.n_child_distinct == len(vals[a])
+        assert r.n_parent_distinct == len(vals[b])
+        assert r.containment_permille == inter * 1000 // len(vals[a])
+        assert inter * 1000 >= 900 * len(vals[a])
+
+
+def test_selectivity_hist_eval_python_recompute(spark):
+    """Histogram build, interpolation estimates, truths, and errors
+    must equal a direct Python pass; errors should be small (an
+    equi-depth histogram bounds interpolation error by ~1 bucket)."""
+    from decimal import Decimal
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_selectivity_hist_eval"].spark_fn(
+        spark, SF
+    ).collect()
+    got = {r.threshold_cents: r for r in rows}
+    data = duckdb.sql(
+        f"SELECT o_totalprice, o_orderkey FROM '{SF}/orders.parquet'"
+    ).fetchall()
+    cents = sorted(
+        (int(Decimal(repr(v)).quantize(Decimal("0.01")) * 100), k)
+        for v, k in data
+    )
+    n = len(cents)
+    hist = {}
+    for i, (c, _) in enumerate(cents):
+        hist.setdefault(i * 16 // n, []).append(c)
+    buckets = [(min(v), max(v), len(v)) for _, v in sorted(hist.items())]
+    for x in (5000000, 15000000, 30000000):
+        est = 0
+        for lo, hi, cnt in buckets:
+            if hi <= x:
+                est += cnt
+            elif lo <= x:
+                est += cnt * (x - lo + 1) // (hi - lo + 1)
+        actual = sum(1 for c, _ in cents if c <= x)
+        r = got[x]
+        assert (r.est_rows, r.actual_rows) == (est, actual)
+        assert r.err_permille == abs(est - actual) * 1000 // actual
+        assert r.err_permille <= 100  # within one bucket mass
