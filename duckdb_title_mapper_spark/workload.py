@@ -13208,6 +13208,40 @@ def x_selectivity_hist_eval(spark, sf_dir):
     return spark.sql(_selectivity_hist_sql(True))
 
 
+@_q(
+    "src_xml_roundtrip",
+    """SELECT o_orderstatus, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   AS DECIMAL(38,2)) AS total_price
+       FROM orders GROUP BY o_orderstatus""",
+    "XML sink + source round-trip (Spark 4's built-in XML data "
+    "source, rowTag records) of the orders projection — the "
+    "enterprise-feed format completing the CSV/JSON/ORC/text/"
+    "WebDataset/TFRecord round-trip family; the timestamp column is "
+    "projected out (XML carries the typed scalars; temporal columns "
+    "ride the binary formats).  Read back with the explicit schema, "
+    "then aggregate; oracle aggregates the original parquet.",
+)
+def src_xml_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    path = "/tmp/duckdb_title_mapper_spark_io/orders_xml"
+    (orders.write.mode("overwrite").format("xml")
+     .option("rootTag", "orders").option("rowTag", "order").save(path))
+    back = (spark.read.schema(orders.schema).format("xml")
+            .option("rowTag", "order").load(path))
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_price"),
+    )
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -143,6 +143,7 @@ EXTRA = [
     "x_benford_audit",
     "x_fk_discovery",
     "x_selectivity_hist_eval",
+    "src_xml_roundtrip",
 ]
 
 

@@ -1941,3 +1941,23 @@ def test_selectivity_hist_eval_python_recompute(spark):
         assert (r.est_rows, r.actual_rows) == (est, actual)
         assert r.err_permille == abs(est - actual) * 1000 // actual
         assert r.err_permille <= 100  # within one bucket mass
+
+
+def test_xml_roundtrip_preserves_rows(spark):
+    """The XML write+read must be row-identical on the projected
+    columns, not just aggregate-identical."""
+    from duckdb_title_mapper_spark.workload import all_queries, load
+
+    all_queries()["src_xml_roundtrip"].spark_fn(spark, SF).collect()
+    orig = load(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    back = (
+        spark.read.schema(orig.schema).format("xml")
+        .option("rowTag", "order")
+        .load("/tmp/duckdb_title_mapper_spark_io/orders_xml")
+    )
+    a = sorted(map(tuple, orig.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
