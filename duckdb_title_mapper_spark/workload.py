@@ -13242,6 +13242,117 @@ def src_xml_roundtrip(spark, sf_dir):
     )
 
 
+def _rfm_segments_sql(epoch_expr: str, idiv: str) -> str:
+    """RFM SEGMENTATION (recency / frequency / monetary), the classic
+    customer-analytics cube: per customer, days since last order
+    (against the corpus max date — deterministic, no wall clock),
+    order count, and lifetime cents; each axis is banded into
+    quintiles by division-free rank banding ((rn-1)*5 div n, ties by
+    custkey), scored so 5 = best (most recent / most frequent /
+    highest spend), and the 125-cell cube rolls up to segment counts
+    with per-segment averages in exact integer units."""
+    return f"""WITH per_cust AS (
+      SELECT o_custkey AS c,
+             max({epoch_expr}) AS last_s,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    anchored AS (
+      SELECT c, freq, cents,
+             (max(last_s) OVER () - last_s) {idiv} 86400 AS rec_days
+      FROM per_cust),
+    banded AS (
+      SELECT c, rec_days, freq, cents,
+             5 - ((row_number() OVER (ORDER BY rec_days, c) - 1) * 5
+                  {idiv} count(*) OVER ()) AS r_score,
+             1 + ((row_number() OVER (ORDER BY freq, c) - 1) * 5
+                  {idiv} count(*) OVER ()) AS f_score,
+             1 + ((row_number() OVER (ORDER BY cents, c) - 1) * 5
+                  {idiv} count(*) OVER ()) AS m_score
+      FROM anchored)
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(rec_days) {idiv} count(*) AS BIGINT)
+             AS avg_rec_days,
+           CAST(sum(freq) {idiv} count(*) AS BIGINT) AS avg_freq,
+           CAST(sum(cents) {idiv} count(*) AS BIGINT) AS avg_cents
+    FROM banded GROUP BY r_score, f_score, m_score"""
+
+
+@_q(
+    "x_rfm_segments",
+    _rfm_segments_sql("CAST(floor(epoch(o_orderdate)) AS BIGINT)",
+                      "//"),
+    "RFM customer segmentation: recency anchored to the corpus max "
+    "date (no wall clock), frequency, and monetary cents, each "
+    "quintile-banded by the division-free rank idiom with custkey "
+    "ties, rolled up to 125-cell segment counts with integer "
+    "averages — the classic marketing cube beside the funnel/"
+    "retention/attribution family.  All-BIGINT, engine-exact.",
+)
+def x_rfm_segments(spark, sf_dir):
+    register_views(spark, sf_dir, "orders")
+    # o_orderdate reads as TIMESTAMP_NTZ; route through TIMESTAMP
+    # (session tz is UTC, so wall time is preserved and the epoch
+    # matches DuckDB's epoch() of the naive value)
+    return spark.sql(
+        _rfm_segments_sql(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT)", "div"
+        )
+    )
+
+
+def _abc_classes_sql(idiv: str) -> str:
+    """ABC (Pareto) CLASSIFICATION of parts by revenue: parts sorted
+    by lineitem revenue cents descending, cumulative revenue share in
+    per-mille (integer: cum*1000 div total), class A while the
+    RUNNING share before this part is < 800, B before 950, else C —
+    boundaries on integers only.  One revenue rollup + one running
+    window; the 80/15/5 inventory rule."""
+    return f"""WITH rev AS (
+      SELECT l_partkey AS p,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * 100 AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT p, cents,
+             CAST(coalesce(sum(cents) OVER (ORDER BY cents DESC, p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum_before,
+             CAST(sum(cents) OVER () AS BIGINT) AS total
+      FROM rev),
+    classed AS (
+      SELECT p, cents, total,
+             CASE WHEN cum_before * 1000 < 800 * total THEN 'A'
+                  WHEN cum_before * 1000 < 950 * total THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked)
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS class_cents,
+           CAST(sum(cents) * 1000 {idiv} max(total) AS BIGINT)
+             AS share_permille
+    FROM classed GROUP BY abc"""
+
+
+@_q(
+    "x_abc_classes",
+    _abc_classes_sql("//"),
+    "ABC / Pareto revenue classification of parts: revenue cents "
+    "rolled up per part, one running-sum window ordered (cents DESC, "
+    "part), class boundaries on the integer cumulative share BEFORE "
+    "each part (A < 800 permille, B < 950) — the 80/15/5 inventory "
+    "rule, engine-exact; reports per-class part counts and revenue "
+    "shares.  The cumulative-share sibling of x_skyline_pareto's "
+    "frontier.",
+)
+def x_abc_classes(spark, sf_dir):
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_abc_classes_sql("div"))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -144,6 +144,8 @@ EXTRA = [
     "x_fk_discovery",
     "x_selectivity_hist_eval",
     "src_xml_roundtrip",
+    "x_rfm_segments",
+    "x_abc_classes",
 ]
 
 

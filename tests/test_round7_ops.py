@@ -1961,3 +1961,89 @@ def test_xml_roundtrip_preserves_rows(spark):
     a = sorted(map(tuple, orig.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_rfm_segments_python_recompute(spark):
+    """Quintile banding on all three axes and segment rollups must
+    equal a direct Python pass."""
+    from decimal import Decimal
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_rfm_segments"].spark_fn(spark, SF).collect()
+    got = {(r.r_score, r.f_score, r.m_score):
+           (r.n_customers, r.avg_rec_days, r.avg_freq, r.avg_cents)
+           for r in rows}
+    data = duckdb.sql(
+        f"SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT),"
+        f" o_totalprice FROM '{SF}/orders.parquet'"
+    ).fetchall()
+    cust = {}
+    for c, s, v in data:
+        cents = int(Decimal(repr(v)).quantize(Decimal("0.01")) * 100)
+        e = cust.setdefault(c, [0, 0, 0])
+        e[0] = max(e[0], s)
+        e[1] += 1
+        e[2] += cents
+    anchor = max(e[0] for e in cust.values())
+    feats = {c: ((anchor - e[0]) // 86400, e[1], e[2])
+             for c, e in cust.items()}
+    n = len(feats)
+
+    def band(keyfn):
+        order = sorted(feats, key=keyfn)
+        return {c: (i * 5) // n for i, c in enumerate(order)}
+
+    rb = band(lambda c: (feats[c][0], c))
+    fb = band(lambda c: (feats[c][1], c))
+    mb = band(lambda c: (feats[c][2], c))
+    segs = {}
+    for c in feats:
+        key = (5 - rb[c], 1 + fb[c], 1 + mb[c])
+        s = segs.setdefault(key, [0, 0, 0, 0])
+        s[0] += 1
+        s[1] += feats[c][0]
+        s[2] += feats[c][1]
+        s[3] += feats[c][2]
+    want = {k: (v[0], v[1] // v[0], v[2] // v[0], v[3] // v[0])
+            for k, v in segs.items()}
+    assert got == want
+
+
+def test_abc_classes_python_recompute(spark):
+    """Class boundaries on the cumulative integer share and per-class
+    rollups must equal a direct Python pass; shares must cover ~1000
+    permille."""
+    from decimal import Decimal
+
+    import duckdb
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_abc_classes"].spark_fn(spark, SF).collect()
+    got = {r.abc: (r.n_parts, r.class_cents, r.share_permille)
+           for r in rows}
+    data = duckdb.sql(
+        f"SELECT l_partkey, l_extendedprice "
+        f"FROM '{SF}/lineitem.parquet'"
+    ).fetchall()
+    rev = {}
+    for p, v in data:
+        rev[p] = rev.get(p, 0) + int(
+            Decimal(repr(v)).quantize(Decimal("0.01")) * 100)
+    total = sum(rev.values())
+    cum = 0
+    agg = {}
+    for p in sorted(rev, key=lambda p: (-rev[p], p)):
+        cls = ("A" if cum * 1000 < 800 * total
+               else "B" if cum * 1000 < 950 * total else "C")
+        a = agg.setdefault(cls, [0, 0])
+        a[0] += 1
+        a[1] += rev[p]
+        cum += rev[p]
+    want = {k: (v[0], v[1], v[1] * 1000 // total)
+            for k, v in agg.items()}
+    assert got == want
+    assert 997 <= sum(v[2] for v in got.values()) <= 1000
