@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Sync BENCH_DETAIL.json with the latest driver BENCH_r{N}.json.
+
+Why this exists (VERDICT r6 #1, r7 "What's wrong" #1): the driver
+re-runs bench.py AFTER the round's final commit, so a hand-committed
+BENCH_DETAIL.json can never match the driver's final BENCH_r{N}.json
+by manual effort.  Policy (documented in SCALING.md): the committed
+sidecar describes the PRIOR driver run by construction.  This script
+is run as the round's FIRST commit step — it takes the newest
+BENCH_r*.json, extracts the driver-parsed compact headline, and
+verifies / patches the working-tree BENCH_DETAIL.json to agree on
+every shared key (value, queries, sf, eff_cores).  Keys only the
+sidecar carries (extra_queries, spread, rows) are left as bench.py
+wrote them — the driver's tail capture is too small to hold them
+(BENCH_r03 parsed: null), which is the reason the sidecar exists.
+
+Exit 0 = already consistent or patched; exit 1 = no driver bench found.
+"""
+import glob
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    rounds = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    if not rounds:
+        print("no BENCH_r*.json found", file=sys.stderr)
+        return 1
+    latest = rounds[-1]
+    with open(latest) as f:
+        driver = json.load(f)
+    parsed = driver.get("parsed")
+    if not isinstance(parsed, dict):
+        print(f"{os.path.basename(latest)} has no parsed payload; "
+              "nothing to sync", file=sys.stderr)
+        return 0
+    detail_path = os.path.join(ROOT, "BENCH_DETAIL.json")
+    detail = {}
+    if os.path.exists(detail_path):
+        with open(detail_path) as f:
+            detail = json.load(f)
+    shared = [k for k in parsed if k in detail or k != "value_norm30"]
+    drift = {k: (detail.get(k), parsed[k]) for k in shared
+             if k in detail and detail[k] != parsed[k]
+             and k != "value_norm30"}
+    if not drift:
+        print(f"sidecar consistent with {os.path.basename(latest)} "
+              f"(value={parsed.get('value')})")
+        return 0
+    print(f"patching sidecar from {os.path.basename(latest)}; "
+          f"drifted keys: {sorted(drift)}", file=sys.stderr)
+    for k, (_, want) in drift.items():
+        detail[k] = want
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
