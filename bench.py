@@ -216,6 +216,13 @@ EXTRA = [
     # round-8 flagships
     "x_multimodal_h264_nals",
     "x_multimodal_aac_adts",
+    "x_hits_scores",
+    "x_viterbi_decode",
+    "x_parquet_footer_stats",
+    "x_event_trigram_mining",
+    "x_kneser_ney_bigram",
+    "x_consistent_hash_ring",
+    "x_kendall_tau_metrics",
 ]
 
 

@@ -344,3 +344,63 @@ def label_propagation_rounds(edges_df, src: str = "src", dst: str = "dst",
             "AS BIGINT) AS label",
         )
     return labels
+
+
+HITS_SCALE = 1_000_000  # fixed-point hub/authority unit (1e6)
+
+
+def hits_fixed_point(edges_df, src: str = "src", dst: str = "dst",
+                     rounds: int = 4):
+    """HITS hubs & authorities over a DIRECTED graph in FIXED-POINT
+    INTEGER arithmetic — the mutually-recursive sibling of
+    ``pagerank_fixed_point``.  Scores are BIGINT multiples of
+    1/HITS_SCALE; each half-round is one edge join + one sum
+    aggregation + an L-infinity normalization (score * SCALE div max),
+    so the iteration is bit-reproducible across engines and
+    ``workload.x_hits_scores`` can unroll the identical half-rounds as
+    CTEs (max() OVER () on the oracle side — same floor-div values).
+
+    L-infinity (divide by max), not L2: the max keeps everything in
+    BIGINT and the argmax ranking is invariant to the norm choice.
+    Overflow headroom: raw sums are <= SCALE * max_indegree, and the
+    normalization multiply is <= max_raw * SCALE — SCALE=1e6 keeps the
+    product under 2^63 for in-degrees up to ~9.2e6; for a graph with
+    hotter vertices, lower SCALE (the ranking only needs enough
+    fixed-point resolution to separate scores).
+
+    Plan shape at 100 TB: the edge relation is materialized once and
+    reused by all 2*rounds joins; the per-round max is a 1-row
+    aggregate broadcast back (crossJoin of a 1-row relation), never a
+    global window — no single-partition shuffle of the vertex set.
+    """
+    from pyspark.sql import functions as F
+
+    from ..plans.materialize import materialize as _mat
+
+    edges = _mat(edges_df.select(F.col(src).alias("a"),
+                                 F.col(dst).alias("b")).distinct())
+    hubs = edges.select(F.col("a").alias("id")).distinct().select(
+        "id", F.lit(HITS_SCALE).cast("bigint").alias("v"))
+
+    def _half(scores, join_on, out_key):
+        # raw is consumed TWICE (the 1-row max AND the scaled select) —
+        # left lazy, each half-round doubles the recompute and 2*rounds
+        # of chaining goes exponential (the x_bpe_train / r7 kcore CTE
+        # trap, measured 43 s -> ~2 s here).  Materialize per half; the
+        # relation is vertex-sized, not edge-sized.
+        raw = _mat(
+            edges.join(scores, edges[join_on] == scores.id)
+            .groupBy(out_key)
+            .agg(F.sum("v").alias("s"))
+            .select(F.col(out_key).alias("id"), "s")
+        )
+        mx = F.broadcast(raw.agg(F.max("s").alias("mx")))
+        return raw.crossJoin(mx).select(
+            "id", F.expr(f"(s * {HITS_SCALE}) div mx").alias("v"))
+
+    auths = None
+    for _ in range(rounds):
+        auths = _half(hubs, "a", "b")    # authority <- sum of in-hubs
+        hubs = _half(auths, "b", "a")    # hub <- sum of out-authorities
+    return hubs.select(F.col("id"), F.col("v").alias("hub_fp")), \
+        auths.select(F.col("id"), F.col("v").alias("auth_fp"))

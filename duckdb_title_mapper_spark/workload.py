@@ -13451,6 +13451,488 @@ def x_multimodal_aac_adts(spark, sf_dir):
     return extract_aac_meta(aac_media_table(spark, sf_dir))
 
 
+def _hits_sql(spark_dialect: bool, rounds: int = 4, topk: int = 15) -> str:
+    """HITS hubs/authorities over the directed customer->supplier
+    purchase graph, unrolled as 2*rounds CTE half-steps in FIXED-POINT
+    BIGINT (the x_pagerank technique): each half is one edge join + one
+    sum + an L-infinity normalization (score * SCALE div max).  The
+    oracle side computes the per-half max with max() OVER () so every
+    CTE stays singly-consumed (the r7 DuckDB CTE-inlining finding —
+    no AS MATERIALIZED needed); the Spark operator broadcasts a 1-row
+    max instead (never a global window).  Floor-div on nonnegative
+    integers is identical on both engines, so the mutually-recursive
+    iteration is bit-exact."""
+    from .operators.graph import HITS_SCALE
+
+    div = "div" if spark_dialect else "//"
+    steps = []
+    prev_h = "h0"
+    for r in range(1, rounds + 1):
+        steps.append(f"""a{r}r AS (
+      SELECT e.b AS id, CAST(sum(h.v) AS BIGINT) AS s
+      FROM edges e JOIN {prev_h} h ON h.id = e.a GROUP BY e.b),
+    a{r} AS (SELECT id, CAST((s * {HITS_SCALE}) {div} max(s) OVER ()
+                             AS BIGINT) AS v FROM a{r}r),
+    h{r}r AS (
+      SELECT e.a AS id, CAST(sum(x.v) AS BIGINT) AS s
+      FROM edges e JOIN a{r} x ON x.id = e.b GROUP BY e.a),
+    h{r} AS (SELECT id, CAST((s * {HITS_SCALE}) {div} max(s) OVER ()
+                             AS BIGINT) AS v FROM h{r}r)""")
+        prev_h = f"h{r}"
+    chain = ",\n    ".join(steps)
+    return f"""WITH edges AS (
+      SELECT DISTINCT o_custkey AS a, l_suppkey AS b
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    h0 AS (SELECT DISTINCT a AS id, CAST({HITS_SCALE} AS BIGINT) AS v
+           FROM edges),
+    {chain}
+    SELECT * FROM (
+      SELECT 'auth' AS role, id, v AS score_fp FROM a{rounds}
+      ORDER BY v DESC, id LIMIT {topk}) ta
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'hub' AS role, id, v AS score_fp FROM h{rounds}
+      ORDER BY v DESC, id LIMIT {topk}) th"""
+
+
+@_q(
+    "x_hits_scores",
+    _hits_sql(False),
+    "HITS hubs & authorities (Kleinberg 1999) over the directed "
+    "customer->supplier purchase graph in FIXED-POINT BIGINT (scores "
+    "in 1e-6 units, L-infinity normalization): the mutually-recursive "
+    "iterative ranking x_pagerank can't express — two interleaved "
+    "vectors, each half-round an edge join + sum + (score * SCALE div "
+    "max).  Spark runs operators/graph.hits_fixed_point (edges "
+    "materialized once, per-half 1-row max broadcast back — no global "
+    "window, no driver scalar); the oracle unrolls identical "
+    "half-rounds as singly-consumed CTEs with max() OVER ().  Top-15 "
+    "per role.",
+)
+def x_hits_scores(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .operators.graph import hits_fixed_point
+
+    register_views(spark, sf_dir, "orders", "lineitem")
+    edges = spark.sql(
+        """SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey"""
+    )
+    hubs, auths = hits_fixed_point(edges, rounds=4)
+    top_a = (
+        auths.orderBy(F.desc("auth_fp"), "id").limit(15)
+        .select(F.lit("auth").alias("role"), "id",
+                F.col("auth_fp").alias("score_fp"))
+    )
+    top_h = (
+        hubs.orderBy(F.desc("hub_fp"), "id").limit(15)
+        .select(F.lit("hub").alias("role"), "id",
+                F.col("hub_fp").alias("score_fp"))
+    )
+    return top_a.unionAll(top_h)
+
+
+# Viterbi decoding: a declared integer-scored HMM over each user's
+# event sequence.  States 0=engaged 1=browsing 2=churning; observations
+# are the five event types.  All weights are literal integers, so the
+# max-sum DP is cross-engine exact; sequences are truncated to the
+# first _VIT_T observations (ties broken by event_id) and shorter
+# sequences carry the DP value through NULL steps unchanged.
+_VIT_OBS = ("click", "view", "purchase", "signup", "error")
+_VIT_TRANS = ((8, 2, -3), (3, 6, 1), (-2, 2, 7))  # trans[from][to]
+_VIT_EMIT = (
+    (5, 3, 9, 4, -6),
+    (4, 6, 1, 5, -1),
+    (-2, 1, -5, 0, 8),
+)
+_VIT_INIT = (3, 2, 1)
+_VIT_T = 8
+
+
+def _viterbi_sql() -> str:
+    """Shared-dialect Viterbi: pivot the first T observation indices to
+    columns, then unroll T max-sum DP steps as chained CTEs of pure
+    column arithmetic (greatest + CASE) — zero joins after the pivot,
+    so the plan is one window shuffle + one aggregation + map-only
+    math: the 100 TB shape for per-key sequence DP."""
+    obs_case = ("CASE event_type "
+                + " ".join(f"WHEN '{t}' THEN {i}"
+                           for i, t in enumerate(_VIT_OBS))
+                + " END")
+    pivots = ",\n             ".join(
+        f"max(CASE WHEN rn = {k} THEN obs END) AS o{k}"
+        for k in range(1, _VIT_T + 1))
+    obs_cols = ", ".join(f"o{k}" for k in range(1, _VIT_T + 1))
+
+    def emit(s: int, k: int) -> str:
+        return (f"CASE o{k} "
+                + " ".join(f"WHEN {i} THEN {_VIT_EMIT[s][i]}"
+                           for i in range(len(_VIT_OBS)))
+                + " END")
+
+    v1 = ", ".join(
+        f"{_VIT_INIT[s]} + {emit(s, 1)} AS s{s}" for s in range(3))
+    steps = [f"v1 AS (SELECT user_id, {obs_cols}, {v1} FROM piv)"]
+    for k in range(2, _VIT_T + 1):
+        cols = []
+        for s in range(3):
+            best = ", ".join(
+                f"s{sp} + {_VIT_TRANS[sp][s]}" for sp in range(3))
+            cols.append(
+                f"CASE WHEN o{k} IS NULL THEN s{s} "
+                f"ELSE greatest({best}) + {emit(s, k)} END AS s{s}")
+        steps.append(
+            f"v{k} AS (SELECT user_id, {obs_cols}, "
+            + ", ".join(cols) + f" FROM v{k - 1})")
+    chain = ",\n    ".join(steps)
+    return f"""WITH seq AS (
+      SELECT user_id, {obs_case} AS obs,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    piv AS (SELECT user_id,
+             {pivots}
+            FROM seq WHERE rn <= {_VIT_T} GROUP BY user_id),
+    {chain}
+    SELECT user_id,
+           CAST(greatest(s0, s1, s2) AS BIGINT) AS best_score,
+           CAST(CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+                     WHEN s1 >= s2 THEN 1 ELSE 2 END AS BIGINT)
+             AS best_state,
+           CAST(s0 AS BIGINT) AS score_s0,
+           CAST(s1 AS BIGINT) AS score_s1,
+           CAST(s2 AS BIGINT) AS score_s2
+    FROM v{_VIT_T}"""
+
+
+_shared(
+    "x_viterbi_decode",
+    _viterbi_sql(),
+    ("events",),
+    "Viterbi max-sum decoding of a declared integer-weight HMM (3 "
+    "hidden states, the 5 event types as observations) over each "
+    "user's first 8 events: the sequence-DP operator class (structured "
+    "prediction / segmentation) none of the graph or window kernels "
+    "cover.  The DP recurrence is unrolled as chained CTEs of pure "
+    "column arithmetic (greatest of integer sums + emission CASE) "
+    "after ONE pivot — per-user work is constant, no joins, no "
+    "explode; NULL-padded short sequences carry values through "
+    "unchanged.  Integer weights make an inherently iterative decode "
+    "bit-exact on both engines (the x_pagerank fixed-point trick, "
+    "applied to DP).  Reports best score, argmax state "
+    "(deterministic lowest-index tiebreak), and all three terminal "
+    "state scores.",
+)
+
+
+@_q(
+    "x_parquet_footer_stats",
+    " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(min({k}) AS BIGINT) AS min_key, "
+        f"CAST(max({k}) AS BIGINT) AS max_key FROM {t}"
+        for t, k in (
+            ("region", "r_regionkey"), ("nation", "n_nationkey"),
+            ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+            ("part", "p_partkey"), ("orders", "o_orderkey"),
+            ("lineitem", "l_orderkey"), ("events", "event_id"),
+            ("documents", "doc_id"), ("embeddings", "vec_id"),
+        )
+    ),
+    "Parquet FOOTER-ONLY statistics manifest: row counts and per-file "
+    "key min/max read from row-group metadata via distributed pyarrow "
+    "footer reads (mapInPandas over a VALUES file list — zero data "
+    "pages touched), verified against a full-scan aggregate oracle.  "
+    "This is the operator a 100 TB lakehouse runs constantly — "
+    "manifest building, stats-based pruning validation, compaction "
+    "accounting all read footers, not data; per-file work is "
+    "constant-byte (footer size), embarrassingly parallel, and the "
+    "footer-vs-scan equality is exactly the invariant query planners "
+    "rely on for pruning correctness.",
+)
+def x_parquet_footer_stats(spark, sf_dir):
+    tables = (
+        ("region", "r_regionkey"), ("nation", "n_nationkey"),
+        ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+        ("part", "p_partkey"), ("orders", "o_orderkey"),
+        ("lineitem", "l_orderkey"), ("events", "event_id"),
+        ("documents", "doc_id"), ("embeddings", "vec_id"),
+    )
+    vals = ", ".join(f"('{t}', '{k}')" for t, k in tables)
+    files = spark.sql(f"SELECT tbl, keycol FROM (VALUES {vals}) "
+                      "AS v(tbl, keycol)").repartition(len(tables))
+
+    def work(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = {"table_name": [], "n_rows": [], "min_key": [],
+                   "max_key": []}
+            for tbl, key in zip(pdf["tbl"], pdf["keycol"]):
+                md = pq.ParquetFile(f"{sf_dir}/{tbl}.parquet").metadata
+                ci = md.schema.names.index(key)
+                mn = mx = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError(
+                            f"{tbl}.{key}: footer lacks min/max stats")
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+                out["table_name"].append(tbl)
+                out["n_rows"].append(md.num_rows)
+                out["min_key"].append(mn)
+                out["max_key"].append(mx)
+            yield pd.DataFrame({
+                "table_name": out["table_name"],
+                "n_rows": pd.Series(out["n_rows"], dtype="int64"),
+                "min_key": pd.Series(out["min_key"], dtype="int64"),
+                "max_key": pd.Series(out["max_key"], dtype="int64"),
+            })
+
+    return files.mapInPandas(
+        work,
+        "table_name STRING, n_rows BIGINT, min_key BIGINT, max_key BIGINT",
+    )
+
+
+def _event_trigram_sql(spark_dialect: bool) -> str:
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    grams AS (
+      SELECT e1, e2, e3,
+             CAST(count(*) AS BIGINT) AS support,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM seq WHERE e3 IS NOT NULL
+      GROUP BY e1, e2, e3),
+    tot AS (SELECT CAST(sum(support) AS BIGINT) AS n FROM grams)
+    SELECT e1, e2, e3, support, n_users,
+           (support * 10000) {idiv} tot.n AS share_bp
+    FROM grams CROSS JOIN tot"""
+
+
+@_q(
+    "x_event_trigram_mining",
+    _event_trigram_sql(False),
+    "Sequential-pattern mining: event-type TRIGRAM support across user "
+    "journeys (two lead() taps over one shared named window — a single "
+    "user-keyed shuffle reused by both), with per-gram user reach and "
+    "integer basis-point share of all trigram instances.  The order-"
+    "sensitive extension of x_markov_transitions' 1-step matrix (and "
+    "the sequence analogue x_itemsets-style set mining can't express): "
+    "output is |event_type|^3-bounded regardless of data scale — the "
+    "cardinality property the r3 quadratic-output rule demands — and "
+    "every stage is window + partial-agg + 1-row broadcast.",
+)
+def x_event_trigram_mining(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_event_trigram_sql(True))
+
+
+def _kneser_ney_sql(spark_dialect: bool, topk: int = 100) -> str:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995,
+    Chen & Goodman 1999) in EXACT RATIONAL arithmetic: with discount
+    d = 3/4, p_KN(w2|w1) multiplied through by 4*c1(w1)*Ctot gives
+      num = max(4c - 3, 0) * Ctot + 3 * N1+(w1) * cont(w2)
+      den = 4 * c1(w1) * Ctot
+    — all BIGINT, so the famous smoothing fraction is emitted as an
+    un-reduced (num, den) integer pair instead of a drift-prone double
+    (the repo's rational-exactness route).  Overflow headroom:
+    den < 2^63 needs c1 * Ctot < 2.3e18 — fine far past these corpora;
+    at true web scale the den factors shrink per shard vocabulary."""
+    if spark_dialect:
+        toks = (r"SELECT doc_id, regexp_extract_all(lower(text), '\\w+', 0)"
+                r" AS ts FROM documents")
+        pairs = ("SELECT explode(transform(slice(ts, 1, size(ts) - 1),"
+                 " (w, i) -> struct(w AS w1, ts[i + 1] AS w2))) AS bg"
+                 " FROM toks WHERE size(ts) > 1")
+        big = "SELECT bg.w1 AS w1, bg.w2 AS w2 FROM pairs_raw"
+    else:
+        toks = (r"SELECT doc_id, regexp_extract_all(lower(text), '\w+')"
+                r" AS ts FROM documents")
+        pairs = ("SELECT ts[g] AS w1, ts[g + 1] AS w2"
+                 " FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1))"
+                 " AS g FROM toks WHERE len(ts) > 1) i")
+        big = "SELECT w1, w2 FROM pairs_raw"
+    return f"""WITH toks AS ({toks}),
+    pairs_raw AS ({pairs}),
+    bigrams AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+                FROM ({big}) b GROUP BY w1, w2),
+    left_tot AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+                        CAST(count(*) AS BIGINT) AS n1p
+                 FROM bigrams GROUP BY w1),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_cont
+             FROM bigrams GROUP BY w2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS ctot FROM bigrams)
+    SELECT b.w1, b.w2, b.c AS n_ab,
+           l.c1 AS left_total, l.n1p AS left_types,
+           co.n_cont AS continuation, t.ctot AS bigram_types,
+           CAST(greatest(4 * b.c - 3, 0) * t.ctot
+                + 3 * l.n1p * co.n_cont AS BIGINT) AS pkn_num,
+           CAST(4 * l.c1 * t.ctot AS BIGINT) AS pkn_den
+    FROM bigrams b
+    JOIN left_tot l ON b.w1 = l.w1
+    JOIN cont co ON b.w2 = co.w2
+    CROSS JOIN tot t
+    ORDER BY b.c DESC, b.w1, b.w2
+    LIMIT {topk}"""
+
+
+@_q(
+    "x_kneser_ney_bigram",
+    _kneser_ney_sql(False),
+    "Interpolated Kneser-Ney bigram smoothing (the LM-smoothing "
+    "algorithm n-gram language models actually ship) over the document "
+    "corpus, EXACT: discount 3/4 multiplied through so p_KN is an "
+    "un-reduced BIGINT (num, den) rational — absolute-discount mass, "
+    "continuation-probability backoff and all — never a float.  "
+    "Plan: one token explode, three count aggregations off the same "
+    "bigram relation, two broadcast-joinable side tables (per-w1 and "
+    "per-w2 marginals), top-100 by raw count.  The continuation-count "
+    "denominator (distinct bigram TYPES, not tokens) is what makes KN "
+    "correct and what this query certifies cross-engine.",
+)
+def x_kneser_ney_bigram(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_kneser_ney_sql(True))
+
+
+def _consistent_hash_sql(spark_dialect: bool, n_shards: int = 8,
+                         vnodes: int = 16) -> str:
+    """Consistent-hash ring assignment with virtual nodes (Karger et
+    al. 1997 / the Dynamo partitioning scheme): 32-bit md5 ring
+    positions for shard:replica vnodes, each doc assigned to the vnode
+    at minimal CLOCKWISE distance ((pos - h) mod 2^32) — the wrap-
+    around handled arithmetically, the argmin packed into a
+    lexicographic string key (zero-padded distance + shard) so the
+    tiebreak is engine-exact.  The query reports per-shard placement
+    AND the re-placement after removing the last shard — certifying
+    the property consistent hashing exists for: only the removed
+    shard's documents move."""
+    if spark_dialect:
+        h32 = "CAST(conv(substr(md5({x}), 1, 8), 16, 10) AS BIGINT)"
+    else:
+        h32 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+    vn_vals = ", ".join(
+        f"('s{s}', {v})" for s in range(n_shards) for v in range(vnodes))
+    ring_pos = h32.format(x="shard || ':' || CAST(v AS STRING)")
+    doc_h = h32.format(x="CAST(doc_id AS STRING)")
+    dist = "(r.pos - d.h + 4294967296) % 4294967296"
+    key = (f"lpad(CAST({dist} AS STRING), 10, '0') || r.shard")
+    last = f"s{n_shards - 1}"
+    return f"""WITH vn AS (SELECT shard, v
+               FROM (VALUES {vn_vals}) AS vn(shard, v)),
+    ring AS (SELECT shard, {ring_pos} AS pos FROM vn),
+    docs AS (SELECT doc_id, {doc_h} AS h FROM documents),
+    assign_full AS (
+      SELECT d.doc_id, substr(min({key}), 11, 2) AS shard
+      FROM docs d CROSS JOIN ring r GROUP BY d.doc_id),
+    assign_less AS (
+      SELECT d.doc_id, substr(min({key}), 11, 2) AS shard
+      FROM docs d CROSS JOIN ring r WHERE r.shard <> '{last}'
+      GROUP BY d.doc_id),
+    pairs AS (SELECT f.doc_id, f.shard AS shard_full, l.shard AS shard_less
+              FROM assign_full f JOIN assign_less l
+                ON f.doc_id = l.doc_id),
+    before AS (
+      SELECT shard_full AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN shard_less <> shard_full
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_out
+      FROM pairs GROUP BY shard_full),
+    after AS (
+      SELECT shard_less AS shard,
+             CAST(count(*) AS BIGINT) AS n_after
+      FROM pairs GROUP BY shard_less)
+    SELECT b.shard, b.n_docs, b.n_moved_out,
+           CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after_removal
+    FROM before b LEFT JOIN after a ON a.shard = b.shard"""
+
+
+@_q(
+    "x_consistent_hash_ring",
+    _consistent_hash_sql(False),
+    "Consistent-hash ring placement with 16 virtual nodes per shard "
+    "over the md5 32-bit ring, wrap-around as modular clockwise "
+    "distance, argmin packed into a zero-padded (distance || shard) "
+    "string key for an engine-exact tiebreak.  Reports per-shard doc "
+    "counts plus the re-placement after removing the last shard — the "
+    "minimal-movement invariant (only the removed shard's docs move) "
+    "that mod-N sharding (x_hash_split) cannot give, i.e. the "
+    "partitioner a 100 TB store uses for resharding without "
+    "full-data movement.  Plan: the ring is a 128-row literal "
+    "broadcast against the doc scan (map-side argmin), one aggregate.",
+)
+def x_consistent_hash_ring(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_consistent_hash_sql(True))
+
+
+def _kendall_tau_sql(spark_dialect: bool, topk: int = 50) -> str:
+    """Kendall rank correlation between two orderings of the SAME
+    top-k item pool (suppliers ranked by revenue cents vs by order
+    count): strict row_number ranks (deterministic tiebreaks), all
+    C(k,2) pairs via a bounded self-join, concordant/discordant as
+    integer counts, tau in sign-split integer permille (negative
+    operands never reach the idiv — the x_grpo_advantages idiom)."""
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH m AS (
+      SELECT l_suppkey AS s,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * 100 AS BIGINT)) AS BIGINT) AS cents,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem GROUP BY l_suppkey),
+    top AS (SELECT s, cents, n_orders FROM m
+            ORDER BY cents DESC, s LIMIT {topk}),
+    ranked AS (
+      SELECT s,
+             CAST(row_number() OVER (ORDER BY cents DESC, s) AS BIGINT)
+               AS r1,
+             CAST(row_number() OVER (ORDER BY n_orders DESC, s) AS BIGINT)
+               AS r2
+      FROM top),
+    pairs AS (
+      SELECT CASE WHEN (a.r1 - b.r1) * (a.r2 - b.r2) > 0
+                  THEN 1 ELSE 0 END AS conc
+      FROM ranked a JOIN ranked b ON a.s < b.s),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(conc) AS BIGINT) AS concordant,
+             CAST(count(*) - sum(conc) AS BIGINT) AS discordant
+      FROM pairs)
+    SELECT n_pairs, concordant, discordant,
+           CAST(CASE WHEN concordant >= discordant
+                THEN ((concordant - discordant) * 1000) {idiv} n_pairs
+                ELSE -(((discordant - concordant) * 1000) {idiv} n_pairs)
+                END AS BIGINT) AS tau_permille
+    FROM agg"""
+
+
+@_q(
+    "x_kendall_tau_metrics",
+    _kendall_tau_sql(False),
+    "Kendall tau rank correlation between two rankings of the same "
+    "top-50 supplier pool (revenue cents vs distinct-order count): "
+    "strict deterministic ranks, C(50,2) concordant/discordant pair "
+    "counts via a BOUNDED self-join (the pool cap is what keeps the "
+    "inherently quadratic statistic scale-stable — 1225 pairs at any "
+    "data size), tau in sign-split integer permille.  The ranking-"
+    "agreement evaluator for retrieval/metric comparisons (the "
+    "rank-correlation sibling of x_auc_exact's threshold-free "
+    "classifier eval).",
+)
+def x_kendall_tau_metrics(spark, sf_dir):
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_kendall_tau_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its
