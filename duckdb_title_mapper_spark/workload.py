@@ -13933,6 +13933,239 @@ def x_kendall_tau_metrics(spark, sf_dir):
     return spark.sql(_kendall_tau_sql(True))
 
 
+def _perceptron_sql(spark_dialect: bool, epochs: int = 3) -> str:
+    """Batch perceptron training, unrolled: integer features (bias,
+    n_chars/100, n_tokens/10), label +1 for English, update
+    w += sum over misclassified of y*x per epoch — every quantity a
+    BIGINT, so an actual TRAINING LOOP is cross-engine bit-exact (the
+    fixed-point trick applied to gradient-style updates; y*(w.x) <= 0
+    counts as a mistake, including the all-zero first epoch).  Weight
+    CTEs are consumed twice (next epoch + the per-epoch report row),
+    so the DuckDB side hints AS MATERIALIZED (the r7 kcore
+    CTE-inlining rule); depth is epochs, relations are 1-row."""
+    idiv = "div" if spark_dialect else "//"
+    n_toks = (
+        r"size(regexp_extract_all(text, '\\w+', 0))"
+        if spark_dialect
+        else r"len(regexp_extract_all(text, '\w+'))"
+    )
+    mat = "" if spark_dialect else " MATERIALIZED"
+    dot = "(w0 * x0 + w1 * x1 + w2 * x2)"
+    steps = []
+    reports = []
+    for e in range(1, epochs + 1):
+        prev = f"w{e - 1}"
+        upd = ", ".join(
+            f"CAST(sum(CASE WHEN y * {dot} <= 0 THEN y * x{i} "
+            f"ELSE 0 END) AS BIGINT) AS d{i}" for i in range(3))
+        steps.append(
+            f"""m{e} AS{mat} (
+      SELECT {upd},
+             CAST(sum(CASE WHEN y * {dot} <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_mis
+      FROM feat CROSS JOIN {prev}),
+    w{e} AS{mat} (
+      SELECT w0 + d0 AS w0, w1 + d1 AS w1, w2 + d2 AS w2
+      FROM {prev} CROSS JOIN m{e})""")
+        reports.append(
+            f"SELECT CAST({e} AS BIGINT) AS epoch, m{e}.n_mis, "
+            f"w{e}.w0, w{e}.w1, w{e}.w2 FROM m{e} CROSS JOIN w{e}")
+    chain = ",\n    ".join(steps)
+    union = "\n    UNION ALL\n    ".join(reports)
+    return f"""WITH feat AS{mat} (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             CAST(1 AS BIGINT) AS x0,
+             CAST(n_chars {idiv} 100 AS BIGINT) AS x1,
+             CAST({n_toks} {idiv} 10 AS BIGINT) AS x2
+      FROM documents),
+    w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                  CAST(0 AS BIGINT) AS w2),
+    {chain}
+    {union}"""
+
+
+@_q(
+    "x_perceptron_epochs",
+    _perceptron_sql(False),
+    "Batch perceptron TRAINING over integer document features (bias, "
+    "scaled n_chars, scaled token count; label = is-English), 3 "
+    "unrolled epochs with the summed misclassified-margin update — an "
+    "actual iterative learning loop certified bit-exact because every "
+    "feature, margin and weight is a BIGINT.  Reports per-epoch "
+    "mistake counts and the weight vector after each update.  Plan: "
+    "one feature scan per epoch (each a partial-agg reduction to one "
+    "row), weights carried as 1-row broadcast relations — the shape "
+    "distributed full-batch training actually has; oracle CTEs hinted "
+    "AS MATERIALIZED against the two-consumer inlining trap.",
+)
+def x_perceptron_epochs(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_perceptron_sql(True))
+
+
+def _spec_decode_sql(spark_dialect: bool, proposals: int = 4,
+                     seeds: int = 20) -> str:
+    """Speculative-decoding acceptance analysis: a DRAFT bigram LM
+    autoregressively proposes tokens; the TARGET trigram LM verifies
+    each proposal given the (accepted) prefix; acceptance length = the
+    agreeing prefix.  Both models are count-argmax tables (max count,
+    ties to the lexicographically smallest token via the exact
+    max-then-min two-step), so the whole pipeline is deterministic —
+    the integer analogue of greedy speculative decoding."""
+    if spark_dialect:
+        toks = (r"SELECT doc_id, regexp_extract_all(lower(text), '\\w+', 0)"
+                r" AS ts FROM documents")
+        pairs = ("SELECT explode(transform(slice(ts, 1, size(ts) - 1),"
+                 " (w, i) -> struct(w AS w1, ts[i + 1] AS w2))) AS bg"
+                 " FROM toks WHERE size(ts) > 1")
+        big = "SELECT bg.w1 AS w1, bg.w2 AS w2 FROM pairs_raw"
+        tris = ("SELECT explode(transform(slice(ts, 1, size(ts) - 2),"
+                " (w, i) -> struct(w AS w1, ts[i + 1] AS w2,"
+                " ts[i + 2] AS w3))) AS tg"
+                " FROM toks WHERE size(ts) > 2")
+        tri = "SELECT tg.w1 AS w1, tg.w2 AS w2, tg.w3 AS w3 FROM tri_raw"
+    else:
+        toks = (r"SELECT doc_id, regexp_extract_all(lower(text), '\w+')"
+                r" AS ts FROM documents")
+        pairs = ("SELECT ts[g] AS w1, ts[g + 1] AS w2"
+                 " FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1))"
+                 " AS g FROM toks WHERE len(ts) > 1) i")
+        big = "SELECT w1, w2 FROM pairs_raw"
+        tris = ("SELECT ts[g] AS w1, ts[g + 1] AS w2, ts[g + 2] AS w3"
+                " FROM (SELECT ts, unnest(generate_series(1, len(ts) - 2))"
+                " AS g FROM toks WHERE len(ts) > 2) i")
+        tri = "SELECT w1, w2, w3 FROM tri_raw"
+    # draft chain d1..dP (bigram argmax), target checks t1..tP
+    # (trigram argmax over the accepted prefix)
+    draft_joins = []
+    prev = "s.w2"
+    for p in range(1, proposals + 1):
+        draft_joins.append(
+            f"LEFT JOIN bnext b{p} ON b{p}.w1 = "
+            + (prev if p == 1 else f"b{p - 1}.nxt"))
+    ctx = [("s.w1", "s.w2")]
+    for p in range(1, proposals):
+        ctx.append((ctx[-1][1], f"b{p}.nxt"))
+    target_joins = [
+        f"LEFT JOIN tnext t{p} ON t{p}.w1 = {c1} AND t{p}.w2 = {c2}"
+        for p, (c1, c2) in enumerate(ctx, start=1)]
+    accept = "CASE "
+    for p in range(1, proposals + 1):
+        d = f"b{p}.nxt"
+        t = f"t{p}.nxt"
+        accept += (f"WHEN {d} IS NULL OR {t} IS NULL OR {d} <> {t} "
+                   f"THEN {p - 1} ")
+    accept += f"ELSE {proposals} END"
+    d_cols = ", ".join(f"b{p}.nxt AS draft_{p}"
+                       for p in range(1, proposals + 1))
+    return f"""WITH toks AS ({toks}),
+    pairs_raw AS ({pairs}),
+    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+           FROM ({big}) b GROUP BY w1, w2),
+    bmax AS (SELECT w1, CAST(max(c) AS BIGINT) AS mc FROM bc GROUP BY w1),
+    bnext AS (SELECT bc.w1, min(bc.w2) AS nxt
+              FROM bc JOIN bmax ON bc.w1 = bmax.w1 AND bc.c = bmax.mc
+              GROUP BY bc.w1),
+    tri_raw AS ({tris}),
+    tc AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c
+           FROM ({tri}) t GROUP BY w1, w2, w3),
+    tmax AS (SELECT w1, w2, CAST(max(c) AS BIGINT) AS mc
+             FROM tc GROUP BY w1, w2),
+    tnext AS (SELECT tc.w1, tc.w2, min(tc.w3) AS nxt
+              FROM tc JOIN tmax ON tc.w1 = tmax.w1 AND tc.w2 = tmax.w2
+                AND tc.c = tmax.mc
+              GROUP BY tc.w1, tc.w2),
+    seeds AS (SELECT w1, w2 FROM bc
+              ORDER BY c DESC, w1, w2 LIMIT {seeds})
+    SELECT s.w1 AS seed_1, s.w2 AS seed_2, {d_cols},
+           CAST({accept} AS BIGINT) AS n_accepted
+    FROM seeds s
+    {' '.join(draft_joins)}
+    {' '.join(target_joins)}"""
+
+
+@_q(
+    "x_spec_decode_acceptance",
+    _spec_decode_sql(False),
+    "Speculative-decoding acceptance audit (the Leviathan/Chen 2023 "
+    "serving technique, greedy-deterministic): a bigram DRAFT model "
+    "autoregressively proposes 4 tokens from each of the top-20 seed "
+    "contexts; the trigram TARGET model verifies each proposal given "
+    "the accepted prefix; acceptance length = agreeing prefix (unseen "
+    "target context = rejection).  Both models are count-argmax "
+    "tables with the exact max-then-min tiebreak, so the whole "
+    "inference-style pipeline is integer/string-exact.  Plan: two "
+    "n-gram count aggregations, argmax side-tables (vocab-bounded, "
+    "broadcastable), then 8 small equi-joins off a 20-row seed "
+    "relation — the acceptance-RATE estimator a serving stack runs "
+    "offline to size its draft model.",
+)
+def x_spec_decode_acceptance(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_spec_decode_sql(True))
+
+
+def _haar_sql(spark_dialect: bool) -> str:
+    """Unnormalized Haar wavelet decomposition of each user's 16-bucket
+    event-count series: bucket index by integer epoch-microsecond
+    arithmetic (the TIMESTAMP_NTZ epoch route), conditional-aggregation
+    pivot, then four levels of pairwise sum/difference — all BIGINT,
+    so the multiresolution transform is engine-exact."""
+    us = "unix_micros(ts)" if spark_dialect else "epoch_us(ts)"
+    idiv = "div" if spark_dialect else "//"
+    piv = ",\n             ".join(
+        f"CAST(sum(CASE WHEN b = {k} THEN 1 ELSE 0 END) AS BIGINT) AS c{k}"
+        for k in range(16))
+    l1s = ", ".join(f"c{2 * i} + c{2 * i + 1} AS s{i}" for i in range(8))
+    l1d = ", ".join(f"c{2 * i} - c{2 * i + 1} AS d1_{i}" for i in range(8))
+    l2s = ", ".join(f"s{2 * i} + s{2 * i + 1} AS t{i}" for i in range(4))
+    l2d = ", ".join(f"s{2 * i} - s{2 * i + 1} AS d2_{i}" for i in range(4))
+    d1cols = ", ".join(f"d1_{i}" for i in range(8))
+    d2cols = ", ".join(f"d2_{i}" for i in range(4))
+    e1 = " + ".join(f"d1_{i} * d1_{i}" for i in range(8))
+    return f"""WITH ev AS (
+      SELECT user_id, {us} AS us FROM events),
+    bounds AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+    bucketed AS (
+      SELECT user_id,
+             CAST(((us - mn) * 16) {idiv} (mx - mn + 1) AS BIGINT) AS b
+      FROM ev CROSS JOIN bounds),
+    piv AS (SELECT user_id,
+             {piv}
+            FROM bucketed GROUP BY user_id),
+    l1 AS (SELECT user_id, {l1s}, {l1d} FROM piv),
+    l2 AS (SELECT user_id, {l2s}, {l2d}, {d1cols} FROM l1),
+    l3 AS (SELECT user_id, t0 + t1 AS u0, t2 + t3 AS u1,
+                  t0 - t1 AS d3_0, t2 - t3 AS d3_1,
+                  {d2cols}, {d1cols} FROM l2)
+    SELECT user_id,
+           CAST(u0 + u1 AS BIGINT) AS approx,
+           CAST(u0 - u1 AS BIGINT) AS d4_0,
+           CAST(d3_0 AS BIGINT) AS d3_0, CAST(d3_1 AS BIGINT) AS d3_1,
+           CAST(d2_0 AS BIGINT) AS d2_0, CAST(d2_1 AS BIGINT) AS d2_1,
+           CAST(d2_2 AS BIGINT) AS d2_2, CAST(d2_3 AS BIGINT) AS d2_3,
+           CAST({e1} AS BIGINT) AS l1_energy
+    FROM l3"""
+
+
+@_q(
+    "x_haar_event_wavelet",
+    _haar_sql(False),
+    "Unnormalized Haar wavelet multiresolution decomposition of each "
+    "user's activity series (16 equal time buckets by integer epoch-"
+    "microsecond arithmetic): four levels of pairwise sum/difference "
+    "yield the total (approx), the half/quarter/eighth-scale detail "
+    "coefficients, and the finest-scale energy — the classic "
+    "time-series feature extractor (burstiness at every scale in one "
+    "pass), all BIGINT hence engine-exact.  Plan: one user-keyed "
+    "count pivot, then pure column arithmetic — map-only after a "
+    "single aggregation shuffle, scale-independent output width.",
+)
+def x_haar_event_wavelet(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_haar_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

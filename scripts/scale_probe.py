@@ -156,6 +156,9 @@ EXTRA = [
     "x_kneser_ney_bigram",
     "x_consistent_hash_ring",
     "x_kendall_tau_metrics",
+    "x_perceptron_epochs",
+    "x_spec_decode_acceptance",
+    "x_haar_event_wavelet",
 ]
 
 

@@ -195,3 +195,117 @@ def test_kendall_tau_matches_bruteforce(spark):
         assert got == expect // row.n_pairs
     else:
         assert got == -((-expect) // row.n_pairs)
+
+
+def test_perceptron_matches_python(spark):
+    """The unrolled SQL training loop must equal a direct Python batch
+    perceptron on the same integer features."""
+    import re
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "lang", "n_chars", "text").collect()
+    feats = [(
+        1 if r.lang == "en" else -1,
+        (1, r.n_chars // 100, len(re.findall(r"\w+", r.text)) // 10),
+    ) for r in docs]
+    w = [0, 0, 0]
+    expected = []
+    for epoch in (1, 2, 3):
+        d = [0, 0, 0]
+        n_mis = 0
+        for y, x in feats:
+            if y * sum(wi * xi for wi, xi in zip(w, x)) <= 0:
+                n_mis += 1
+                for i in range(3):
+                    d[i] += y * x[i]
+        w = [wi + di for wi, di in zip(w, d)]
+        expected.append((epoch, n_mis, *w))
+
+    q = all_queries()["x_perceptron_epochs"]
+    got = sorted((r.epoch, r.n_mis, r.w0, r.w1, r.w2)
+                 for r in q.spark_fn(spark, SF).collect())
+    assert got == expected
+
+
+def test_spec_decode_matches_python(spark):
+    """Draft/target chains and acceptance lengths vs a direct Python
+    n-gram argmax reference."""
+    import re
+    from collections import Counter
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    texts = [r.text for r in spark.read.parquet(
+        f"{SF}/documents.parquet").select("text").collect()]
+    bc, tc = Counter(), Counter()
+    for t in texts:
+        ts = re.findall(r"\w+", t.lower())
+        bc.update(zip(ts, ts[1:]))
+        tc.update(zip(ts, ts[1:], ts[2:]))
+
+    def argmax(counter, key_len):
+        best = {}
+        for k, c in counter.items():
+            ctx, w = k[:key_len], k[key_len]
+            cur = best.get(ctx)
+            if cur is None or c > cur[1] or (c == cur[1] and w < cur[0]):
+                best[ctx] = (w, c)
+        return {ctx: w for ctx, (w, c) in best.items()}
+
+    bnext = argmax(bc, 1)
+    tnext = argmax(tc, 2)
+    seeds = sorted(bc, key=lambda k: (-bc[k], k))[:20]
+
+    q = all_queries()["x_spec_decode_acceptance"]
+    rows = {(r.seed_1, r.seed_2): r for r in q.spark_fn(spark, SF).collect()}
+    assert set(rows) == set(seeds)
+    for (w1, w2), r in rows.items():
+        drafts = []
+        cur = (w2,)
+        for _ in range(4):
+            nxt = bnext.get(cur)
+            drafts.append(nxt)
+            if nxt is None:
+                break
+            cur = (nxt,)
+        drafts += [None] * (4 - len(drafts))
+        assert (r.draft_1, r.draft_2, r.draft_3, r.draft_4) == tuple(drafts)
+        prefix = [w1, w2]
+        n_acc = 0
+        for d in drafts:
+            t = tnext.get((prefix[-2], prefix[-1]))
+            if d is None or t is None or d != t:
+                break
+            n_acc += 1
+            prefix.append(d)
+        assert r.n_accepted == n_acc, (w1, w2, drafts, n_acc)
+
+
+def test_haar_matches_python(spark):
+    from duckdb_title_mapper_spark.workload import all_queries
+    from duckdb_title_mapper_spark.sources.tables import load_events
+
+    ev = load_events(spark, SF).selectExpr(
+        "user_id", "unix_micros(ts) AS us").collect()
+    mn = min(r.us for r in ev)
+    mx = max(r.us for r in ev)
+    series = {}
+    for r in ev:
+        b = (r.us - mn) * 16 // (mx - mn + 1)
+        series.setdefault(r.user_id, [0] * 16)[b] += 1
+
+    q = all_queries()["x_haar_event_wavelet"]
+    for r in q.spark_fn(spark, SF).collect():
+        c = series[r.user_id]
+        s = [c[2 * i] + c[2 * i + 1] for i in range(8)]
+        d1 = [c[2 * i] - c[2 * i + 1] for i in range(8)]
+        t = [s[2 * i] + s[2 * i + 1] for i in range(4)]
+        d2 = [s[2 * i] - s[2 * i + 1] for i in range(4)]
+        u = [t[0] + t[1], t[2] + t[3]]
+        assert r.approx == u[0] + u[1] == sum(c)
+        assert r.d4_0 == u[0] - u[1]
+        assert (r.d3_0, r.d3_1) == (t[0] - t[1], t[2] - t[3])
+        assert (r.d2_0, r.d2_1, r.d2_2, r.d2_3) == tuple(d2)
+        assert r.l1_energy == sum(x * x for x in d1)
