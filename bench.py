@@ -226,6 +226,13 @@ EXTRA = [
     "x_perceptron_epochs",
     "x_spec_decode_acceptance",
     "x_haar_event_wavelet",
+    # round 9
+    "x_ndcg_topk",
+    "x_av_curation_report",
+    "x_dpo_pairs",
+    "x_hard_negative_mining",
+    "x_skipgram_cooc",
+    "x_dataset_card",
 ]
 
 

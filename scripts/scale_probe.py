@@ -159,6 +159,13 @@ EXTRA = [
     "x_perceptron_epochs",
     "x_spec_decode_acceptance",
     "x_haar_event_wavelet",
+    # round 9
+    "x_ndcg_topk",
+    "x_av_curation_report",
+    "x_dpo_pairs",
+    "x_hard_negative_mining",
+    "x_skipgram_cooc",
+    "x_dataset_card",
 ]
 
 
@@ -210,16 +217,20 @@ def main():
 
     # mean eff-cores per SF pass; a growth ratio measured while the
     # sf0.1 pass had fewer effective cores than the sf0.01 pass is
-    # inflated by contention, not by the plan — deflate by eff(.01)/eff(.1)
+    # inflated by contention, not by the plan.  Since t ∝ 1/eff_cores,
+    # the contention-corrected ratio is ratio * eff(.1)/eff(.01) — a
+    # factor < 1 exactly when the sf0.1 pass ran on fewer cores
+    # (ADVICE r8: the previous eff(.01)/eff(.1) form amplified the bias
+    # instead of removing it).
     eff_mean = [sum(effs[si]) / len(effs[si]) for si in range(len(SFS))]
-    deflate = eff_mean[1] / eff_mean[2] if eff_mean[2] > 0 else 1.0
+    deflate = eff_mean[2] / eff_mean[1] if eff_mean[1] > 0 else 1.0
     print("## Probe contention context")
     print(f"eff-cores per pass (start-of-pass burn probe): "
           f"sf0.001 {[round(x, 1) for x in effs[0]]}, "
           f"sf0.01 {[round(x, 1) for x in effs[1]]}, "
           f"sf0.1 {[round(x, 1) for x in effs[2]]}")
     print(f"contention deflator for the 10x ratio "
-          f"(eff(.01)/eff(.1)): {deflate:.2f}")
+          f"(eff(.1)/eff(.01)): {deflate:.2f}")
     print()
     print("| query | sf0.001 | sf0.01 | sf0.1 | t(.1)/t(.01) vs 10x data "
           "| deflated |")

@@ -42,18 +42,27 @@ def main():
     if os.path.exists(detail_path):
         with open(detail_path) as f:
             detail = json.load(f)
-    shared = [k for k in parsed if k in detail or k != "value_norm30"]
-    drift = {k: (detail.get(k), parsed[k]) for k in shared
+    drift = {k: (detail.get(k), parsed[k]) for k in parsed
              if k in detail and detail[k] != parsed[k]
              and k != "value_norm30"}
-    if not drift:
+    # Parsed keys the sidecar has never carried would otherwise stay
+    # permanently missing (ADVICE r8) — copy them in so "agrees on
+    # every shared key" holds for keys the driver adds later too.
+    missing = {k: parsed[k] for k in parsed
+               if k not in detail and k != "value_norm30"}
+    if not drift and not missing:
         print(f"sidecar consistent with {os.path.basename(latest)} "
               f"(value={parsed.get('value')})")
         return 0
-    print(f"patching sidecar from {os.path.basename(latest)}; "
-          f"drifted keys: {sorted(drift)}", file=sys.stderr)
-    for k, (_, want) in drift.items():
-        detail[k] = want
+    if missing:
+        print(f"copying driver-parsed keys absent from sidecar: "
+              f"{sorted(missing)}", file=sys.stderr)
+        detail.update(missing)
+    if drift:
+        print(f"patching sidecar from {os.path.basename(latest)}; "
+              f"drifted keys: {sorted(drift)}", file=sys.stderr)
+        for k, (_, want) in drift.items():
+            detail[k] = want
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     return 0

@@ -422,3 +422,55 @@ def test_round7_session3_plan_shapes(spark):
                          ("x_compaction_planner", 8)):
         df = qs[name].spark_fn(spark, SF)
         assert shuffle_count(df) <= budget, (name, shuffle_count(df))
+
+
+def test_round8_plan_shapes(spark):
+    """Plan locks for the round-8 flagships (VERDICT r8 #1).
+
+    - x_parquet_footer_stats must stay FOOTER-ONLY: the Spark plan
+      contains the distributed MapInPandas walk but NO parquet data
+      FileScan at all (read_schema_columns empty — pyarrow reads the
+      footers inside the UDF; data pages are never touched), and at
+      most the one file-list repartition exchange.
+    - x_viterbi_decode is one user-keyed window + one pivot agg, then
+      map-only DP arithmetic: a single-digit shuffle budget and
+      map-side partial aggregation, reading only the events columns
+      it uses.
+    - x_hits_scores' per-round chain must never fall back to a
+      per-row Python UDF (the whole kernel is JVM-side SQL) and keeps
+      map-side partial aggregation on its edge-sum rounds.
+    - the codec walks (h264/aac) are map-only mapInPandas passes:
+      zero shuffles, scans pruned to (doc_id, text).
+    """
+    from duckdb_title_mapper_spark.plans import explain_str, shuffle_count
+    from duckdb_title_mapper_spark.workload import core_queries as all_queries
+
+    qs = all_queries()
+
+    fs = qs["x_parquet_footer_stats"].spark_fn(spark, SF)
+    plan = explain_str(fs)
+    assert "MapInPandas" in plan
+    assert read_schema_columns(fs) == [], read_schema_columns(fs)
+    assert shuffle_count(fs) <= 1, shuffle_count(fs)
+
+    vt = qs["x_viterbi_decode"].spark_fn(spark, SF)
+    assert shuffle_count(vt) <= 2, shuffle_count(vt)
+    assert has_partial_aggregation(vt)
+    assert all(
+        set(s) <= {"event_id", "ts", "user_id", "event_type"}
+        for s in read_schema_columns(vt)
+    )
+
+    ht = qs["x_hits_scores"].spark_fn(spark, SF)
+    plan = explain_str(ht)
+    assert "BatchEvalPython" not in plan, plan[:800]
+    assert has_partial_aggregation(ht)
+
+    for name in ("x_multimodal_h264_nals", "x_multimodal_aac_adts"):
+        df = qs[name].spark_fn(spark, SF)
+        plan = explain_str(df)
+        assert "MapInPandas" in plan
+        assert shuffle_count(df) == 0, (name, shuffle_count(df))
+        assert all(
+            set(s) <= {"doc_id", "text"} for s in read_schema_columns(df)
+        ), (name, read_schema_columns(df))
