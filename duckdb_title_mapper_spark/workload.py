@@ -14548,6 +14548,366 @@ def x_dataset_card(spark, sf_dir):
     return spark.sql(_dataset_card_sql(True))
 
 
+def _span_corruption_sql(spark_dialect: bool) -> str:
+    """T5/UL2 span-corruption accounting.  Spans start at stride-17
+    positions keyed to the doc (p % 17 == doc_id % 17), span length
+    1 + (doc_id + p) % 3 — stride 17 > max length 3, so spans never
+    overlap and the masked-token count is the closed-form sum of
+    end-clipped span lengths (no position-explode, no dedup, and no
+    offsets-relation non-equi join — the r4 BNLJ rule)."""
+    if spark_dialect:
+        ntok = r"size(regexp_extract_all(lower(text), '\\w+', 0))"
+        toks = (r"SELECT doc_id, pos0 + 1 AS pos, n FROM (SELECT doc_id,"
+                r" size(ts) AS n,"
+                r" posexplode(ts) AS (pos0, w) FROM (SELECT doc_id,"
+                r" regexp_extract_all(lower(text), '\\w+', 0)"
+                r" AS ts FROM documents) d) t")
+        idiv = "div"
+    else:
+        ntok = r"len(regexp_extract_all(lower(text), '\w+'))"
+        toks = (r"SELECT doc_id, g AS pos, n FROM (SELECT"
+                r" doc_id, ts, len(ts) AS n,"
+                r" unnest(generate_series(1, len(ts))) AS g"
+                r" FROM (SELECT doc_id,"
+                r" regexp_extract_all(lower(text), '\w+') AS ts"
+                r" FROM documents) d WHERE len(ts) >= 1) i")
+        idiv = "//"
+    return f"""WITH toks AS ({toks}),
+    spans AS (
+      SELECT doc_id, pos,
+             CAST(1 + (doc_id + pos) % 3 AS BIGINT) AS span_len, n
+      FROM toks WHERE pos % 17 = doc_id % 17),
+    doc_spans AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(CASE WHEN pos + span_len - 1 <= n THEN span_len
+                      ELSE n - pos + 1 END) AS BIGINT) AS n_masked
+      FROM spans GROUP BY doc_id),
+    docs AS (SELECT doc_id, source, CAST({ntok} AS BIGINT) AS n_tokens
+             FROM documents),
+    per_doc AS (
+      SELECT d.doc_id, d.source, d.n_tokens,
+             coalesce(s.n_spans, 0) AS n_spans,
+             coalesce(s.n_masked, 0) AS n_masked
+      FROM docs d LEFT JOIN doc_spans s ON s.doc_id = d.doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_spans) AS BIGINT) AS total_spans,
+           CAST(sum(n_masked) AS BIGINT) AS total_masked,
+           (CAST(sum(n_masked) AS BIGINT) * 10000)
+             {idiv} CAST(sum(n_tokens) AS BIGINT) AS mask_ratio_bp,
+           CAST(sum(n_tokens - n_masked + n_spans) AS BIGINT)
+             AS encoder_tokens,
+           CAST(sum(n_masked + n_spans + 1) AS BIGINT) AS decoder_tokens
+    FROM per_doc GROUP BY source"""
+
+
+@_q(
+    "x_span_corruption",
+    _span_corruption_sql(False),
+    "T5/UL2 span-corruption accounting (Raffel et al. 2020 §3.1.4 "
+    "objective): deterministic hash-free span placement (stride-17 "
+    "starts keyed to doc_id, lengths 1-3, provably non-overlapping so "
+    "no dedup pass), reporting per source the span/masked-token mass, "
+    "mask ratio in basis points, and the exact encoder/decoder "
+    "sequence-length budgets (n - masked + sentinels / masked + "
+    "sentinels + EOS) a pretraining batch planner sizes buffers from.  "
+    "All integer.  Plan: one tokenize scan, the span relation derived "
+    "by filter (no join), masked mass as the closed-form sum of end-"
+    "clipped span lengths (no position explode, no offsets-table "
+    "non-equi join — the r4 BNLJ rule), one per-doc and one "
+    "per-source partial agg.",
+)
+def x_span_corruption(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_span_corruption_sql(True))
+
+
+def _prefix_cache_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        toks = (r"SELECT doc_id, source,"
+                r" regexp_extract_all(lower(text), '\\w+', 0) AS ts"
+                r" FROM documents")
+        elem_cur = "element_at(ts, i)"
+        elem_prev = "element_at(prev, i)"
+        explode_i = ("LATERAL VIEW explode(sequence(1, m)) AS i")
+        idiv = "div"
+    else:
+        toks = (r"SELECT doc_id, source,"
+                r" regexp_extract_all(lower(text), '\w+') AS ts"
+                r" FROM documents")
+        elem_cur = "ts[i]"
+        elem_prev = "prev[i]"
+        idiv = "//"
+    if spark_dialect:
+        pairs = f"""SELECT doc_id, source, ts,
+             lag(ts) OVER (PARTITION BY source ORDER BY doc_id) AS prev,
+             size(ts) AS la
+      FROM ({toks}) t"""
+        mlen = ("SELECT doc_id, source, la, size(prev) AS lb,"
+                " least(size(ts), size(prev)) AS m, ts, prev"
+                " FROM pairs WHERE prev IS NOT NULL")
+        mismatch = (f"SELECT doc_id, min(i) AS first_diff FROM"
+                    f" (SELECT doc_id, ts, prev, m FROM mlen WHERE m >= 1)"
+                    f" p {explode_i}"
+                    f" WHERE {elem_cur} <> {elem_prev}"
+                    f" GROUP BY doc_id")
+    else:
+        pairs = f"""SELECT doc_id, source, ts,
+             lag(ts) OVER (PARTITION BY source ORDER BY doc_id) AS prev,
+             len(ts) AS la
+      FROM ({toks}) t"""
+        mlen = ("SELECT doc_id, source, la, len(prev) AS lb,"
+                " least(len(ts), len(prev)) AS m, ts, prev"
+                " FROM pairs WHERE prev IS NOT NULL")
+        mismatch = (f"SELECT doc_id, min(i) AS first_diff FROM"
+                    f" (SELECT doc_id, ts, prev,"
+                    f" unnest(generate_series(1, m)) AS i"
+                    f" FROM mlen WHERE m >= 1) p"
+                    f" WHERE {elem_cur} <> {elem_prev}"
+                    f" GROUP BY doc_id")
+    return f"""WITH pairs AS ({pairs}),
+    mlen AS ({mlen}),
+    mm AS ({mismatch}),
+    lcp AS (
+      SELECT l.source, CAST(l.la AS BIGINT) AS la,
+             CAST(coalesce(mm.first_diff - 1, least(l.la, l.lb))
+                  AS BIGINT) AS lcp_len
+      FROM mlen l LEFT JOIN mm ON mm.doc_id = l.doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(lcp_len) AS BIGINT) AS cached_prefix_tokens,
+           CAST(sum(la) AS BIGINT) AS request_tokens,
+           (CAST(sum(lcp_len) AS BIGINT) * 10000)
+             {idiv} CAST(sum(la) AS BIGINT) AS hit_ratio_bp
+    FROM lcp GROUP BY source"""
+
+
+@_q(
+    "x_prefix_cache_hits",
+    _prefix_cache_sql(False),
+    "LLM-serving prefix-cache audit: for consecutive requests within "
+    "each source (doc_id order), the longest common token PREFIX with "
+    "the previous request — the exact quantity a radix-tree/paged "
+    "KV-cache reuses — reported per source as cached-token mass and "
+    "hit ratio in basis points.  LCP is computed relationally: one "
+    "lag() window pairs each request with its predecessor, a bounded "
+    "position explode finds min(first mismatch), coalesce falls back "
+    "to min length for full-prefix pairs — all integer, no fold-"
+    "function dialect risk.  Plan: one tokenize scan, one source-keyed "
+    "window, one position explode (O(total tokens)), two partial aggs.",
+)
+def x_prefix_cache_hits(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_prefix_cache_sql(True))
+
+
+def _int8_quant_sql(spark_dialect: bool) -> str:
+    """Scalar int8 quantization eval at scale factor 256 (values span
+    ±0.58, so |e| reaches ~148 and the ±127 clamp path is real).
+    Per-element doubles are bit-identical (widen-through-DOUBLE rule);
+    floor() of a bit-identical double is exact on both engines (unlike
+    CAST-to-int, which truncates on Spark but rounds on DuckDB — the
+    r7 rule); the per-vector fold runs in index order (_embed_dot
+    contract) and is quantized to BIGINT micro-units BEFORE any
+    cross-row SUM (never sum raw doubles across groups)."""
+    body = ("CAST(x AS DOUBLE) * 256 - "
+            "greatest(CAST(-127 AS DOUBLE), least(CAST(127 AS DOUBLE), "
+            "floor(CAST(x AS DOUBLE) * 256)))")
+    clamp1 = ("CASE WHEN floor(CAST(x AS DOUBLE) * 256) > 127 OR "
+              "floor(CAST(x AS DOUBLE) * 256) < -127 THEN 1 ELSE 0 END")
+    if spark_dialect:
+        err = (f"aggregate(embedding, CAST(0.0 AS DOUBLE),"
+               f" (acc, x) -> acc + ({body}) * ({body}))")
+        ncl = f"aggregate(embedding, 0, (acc, x) -> acc + {clamp1})"
+    else:
+        err = (f"list_sum(list_transform(embedding,"
+               f" x -> ({body}) * ({body})))")
+        ncl = f"list_sum(list_transform(embedding, x -> {clamp1}))"
+    return f"""WITH per_vec AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             CAST(floor(1000000 * ({err})) AS BIGINT) AS err_micro,
+             CAST({ncl} AS BIGINT) AS n_clamped
+      FROM embeddings)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(err_micro) AS BIGINT) AS sq_err_micro_total,
+           CAST(sum(n_clamped) AS BIGINT) AS clamped_dims,
+           CAST(max(err_micro) AS BIGINT) AS worst_vec_err_micro
+    FROM per_vec GROUP BY label"""
+
+
+@_q(
+    "x_int8_quant_eval",
+    _int8_quant_sql(False),
+    "Scalar int8 embedding quantization eval (the vector-DB memory/4x "
+    "trade study, complementing the PQ codebook family with the "
+    "codebook-FREE scheme): each dimension quantized by floor(x*256) "
+    "clamped to [-127,127], per-label reconstruction squared error in "
+    "exact integer micro-units and clamp saturation counts.  "
+    "Exactness: floor (never CAST) on bit-identical doubles, index-"
+    "order folds, per-vector quantization to BIGINT before any cross-"
+    "row sum.  Plan: one embeddings scan, map-side array folds, one "
+    "10-row partial agg — the whole eval is a single pass at any "
+    "scale.",
+)
+def x_int8_quant_eval(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_int8_quant_sql(True))
+
+
+def _ab_srm_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        arm = ("conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+               " % 2")
+        idiv = "div"
+    else:
+        arm = "('0x' || substr(md5(CAST(user_id AS STRING)), 1, 8))::BIGINT % 2"
+        idiv = "//"
+    return f"""WITH assigned AS (
+      SELECT DISTINCT event_type, user_id,
+             CAST({arm} AS BIGINT) AS arm
+      FROM events),
+    arms AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_control,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_treatment,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM assigned GROUP BY event_type)
+    SELECT event_type, n_control, n_treatment, n_users,
+           n_control - n_treatment AS delta,
+           ((n_control - n_treatment) * (n_control - n_treatment)
+            * 1000000) {idiv} n_users AS srm_ppm,
+           ((n_control - n_treatment) * (n_control - n_treatment)
+            * 1000000) {idiv} n_users > 3841 AS srm_flag
+    FROM arms"""
+
+
+@_q(
+    "x_ab_srm_check",
+    _ab_srm_sql(False),
+    "A/B experiment hygiene: sample-ratio-mismatch check per event "
+    "type — users deterministically hash-split 50/50 (md5 arm "
+    "assignment, the x_hash_split mechanism), then the chi-square "
+    "statistic for a 2-cell equal split in exact parts-per-million "
+    "((n0-n1)^2 * 1e6 / n, which equals 1e6 * chi2/1 for df=1 up to "
+    "the constant), flagged above the 3.841e-3 critical value scaled "
+    "to ppm (p=0.05).  The guardrail every experimentation platform "
+    "runs before reading a metric; complements x_ks_drift (metric "
+    "distribution) with assignment-balance drift.  All integer.  "
+    "Plan: one distinct-reduce shuffle then a per-type partial agg.",
+)
+def x_ab_srm_check(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_ab_srm_sql(True))
+
+
+_TFEXAMPLE_ORACLE = r"""WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             len(regexp_extract_all(lower(text), '\w+')) AS ntok,
+             substr(md5(text), 1, 16) AS sig
+      FROM documents),
+    v AS (SELECT doc_id, lang, n_chars, ntok, sig,
+                 (CASE WHEN doc_id < 128 THEN 1
+                       WHEN doc_id < 16384 THEN 2
+                       WHEN doc_id < 2097152 THEN 3
+                       WHEN doc_id < 268435456 THEN 4 ELSE 5 END
+                + CASE WHEN n_chars < 128 THEN 1
+                       WHEN n_chars < 16384 THEN 2
+                       WHEN n_chars < 2097152 THEN 3
+                       WHEN n_chars < 268435456 THEN 4 ELSE 5 END
+                + CASE WHEN ntok < 128 THEN 1
+                       WHEN ntok < 16384 THEN 2
+                       WHEN ntok < 2097152 THEN 3
+                       WHEN ntok < 268435456 THEN 4 ELSE 5 END) AS vlens
+          FROM d)
+    SELECT doc_id, CAST(5 AS BIGINT) AS n_features, lang,
+           CAST(n_chars AS BIGINT) AS n_chars_parsed,
+           CAST(ntok AS BIGINT) AS n_tokens_parsed,
+           sig AS sig_prefix,
+           CAST(99 + length(lang) + vlens AS BIGINT) AS wire_bytes
+    FROM v"""
+
+
+@_q(
+    "x_tfexample_parse",
+    _TFEXAMPLE_ORACLE,
+    "tf.train.Example protobuf WIRE walk (operators/pbwire.py — "
+    "varint/LEB128, tag = field<<3|wiretype, nested length-delimited "
+    "messages, packed Int64List and BytesList kinds, all from the "
+    "public protobuf encoding spec + the public TF example.proto/"
+    "feature.proto schemas): every document becomes a GENUINE Example "
+    "wire message (doc_id/n_chars/n_tokens int64 features, lang/"
+    "md5-prefix bytes features), then a from-scratch generic field "
+    "walker parses it back.  The oracle recomputes every parsed field "
+    "AND the exact wire byte count from the varint-width closed form, "
+    "so any encode or parse error — a wrong tag, a length off by one, "
+    "an unpacked-vs-packed confusion — hash-fails.  Completes the "
+    "TFRecord story: src_tfrecord_roundtrip proves the u64le+CRC32C "
+    "FRAME layer, this proves the Example PAYLOAD inside the frames.  "
+    "mapInPandas, map-side only, zero shuffles.",
+)
+def x_tfexample_parse(spark, sf_dir):
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .operators.pbwire import encode_example, parse_example
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "n_chars")
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import re
+
+        word = re.compile(r"\w+", re.ASCII)  # RE2/Java \w is ASCII-only
+        for pdf in batches:
+            rows = {"doc_id": [], "n_features": [], "lang": [],
+                    "n_chars_parsed": [], "n_tokens_parsed": [],
+                    "sig_prefix": [], "wire_bytes": []}
+            for did, text, lang, n_chars in zip(
+                    pdf["doc_id"], pdf["text"], pdf["lang"],
+                    pdf["n_chars"]):
+                buf = encode_example({
+                    "doc_id": int(did),
+                    "n_chars": int(n_chars),
+                    "n_tokens": len(word.findall(text.lower())),
+                    "lang": lang.encode("utf-8"),
+                    "prefix": hashlib.md5(
+                        text.encode("utf-8")).hexdigest()[:16].encode(),
+                })
+                p = parse_example(buf)
+                rows["doc_id"].append(p["doc_id"][0])
+                rows["n_features"].append(len(p))
+                rows["lang"].append(p["lang"][0].decode("utf-8"))
+                rows["n_chars_parsed"].append(p["n_chars"][0])
+                rows["n_tokens_parsed"].append(p["n_tokens"][0])
+                rows["sig_prefix"].append(p["prefix"][0].decode("ascii"))
+                rows["wire_bytes"].append(len(buf))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_features": pd.Series(rows["n_features"], dtype="int64"),
+                "lang": rows["lang"],
+                "n_chars_parsed": pd.Series(
+                    rows["n_chars_parsed"], dtype="int64"),
+                "n_tokens_parsed": pd.Series(
+                    rows["n_tokens_parsed"], dtype="int64"),
+                "sig_prefix": rows["sig_prefix"],
+                "wire_bytes": pd.Series(rows["wire_bytes"], dtype="int64"),
+            })
+
+    return docs.mapInPandas(
+        work,
+        "doc_id BIGINT, n_features BIGINT, lang STRING, "
+        "n_chars_parsed BIGINT, n_tokens_parsed BIGINT, "
+        "sig_prefix STRING, wire_bytes BIGINT",
+    )
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -166,6 +166,11 @@ EXTRA = [
     "x_hard_negative_mining",
     "x_skipgram_cooc",
     "x_dataset_card",
+    "x_span_corruption",
+    "x_prefix_cache_hits",
+    "x_int8_quant_eval",
+    "x_ab_srm_check",
+    "x_tfexample_parse",
 ]
 
 

@@ -1,0 +1,59 @@
+"""Unit tests for the tf.train.Example protobuf wire codec
+(operators/pbwire.py) — round-trip on varint width boundaries, bytes
+kinds, and malformed-input rejection."""
+
+import pytest
+
+from duckdb_title_mapper_spark.operators.pbwire import (
+    _read_varint,
+    _varint,
+    encode_example,
+    parse_example,
+)
+
+
+@pytest.mark.parametrize(
+    "n", [0, 1, 127, 128, 300, 16383, 16384, 2097151, 2097152,
+          268435455, 268435456, (1 << 63) - 1])
+def test_varint_roundtrip_boundaries(n):
+    buf = _varint(n)
+    # LEB128 width: ceil(bits/7), at least 1
+    want = max(1, -(-n.bit_length() // 7))
+    assert len(buf) == want
+    val, i = _read_varint(buf, 0)
+    assert (val, i) == (n, len(buf))
+
+
+def test_varint_rejects_negative():
+    with pytest.raises(ValueError):
+        _varint(-1)
+
+
+def test_example_roundtrip_mixed_kinds():
+    feats = {
+        "a": 0,
+        "b": 16384,
+        "empty": b"",
+        "blob": bytes(range(256)),
+        "k" * 40: 7,  # long key
+    }
+    parsed = parse_example(encode_example(feats))
+    assert parsed == {
+        "a": [0], "b": [16384], "empty": [b""],
+        "blob": [bytes(range(256))], "k" * 40: [7],
+    }
+
+
+def test_example_rejects_bool_and_float():
+    with pytest.raises(TypeError):
+        encode_example({"x": True})
+    with pytest.raises(TypeError):
+        encode_example({"x": 1.5})
+
+
+def test_parse_rejects_truncated():
+    buf = encode_example({"a": 1})
+    with pytest.raises(ValueError):
+        parse_example(buf[:-1])
+    with pytest.raises(ValueError):
+        parse_example(b"\x80")  # unterminated varint

@@ -474,3 +474,75 @@ def test_round8_plan_shapes(spark):
         assert all(
             set(s) <= {"doc_id", "text"} for s in read_schema_columns(df)
         ), (name, read_schema_columns(df))
+
+
+def test_round9_plan_shapes(spark):
+    """Plan locks for the round-9 operators.
+
+    What each lock protects: the retrieval pair (nDCG, hard negatives)
+    stays a broadcast-small-query-side scan + per-query window (the
+    x_knn_bruteforce shape — the 1-row/8-row BroadcastNestedLoop from
+    the non-equi label/self filter is the intended broadcast form, so
+    BNLJ is NOT asserted absent there); the text ops (skip-gram, span
+    corruption, prefix cache, DPO pairs, dataset card, k-anonymity)
+    keep map-side partial aggregation, pruned scans, and never fall
+    into a BroadcastNestedLoop or per-row Python UDF; the A/V rollup
+    keeps its two map-only mapInPandas parses joined once; int8 quant
+    stays a single-shuffle one-pass fold."""
+    from duckdb_title_mapper_spark.plans import explain_str, shuffle_count
+    from duckdb_title_mapper_spark.workload import core_queries as all_queries
+
+    qs = all_queries()
+
+    nd = qs["x_ndcg_topk"].spark_fn(spark, SF)
+    assert shuffle_count(nd) <= 2, shuffle_count(nd)
+    assert has_partial_aggregation(nd)
+
+    hn = qs["x_hard_negative_mining"].spark_fn(spark, SF)
+    assert shuffle_count(hn) <= 1, shuffle_count(hn)
+    assert "BatchEvalPython" not in explain_str(hn)
+
+    av = qs["x_av_curation_report"].spark_fn(spark, SF)
+    plan = explain_str(av)
+    assert plan.count("MapInPandas") >= 2
+    assert shuffle_count(av) <= 2, shuffle_count(av)
+    assert all(
+        set(s) <= {"doc_id", "text"} for s in read_schema_columns(av)
+    )
+
+    for name, budget, cols in (
+        ("x_skipgram_cooc", 4, {"doc_id", "text"}),
+        ("x_span_corruption", 3, {"doc_id", "text", "source"}),
+        ("x_prefix_cache_hits", 4, {"doc_id", "text", "source"}),
+        ("x_ab_srm_check", 2, {"user_id", "event_type"}),
+    ):
+        df = qs[name].spark_fn(spark, SF)
+        p = explain_str(df)
+        assert "BroadcastNestedLoop" not in p, (name, p[:600])
+        assert "BatchEvalPython" not in p, name
+        assert has_partial_aggregation(df), name
+        assert shuffle_count(df) <= budget, (name, shuffle_count(df))
+        assert all(set(s) <= cols for s in read_schema_columns(df)), (
+            name, read_schema_columns(df))
+
+    dp = qs["x_dpo_pairs"].spark_fn(spark, SF)
+    p = explain_str(dp)
+    assert "BroadcastNestedLoop" not in p, p[:600]
+    assert broadcast_join_count(dp) >= 2  # bounded group relation joins
+
+    iq = qs["x_int8_quant_eval"].spark_fn(spark, SF)
+    assert shuffle_count(iq) <= 1, shuffle_count(iq)
+    assert has_partial_aggregation(iq)
+    assert all(
+        set(s) <= {"vec_id", "embedding", "label"}
+        for s in read_schema_columns(iq)
+    )
+
+    tfx = qs["x_tfexample_parse"].spark_fn(spark, SF)
+    p = explain_str(tfx)
+    assert "MapInPandas" in p
+    assert shuffle_count(tfx) == 0, shuffle_count(tfx)
+    assert all(
+        set(s) <= {"doc_id", "text", "lang", "n_chars"}
+        for s in read_schema_columns(tfx)
+    )
