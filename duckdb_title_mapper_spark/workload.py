@@ -14908,6 +14908,139 @@ def x_tfexample_parse(spark, sf_dir):
     )
 
 
+def _mrr_eval_sql(spark_dialect: bool, nq: int = 8) -> str:
+    dot = _embed_dot(spark_dialect, "q.embedding", "c.embedding")
+    qn = "sqrt(" + _embed_dot(spark_dialect, "q.embedding", "q.embedding") + ")"
+    cn = "sqrt(" + _embed_dot(spark_dialect, "c.embedding", "c.embedding") + ")"
+    return f"""WITH ranked AS (
+      SELECT q.vec_id AS query_id,
+             CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {dot} / ({qn} * {cn}) DESC, c.vec_id) AS pos
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {nq})
+    SELECT query_id,
+           CAST(min(CASE WHEN rel = 1 THEN pos END) AS BIGINT)
+             AS first_rel_rank,
+           CAST(max(CASE WHEN rel = 1 AND pos = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS hit_at_1,
+           CAST(max(CASE WHEN rel = 1 AND pos <= 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS hit_at_5,
+           CAST(max(CASE WHEN rel = 1 AND pos <= 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS hit_at_10,
+           CAST(sum(CASE WHEN rel = 1 AND pos <= 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS rel_in_top10,
+           CAST(sum(rel) AS BIGINT) AS n_rel_total
+    FROM ranked GROUP BY query_id"""
+
+
+@_q(
+    "x_mrr_eval",
+    _mrr_eval_sql(False),
+    "Reciprocal-rank / hit-rate retrieval eval completing the metric "
+    "family next to x_ndcg_topk (graded) and x_ann_recall: per query "
+    "the FIRST relevant rank (MRR's per-query term, emitted as the "
+    "exact integer rank — the reciprocal is the reader's one "
+    "division), hit@1/5/10 flags and recall-at-10 numerators, "
+    "relevance = label match.  Ranking by the raw bit-identical "
+    "cosine double with vec_id tiebreak (the x_knn_bruteforce "
+    "contract).  Plan: the same broadcast-query-side scan + one "
+    "per-query window + one 8-row agg.",
+)
+def x_mrr_eval(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_mrr_eval_sql(True))
+
+
+def _bleu_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        toks = (r"SELECT source, doc_id,"
+                r" regexp_extract_all(lower(text), '\\w+', 0) AS ts"
+                r" FROM documents")
+        tok1 = (r"SELECT role, source, w FROM (SELECT role, source,"
+                r" explode(ts) AS w FROM pairtoks) e")
+        tok2 = (r"SELECT role, source, concat(w1, ' ', w2) AS w FROM"
+                r" (SELECT role, source, w AS w1, lead(w) OVER"
+                r" (PARTITION BY role, source, doc_id ORDER BY pos)"
+                r" AS w2 FROM (SELECT role, source, doc_id,"
+                r" posexplode(ts) AS (pos, w) FROM pairtoks) pe) l"
+                r" WHERE w2 IS NOT NULL")
+        nlen = "size(ts)"
+        mat = ""
+    else:
+        toks = (r"SELECT source, doc_id,"
+                r" regexp_extract_all(lower(text), '\w+') AS ts"
+                r" FROM documents")
+        tok1 = (r"SELECT role, source, unnest(ts) AS w FROM pairtoks")
+        tok2 = (r"SELECT role, source, ts[g] || ' ' || ts[g + 1] AS w"
+                r" FROM (SELECT role, source, ts,"
+                r" unnest(generate_series(1, len(ts) - 1)) AS g"
+                r" FROM pairtoks WHERE len(ts) >= 2) i")
+        nlen = "len(ts)"
+        mat = " MATERIALIZED"
+    return f"""WITH toks AS ({toks}),
+    pick AS (
+      SELECT source, doc_id, ts,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rn
+      FROM toks),
+    pairtoks AS{mat} (
+      SELECT CASE WHEN rn = 1 THEN 'cand' ELSE 'ref' END AS role,
+             source, doc_id, ts
+      FROM pick WHERE rn <= 2),
+    g1 AS{mat} (SELECT role, source, w, count(*) AS c
+          FROM ({tok1}) t GROUP BY role, source, w),
+    g2 AS{mat} (SELECT role, source, w, count(*) AS c
+          FROM ({tok2}) t GROUP BY role, source, w),
+    p1 AS (SELECT a.source,
+                  CAST(sum(least(a.c, b.c)) AS BIGINT) AS clipped
+           FROM (SELECT * FROM g1 WHERE role = 'cand') a
+           JOIN (SELECT * FROM g1 WHERE role = 'ref') b
+             ON b.source = a.source AND b.w = a.w
+           GROUP BY a.source),
+    p2 AS (SELECT a.source,
+                  CAST(sum(least(a.c, b.c)) AS BIGINT) AS clipped
+           FROM (SELECT * FROM g2 WHERE role = 'cand') a
+           JOIN (SELECT * FROM g2 WHERE role = 'ref') b
+             ON b.source = a.source AND b.w = a.w
+           GROUP BY a.source),
+    lens AS (SELECT source,
+                    CAST(sum(CASE WHEN role = 'cand' THEN {nlen}
+                             ELSE 0 END) AS BIGINT) AS cand_len,
+                    CAST(sum(CASE WHEN role = 'ref' THEN {nlen}
+                             ELSE 0 END) AS BIGINT) AS ref_len
+             FROM pairtoks GROUP BY source)
+    SELECT l.source,
+           coalesce(p1.clipped, 0) AS p1_num,
+           l.cand_len AS p1_den,
+           coalesce(p2.clipped, 0) AS p2_num,
+           l.cand_len - 1 AS p2_den,
+           l.cand_len, l.ref_len
+    FROM lens l
+    LEFT JOIN p1 ON p1.source = l.source
+    LEFT JOIN p2 ON p2.source = l.source"""
+
+
+@_q(
+    "x_bleu_ngram_precision",
+    _bleu_sql(False),
+    "BLEU modified n-gram precision (Papineni et al. 2002) between "
+    "each source's first document (candidate) and second (reference): "
+    "CLIPPED unigram and bigram match counts — sum of min(cand count, "
+    "ref count) per gram, the clipping that stops degenerate "
+    "repetition from scoring — emitted as exact (num, den) integer "
+    "pairs with candidate/reference lengths for the brevity penalty, "
+    "completing the text-generation eval family (the geometric mean "
+    "and exp are the reader's last step; every input to them is "
+    "engine-exact).  Plan: bounded 2-docs-per-source pair pick via "
+    "one window, per-role n-gram partial aggs, equi-joined clipped "
+    "sums — output rows = |source|.",
+)
+def x_bleu_ngram_precision(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_bleu_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -171,6 +171,8 @@ EXTRA = [
     "x_int8_quant_eval",
     "x_ab_srm_check",
     "x_tfexample_parse",
+    "x_mrr_eval",
+    "x_bleu_ngram_precision",
 ]
 
 
