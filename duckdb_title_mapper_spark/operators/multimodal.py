@@ -1057,3 +1057,124 @@ def extract_features(media_df, bins: int = 16, out_col: str = "features"):
         return pd.Series(out)
 
     return media_df.withColumn(out_col, featurize("payload"))
+
+
+def wav_am_media_table(spark, sf_dir: str, n_segments: int = 16,
+                       seg_len: int = 64):
+    """Amplitude-modulated WAV media table (r9): every document becomes
+    a GENUINE mono PCM-16 RIFF/WAVE stream of ``n_segments`` equal
+    segments, segment s a square wave at amplitude
+    min(32767, (md5_byte_s % 33) * 1024) — byte % 33 == 0 yields a
+    SILENT segment, byte % 33 == 32 saturates to full-scale 32767 (a
+    CLIPPED segment).  Amplitudes are pure functions of md5(text), so
+    a SQL oracle recomputes every segment energy exactly while the
+    payload is a real WAV any audio tool opens."""
+    import hashlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, payloads = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode()).digest()
+                samples: list[int] = []
+                for s in range(n_segments):
+                    amp = min(32767, (h[s] % 33) * 1024)
+                    for i in range(seg_len):
+                        samples.append(amp if i % 2 == 0 else -amp)
+                ids.append(did)
+                types.append("audio")
+                payloads.append(encode_wav_pcm16(8000, samples))
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": types, "payload": payloads}
+            )
+
+    return docs.mapInPandas(
+        build, "media_id LONG, media_type STRING, payload BINARY"
+    )
+
+
+def decode_wav_energy_segments(payload: bytes, n_segments: int = 16):
+    """Per-segment energy walk over a REAL mono PCM-16 WAV: RIFF chunk
+    walk (fmt may precede data with LIST/fact in between), then the
+    sample stream splits into ``n_segments`` equal windows, each
+    reporting the exact int64 sum of squared samples plus whether any
+    sample saturates at full scale (|s| == 32767).  Returns
+    (energies, n_silent, n_clipped, n_samples)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt_code, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt_code != 1 or bits != 16 or channels != 1:
+                raise NotImplementedError(
+                    "non-PCM / multi-channel WAV decoding requires a "
+                    "codec library not present in this environment"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz % 2)
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    samples = np.frombuffer(data, np.int16).astype(np.int64)
+    if len(samples) % n_segments:
+        raise ValueError("sample count not divisible into segments")
+    seg = len(samples) // n_segments
+    windows = samples.reshape(n_segments, seg)
+    energies = (windows * windows).sum(axis=1)
+    clipped = (np.abs(windows).max(axis=1) == 32767)
+    n_silent = int((energies == 0).sum())
+    n_clipped = int(clipped.sum())
+    return [int(e) for e in energies], n_silent, n_clipped, len(samples)
+
+
+def extract_audio_qa(media_df, n_segments: int = 16):
+    """Audio QA metadata via ``mapInPandas``: per stream the segment
+    count, silent/clipped segment counts from the REAL decoded bytes,
+    total + max segment energy, and the keep decision (at most 4
+    silent segments, zero clipped) — the audio-pretraining gate shape.
+    Map-side only."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "n_samples": [], "n_silent": [],
+                   "n_clipped": [], "total_energy": [], "max_energy": [],
+                   "keep": []}
+            for mid, pl in zip(pdf["media_id"], pdf["payload"]):
+                energies, n_silent, n_clipped, ns = (
+                    decode_wav_energy_segments(bytes(pl), n_segments))
+                out["media_id"].append(mid)
+                out["n_samples"].append(ns)
+                out["n_silent"].append(n_silent)
+                out["n_clipped"].append(n_clipped)
+                out["total_energy"].append(sum(energies))
+                out["max_energy"].append(max(energies))
+                out["keep"].append(n_silent <= 4 and n_clipped == 0)
+            yield pd.DataFrame({
+                "media_id": pd.Series(out["media_id"], dtype="int64"),
+                "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                "n_silent": pd.Series(out["n_silent"], dtype="int64"),
+                "n_clipped": pd.Series(out["n_clipped"], dtype="int64"),
+                "total_energy": pd.Series(
+                    out["total_energy"], dtype="int64"),
+                "max_energy": pd.Series(out["max_energy"], dtype="int64"),
+                "keep": pd.Series(out["keep"], dtype="bool"),
+            })
+
+    return media_df.mapInPandas(
+        work,
+        "media_id BIGINT, n_samples BIGINT, n_silent BIGINT, "
+        "n_clipped BIGINT, total_energy BIGINT, max_energy BIGINT, "
+        "keep BOOLEAN",
+    )

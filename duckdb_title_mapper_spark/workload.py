@@ -15041,6 +15041,80 @@ def x_bleu_ngram_precision(spark, sf_dir):
     return spark.sql(_bleu_sql(True))
 
 
+def _audio_qa_oracle(n_segments: int = 16, seg_len: int = 64) -> str:
+    # md5 hex chars are 1-based: digest byte s = substr(md5, 2s+1, 2)
+    amps = ", ".join(
+        f"least(32767, (('0x' || substr(md5(text), {2 * s + 1}, 2))::BIGINT"
+        f" % 33) * 1024) AS a{s}"
+        for s in range(n_segments))
+    silent = " + ".join(
+        f"CASE WHEN a{s} = 0 THEN 1 ELSE 0 END" for s in range(n_segments))
+    clipped = " + ".join(
+        f"CASE WHEN a{s} = 32767 THEN 1 ELSE 0 END"
+        for s in range(n_segments))
+    energy = " + ".join(
+        f"{seg_len} * a{s} * a{s}" for s in range(n_segments))
+    max_e = "greatest(" + ", ".join(
+        f"{seg_len} * a{s} * a{s}" for s in range(n_segments)) + ")"
+    return f"""WITH amps AS (
+      SELECT doc_id, source, {amps} FROM documents),
+    per_doc AS (
+      SELECT source,
+             CAST({silent} AS BIGINT) AS n_silent,
+             CAST({clipped} AS BIGINT) AS n_clipped,
+             CAST({energy} AS BIGINT) AS energy,
+             CAST({max_e} AS BIGINT) AS max_energy
+      FROM amps)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_audio,
+           CAST(sum(CASE WHEN n_silent <= 4 AND n_clipped = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(n_silent) AS BIGINT) AS total_silent_segs,
+           CAST(sum(n_clipped) AS BIGINT) AS total_clipped_segs,
+           CAST(sum(energy) AS BIGINT) AS total_energy,
+           CAST(max(max_energy) AS BIGINT) AS max_seg_energy
+    FROM per_doc GROUP BY source"""
+
+
+@_q(
+    "x_audio_qa_gate",
+    _audio_qa_oracle(),
+    "Audio curation QA gate over REAL WAV bytes (the x_av_curation_"
+    "report discipline for the PCM layer): every document becomes a "
+    "genuine amplitude-modulated mono PCM-16 RIFF/WAVE stream (16 "
+    "square-wave segments, md5-derived amplitudes including true "
+    "SILENT and full-scale CLIPPED segments), the per-segment energy "
+    "walk decodes exact int64 sums of squares from the sample bytes, "
+    "and the keep rule (≤4 silent segments, zero clipping) gates each "
+    "stream — silence/saturation screening is the first pass every "
+    "audio-pretraining pipeline runs.  The oracle recomputes segment "
+    "energies from the encode parameters' closed form, so any RIFF "
+    "walk or window-split error hash-fails.  Plan: map-side "
+    "encode+decode "
+    "mapInPandas, one equi-join to recover source, one 20-row partial "
+    "agg — payload bytes never shuffle.",
+)
+def x_audio_qa_gate(spark, sf_dir):
+    from .operators.multimodal import extract_audio_qa, wav_am_media_table
+
+    qa = extract_audio_qa(wav_am_media_table(spark, sf_dir))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source")
+    qa.createOrReplaceTempView("_r9_audio_qa")
+    docs.createOrReplaceTempView("_r9_audio_docs")
+    return spark.sql("""
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_audio,
+           CAST(sum(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(q.n_silent) AS BIGINT) AS total_silent_segs,
+           CAST(sum(q.n_clipped) AS BIGINT) AS total_clipped_segs,
+           CAST(sum(q.total_energy) AS BIGINT) AS total_energy,
+           CAST(max(q.max_energy) AS BIGINT) AS max_seg_energy
+    FROM _r9_audio_qa q JOIN _r9_audio_docs d ON d.doc_id = q.media_id
+    GROUP BY d.source""")
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

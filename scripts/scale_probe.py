@@ -173,6 +173,7 @@ EXTRA = [
     "x_tfexample_parse",
     "x_mrr_eval",
     "x_bleu_ngram_precision",
+    "x_audio_qa_gate",
 ]
 
 

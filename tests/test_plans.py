@@ -546,3 +546,12 @@ def test_round9_plan_shapes(spark):
         set(s) <= {"doc_id", "text", "lang", "n_chars"}
         for s in read_schema_columns(tfx)
     )
+
+    aq = qs["x_audio_qa_gate"].spark_fn(spark, SF)
+    p = explain_str(aq)
+    assert p.count("MapInPandas") >= 2  # WAV encode pass + QA walk pass
+    assert shuffle_count(aq) <= 2, shuffle_count(aq)
+    assert all(
+        set(s) <= {"doc_id", "text", "source"}
+        for s in read_schema_columns(aq)
+    )
