@@ -57,3 +57,26 @@ def test_parse_rejects_truncated():
         parse_example(buf[:-1])
     with pytest.raises(ValueError):
         parse_example(b"\x80")  # unterminated varint
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _feature_values = st.one_of(
+        st.integers(min_value=0, max_value=(1 << 63) - 1),
+        st.binary(max_size=300),
+    )
+
+    @given(st.dictionaries(
+        st.text(
+            alphabet=st.characters(codec="utf-8",
+                                   blacklist_categories=("Cs",)),
+            min_size=1, max_size=30),
+        _feature_values, min_size=0, max_size=12))
+    @settings(max_examples=200, deadline=None)
+    def test_example_roundtrip_property(feats):
+        parsed = parse_example(encode_example(feats))
+        assert parsed == {k: [v] for k, v in feats.items()}
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
