@@ -241,6 +241,8 @@ EXTRA = [
     "x_mrr_eval",
     "x_bleu_ngram_precision",
     "x_audio_qa_gate",
+    "x_paged_kv_blocks",
+    "x_lang_modularity",
 ]
 
 

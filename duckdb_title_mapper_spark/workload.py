@@ -15115,6 +15115,106 @@ def x_audio_qa_gate(spark, sf_dir):
     GROUP BY d.source""")
 
 
+def _paged_kv_sql(spark_dialect: bool, block: int = 16) -> str:
+    if spark_dialect:
+        ntok = r"size(regexp_extract_all(lower(text), '\\w+', 0))"
+        idiv = "div"
+    else:
+        ntok = r"len(regexp_extract_all(lower(text), '\w+'))"
+        idiv = "//"
+    # ceil-div on nonnegative token counts (r7 idiv sign rule)
+    return f"""WITH req AS (
+      SELECT source, CAST({ntok} AS BIGINT) AS n FROM documents),
+    alloc AS (
+      SELECT source, n, (n + {block - 1}) {idiv} {block} AS blocks
+      FROM req)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_requests,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(sum(blocks) AS BIGINT) AS total_blocks,
+           CAST(sum(blocks) * {block} AS BIGINT) AS allocated_tokens,
+           CAST(sum(blocks) * {block} - sum(n) AS BIGINT) AS frag_tokens,
+           CAST((sum(blocks) * {block} - sum(n)) * 10000
+                {idiv} (sum(blocks) * {block}) AS BIGINT) AS frag_bp,
+           CAST(max(blocks) AS BIGINT) AS peak_request_blocks
+    FROM alloc GROUP BY source"""
+
+
+@_q(
+    "x_paged_kv_blocks",
+    _paged_kv_sql(False),
+    "Paged KV-cache capacity planning (the vLLM PagedAttention "
+    "allocation model): every request's token count rounds up to "
+    "16-token blocks; per source the block demand, allocated-vs-used "
+    "token mass, internal fragmentation in basis points, and the peak "
+    "single-request block count — the numbers a serving fleet sizes "
+    "GPU cache pools from, beside x_prefix_cache_hits' reuse measure.  "
+    "All integer (ceil-division on nonnegative counts).  Plan: one "
+    "tokenize scan, one per-source partial agg.",
+)
+def x_paged_kv_blocks(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_paged_kv_sql(True))
+
+
+def _lang_modularity_sql(spark_dialect: bool) -> str:
+    """Newman modularity Q of the LANGUAGE partition over the banded
+    near-dup candidate graph, as the exact rational pair
+    (q_num, q_den) = (4m*Σ_c e_c − Σ_c d_c², 4m²): e_c = edges with
+    both endpoints in language c, d_c = total degree of language c.
+    Unlike the connected-component partition (where every edge is
+    intra by definition and Σe_c = m trivially), the language
+    partition makes Q a genuine assortativity measure: do near-dup
+    candidates concentrate within languages?  Overflow headroom: the
+    probe graph is bounded (n_docs < 150 ⇒ m < 11,175), so 4m² <
+    5·10⁸ — nowhere near BIGINT."""
+    edges = _band_edges_sql(spark_dialect)
+    return f"""WITH e AS ({edges}),
+    el AS (
+      SELECT sa.lang AS lang_a, sb.lang AS lang_b
+      FROM e
+      JOIN documents sa ON sa.doc_id = e.src
+      JOIN documents sb ON sb.doc_id = e.dst),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM el),
+    intra AS (
+      SELECT CAST(count(*) AS BIGINT) AS e_in
+      FROM el WHERE lang_a = lang_b),
+    deg AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT lang_a AS lang FROM el
+        UNION ALL
+        SELECT lang_b AS lang FROM el) b
+      GROUP BY lang),
+    dsq AS (SELECT CAST(sum(d * d) AS BIGINT) AS sum_dsq,
+                   CAST(count(*) AS BIGINT) AS n_langs,
+                   CAST(max(d) AS BIGINT) AS max_lang_degree
+            FROM deg)
+    SELECT m.m AS n_edges, intra.e_in AS intra_edges,
+           dsq.n_langs, dsq.max_lang_degree,
+           CAST(4 * m.m * intra.e_in - dsq.sum_dsq AS BIGINT) AS q_num,
+           CAST(4 * m.m * m.m AS BIGINT) AS q_den
+    FROM m CROSS JOIN intra CROSS JOIN dsq"""
+
+
+@_q(
+    "x_lang_modularity",
+    _lang_modularity_sql(False),
+    "Newman modularity of the LANGUAGE partition over the banded "
+    "near-dup candidate graph (Newman 2006), emitted as the exact "
+    "rational (q_num, q_den) = (4mΣe_c − Σd_c², 4m²) — the graph "
+    "family's partition-quality EVAL beside the structure finders "
+    "(components, label propagation, k-core): it answers whether "
+    "near-dup candidates concentrate within languages, i.e. whether "
+    "lang is a sound blocking key for this corpus.  All integer, "
+    "documented overflow headroom.  Plan: the bounded probe edge "
+    "relation, two broadcastable doc-lang joins, three 1-row "
+    "aggregates.",
+)
+def x_lang_modularity(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_lang_modularity_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -555,3 +555,15 @@ def test_round9_plan_shapes(spark):
         set(s) <= {"doc_id", "text", "source"}
         for s in read_schema_columns(aq)
     )
+
+    kv = qs["x_paged_kv_blocks"].spark_fn(spark, SF)
+    assert shuffle_count(kv) <= 1, shuffle_count(kv)
+    assert has_partial_aggregation(kv)
+    assert all(
+        set(s) <= {"source", "text"} for s in read_schema_columns(kv)
+    )
+
+    lm = qs["x_lang_modularity"].spark_fn(spark, SF)
+    p = explain_str(lm)
+    assert "BatchEvalPython" not in p
+    assert has_partial_aggregation(lm)
