@@ -243,6 +243,7 @@ EXTRA = [
     "x_audio_qa_gate",
     "x_paged_kv_blocks",
     "x_lang_modularity",
+    "x_erasure_manifest",
 ]
 
 

@@ -567,3 +567,8 @@ def test_round9_plan_shapes(spark):
     p = explain_str(lm)
     assert "BatchEvalPython" not in p
     assert has_partial_aggregation(lm)
+
+    er = qs["x_erasure_manifest"].spark_fn(spark, SF)
+    p = explain_str(er)
+    assert "BroadcastNestedLoop" not in p, p[:600]
+    assert broadcast_join_count(er) >= 2  # subject set broadcasts
