@@ -35,11 +35,14 @@ _WT_LEN = 2
 
 
 def _varint(n: int) -> bytes:
-    """Unsigned LEB128 (nonnegative only — Example features here never
-    carry negatives; int64 negatives would be 10-byte two's-complement
-    varints, raised on rather than silently mis-encoded)."""
+    """Unsigned LEB128.  A varint carries at most 64 bits on the wire,
+    so values outside [0, 2^64) are an encoder bug, not a payload —
+    raise rather than emit bytes no conformant decoder accepts
+    (ADVICE r9: encode_example(2**64) used to round-trip)."""
     if n < 0:
         raise ValueError("negative varint not supported in this encoder")
+    if n >= 1 << 64:
+        raise ValueError("varint exceeds 64 bits")
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -69,7 +72,11 @@ def encode_example(features: dict[str, "int | bytes"]) -> bytes:
         if isinstance(val, bool) or not isinstance(val, (int, bytes)):
             raise TypeError(f"unsupported feature type for {key!r}")
         if isinstance(val, int):
-            inner = _len_delim(1, _varint(val))        # packed int64s
+            if not -(1 << 63) <= val < 1 << 63:
+                raise ValueError(f"int64 feature out of range for {key!r}")
+            # negatives go on the wire as 10-byte two's-complement
+            # varints, per the spec (ADVICE r9: -1 labels are real)
+            inner = _len_delim(1, _varint(val & ((1 << 64) - 1)))
             feature = _len_delim(3, inner)             # Feature.int64_list
         else:
             inner = _len_delim(1, val)                 # BytesList.value
@@ -79,7 +86,18 @@ def encode_example(features: dict[str, "int | bytes"]) -> bytes:
     return _len_delim(1, bytes(entries))               # Example.features
 
 
+def _to_i64(v: int) -> int:
+    """Two's-complement-wrap a decoded 64-bit varint to signed int64 —
+    how int64 fields represent negatives on the wire."""
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
 def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    """A varint carries at most 64 bits: a canonical 10-byte varint
+    (two's-complement int64 negative) lands its last byte at shift 63
+    with only bit 0 usable, so reject both an 11th byte AND any decoded
+    value >= 2^64 (ADVICE r9: the old shift-only guard let 10-byte
+    varints decode to ints up to 2^70-1)."""
     shift = 0
     val = 0
     while True:
@@ -89,6 +107,8 @@ def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
         i += 1
         val |= (b & 0x7F) << shift
         if not b & 0x80:
+            if val >= 1 << 64:
+                raise ValueError("varint overflows 64 bits")
             return val, i
         shift += 7
         if shift > 63:
@@ -146,12 +166,12 @@ def parse_example(buf: bytes) -> dict[str, "list[int] | list[bytes]"]:
                                 if lno != 1:
                                     raise ValueError("Int64List field")
                                 if lwt == _WT_VARINT:
-                                    vals.append(lval)
+                                    vals.append(_to_i64(lval))
                                 else:                         # packed
                                     i = 0
                                     while i < len(lval):
                                         v, i = _read_varint(lval, i)
-                                        vals.append(v)
+                                        vals.append(_to_i64(v))
                         elif kno == 1 and kwt == _WT_LEN:    # BytesList
                             for lno, lwt, lval in _fields(kval):
                                 if lno != 1 or lwt != _WT_LEN:

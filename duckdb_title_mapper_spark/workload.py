@@ -14595,8 +14595,10 @@ def _span_corruption_sql(spark_dialect: bool) -> str:
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            CAST(sum(n_spans) AS BIGINT) AS total_spans,
            CAST(sum(n_masked) AS BIGINT) AS total_masked,
-           (CAST(sum(n_masked) AS BIGINT) * 10000)
-             {idiv} CAST(sum(n_tokens) AS BIGINT) AS mask_ratio_bp,
+           CASE WHEN sum(n_tokens) = 0 THEN CAST(0 AS BIGINT)
+                ELSE (CAST(sum(n_masked) AS BIGINT) * 10000)
+                  {idiv} CAST(sum(n_tokens) AS BIGINT)
+           END AS mask_ratio_bp,
            CAST(sum(n_tokens - n_masked + n_spans) AS BIGINT)
              AS encoder_tokens,
            CAST(sum(n_masked + n_spans + 1) AS BIGINT) AS decoder_tokens
@@ -14679,8 +14681,10 @@ def _prefix_cache_sql(spark_dialect: bool) -> str:
            CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(sum(lcp_len) AS BIGINT) AS cached_prefix_tokens,
            CAST(sum(la) AS BIGINT) AS request_tokens,
-           (CAST(sum(lcp_len) AS BIGINT) * 10000)
-             {idiv} CAST(sum(la) AS BIGINT) AS hit_ratio_bp
+           CASE WHEN sum(la) = 0 THEN CAST(0 AS BIGINT)
+                ELSE (CAST(sum(lcp_len) AS BIGINT) * 10000)
+                  {idiv} CAST(sum(la) AS BIGINT)
+           END AS hit_ratio_bp
     FROM lcp GROUP BY source"""
 
 
@@ -15014,7 +15018,7 @@ def _bleu_sql(spark_dialect: bool) -> str:
            coalesce(p1.clipped, 0) AS p1_num,
            l.cand_len AS p1_den,
            coalesce(p2.clipped, 0) AS p2_num,
-           l.cand_len - 1 AS p2_den,
+           greatest(l.cand_len - 1, 0) AS p2_den,
            l.cand_len, l.ref_len
     FROM lens l
     LEFT JOIN p1 ON p1.source = l.source
@@ -15134,8 +15138,10 @@ def _paged_kv_sql(spark_dialect: bool, block: int = 16) -> str:
            CAST(sum(blocks) AS BIGINT) AS total_blocks,
            CAST(sum(blocks) * {block} AS BIGINT) AS allocated_tokens,
            CAST(sum(blocks) * {block} - sum(n) AS BIGINT) AS frag_tokens,
-           CAST((sum(blocks) * {block} - sum(n)) * 10000
-                {idiv} (sum(blocks) * {block}) AS BIGINT) AS frag_bp,
+           CASE WHEN sum(blocks) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((sum(blocks) * {block} - sum(n)) * 10000
+                     {idiv} (sum(blocks) * {block}) AS BIGINT)
+           END AS frag_bp,
            CAST(max(blocks) AS BIGINT) AS peak_request_blocks
     FROM alloc GROUP BY source"""
 
@@ -15230,12 +15236,16 @@ def _erasure_manifest_sql(spark_dialect: bool) -> str:
     else:
         h = ("('0x' || substr(md5(CAST(c_custkey AS STRING)), 1, 8))"
              "::BIGINT % 16")
-    return f"""WITH subjects AS (
+    # subjects/ord/li each have 2+ consumers below — the r7 DuckDB
+    # per-consumer CTE-inlining rule wants AS MATERIALIZED hints on the
+    # oracle side (ADVICE r9; bounded depth, so waste not blow-up)
+    mat = "" if spark_dialect else "MATERIALIZED "
+    return f"""WITH subjects AS {mat}(
       SELECT c_custkey FROM customer WHERE {h} = 0),
-    ord AS (
+    ord AS {mat}(
       SELECT o.o_orderkey, o.o_custkey FROM orders o
       JOIN subjects s ON s.c_custkey = o.o_custkey),
-    li AS (
+    li AS {mat}(
       SELECT l.l_orderkey FROM lineitem l
       JOIN ord ON ord.o_orderkey = l.l_orderkey)
     SELECT CAST((SELECT count(*) FROM subjects) AS BIGINT)

@@ -80,3 +80,32 @@ try:
         assert parsed == {k: [v] for k, v in feats.items()}
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_negative_int64_roundtrip():
+    """ADVICE r9: negative int64 features (e.g. -1 labels) are 10-byte
+    two's-complement varints per the spec — encode and re-parse them."""
+    feats = {"label": -1, "offset": -(1 << 63), "pos": 7}
+    buf = encode_example(feats)
+    assert parse_example(buf) == {k: [v] for k, v in feats.items()}
+    # -1 costs exactly 10 wire bytes for its varint
+    assert len(encode_example({"a": -1})) - len(encode_example({"a": 0})) == 9
+
+
+def test_varint_64bit_bounds():
+    """Values outside int64 raise on encode; wire varints >= 2^64 (a
+    10-byte varint with any 10th-byte bit above bit 0) raise on decode."""
+    with pytest.raises(ValueError):
+        encode_example({"a": 1 << 63})
+    with pytest.raises(ValueError):
+        encode_example({"a": -(1 << 63) - 1})
+    # craft a 10-byte varint decoding to 2^64 (10th byte 0x02)
+    bad = bytes([0x80] * 9 + [0x02])
+    with pytest.raises(ValueError):
+        _read_varint(bad, 0)
+    # 11-byte varints are always malformed
+    with pytest.raises(ValueError):
+        _read_varint(bytes([0x80] * 10 + [0x01]), 0)
+    # the canonical 10-byte -1 encoding still decodes
+    v, i = _read_varint(bytes([0xFF] * 9 + [0x01]), 0)
+    assert v == (1 << 64) - 1 and i == 10
