@@ -15335,8 +15335,15 @@ GRADE_FIRST = [
     "x_bpe_train", "rel_join_q5_shape_i",
     "rel_left_join_i",
     "rel_salted_join_i",
-    # windows
-    "rel_window_running_i",
+    # windows — r10 swap (VERDICT r9 #4 — slot distinctiveness):
+    # rel_window_running_i's slot goes to x_ndcg_topk (the retrieval-
+    # eval-metric family's first graded row: integer-exact nDCG@10,
+    # rank-reciprocal discount, lcm(1..10)=2520-cleared num/den BIGINT
+    # pair).  Running-window machinery stays driver-certified through
+    # rel_window_rank-class parity and the windowed streaming slots
+    # (stream_tumbling_counts_i, x_sessionize_batch_i);
+    # rel_window_running_i stays registered after the fold.
+    "x_ndcg_topk",
     # event-time batch rollups (+ gap-fill variants stay after the fold)
     "rel_time_hourly_i",
     # multi-group aggregates
