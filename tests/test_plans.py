@@ -439,8 +439,13 @@ def test_round8_plan_shapes(spark):
     - x_hits_scores' per-round chain must never fall back to a
       per-row Python UDF (the whole kernel is JVM-side SQL) and keeps
       map-side partial aggregation on its edge-sum rounds.
-    - the codec walks (h264/aac) are map-only mapInPandas passes:
-      zero shuffles, scans pruned to (doc_id, text).
+    - the codec walks (h264/aac) own their media-meta census lanes
+      (r10): the declared query builds the lane (a map-only
+      mapInPandas encode+walk, forced so the cold cost stays
+      measured) and returns the parquet read-back — so the DELIVERED
+      plan is a zero-shuffle scan of the census columns, payload
+      bytes never reach a shuffle, and consumers schedule against
+      storage.
     """
     from duckdb_title_mapper_spark.plans import explain_str, shuffle_count
     from duckdb_title_mapper_spark.workload import core_queries as all_queries
@@ -466,13 +471,20 @@ def test_round8_plan_shapes(spark):
     assert "BatchEvalPython" not in plan, plan[:800]
     assert has_partial_aggregation(ht)
 
-    for name in ("x_multimodal_h264_nals", "x_multimodal_aac_adts"):
+    for name, cols in (
+        ("x_multimodal_h264_nals",
+         {"media_id", "n_nals", "n_slices", "n_sei", "profile_idc",
+          "level_idc", "width", "height"}),
+        ("x_multimodal_aac_adts",
+         {"media_id", "profile", "sample_rate", "channels", "n_frames",
+          "n_samples", "duration_ms", "stream_bytes", "has_id3"}),
+    ):
         df = qs[name].spark_fn(spark, SF)
         plan = explain_str(df)
-        assert "MapInPandas" in plan
+        assert "duckdb_title_mapper_spark_media_meta" in plan, plan[:600]
         assert shuffle_count(df) == 0, (name, shuffle_count(df))
         assert all(
-            set(s) <= {"doc_id", "text"} for s in read_schema_columns(df)
+            set(s) <= cols for s in read_schema_columns(df)
         ), (name, read_schema_columns(df))
 
 
@@ -504,11 +516,12 @@ def test_round9_plan_shapes(spark):
 
     av = qs["x_av_curation_report"].spark_fn(spark, SF)
     plan = explain_str(av)
-    assert plan.count("MapInPandas") >= 2
+    # r10: the rollup cache-hits the media-meta census — its plan is
+    # an equi-join of two pruned census parquet scans, NOT a re-walk
+    # (payload bytes decoded once per lane, never per consumer)
+    assert "MapInPandas" not in plan, plan[:600]
+    assert plan.count("duckdb_title_mapper_spark_media_meta") >= 2
     assert shuffle_count(av) <= 2, shuffle_count(av)
-    assert all(
-        set(s) <= {"doc_id", "text"} for s in read_schema_columns(av)
-    )
 
     for name, budget, cols in (
         ("x_skipgram_cooc", 4, {"doc_id", "text"}),
@@ -549,10 +562,14 @@ def test_round9_plan_shapes(spark):
 
     aq = qs["x_audio_qa_gate"].spark_fn(spark, SF)
     p = explain_str(aq)
-    assert p.count("MapInPandas") >= 2  # WAV encode pass + QA walk pass
+    # r10: the WAV encode + QA walk happen in the owned census build;
+    # the delivered plan joins the census scan with the docs scan
+    assert "duckdb_title_mapper_spark_media_meta" in p, p[:600]
     assert shuffle_count(aq) <= 2, shuffle_count(aq)
     assert all(
-        set(s) <= {"doc_id", "text", "source"}
+        set(s) <= {"doc_id", "source", "media_id", "n_samples",
+                   "n_silent", "n_clipped", "total_energy",
+                   "max_energy", "keep"}
         for s in read_schema_columns(aq)
     )
 
