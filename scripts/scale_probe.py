@@ -177,6 +177,8 @@ EXTRA = [
     "x_paged_kv_blocks",
     "x_lang_modularity",
     "x_erasure_manifest",
+    # round-10 flagships
+    "x_image_dhash_near_dup",
 ]
 
 
