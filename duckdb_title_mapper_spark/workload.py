@@ -12536,18 +12536,30 @@ def x_symspell_correct(spark, sf_dir):
     return spark.sql(match_sql)
 
 
-def _feature_prop_sql(spark_dialect: bool) -> str:
+def _feature_prop_sql(spark_dialect: bool,
+                      prebuilt: bool = False) -> str:
     """GNN-style neighbor FEATURE PROPAGATION (GraphSAGE mean
     aggregator, 2 hops) in integer fixed point: node features are
     part retail prices in cents; each round replaces a node's feature
     with the integer mean (sum div degree — nonnegative, engine-
     exact) of its neighbors' previous features.  The h-chain is
     single-consumer (linear); the edge/degree relations feed every
-    round and are materialized.  This is the feature-smoothing
-    preprocessing pass GNN training pipelines run before sampling."""
+    round and are materialized — on the Spark side GENUINELY
+    (``prebuilt=True``: the caller registers materialized
+    ``_r10_fp_edges``/``_r10_fp_deg`` views; before r10 the Spark
+    text only LOOKED like the oracle's hinted form while Catalyst
+    re-inlined pairs 6x and deg 4x per consumer — the CLAUDE.md CTE
+    trap, caught by the VERDICT r9 #3 scale-grower probe: 6.1 s ->
+    ~2 s at sf0.1).  This is the feature-smoothing preprocessing pass
+    GNN training pipelines run before sampling."""
     idiv = "div" if spark_dialect else "//"
     mat = "" if spark_dialect else "MATERIALIZED "
-    return f"""WITH pairs AS {mat}(
+    if prebuilt:
+        edges_rel, deg_rel = "_r10_fp_edges", "_r10_fp_deg"
+        build = ""
+    else:
+        edges_rel, deg_rel = "edges", "deg"
+        build = f"""pairs AS {mat}(
       SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey
@@ -12558,28 +12570,29 @@ def _feature_prop_sql(spark_dialect: bool) -> str:
     deg AS {mat}(
       SELECT a, CAST(count(*) AS BIGINT) AS deg
       FROM edges GROUP BY a),
-    h0 AS (
+    """
+    return f"""WITH {build}h0 AS (
       SELECT p.p_partkey AS node,
              CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100
                   AS BIGINT) AS h
-      FROM part p JOIN deg g ON g.a = p.p_partkey),
+      FROM part p JOIN {deg_rel} g ON g.a = p.p_partkey),
     h1 AS (
       SELECT e.a AS node,
              CAST(sum(x.h) AS BIGINT) {idiv} max(g.deg) AS h
-      FROM edges e JOIN h0 x ON x.node = e.b
-      JOIN deg g ON g.a = e.a
+      FROM {edges_rel} e JOIN h0 x ON x.node = e.b
+      JOIN {deg_rel} g ON g.a = e.a
       GROUP BY e.a),
     h2 AS (
       SELECT e.a AS node,
              CAST(sum(x.h) AS BIGINT) {idiv} max(g.deg) AS h
-      FROM edges e JOIN h1 x ON x.node = e.b
-      JOIN deg g ON g.a = e.a
+      FROM {edges_rel} e JOIN h1 x ON x.node = e.b
+      JOIN {deg_rel} g ON g.a = e.a
       GROUP BY e.a)
     SELECT h2.node, g.deg,
            CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100
                 AS BIGINT) AS feat0_cents,
            h2.h AS feat2_cents
-    FROM h2 JOIN deg g ON g.a = h2.node
+    FROM h2 JOIN {deg_rel} g ON g.a = h2.node
     JOIN part p ON p.p_partkey = h2.node
     ORDER BY feat2_cents DESC, node LIMIT 20"""
 
@@ -12596,8 +12609,25 @@ def _feature_prop_sql(spark_dialect: bool) -> str:
     "message-passing shape at any scale.",
 )
 def x_graph_feature_prop(spark, sf_dir):
+    from .plans.materialize import materialize as _mat
+
     register_views(spark, sf_dir, "lineitem", "part")
-    return spark.sql(_feature_prop_sql(True))
+    # genuinely materialize the multi-consumer edge/degree relations
+    # (pairs feeds edges twice, edges feeds deg + both rounds, deg
+    # feeds h0/h1/h2 + the final select — inlined, Catalyst re-ran
+    # the lineitem self-join 6x; r10 fix, VERDICT r9 #3)
+    pairs = spark.sql(
+        "SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d "
+        "FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey")
+    edges = _mat(pairs.selectExpr("s AS a", "d AS b")
+                 .union(pairs.selectExpr("d AS a", "s AS b")))
+    edges.createOrReplaceTempView("_r10_fp_edges")
+    deg = _mat(spark.sql(
+        "SELECT a, CAST(count(*) AS BIGINT) AS deg "
+        "FROM _r10_fp_edges GROUP BY a"))
+    deg.createOrReplaceTempView("_r10_fp_deg")
+    return spark.sql(_feature_prop_sql(True, prebuilt=True))
 
 
 def _auc_exact_sql(idiv: str) -> str:
@@ -13824,7 +13854,14 @@ def _consistent_hash_sql(spark_dialect: bool, n_shards: int = 8,
     tiebreak is engine-exact.  The query reports per-shard placement
     AND the re-placement after removing the last shard — certifying
     the property consistent hashing exists for: only the removed
-    shard's documents move."""
+    shard's documents move.
+
+    r10 (the VERDICT r9 #3 scale-grower pass): both placements come
+    from ONE ring expansion — a single docs x ring cross join with a
+    conditional min for the shard-removed assignment — instead of two
+    expansions joined back per doc.  Halves the 128-vnode distance
+    evaluations per doc and drops the doc-keyed join (values
+    identical; measured ~2x at sf0.1)."""
     if spark_dialect:
         h32 = "CAST(conv(substr(md5({x}), 1, 8), 16, 10) AS BIGINT)"
     else:
@@ -13840,16 +13877,12 @@ def _consistent_hash_sql(spark_dialect: bool, n_shards: int = 8,
                FROM (VALUES {vn_vals}) AS vn(shard, v)),
     ring AS (SELECT shard, {ring_pos} AS pos FROM vn),
     docs AS (SELECT doc_id, {doc_h} AS h FROM documents),
-    assign_full AS (
-      SELECT d.doc_id, substr(min({key}), 11, 2) AS shard
+    pairs AS (
+      SELECT d.doc_id,
+             substr(min({key}), 11, 2) AS shard_full,
+             substr(min(CASE WHEN r.shard <> '{last}'
+                        THEN {key} END), 11, 2) AS shard_less
       FROM docs d CROSS JOIN ring r GROUP BY d.doc_id),
-    assign_less AS (
-      SELECT d.doc_id, substr(min({key}), 11, 2) AS shard
-      FROM docs d CROSS JOIN ring r WHERE r.shard <> '{last}'
-      GROUP BY d.doc_id),
-    pairs AS (SELECT f.doc_id, f.shard AS shard_full, l.shard AS shard_less
-              FROM assign_full f JOIN assign_less l
-                ON f.doc_id = l.doc_id),
     before AS (
       SELECT shard_full AS shard,
              CAST(count(*) AS BIGINT) AS n_docs,
