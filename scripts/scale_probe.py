@@ -179,6 +179,8 @@ EXTRA = [
     "x_erasure_manifest",
     # round-10 flagships
     "x_image_dhash_near_dup",
+    "x_moe_routing_stats",
+    "x_fim_splits",
 ]
 
 

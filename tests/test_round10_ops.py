@@ -1,0 +1,74 @@
+"""Semantic invariants for the round-10 operators (beyond the oracle
+value-compare in test_oracle_parity): MoE routing conservation laws
+and FIM span partition identities."""
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_moe_routing_conservation(spark):
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = core_queries()["x_moe_routing_stats"].spark_fn(
+        spark, SF).collect()
+    assert len(rows) == 8
+    by_e = {r["expert"]: r for r in rows}
+    assert sorted(by_e) == list(range(8))
+    total_top1 = sum(r["n_top1"] for r in rows)
+    total_top2 = sum(r["n_top2"] for r in rows)
+    # every token instance routed exactly once per lane
+    assert total_top1 == total_top2
+    routed_total = rows[0]["aux_den_routed"]
+    assert total_top1 + total_top2 == routed_total
+    # score mass: 8 hex-byte scores per word instance, shared denom
+    assert sum(r["score_sum"] for r in rows) == rows[0]["aux_den_score"]
+    for r in rows:
+        assert r["n_routed"] == r["n_top1"] + r["n_top2"]
+        assert r["aux_num"] == r["n_routed"] * r["score_sum"]
+        cap = (routed_total * 5 + 31) // 32
+        assert r["capacity"] == cap
+        assert r["demand_overflow"] == max(0, r["n_routed"] - cap)
+
+
+def test_moe_top1_top2_distinct(spark):
+    """The packed-argmax exclusion must never route a token's two
+    slots to the same expert."""
+    from duckdb_title_mapper_spark.workload import _moe_routing_sql, \
+        register_views
+
+    register_views(spark, SF, "documents")
+    inner = _moe_routing_sql(True)
+    # re-run just the routed CTE portion: splice a probe on top
+    probe = inner.split("lanes AS (")[0] + (
+        "probe AS (SELECT count(*) AS bad FROM routed "
+        "WHERE top1 = top2) SELECT bad FROM probe")
+    assert spark.sql(probe).collect()[0]["bad"] == 0
+
+
+def test_fim_spans_partition_each_doc(spark):
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = core_queries()["x_fim_splits"].spark_fn(spark, SF).collect()
+    assert rows, "no FIM rows"
+    for r in rows:
+        assert r["mode"] in ("PSM", "SPM")
+        assert r["total_prefix"] >= 0
+        assert r["total_middle"] >= 0
+        assert r["total_suffix"] >= 0
+        assert 0 <= r["middle_permille"] <= 1000
+    # spans partition the token mass: sum over modes equals corpus
+    # token count per source
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = docs.select(
+        "source",
+        F.size(F.regexp_extract_all(
+            F.lower("text"), F.lit(r"\w+"), 0)).alias("n"))
+    truth = {r["source"]: r["t"] for r in
+             toks.groupBy("source").agg(
+                 F.sum("n").alias("t")).collect()}
+    per_source: dict = {}
+    for r in rows:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + (
+            r["total_prefix"] + r["total_middle"] + r["total_suffix"])
+    assert per_source == truth
