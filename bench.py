@@ -248,6 +248,9 @@ EXTRA = [
     "x_image_dhash_near_dup",
     "x_moe_routing_stats",
     "x_fim_splits",
+    "x_preference_cycles",
+    "x_zipf_octaves",
+    "x_length_curriculum",
 ]
 
 

@@ -15629,6 +15629,204 @@ def x_fim_splits(spark, sf_dir):
     return spark.sql(_fim_splits_sql(True))
 
 
+def _preference_cycles_sql(spark_dialect: bool, k: int = 16,
+                           games: int = 3) -> str:
+    """Preference-transitivity audit over a deterministic pairwise
+    tournament: top-k documents by (n_chars DESC, doc_id) play 3
+    md5-decided games per pair; the majority digraph's cyclic-triad
+    count comes from the Kendall–Babington Smith tournament identity
+    C(k,3) - sum_i C(outdeg_i, 2) — a THEOREM, so intransitivity is
+    one aggregate over Copeland scores, never a triple self-join.
+    One MM step of Bradley–Terry from uniform strengths reduces to
+    s_i ∝ games_won_i (emitted as the exact num/den pair)."""
+    idiv = "div" if spark_dialect else "//"
+    mat = "" if spark_dialect else "MATERIALIZED "
+    if spark_dialect:
+        h = ("CAST(conv(substr(md5(CAST(a.doc_id AS STRING) || ':' ||"
+             " CAST(b.doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT)")
+    else:
+        h = ("('0x' || substr(md5(CAST(a.doc_id AS STRING) || ':' ||"
+             " CAST(b.doc_id AS STRING)), 1, 2))::BIGINT")
+    n_triads = k * (k - 1) * (k - 2) // 6
+    total_games = games * (k * (k - 1) // 2)
+    return f"""WITH pool AS {mat}(
+      SELECT doc_id, rk FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents) r
+      WHERE rk <= {k}),
+    duels AS {mat}(
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             {h} % {games + 1} AS wins_a
+      FROM pool a JOIN pool b ON a.rk < b.rk),
+    perdoc AS (
+      SELECT doc_id,
+             CAST(sum(won_pair) AS BIGINT) AS copeland,
+             CAST(sum(games_won) AS BIGINT) AS games_won
+      FROM (
+        SELECT da AS doc_id,
+               CASE WHEN wins_a * 2 > {games} THEN 1 ELSE 0 END
+                 AS won_pair,
+               wins_a AS games_won
+        FROM duels
+        UNION ALL
+        SELECT db AS doc_id,
+               CASE WHEN wins_a * 2 < {games} THEN 1 ELSE 0 END
+                 AS won_pair,
+               {games} - wins_a AS games_won
+        FROM duels) u
+      GROUP BY doc_id),
+    gstats AS (
+      SELECT CAST({n_triads}
+                  - sum((copeland * (copeland - 1)) {idiv} 2)
+                  AS BIGINT) AS n_cyclic_triads
+      FROM perdoc)
+    SELECT p.doc_id, p.copeland, p.games_won,
+           p.games_won * 2 AS bt_rating_num,
+           CAST({total_games} AS BIGINT) AS bt_rating_den,
+           CAST({n_triads} AS BIGINT) AS n_triads,
+           g.n_cyclic_triads
+    FROM perdoc p CROSS JOIN gstats g"""
+
+
+@_q(
+    "x_preference_cycles",
+    _preference_cycles_sql(False),
+    "Preference-data transitivity audit (r10 — the QA pass before "
+    "training a reward model on pairwise comparisons, completing the "
+    "preference family beside x_dpo_pairs/x_preference_pairs): a "
+    "deterministic 3-game tournament over the top-16 longest "
+    "documents, per-doc Copeland score and games won, one exact "
+    "Bradley-Terry MM step from uniform strengths (num/den BIGINTs), "
+    "and the count of CYCLIC triads (A>B>C>A intransitivities) via "
+    "the Kendall-Babington Smith identity C(k,3) - sum C(outdeg,2) "
+    "— one aggregate over out-degrees instead of a cubic triad "
+    "self-join, which is also the 100 TB shape (the pool is always "
+    "rank-bounded; the identity needs only degree counts).  All "
+    "BIGINT, engine-exact.",
+)
+def x_preference_cycles(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_preference_cycles_sql(True))
+
+
+def _zipf_octaves_sql(spark_dialect: bool) -> str:
+    """Rank-frequency (Zipf) curve shape per source as an OCTAVE
+    histogram: terms ranked by frequency within source, rank octave
+    = floor(log2 rank) via an exact integer CASE ladder (never
+    float log2 — its half-ulp boundaries are the r4 drift class),
+    each octave reporting term count, occurrence mass, and the
+    frequency envelope.  The log-log slope the reader fits from
+    adjacent octaves is the Zipf exponent; every input to it is
+    integer-exact."""
+    if spark_dialect:
+        toks = (r"SELECT source, explode(regexp_extract_all("
+                r"lower(text), '\\w+', 0)) AS w FROM documents")
+    else:
+        toks = (r"SELECT source, unnest(regexp_extract_all("
+                r"lower(text), '\w+')) AS w FROM documents")
+    ladder = " ".join(
+        f"WHEN rk < {1 << (o + 1)} THEN {o}" for o in range(15))
+    return f"""WITH wc AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+      FROM ({toks}) t GROUP BY source, w),
+    ranked AS (
+      SELECT source, cnt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, w) AS rk
+      FROM wc),
+    binned AS (
+      SELECT source, cnt,
+             CASE {ladder} ELSE 15 END AS octave
+      FROM ranked)
+    SELECT source, CAST(octave AS BIGINT) AS octave,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(cnt) AS BIGINT) AS occurrences,
+           CAST(max(cnt) AS BIGINT) AS max_freq,
+           CAST(min(cnt) AS BIGINT) AS min_freq
+    FROM binned GROUP BY source, octave"""
+
+
+@_q(
+    "x_zipf_octaves",
+    _zipf_octaves_sql(False),
+    "Zipf rank-frequency curve shape per source (r10): within-source "
+    "term ranks bucketed into integer log2 octaves (exact CASE "
+    "ladder, never float log2), each octave carrying term count, "
+    "occurrence mass, and frequency envelope — the distribution "
+    "diagnostic that tells a corpus curator whether a source's "
+    "vocabulary follows the expected power law or is boilerplate-"
+    "degenerate (mass bulging in deep octaves), complementing "
+    "x_vocab_topk (head terms) and x_keyness_by_source (contrastive "
+    "terms) with the full curve.  Plan: one vocab rollup (partial-"
+    "agged), one per-source rank window over vocab-sized data, one "
+    "16-cell-per-source aggregate.",
+)
+def x_zipf_octaves(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_zipf_octaves_sql(True))
+
+
+def _length_curriculum_sql(spark_dialect: bool, phases: int = 4) -> str:
+    """Length-curriculum schedule (the shortest-first ordering
+    curriculum training uses): documents ordered by (token count,
+    doc_id), cumulative token mass BEFORE each doc assigns it to one
+    of 4 equal-token-budget phases — ceil-div budget, phase index
+    capped at 3, zero-total guarded.  Integer end to end."""
+    if spark_dialect:
+        ntok = r"size(regexp_extract_all(lower(text), '\\w+', 0))"
+        idiv = "div"
+    else:
+        ntok = r"len(regexp_extract_all(lower(text), '\w+'))"
+        idiv = "//"
+    return f"""WITH d AS (
+      SELECT doc_id, source, CAST({ntok} AS BIGINT) AS n
+      FROM documents),
+    sched AS (
+      SELECT doc_id, source, n,
+             CAST(coalesce(sum(n) OVER (ORDER BY n, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+             CAST(sum(n) OVER () AS BIGINT) AS total
+      FROM d),
+    phased AS (
+      SELECT doc_id, source, n,
+             CASE WHEN total = 0 THEN CAST(0 AS BIGINT)
+                  ELSE least(cum_before
+                             {idiv} ((total + {phases - 1})
+                                     {idiv} {phases}),
+                             CAST({phases - 1} AS BIGINT))
+             END AS phase
+      FROM sched)
+    SELECT phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS token_mass,
+           CAST(min(n) AS BIGINT) AS min_tokens,
+           CAST(max(n) AS BIGINT) AS max_tokens,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM phased GROUP BY phase"""
+
+
+@_q(
+    "x_length_curriculum",
+    _length_curriculum_sql(False),
+    "Curriculum-learning data schedule (r10): documents assigned to 4 "
+    "equal-token-budget training phases in shortest-first order "
+    "(cumulative token mass BEFORE each doc, ceil-div budget, capped "
+    "last phase) — the length curriculum sequence-training pipelines "
+    "start from, reported per phase with doc counts, token mass, and "
+    "the min/max token envelope (whose monotonicity across phases IS "
+    "the curriculum property, test-locked).  Plan: one tokenize "
+    "scan, one global running window, one 4-row aggregate; at scale "
+    "the global window becomes a range-partitioned sort — the same "
+    "shape as the equi-depth binning and ABC classification "
+    "queries.",
+)
+def x_length_curriculum(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_length_curriculum_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

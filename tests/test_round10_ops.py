@@ -72,3 +72,61 @@ def test_fim_spans_partition_each_doc(spark):
         per_source[r["source"]] = per_source.get(r["source"], 0) + (
             r["total_prefix"] + r["total_middle"] + r["total_suffix"])
     assert per_source == truth
+
+
+def test_preference_cycles_tournament_identities(spark):
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = core_queries()["x_preference_cycles"].spark_fn(
+        spark, SF).collect()
+    k = 16
+    assert len(rows) == k
+    # every pair produces exactly one Copeland point and 3 games
+    assert sum(r["copeland"] for r in rows) == k * (k - 1) // 2
+    assert sum(r["games_won"] for r in rows) == 3 * k * (k - 1) // 2
+    n_cyc = rows[0]["n_cyclic_triads"]
+    assert all(r["n_cyclic_triads"] == n_cyc for r in rows)
+    # Kendall-Babington Smith bounds: 0 <= cyclic <= (k^3 - 4k)/24
+    assert 0 <= n_cyc <= (k**3 - 4 * k) // 24
+    for r in rows:
+        assert r["bt_rating_num"] == 2 * r["games_won"]
+        assert r["bt_rating_den"] == 3 * k * (k - 1) // 2
+
+
+def test_zipf_octave_zero_is_the_top_term(spark):
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = core_queries()["x_zipf_octaves"].spark_fn(spark, SF).collect()
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r["source"], {})[r["octave"]] = r
+    for source, octs in by_source.items():
+        # octave o holds ranks [2^o, 2^(o+1)) -> at most 2^o terms,
+        # octave 0 exactly the single top term
+        assert octs[0]["n_terms"] == 1, source
+        for o, r in octs.items():
+            assert r["n_terms"] <= 1 << o
+            assert r["max_freq"] >= r["min_freq"]
+        # frequency envelope is non-increasing across octaves
+        os_ = sorted(octs)
+        for a, b in zip(os_, os_[1:]):
+            assert octs[a]["min_freq"] >= octs[b]["max_freq"] or \
+                octs[a]["min_freq"] >= octs[b]["min_freq"]
+
+
+def test_length_curriculum_monotone_phases(spark):
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = sorted(core_queries()["x_length_curriculum"].spark_fn(
+        spark, SF).collect(), key=lambda r: r["phase"])
+    assert [r["phase"] for r in rows] == list(range(len(rows)))
+    # the curriculum property: phase length envelopes are monotone
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_tokens"] <= b["min_tokens"] or \
+            a["max_tokens"] <= b["max_tokens"]
+    # equal-budget targeting: every non-final phase stops within one
+    # document of its ceil-div budget
+    total = sum(r["token_mass"] for r in rows)
+    budget = -(-total // 4)
+    for r in rows[:-1]:
+        assert r["token_mass"] <= budget + r["max_tokens"]
