@@ -15827,6 +15827,124 @@ def x_length_curriculum(spark, sf_dir):
     return spark.sql(_length_curriculum_sql(True))
 
 
+def _event_lateness_sql(spark_dialect: bool,
+                        allowed_us: int = 10_000_000) -> str:
+    """Watermark-lateness histogram: arrival order is event_id (the
+    ingestion sequence), the watermark before each event is the
+    running max event time so far minus the allowed delay (10 s —
+    the delay the streaming family's withWatermark calls use), and
+    an event is LATE iff its event time has already been overtaken.
+    Lateness is bucketed into integer log2 second octaves (-1 =
+    on-time) — the observability readout that says whether the
+    streaming watermarks are sized right for this feed."""
+    us = "unix_micros(ts)" if spark_dialect else "epoch_us(ts)"
+    ladder = " ".join(
+        f"WHEN late_us < {(1 << (o + 1)) * 1_000_000} THEN {o}"
+        for o in range(8))
+    return f"""WITH ev AS (
+      SELECT event_id, event_type, {us} AS us FROM events),
+    wm AS (
+      SELECT event_type, us,
+             max(us) OVER (ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - {allowed_us} AS watermark_us
+      FROM ev),
+    lat AS (
+      SELECT event_type,
+             CASE WHEN watermark_us IS NULL OR us >= watermark_us
+                  THEN CAST(-1 AS BIGINT)
+                  ELSE CAST(watermark_us - us AS BIGINT)
+             END AS late_us
+      FROM wm),
+    binned AS (
+      SELECT event_type,
+             CASE WHEN late_us < 0 THEN -1
+                  {ladder} ELSE 8 END AS bucket,
+             late_us
+      FROM lat)
+    SELECT event_type, CAST(bucket AS BIGINT) AS lateness_octave_s,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(late_us) AS BIGINT) AS max_late_us
+    FROM binned GROUP BY event_type, bucket"""
+
+
+@_q(
+    "x_event_lateness_histogram",
+    _event_lateness_sql(False),
+    "Streaming-observability lateness audit (r10): with arrival "
+    "order = event_id and a 10 s allowed delay (the streaming "
+    "family's withWatermark setting), each event's lateness against "
+    "the running watermark is bucketed into log2-second octaves "
+    "(-1 = on-time) per event type — the histogram that tells an "
+    "operator whether dropDuplicatesWithinWatermark / windowed "
+    "aggregations are silently dropping data and how much delay "
+    "budget the feed actually needs.  Exact integer microsecond "
+    "arithmetic (unix_micros/epoch_us route).  Plan: one global "
+    "running-max window (range-sort shape, the x_length_curriculum "
+    "class — at scale a range-partitioned sort over the ingestion "
+    "sequence), one partial-agg histogram rollup.",
+)
+def x_event_lateness_histogram(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_event_lateness_sql(True))
+
+
+def _hnsw_layers_sql(spark_dialect: bool) -> str:
+    """HNSW build-time layer assignment audit: each vector's max
+    layer is the number of trailing zero bits of its 32-bit md5 hash
+    — an EXACT geometric(1/2) draw (the HNSW level draw with mL =
+    1/ln 2), integer end to end where the float route (-ln(U)*mL)
+    would be cross-engine drift.  Trailing zeros read off an exact
+    CASE ladder on h mod 2^(t+1) = 2^t."""
+    if spark_dialect:
+        h = ("CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8),"
+             " 16, 10) AS BIGINT)")
+        idiv = "div"
+    else:
+        h = ("('0x' || substr(md5(CAST(vec_id AS STRING)), 1, 8))"
+             "::BIGINT")
+        idiv = "//"
+    ladder = " ".join(
+        f"WHEN h % {1 << (t + 1)} = {1 << t} THEN {t}"
+        for t in range(12))
+    dens = " ".join(
+        f"WHEN h % {1 << (t + 1)} = {1 << t} THEN {1 << (t + 1)}"
+        for t in range(12))
+    return f"""WITH v AS (
+      SELECT vec_id, {h} AS h FROM embeddings),
+    lay AS (
+      SELECT vec_id,
+             CASE {ladder} ELSE 12 END AS max_layer,
+             CASE {dens} ELSE 8192 END AS den
+      FROM v),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lay)
+    SELECT CAST(l.max_layer AS BIGINT) AS layer,
+           CAST(count(*) AS BIGINT) AS n_top_here,
+           CAST(t.n {idiv} CAST(l.den AS BIGINT) AS BIGINT)
+             AS n_expected,
+           CAST(max(l.vec_id) AS BIGINT) AS max_vec_id
+    FROM lay l CROSS JOIN tot t
+    GROUP BY l.max_layer, l.den, t.n"""
+
+
+@_q(
+    "x_hnsw_layers",
+    _hnsw_layers_sql(False),
+    "HNSW layer-assignment audit (r10 — the build-planning sibling "
+    "of the ANN family): every embedding's max layer drawn as the "
+    "trailing-zero count of its md5 hash, an EXACT geometric(1/2) "
+    "(the HNSW level distribution at mL = 1/ln2) where the textbook "
+    "float draw would be cross-engine drift; per layer the observed "
+    "top-layer population against the expected n/2^(l+1) — the "
+    "numbers that size an HNSW build's upper-graph memory before "
+    "committing a 100 TB index job.  Plan: map-side hash + ladder, "
+    "one tiny aggregate; the 1-row total broadcasts.",
+)
+def x_hnsw_layers(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_hnsw_layers_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

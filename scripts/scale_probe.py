@@ -184,6 +184,8 @@ EXTRA = [
     "x_preference_cycles",
     "x_zipf_octaves",
     "x_length_curriculum",
+    "x_event_lateness_histogram",
+    "x_hnsw_layers",
 ]
 
 

@@ -130,3 +130,36 @@ def test_length_curriculum_monotone_phases(spark):
     budget = -(-total // 4)
     for r in rows[:-1]:
         assert r["token_mass"] <= budget + r["max_tokens"]
+
+
+def test_lateness_histogram_counts_all_events(spark):
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = core_queries()["x_event_lateness_histogram"].spark_fn(
+        spark, SF).collect()
+    import pyarrow.parquet as pq
+
+    n_events = pq.read_metadata(f"{SF}/events.parquet").num_rows
+    assert sum(r["n_events"] for r in rows) == n_events
+    for r in rows:
+        if r["lateness_octave_s"] == -1:
+            assert r["max_late_us"] < 0 or r["max_late_us"] is not None
+        else:
+            assert r["max_late_us"] > 0
+
+
+def test_hnsw_layers_geometric_shape(spark):
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = sorted(core_queries()["x_hnsw_layers"].spark_fn(
+        spark, SF).collect(), key=lambda r: r["layer"])
+    n = sum(r["n_top_here"] for r in rows)
+    # every vector gets exactly one max layer
+    import pyarrow.parquet as pq
+
+    assert n == pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    # layer-0 population is the geometric mode (about half)
+    assert rows[0]["layer"] == 0
+    assert rows[0]["n_top_here"] > n // 4
+    for r in rows:
+        assert r["n_expected"] == n // (2 ** (r["layer"] + 1))
