@@ -589,3 +589,58 @@ def test_round9_plan_shapes(spark):
     p = explain_str(er)
     assert "BroadcastNestedLoop" not in p, p[:600]
     assert broadcast_join_count(er) >= 2  # subject set broadcasts
+
+
+def test_round10_plan_shapes(spark):
+    """Plan locks for the round-10 operators.
+
+    What each lock protects: the image near-dup pipeline hashes
+    map-side off a materialized band relation and never degenerates
+    into a BroadcastNestedLoop pair scan; MoE routing keeps its one
+    vocab rollup with map-side partial aggregation (the 8-row literal
+    expert lane is the only intentional nested-loop side); the
+    FIM/zipf/curriculum/lateness text+event rollups keep pruned
+    scans, partial aggregation, and no per-row Python; HNSW's total
+    is a broadcastable 1-row side."""
+    from duckdb_title_mapper_spark.plans import explain_str, shuffle_count
+    from duckdb_title_mapper_spark.workload import core_queries as all_queries
+
+    qs = all_queries()
+
+    img = qs["x_image_dhash_near_dup"].spark_fn(spark, SF)
+    p = explain_str(img)
+    assert "BroadcastNestedLoop" not in p, p[:600]
+    assert "BatchEvalPython" not in p
+    assert shuffle_count(img) <= 5, shuffle_count(img)
+
+    moe = qs["x_moe_routing_stats"].spark_fn(spark, SF)
+    p = explain_str(moe)
+    assert "BatchEvalPython" not in p
+    assert has_partial_aggregation(moe)
+    # 4: vocab rollup, expert-lane agg, 1-row totals, final align
+    assert shuffle_count(moe) <= 4, shuffle_count(moe)
+    assert all(set(s) <= {"text"} for s in read_schema_columns(moe)), (
+        read_schema_columns(moe))
+
+    for name, budget, cols in (
+        ("x_fim_splits", 1, {"doc_id", "source", "text"}),
+        ("x_zipf_octaves", 3, {"source", "text"}),
+        ("x_length_curriculum", 2, {"doc_id", "source", "text"}),
+        ("x_event_lateness_histogram", 2,
+         {"event_id", "event_type", "ts"}),
+        ("x_preference_cycles", 4, {"doc_id", "n_chars"}),
+    ):
+        df = qs[name].spark_fn(spark, SF)
+        p = explain_str(df)
+        assert "BatchEvalPython" not in p, name
+        assert has_partial_aggregation(df), name
+        assert shuffle_count(df) <= budget, (name, shuffle_count(df))
+        assert all(set(s) <= cols for s in read_schema_columns(df)), (
+            name, read_schema_columns(df))
+
+    hn = qs["x_hnsw_layers"].spark_fn(spark, SF)
+    p = explain_str(hn)
+    assert "BatchEvalPython" not in p
+    assert shuffle_count(hn) <= 2, shuffle_count(hn)
+    assert all(set(s) <= {"vec_id"} for s in read_schema_columns(hn)), (
+        read_schema_columns(hn))
