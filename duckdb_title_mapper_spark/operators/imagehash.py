@@ -105,17 +105,12 @@ def dhash_bands_from_png(payload: bytes) -> tuple[int, int, int, int]:
     return tuple(bands)
 
 
-def dhash_bands_table(spark, sf_dir: str):
-    """Per-document dHash band signatures via ``mapInPandas``: build
-    the tile PNG, decode it back, pool, hash — all map-side, reading
-    only doc_id.  Output: doc_id, b0..b3 (each a 16-bit BIGINT)."""
-    # the corpus parquet is a single small file locally, which would
-    # pin the whole encode+decode+hash pass to one core — spread the
-    # doc_id list across the executor threads (at 100 TB the scan's
-    # natural file splits make this a no-op-sized shuffle of one
-    # BIGINT column either way)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id").repartition(spark.sparkContext.defaultParallelism)
+def dhash_bands_for(docs_df, carry: tuple = ()):
+    """dHash band signatures for an arbitrary DataFrame carrying
+    ``doc_id`` (plus optional passthrough columns): build the tile
+    PNG, decode it back, pool, hash — all map-side.  Output: doc_id,
+    *carry, b0..b3 (each a 16-bit BIGINT)."""
+    carry = tuple(carry)
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -127,9 +122,27 @@ def dhash_bands_table(spark, sf_dir: str):
                 out["doc_id"].append(did)
                 for k in range(N_BANDS):
                     out[f"b{k}"].append(bands[k])
-            yield pd.DataFrame(
-                {k: pd.Series(vs, dtype="int64")
-                 for k, vs in out.items()})
+            res = {"doc_id": pd.Series(out["doc_id"], dtype="int64")}
+            for c in carry:
+                res[c] = pdf[c].reset_index(drop=True)
+            for k in range(N_BANDS):
+                res[f"b{k}"] = pd.Series(out[f"b{k}"], dtype="int64")
+            yield pd.DataFrame(res)
 
-    return docs.mapInPandas(
-        work, "doc_id BIGINT, b0 BIGINT, b1 BIGINT, b2 BIGINT, b3 BIGINT")
+    carry_schema = "".join(f", {c} STRING" for c in carry)
+    return docs_df.mapInPandas(
+        work,
+        f"doc_id BIGINT{carry_schema}, "
+        "b0 BIGINT, b1 BIGINT, b2 BIGINT, b3 BIGINT")
+
+
+def dhash_bands_table(spark, sf_dir: str):
+    """Per-document dHash band signatures, reading only doc_id.
+    The corpus parquet is a single small file locally, which would
+    pin the whole encode+decode+hash pass to one core — spread the
+    doc_id list across the executor threads (at 100 TB the scan's
+    natural file splits make this a no-op-sized shuffle of one
+    BIGINT column either way)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id").repartition(spark.sparkContext.defaultParallelism)
+    return dhash_bands_for(docs)

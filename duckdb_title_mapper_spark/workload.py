@@ -15363,14 +15363,16 @@ def _image_dhash_pairs_tail(spark_dialect: bool, bands_rel: str) -> str:
     WHERE hamming <= 3"""
 
 
-def _image_dhash_oracle() -> str:
+def _image_dhash_bands_ctes() -> str:
     """DuckDB closed form for the dHash bands (the x_audio_qa_gate
     discipline): base tile (r, c) is hex byte c of md5('<gkey>:<r>'),
     gkey = doc_id // 4 (doc_ids are nonnegative, so // is safe), the
     per-doc perturbed tile (doc_id % 8, (doc_id // 8) % 9) is +96 mod
     256, dHash bit (r, c) = v[r][c+1] > v[r][c], band k packs grid
     rows 2k..2k+1.  Must mirror operators/imagehash.tile_values +
-    dhash_bands_from_png bit-for-bit."""
+    dhash_bands_from_png bit-for-bit.  Returns the CTE list through
+    ``bands AS MATERIALIZED (...)`` — shared by the batch near-dup
+    oracle and the streaming dedup-on-arrival oracle."""
     ms = ",\n             ".join(
         f"md5(CAST(gkey AS STRING) || ':{r}') AS m{r}"
         for r in range(8))
@@ -15394,7 +15396,7 @@ def _image_dhash_oracle() -> str:
         bands.append("CAST(" + " + ".join(terms)
                      + f" AS BIGINT) AS b{k}")
     bcols = ",\n             ".join(bands)
-    return f"""WITH t AS (
+    return f"""t AS (
       SELECT doc_id, doc_id // {4} AS gkey,
              doc_id % 8 AS pr, (doc_id // 8) % 9 AS pc
       FROM documents),
@@ -15407,8 +15409,12 @@ def _image_dhash_oracle() -> str:
     bands AS MATERIALIZED (
       SELECT doc_id,
              {bcols}
-      FROM v),
-    {_image_dhash_pairs_tail(False, "bands")}"""
+      FROM v)"""
+
+
+def _image_dhash_oracle() -> str:
+    return (f"WITH {_image_dhash_bands_ctes()},\n    "
+            f"{_image_dhash_pairs_tail(False, 'bands')}")
 
 
 @_q(
@@ -15943,6 +15949,66 @@ def _hnsw_layers_sql(spark_dialect: bool) -> str:
 def x_hnsw_layers(spark, sf_dir):
     register_views(spark, sf_dir, "embeddings")
     return spark.sql(_hnsw_layers_sql(True))
+
+
+def _image_dedup_stream_oracle() -> str:
+    """Closed-form arrival-order oracle for the streaming image dedup:
+    doc b arrived before doc a iff (b.doc_id % 4, b.doc_id) <
+    (a.doc_id % 4, a.doc_id) — the staged-slice replay order the
+    stream pins with strictly increasing file mtimes."""
+    ham = " + ".join(
+        f"CAST(bit_count(xor(x.b{i}, y.b{i})) AS BIGINT)"
+        for i in range(4))
+    unp = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS bi, b{i} AS val FROM bands"
+        for i in range(4))
+    return f"""WITH {_image_dhash_bands_ctes()},
+    unp AS MATERIALIZED ({unp}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM unp a JOIN unp b
+        ON b.bi = a.bi AND b.val = a.val
+       AND (b.doc_id % 4 < a.doc_id % 4
+            OR (b.doc_id % 4 = a.doc_id % 4
+                AND b.doc_id < a.doc_id))),
+    dup AS (
+      SELECT DISTINCT c.da AS doc_id
+      FROM cand c
+      JOIN bands x ON x.doc_id = c.da
+      JOIN bands y ON y.doc_id = c.db
+      WHERE {ham} <= 3)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(sum(CASE WHEN u.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_on_arrival,
+           CAST(sum(CASE WHEN u.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unique
+    FROM documents d LEFT JOIN dup u ON u.doc_id = d.doc_id
+    GROUP BY d.source"""
+
+
+@_q(
+    "stream_image_dedup_arrival",
+    _image_dedup_stream_oracle(),
+    "STREAMING perceptual image dedup-on-arrival (r10 — the "
+    "streaming twin of x_image_dhash_near_dup, joining the "
+    "incremental-dedup family beside x_incremental_dedup and "
+    "stream_content_dedup): the document firehose replays as "
+    "doc_id%4 slices with mtime-pinned micro-batch order; each batch "
+    "is dHash-banded (real PNG encode/decode/pool per image), "
+    "flagged EXACTLY against the persisted band store + earlier "
+    "intra-batch arrivals (Hamming<=3 via the pigeonhole-complete "
+    "band join), and flags/bands publish through the atomic "
+    "version-pointer parquet store.  The oracle recomputes every "
+    "flag from the md5 closed form and the deterministic arrival "
+    "order.  At 100 TB: 4 BIGINTs of state per image, batch probes "
+    "are band-bucketed equi-joins against storage — the near-dup "
+    "gate in front of an ingestion pipeline.",
+)
+def stream_image_dedup_arrival(spark, sf_dir):
+    from .streaming.sinks import image_dedup_stream
+
+    return image_dedup_stream(spark, sf_dir)
 
 
 GRADE_FIRST = [
