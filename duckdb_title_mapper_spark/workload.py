@@ -16011,6 +16011,129 @@ def stream_image_dedup_arrival(spark, sf_dir):
     return image_dedup_stream(spark, sf_dir)
 
 
+def _join_qerror_sql(spark_dialect: bool) -> str:
+    """Join-cardinality ESTIMATOR audit (the q-error metric of Leis et
+    al., "How Good Are Query Optimizers, Really?"): for three real
+    join edges, the textbook uniform-independence estimate
+    |A||B| / max(d_A, d_B) against the exact output size
+    sum_k n_Ak * n_Bk (the x_join_size_forecast formula), with
+    q-error = max(est, act) / min(est, act) in exact permille.
+    Per edge: two count aggregates + one key-histogram join — the
+    estimator is audited without ever executing the joins."""
+    idiv = "div" if spark_dialect else "//"
+    edges = [
+        ("events_customer", "events", "user_id", "customer",
+         "c_custkey"),
+        ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("orders_customer", "orders", "o_custkey", "customer",
+         "c_custkey"),
+    ]
+    arms = []
+    for name, lt, lk, rt, rk in edges:
+        arms.append(f"""
+      SELECT '{name}' AS edge,
+             (SELECT CAST(count(*) AS BIGINT) FROM {lt}) AS n_left,
+             (SELECT CAST(count(*) AS BIGINT) FROM {rt}) AS n_right,
+             (SELECT CAST(count(DISTINCT {lk}) AS BIGINT) FROM {lt})
+               AS d_left,
+             (SELECT CAST(count(DISTINCT {rk}) AS BIGINT) FROM {rt})
+               AS d_right,
+             (SELECT CAST(coalesce(sum(nl * nr), 0) AS BIGINT)
+              FROM (SELECT {lk} AS k, CAST(count(*) AS BIGINT) AS nl
+                    FROM {lt} GROUP BY {lk}) hl
+              JOIN (SELECT {rk} AS k, CAST(count(*) AS BIGINT) AS nr
+                    FROM {rt} GROUP BY {rk}) hr ON hr.k = hl.k)
+               AS actual_rows""")
+    union = " UNION ALL ".join(arms)
+    return f"""WITH edges AS ({union}),
+    est AS (
+      SELECT edge, n_left, n_right, d_left, d_right, actual_rows,
+             (n_left * n_right) {idiv} greatest(d_left, d_right)
+               AS est_rows
+      FROM edges)
+    SELECT edge, n_left, n_right, d_left, d_right, est_rows,
+           actual_rows,
+           (greatest(est_rows, actual_rows) * 1000)
+             {idiv} greatest(least(est_rows, actual_rows),
+                             CAST(1 AS BIGINT)) AS qerror_permille
+    FROM est"""
+
+
+@_q(
+    "x_join_qerror",
+    _join_qerror_sql(False),
+    "Join-cardinality q-error audit (r10 — Leis et al.'s optimizer-"
+    "eval metric, completing the cost-model family beside "
+    "x_selectivity_hist_eval's filter audit, x_join_size_forecast's "
+    "exact forecast, and x_join_order_dp's plan enumeration): the "
+    "textbook uniform-independence estimate |A||B|/max(d_A,d_B) "
+    "versus the exact histogram-sum output size for three real join "
+    "edges, with q-error in exact permille — the number that says "
+    "whether a cost model can be trusted before a 100 TB join picks "
+    "its strategy.  All integer; the joins themselves never execute "
+    "(key-cardinality-sized aggregates only).",
+)
+def x_join_qerror(spark, sf_dir):
+    register_views(spark, sf_dir, "events", "customer", "lineitem",
+                   "part", "orders")
+    return spark.sql(_join_qerror_sql(True))
+
+
+def _vocab_drift_sql(spark_dialect: bool, head: int = 256,
+                     topn: int = 20) -> str:
+    """Vocabulary drift between two corpus snapshots (old = even
+    doc_ids, new = odd): per-term document frequencies ranked within
+    each snapshot, the top movers by absolute rank delta among terms
+    in both snapshots' top-``head`` ranks — the retraining-trigger
+    monitor (a tokenizer or embedding vocabulary goes stale exactly
+    when head-rank composition shifts)."""
+    if spark_dialect:
+        toks = (r"SELECT doc_id, explode(array_distinct("
+                r"regexp_extract_all(lower(text), '\\w+', 0))) AS w"
+                r" FROM documents")
+    else:
+        toks = (r"SELECT doc_id, unnest(list_distinct("
+                r"regexp_extract_all(lower(text), '\w+'))) AS w"
+                r" FROM documents")
+    return f"""WITH toks AS ({toks}),
+    df AS (
+      SELECT w, doc_id % 2 AS half, CAST(count(*) AS BIGINT) AS df
+      FROM toks GROUP BY w, doc_id % 2),
+    ranked AS (
+      SELECT w, half, df,
+             CAST(row_number() OVER (PARTITION BY half
+                  ORDER BY df DESC, w) AS BIGINT) AS rk
+      FROM df),
+    heads AS (
+      SELECT o.w, o.rk AS rank_old, o.df AS df_old,
+             n.rk AS rank_new, n.df AS df_new,
+             abs(o.rk - n.rk) AS rank_delta
+      FROM (SELECT * FROM ranked WHERE half = 0 AND rk <= {head}) o
+      JOIN (SELECT * FROM ranked WHERE half = 1 AND rk <= {head}) n
+        ON n.w = o.w)
+    SELECT w AS term, rank_old, rank_new, rank_delta, df_old, df_new
+    FROM heads
+    ORDER BY rank_delta DESC, term LIMIT {topn}"""
+
+
+@_q(
+    "x_vocab_drift",
+    _vocab_drift_sql(False),
+    "Vocabulary drift monitor (r10): document frequencies of the "
+    "even-doc_id snapshot vs the odd-doc_id snapshot, terms ranked "
+    "within each, and the top-20 movers by absolute head-rank delta "
+    "(both-side top-256) — the drift readout that triggers tokenizer "
+    "or embedding-vocabulary retraining, the temporal sibling of "
+    "x_keyness_by_source's cross-source contrast and x_ks_drift's "
+    "distributional test.  Deterministic ranks, all integer.  Plan: "
+    "one distinct-terms-per-doc rollup, one per-half rank window "
+    "over vocab-sized data, one head-join.",
+)
+def x_vocab_drift(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_vocab_drift_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

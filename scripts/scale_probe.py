@@ -186,6 +186,8 @@ EXTRA = [
     "x_length_curriculum",
     "x_event_lateness_histogram",
     "x_hnsw_layers",
+    "x_join_qerror",
+    "x_vocab_drift",
 ]
 
 
