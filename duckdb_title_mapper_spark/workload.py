@@ -16134,6 +16134,83 @@ def x_vocab_drift(spark, sf_dir):
     return spark.sql(_vocab_drift_sql(True))
 
 
+def _embedding_qa_sql(spark_dialect: bool, dim: int = 64) -> str:
+    """Vector-store QA gate before indexing: per-row squared norm via
+    the exact index-order fold (_embed_dot contract), quantized to
+    s9 BIGINT through the STRING route (bit-identical doubles →
+    deterministic text parse on both engines; the widen-first
+    multiply per the 1e9-overflow rule), then zero-vector / NaN /
+    dimension checks plus robust norm outliers against the global
+    median±3·MAD picked by the division-free rank idiom."""
+    norm2 = _embed_dot(spark_dialect, "embedding", "embedding")
+    sz = ("size(embedding)" if spark_dialect else "len(embedding)")
+    return f"""WITH v AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             CAST({sz} AS BIGINT) AS dim,
+             {norm2} AS norm2
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, label, dim,
+             CASE WHEN isnan(norm2) THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS is_nan,
+             CASE WHEN isnan(norm2) THEN CAST(0 AS BIGINT)
+                  ELSE CAST(CAST(CAST(CAST(norm2 AS STRING)
+                       AS DECIMAL(18,9)) AS DECIMAL(28,9))
+                       * 1000000000 AS BIGINT)
+             END AS n2_s9
+      FROM v),
+    med AS (
+      SELECT n2_s9 AS med_s9 FROM (
+        SELECT n2_s9,
+               row_number() OVER (ORDER BY n2_s9, vec_id) AS rn,
+               count(*) OVER () AS n
+        FROM q WHERE is_nan = 0) t
+      WHERE rn * 2 <= n + 1 AND (rn + 1) * 2 > n + 1),
+    mad AS (
+      SELECT adev AS mad_s9 FROM (
+        SELECT abs(q.n2_s9 - m.med_s9) AS adev, q.vec_id,
+               row_number() OVER (ORDER BY abs(q.n2_s9 - m.med_s9),
+                                  q.vec_id) AS rn,
+               count(*) OVER () AS n
+        FROM q CROSS JOIN med m WHERE q.is_nan = 0) t
+      WHERE rn * 2 <= n + 1 AND (rn + 1) * 2 > n + 1)
+    SELECT q.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN q.n2_s9 = 0 AND q.is_nan = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(sum(q.is_nan) AS BIGINT) AS n_nan,
+           CAST(sum(CASE WHEN q.dim <> {dim} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dim_mismatch,
+           CAST(sum(CASE WHEN q.is_nan = 0
+                          AND abs(q.n2_s9 - m.med_s9) > 3 * d.mad_s9
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_norm_outliers,
+           CAST(max(m.med_s9) AS BIGINT) AS med_norm2_s9,
+           CAST(max(d.mad_s9) AS BIGINT) AS mad_norm2_s9
+    FROM q CROSS JOIN med m CROSS JOIN mad d
+    GROUP BY q.label"""
+
+
+@_q(
+    "x_embedding_qa_gate",
+    _embedding_qa_sql(False),
+    "Embedding-store QA gate (r10 — the vector sibling of "
+    "x_audio_qa_gate and x_quality_score, run before any index "
+    "build): per-vector squared norms from the exact index-order "
+    "fold, quantized to s9 BIGINTs via the STRING route, screened "
+    "for zero vectors, NaNs, dimension mismatches, and robust norm "
+    "outliers against the global median±3·MAD (division-free rank "
+    "selection, deterministic ties) — reported per label.  All "
+    "declared columns BIGINT.  Plan: one map-side fold per vector, "
+    "two rank windows over the scalar norm column (never the "
+    "vectors), 1-row median/MAD relations broadcast into the final "
+    "rollup; at 100 TB the exact rank selection swaps for the "
+    "mergeable log2-histogram sketch (the x_mad_outliers note).",
+)
+def x_embedding_qa_gate(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_embedding_qa_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -188,6 +188,7 @@ EXTRA = [
     "x_hnsw_layers",
     "x_join_qerror",
     "x_vocab_drift",
+    "x_embedding_qa_gate",
 ]
 
 
