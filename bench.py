@@ -256,6 +256,9 @@ EXTRA = [
     "x_join_qerror",
     "x_vocab_drift",
     "x_embedding_qa_gate",
+    "x_ams_f2_sketch",
+    "src_fixedwidth_roundtrip",
+    "x_pps_systematic_sample",
 ]
 
 

@@ -16211,6 +16211,176 @@ def x_embedding_qa_gate(spark, sf_dir):
     return spark.sql(_embedding_qa_sql(True))
 
 
+def _ams_f2_sql(spark_dialect: bool, n_est: int = 4) -> str:
+    """AMS second-moment (F2) sketch audit (Alon–Matias–Szegedy): per
+    estimator r, random ±1 signs s_r(w) from md5(w:r) parity, the
+    linear sketch Z_r = sum_w cnt_w * s_r(w), and E[Z_r^2] = F2 —
+    audited against the exact F2 = sum cnt^2.  Everything integer:
+    signs, Z, Z^2, exact F2, error permille."""
+    if spark_dialect:
+        toks = (r"SELECT explode(regexp_extract_all(lower(text),"
+                r" '\\w+', 0)) AS w FROM documents")
+        ests = ("SELECT * FROM VALUES (0),(1),(2),(3) AS r(r)"
+                if n_est == 4 else None)
+        hx = ("CAST(conv(substr(md5(w || ':' || CAST(r AS STRING)),"
+              " 1, 2), 16, 10) AS BIGINT)")
+        idiv = "div"
+    else:
+        toks = (r"SELECT unnest(regexp_extract_all(lower(text),"
+                r" '\w+')) AS w FROM documents")
+        ests = ("SELECT r FROM (VALUES (0),(1),(2),(3)) r(r)"
+                if n_est == 4 else None)
+        hx = ("('0x' || substr(md5(w || ':' || CAST(r AS STRING)),"
+              " 1, 2))::BIGINT")
+        idiv = "//"
+    return f"""WITH wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      FROM ({toks}) t GROUP BY w),
+    exact AS (
+      SELECT CAST(sum(cnt * cnt) AS BIGINT) AS f2 FROM wc),
+    z AS (
+      SELECT r,
+             CAST(sum(cnt * ({hx} % 2 * 2 - 1)) AS BIGINT) AS zr
+      FROM wc CROSS JOIN ({ests}) e
+      GROUP BY r)
+    SELECT CAST(z.r AS BIGINT) AS estimator,
+           z.zr AS z_value,
+           z.zr * z.zr AS est_f2,
+           x.f2 AS exact_f2,
+           (abs(z.zr * z.zr - x.f2) * 1000) {idiv} x.f2
+             AS err_permille
+    FROM z CROSS JOIN exact x"""
+
+
+@_q(
+    "x_ams_f2_sketch",
+    _ams_f2_sql(False),
+    "AMS F2 (second frequency moment) sketch audit (r10 — the "
+    "moments axis of the sketch-monoid family beside count-min "
+    "(point counts), HLL/KMV (F0), and the log2-histogram "
+    "(quantiles)): four independent ±1-sign linear sketches of the "
+    "term-frequency vector, each Z_r an integer whose square "
+    "estimates F2 = sum cnt^2 (the self-join size / skew statistic "
+    "a shuffle planner wants), audited against the exact F2 with "
+    "error in permille.  Z is a SUM — mergeable across shards by "
+    "addition, the same monoid contract as the streaming sketch "
+    "stores.  Plan: one vocab rollup, a 4-row literal estimator "
+    "lane, one 4-row aggregate; all integer.",
+)
+def x_ams_f2_sketch(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_ams_f2_sql(True))
+
+
+@_q(
+    "src_fixedwidth_roundtrip",
+    """SELECT o_orderstatus,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT)) AS BIGINT) AS total_cents
+       FROM orders GROUP BY o_orderstatus""",
+    "Fixed-width (positional) text sink + source round-trip (r10 — "
+    "the mainframe/COBOL-feed format completing the CSV/JSON/ORC/"
+    "TEXT/XML/WebDataset/TFRecord family): each order serializes to "
+    "a 54-char positional record (lpad'd keys, 1-char status, lpad'd "
+    "integer cents, rpad'd priority), lands through the text sink, "
+    "is read back and re-parsed by column positions (substr + trim + "
+    "casts), then aggregated; the oracle aggregates the original "
+    "parquet.  Prices ride as integer cents so the round-trip is "
+    "engine-exact with no decimal columns.  Plan: linear write + "
+    "linear read, map-side parse, one partial-agg rollup — the "
+    "operator IS the IO, like src_xml_roundtrip.",
+)
+def src_fixedwidth_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="dtm_fw_rt_")
+    orders = load(spark, sf_dir, "orders")
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, " "),
+        F.lpad(F.col("o_custkey").cast("string"), 12, " "),
+        F.col("o_orderstatus"),
+        F.lpad(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint").cast("string"), 14, " "),
+        F.rpad(F.col("o_orderpriority"), 15, " "),
+    )
+    orders.select(line.alias("value")).write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    parsed = back.select(
+        F.trim(F.substring("value", 25, 1)).alias("o_orderstatus"),
+        F.trim(F.substring("value", 26, 14)).cast("bigint")
+        .alias("cents"),
+    )
+    return parsed.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+
+
+def _pps_sample_sql(spark_dialect: bool, k: int = 32) -> str:
+    """Probability-proportional-to-size systematic sampling (the PPS
+    design survey statistics and data-mixture pipelines use): docs in
+    doc_id order with token-count weights, k midpoint pick points
+    p_i = floor(total*(2i+1) / 2k), a doc selected once per pick
+    landing inside its cumulative-weight interval — deterministic,
+    seed-free, exact, and big docs can legitimately be picked more
+    than once (the PPS multiplicity)."""
+    if spark_dialect:
+        ntok = r"size(regexp_extract_all(lower(text), '\\w+', 0))"
+        picks = f"SELECT explode(sequence(0, {k - 1})) AS i"
+        idiv = "div"
+    else:
+        ntok = r"len(regexp_extract_all(lower(text), '\w+'))"
+        picks = f"SELECT unnest(generate_series(0, {k - 1})) AS i"
+        idiv = "//"
+    return f"""WITH d AS (
+      SELECT doc_id, source, CAST({ntok} AS BIGINT) AS w
+      FROM documents),
+    sched AS (
+      SELECT doc_id, source, w,
+             CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+             CAST(sum(w) OVER () AS BIGINT) AS total
+      FROM d),
+    pk AS ({picks}),
+    hits AS (
+      SELECT s.doc_id, s.source, s.w, s.cum_before, s.total,
+             CAST(count(*) AS BIGINT) AS n_picks
+      FROM sched s JOIN pk p
+        ON (s.total * (2 * p.i + 1)) {idiv} {2 * k} >= s.cum_before
+       AND (s.total * (2 * p.i + 1)) {idiv} {2 * k}
+             < s.cum_before + s.w
+      GROUP BY s.doc_id, s.source, s.w, s.cum_before, s.total)
+    SELECT doc_id, source, w AS w_tokens, n_picks, cum_before, total
+    FROM hits"""
+
+
+@_q(
+    "x_pps_systematic_sample",
+    _pps_sample_sql(False),
+    "Probability-proportional-to-size systematic sampling manifest "
+    "(r10 — the WEIGHTED axis of the sampling family beside "
+    "x_stratified_sample's hash-rate rule, x_stratified_topn's "
+    "fixed quotas, and x_negative_sampling's contrastive draws): 32 "
+    "midpoint pick points over the cumulative token-mass line select "
+    "documents with probability proportional to length — "
+    "deterministic, seed-free, engine-exact, with the PPS "
+    "multiplicity for oversized docs preserved (n_picks > 1).  The "
+    "importance-sampling shape a data-mixture pipeline uses to build "
+    "token-budgeted subsets.  Plan: one tokenize scan, one global "
+    "running window (range-sort shape), a 32-row literal pick "
+    "relation joined by interval containment (broadcast side is 32 "
+    "rows at any corpus size), <=32-row output.",
+)
+def x_pps_systematic_sample(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_pps_sample_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

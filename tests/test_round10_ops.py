@@ -163,3 +163,33 @@ def test_hnsw_layers_geometric_shape(spark):
     assert rows[0]["n_top_here"] > n // 4
     for r in rows:
         assert r["n_expected"] == n // (2 ** (r["layer"] + 1))
+
+
+def test_ams_f2_unbiasedness_structure(spark):
+    """Z is a signed sum over the full vocab: |Z| <= total tokens,
+    and the exact F2 is shared by all four estimator rows."""
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = core_queries()["x_ams_f2_sketch"].spark_fn(spark, SF).collect()
+    assert len(rows) == 4
+    exact = rows[0]["exact_f2"]
+    assert all(r["exact_f2"] == exact for r in rows)
+    for r in rows:
+        assert r["est_f2"] == r["z_value"] ** 2
+        assert r["err_permille"] >= 0
+
+
+def test_pps_sample_accounts_every_pick(spark):
+    """The 32 pick points each land in exactly one doc interval, so
+    total multiplicity is 32; per-doc multiplicity ~ w * k / total."""
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = core_queries()["x_pps_systematic_sample"].spark_fn(
+        spark, SF).collect()
+    assert sum(r["n_picks"] for r in rows) == 32
+    total = rows[0]["total"]
+    for r in rows:
+        # a doc can absorb at most ceil(w * 2k / (2*total/2k))... the
+        # loose sanity bound: picks are ~total/k apart, so
+        # multiplicity <= w * k / total + 1
+        assert r["n_picks"] <= r["w_tokens"] * 32 // total + 1
