@@ -259,6 +259,7 @@ EXTRA = [
     "x_ams_f2_sketch",
     "src_fixedwidth_roundtrip",
     "x_pps_systematic_sample",
+    "x_multimodal_curation_manifest",
 ]
 
 

@@ -16381,6 +16381,144 @@ def x_pps_systematic_sample(spark, sf_dir):
     return spark.sql(_pps_sample_sql(True))
 
 
+def _multimodal_curation_oracle(n_segments: int = 16) -> str:
+    """Closed form for the composed multimodal keep decision: the
+    audio amps (x_audio_qa_gate construction), the H.264 SPS
+    dimensions/slice counts (x_multimodal_h264_nals construction),
+    and the dHash bands (_image_dhash_bands_ctes) all derive from
+    md5/text-length, so the four gate bits and the reason counts are
+    exactly recomputable."""
+    amps = ", ".join(
+        f"least(32767, (('0x' || substr(md5(text), {2 * s + 1}, 2))"
+        f"::BIGINT % 33) * 1024) AS a{s}"
+        for s in range(n_segments))
+    silent = " + ".join(
+        f"CASE WHEN a{s} = 0 THEN 1 ELSE 0 END"
+        for s in range(n_segments))
+    clipped = " + ".join(
+        f"CASE WHEN a{s} = 32767 THEN 1 ELSE 0 END"
+        for s in range(n_segments))
+    ham = " + ".join(
+        f"CAST(bit_count(xor(x.b{i}, y.b{i})) AS BIGINT)"
+        for i in range(4))
+    unp = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS bi, b{i} AS val FROM bands"
+        for i in range(4))
+    return f"""WITH {_image_dhash_bands_ctes()},
+    unp AS MATERIALIZED ({unp}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM unp a JOIN unp b ON b.bi = a.bi AND b.val = a.val
+                           AND b.doc_id < a.doc_id),
+    imgdup AS MATERIALIZED (
+      SELECT DISTINCT c.da AS doc_id
+      FROM cand c
+      JOIN bands x ON x.doc_id = c.da
+      JOIN bands y ON y.doc_id = c.db
+      WHERE {ham} <= 3),
+    amps AS (
+      SELECT doc_id, source, n_chars, length(text) AS n, text,
+             {amps}
+      FROM documents),
+    gates AS (
+      SELECT m.doc_id, m.source,
+             CASE WHEN (('0x' || substr(md5(m.text), 7, 2))::BIGINT
+                        % 36 + 9) * 2 >= 40
+                   AND 1 + (m.n % 24) >= 6
+                  THEN 1 ELSE 0 END AS video_ok,
+             CASE WHEN ({silent}) <= 4 AND ({clipped}) = 0
+                  THEN 1 ELSE 0 END AS audio_ok,
+             CASE WHEN i.doc_id IS NULL THEN 1 ELSE 0 END
+               AS image_unique,
+             CASE WHEN m.n_chars >= 64 THEN 1 ELSE 0 END AS text_ok
+      FROM amps m LEFT JOIN imgdup i ON i.doc_id = m.doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(video_ok * audio_ok * image_unique * text_ok)
+                AS BIGINT) AS n_keep,
+           CAST(sum(1 - video_ok) AS BIGINT) AS n_video_fail,
+           CAST(sum(1 - audio_ok) AS BIGINT) AS n_audio_fail,
+           CAST(sum(1 - image_unique) AS BIGINT) AS n_image_dup,
+           CAST(sum(1 - text_ok) AS BIGINT) AS n_text_fail,
+           CAST(sum(CASE WHEN (1 - video_ok) + (1 - audio_ok)
+                            + (1 - image_unique) + (1 - text_ok) >= 2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_fail
+    FROM gates GROUP BY source"""
+
+
+@_q(
+    "x_multimodal_curation_manifest",
+    _multimodal_curation_oracle(),
+    "Composed multimodal curation manifest (r10 capstone — the "
+    "x_prep_pipeline discipline across ALL modalities): every "
+    "document's VIDEO gate (H.264 SPS height>=40 and slice "
+    "count>=6, from the media-meta census's parsed-bytes h264 "
+    "lane), AUDIO gate (the WAV QA keep flag from the wavqa lane), "
+    "IMAGE near-dup flag (an earlier doc within dHash Hamming 3 via "
+    "the pigeonhole band join), and TEXT gate (n_chars>=64) combine "
+    "into per-source keep counts with per-modality failure "
+    "attribution and a multi-failure count — the drop-reason "
+    "dashboard a multimodal pretraining pipeline reviews before "
+    "committing a training mix.  Every gate bit is recomputed by the "
+    "oracle from the md5 closed forms.  Plan: two census parquet "
+    "cache-hits (payloads decoded once per lane, the r10 census "
+    "contract), one materialized band relation + bucketed dup join, "
+    "one per-source rollup — nothing rescans media bytes.",
+)
+def x_multimodal_curation_manifest(spark, sf_dir):
+    from .operators.imagehash import dhash_bands_table
+    from .operators.multimodal import build_media_meta
+    from .plans.materialize import materialize
+
+    v = build_media_meta(spark, sf_dir, "h264")
+    a = build_media_meta(spark, sf_dir, "wavqa")
+    bands = materialize(dhash_bands_table(spark, sf_dir))
+    v.createOrReplaceTempView("_r10_cur_video")
+    a.createOrReplaceTempView("_r10_cur_audio")
+    bands.createOrReplaceTempView("_r10_cur_bands")
+    register_views(spark, sf_dir, "documents")
+    ham = " + ".join(
+        f"CAST(bit_count(x.b{i} ^ y.b{i}) AS BIGINT)" for i in range(4))
+    unp = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS bi, b{i} AS val FROM _r10_cur_bands"
+        for i in range(4))
+    return spark.sql(f"""WITH unp AS ({unp}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM unp a JOIN unp b ON b.bi = a.bi AND b.val = a.val
+                           AND b.doc_id < a.doc_id),
+    imgdup AS (
+      SELECT DISTINCT c.da AS doc_id
+      FROM cand c
+      JOIN _r10_cur_bands x ON x.doc_id = c.da
+      JOIN _r10_cur_bands y ON y.doc_id = c.db
+      WHERE {ham} <= 3),
+    gates AS (
+      SELECT d.doc_id, d.source,
+             CASE WHEN v.height >= 40 AND v.n_slices >= 6
+                  THEN 1 ELSE 0 END AS video_ok,
+             CASE WHEN a.keep THEN 1 ELSE 0 END AS audio_ok,
+             CASE WHEN i.doc_id IS NULL THEN 1 ELSE 0 END
+               AS image_unique,
+             CASE WHEN d.n_chars >= 64 THEN 1 ELSE 0 END AS text_ok
+      FROM documents d
+      JOIN _r10_cur_video v ON v.media_id = d.doc_id
+      JOIN _r10_cur_audio a ON a.media_id = d.doc_id
+      LEFT JOIN imgdup i ON i.doc_id = d.doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(video_ok * audio_ok * image_unique * text_ok)
+                AS BIGINT) AS n_keep,
+           CAST(sum(1 - video_ok) AS BIGINT) AS n_video_fail,
+           CAST(sum(1 - audio_ok) AS BIGINT) AS n_audio_fail,
+           CAST(sum(1 - image_unique) AS BIGINT) AS n_image_dup,
+           CAST(sum(1 - text_ok) AS BIGINT) AS n_text_fail,
+           CAST(sum(CASE WHEN (1 - video_ok) + (1 - audio_ok)
+                            + (1 - image_unique) + (1 - text_ok) >= 2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_fail
+    FROM gates GROUP BY source""")
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its
