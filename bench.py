@@ -260,6 +260,7 @@ EXTRA = [
     "src_fixedwidth_roundtrip",
     "x_pps_systematic_sample",
     "x_multimodal_curation_manifest",
+    "x_rouge_l",
 ]
 
 

@@ -16519,6 +16519,150 @@ def x_multimodal_curation_manifest(spark, sf_dir):
     FROM gates GROUP BY source""")
 
 
+def _rouge_l_sql(spark_dialect: bool, cap: int = 24) -> str:
+    """ROUGE-L via relational LCS dynamic programming: the classic
+    recurrence dp[i][j] = max(dp[i-1][j], dp[i][j-1], dp[i-1][j-1] +
+    eq) vectorizes per row because LCS rows are NON-DECREASING in j —
+    dp[i][j] = prefix-max of candidate[j] = max(dp[i-1][j],
+    dp[i-1][j-1] + eq(i, j)).  So each of the ``cap`` unrolled rounds
+    is ONE lag() tap + ONE running-max window over the (source, j)
+    grid; no cell-level iteration, no quadratic join.  Sequences are
+    the BLEU pick (first doc = candidate, second = reference per
+    source) capped at the first ``cap`` tokens — the bounded-depth
+    contract every unrolled-DP query in this repo carries (HITS,
+    BFS, Viterbi).  Rounds past the candidate's actual length
+    pass dp through unchanged, so shorter candidates are exact.
+
+    DuckDB-oracle-only (``spark_dialect`` kept for signature
+    uniformity but unused): the Spark side chains the identical
+    rounds as DataFrame transformations inside ``x_rouge_l`` — a
+    53-CTE SQL text exceeds Spark's analyzer resolution-iteration
+    budget (Max iterations 100 reached in batch Resolution)."""
+    del spark_dialect
+    ts = r"regexp_extract_all(lower(text), '\w+')"
+    cand_arr = f"ts[1:{cap}]"
+    ref_arr = f"ts[1:{cap}]"
+    elem = "cand_arr[{i}]"
+    alen = "len"
+    pos = (f"SELECT source, cand_arr, g AS j0, ref_arr[g] AS rtok"
+           f" FROM picked2, unnest(generate_series(1,"
+           f" len(ref_arr))) t(g)")
+    jcol = "j0"
+    # two windows per round: a lag tap (g{i}) feeding the running max
+    # (d{i}) — nested window functions aren't legal in one select
+    rounds = []
+    for i in range(1, cap + 1):
+        e = (f"CASE WHEN {alen}(cand_arr) >= {i}"
+             f" AND rtok = {elem.format(i=i)} THEN 1 ELSE 0 END")
+        rounds.append(f"""g{i} AS (
+      SELECT source, j, rtok, cand_arr, dp,
+             coalesce(lag(dp) OVER (PARTITION BY source ORDER BY j),
+                      0) AS gprev
+      FROM d{i - 1}),
+    d{i} AS (
+      SELECT source, j, rtok, cand_arr,
+             CASE WHEN {alen}(cand_arr) >= {i}
+                  THEN max(greatest(dp, gprev + {e}))
+                       OVER (PARTITION BY source ORDER BY j
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+                  ELSE dp END AS dp
+      FROM g{i})""")
+    chain = ",\n    ".join(rounds)
+    return f"""WITH toks AS (
+      SELECT source, doc_id, {ts} AS ts FROM documents),
+    pick AS (
+      SELECT source, doc_id, ts,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rn
+      FROM toks),
+    picked2 AS (
+      SELECT c.source, {cand_arr.replace('ts', 'c.ts')} AS cand_arr,
+             {ref_arr.replace('ts', 'r.ts')} AS ref_arr
+      FROM (SELECT * FROM pick WHERE rn = 1) c
+      JOIN (SELECT * FROM pick WHERE rn = 2) r
+        ON r.source = c.source),
+    grid AS (
+      SELECT source, cand_arr, CAST({jcol} AS BIGINT) AS j, rtok
+      FROM ({pos}) p),
+    d0 AS (
+      SELECT source, j, rtok, cand_arr, CAST(0 AS BIGINT) AS dp
+      FROM grid),
+    {chain}
+    SELECT source,
+           CAST(max(dp) AS BIGINT) AS lcs_len,
+           CAST(max({alen}(cand_arr)) AS BIGINT) AS cand_len,
+           CAST(count(*) AS BIGINT) AS ref_len
+    FROM d{cap} GROUP BY source"""
+
+
+@_q(
+    "x_rouge_l",
+    _rouge_l_sql(False),
+    "ROUGE-L summarization eval (r10 — the LCS member of the "
+    "text-generation eval family beside BLEU's clipped n-grams and "
+    "the nDCG/MRR retrieval metrics): longest common subsequence "
+    "between each source's candidate and reference documents "
+    "(first-24-token bounded sequences, the repo's unrolled-DP "
+    "contract), emitted as exact (lcs, cand_len, ref_len) integers — "
+    "precision/recall/F are the reader's division.  The DP runs "
+    "RELATIONALLY: LCS rows are non-decreasing, so each unrolled "
+    "round is one lag() tap + one running-max window over the "
+    "(source, ref-position) grid — never a quadratic cell join; 24 "
+    "rounds of two windows over |sources|x24 rows.  The Spark side "
+    "chains the rounds as DataFrame transformations (a 53-CTE SQL "
+    "text exceeds the analyzer's resolution-iteration budget — same "
+    "class as the r5 CTE findings, this time at ANALYSIS, not "
+    "execution); the DuckDB oracle keeps the unrolled singly-"
+    "consumed CTE chain.  Dual-engine exact, all BIGINT.",
+)
+def x_rouge_l(spark, sf_dir, cap: int = 24):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, "documents")
+    grid = spark.sql(f"""WITH toks AS (
+      SELECT source, doc_id,
+             regexp_extract_all(lower(text), '\\\\w+', 0) AS ts
+      FROM documents),
+    pick AS (
+      SELECT source, doc_id, ts,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rn
+      FROM toks),
+    picked2 AS (
+      SELECT c.source, slice(c.ts, 1, {cap}) AS cand_arr,
+             slice(r.ts, 1, {cap}) AS ref_arr
+      FROM (SELECT * FROM pick WHERE rn = 1) c
+      JOIN (SELECT * FROM pick WHERE rn = 2) r
+        ON r.source = c.source)
+    SELECT source, cand_arr, CAST(j0 + 1 AS BIGINT) AS j, rtok,
+           CAST(0 AS BIGINT) AS dp
+    FROM (SELECT source, cand_arr, posexplode(ref_arr) AS (j0, rtok)
+          FROM picked2) p""")
+    wlag = Window.partitionBy("source").orderBy("j")
+    wmax = wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df = grid
+    for i in range(1, cap + 1):
+        active = F.size("cand_arr") >= i
+        e = F.when(
+            active & (F.col("rtok") == F.element_at("cand_arr", i)),
+            F.lit(1)).otherwise(F.lit(0))
+        df = df.withColumn(
+            "gprev", F.coalesce(F.lag("dp").over(wlag), F.lit(0)))
+        df = df.withColumn(
+            "dp",
+            F.when(active,
+                   F.max(F.greatest(F.col("dp"),
+                                    F.col("gprev") + e)).over(wmax))
+            .otherwise(F.col("dp"))).drop("gprev")
+    return df.groupBy("source").agg(
+        F.max("dp").cast("bigint").alias("lcs_len"),
+        F.max(F.size("cand_arr")).cast("bigint").alias("cand_len"),
+        F.count("*").cast("bigint").alias("ref_len"),
+    )
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

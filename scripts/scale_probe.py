@@ -193,6 +193,7 @@ EXTRA = [
     "src_fixedwidth_roundtrip",
     "x_pps_systematic_sample",
     "x_multimodal_curation_manifest",
+    "x_rouge_l",
 ]
 
 

@@ -193,3 +193,42 @@ def test_pps_sample_accounts_every_pick(spark):
         # loose sanity bound: picks are ~total/k apart, so
         # multiplicity <= w * k / total + 1
         assert r["n_picks"] <= r["w_tokens"] * 32 // total + 1
+
+
+def test_rouge_l_against_python_dp(spark):
+    """The relational prefix-max LCS must equal the textbook O(nm)
+    DP on the same capped token sequences."""
+    import re
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = {r["source"]: r for r in
+            core_queries()["x_rouge_l"].spark_fn(spark, SF).collect()}
+    tbl = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["source", "doc_id", "text"]).to_pylist()
+    per = defaultdict(list)
+    for r in sorted(tbl, key=lambda r: r["doc_id"]):
+        per[r["source"]].append(r["text"])
+
+    def lcs(a, b):
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                dp[i][j] = max(dp[i - 1][j], dp[i][j - 1],
+                               dp[i - 1][j - 1] + (a[i - 1] == b[j - 1]))
+        return dp[-1][-1]
+
+    checked = 0
+    for source, texts in per.items():
+        if len(texts) < 2:
+            continue
+        a = re.findall(r"\w+", texts[0].lower())[:24]
+        b = re.findall(r"\w+", texts[1].lower())[:24]
+        r = rows[source]
+        assert (r["lcs_len"], r["cand_len"], r["ref_len"]) == \
+            (lcs(a, b), len(a), len(b)), source
+        checked += 1
+    assert checked > 0
