@@ -16663,6 +16663,62 @@ def x_rouge_l(spark, sf_dir, cap: int = 24):
     )
 
 
+def _temperature_mix_sql(spark_dialect: bool) -> str:
+    """Temperature-scaled multilingual sampling weights (the XLM-R /
+    mBERT recipe, tau = 2 i.e. p_s proportional to n_s^(1/2)):
+    integer isqrt is EXACT here — n_s <= ~1e6 so sqrt(n) < 2^20
+    where correctly-rounded IEEE sqrt has ulp << 1 and floor cannot
+    straddle (perfect squares are exact; irrationals sit strictly
+    between integers) — so the tempered weights, their permille
+    normalization, and the resulting effective-epoch multipliers are
+    all engine-exact integers, where the textbook pow(n, 1/tau)
+    would be cross-engine drift for any other tau."""
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_docs, n_chars,
+             CAST(floor(sqrt(CAST(n_chars AS DOUBLE))) AS BIGINT)
+               AS w_sqrt
+      FROM s),
+    tot AS (
+      SELECT CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+             CAST(sum(w_sqrt) AS BIGINT) AS tot_w
+      FROM w)
+    SELECT w.source, w.n_docs, w.n_chars, w.w_sqrt,
+           (w.n_chars * 1000) {idiv} t.tot_chars
+             AS prop_permille,
+           (w.w_sqrt * 1000) {idiv} t.tot_w
+             AS tempered_permille,
+           CASE WHEN w.n_chars * t.tot_w = 0 THEN CAST(0 AS BIGINT)
+                ELSE (w.w_sqrt * t.tot_chars * 1000)
+                  {idiv} (w.n_chars * t.tot_w)
+           END AS epoch_multiplier_milli
+    FROM w CROSS JOIN tot t"""
+
+
+@_q(
+    "x_temperature_mix_weights",
+    _temperature_mix_sql(False),
+    "Temperature-scaled sampling weights (r10 — the XLM-R tau=2 "
+    "recipe, completing the mixture family beside "
+    "x_domain_mix_weights' uniform target and x_mixture_planner): "
+    "per-source character mass tempered by the EXACT integer isqrt "
+    "(the one temperature where p ∝ n^(1/tau) is engine-exact — "
+    "documented ulp argument in the helper), reported as "
+    "proportional vs tempered permille shares and the per-source "
+    "effective-epoch multiplier in milli-units (how many times a "
+    "low-resource source's data is re-seen under the tempered mix "
+    "— the quantity that bounds memorization risk).  One partial-agg "
+    "rollup + a 1-row total broadcast; all integer.",
+)
+def x_temperature_mix_weights(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_temperature_mix_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

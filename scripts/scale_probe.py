@@ -194,6 +194,7 @@ EXTRA = [
     "x_pps_systematic_sample",
     "x_multimodal_curation_manifest",
     "x_rouge_l",
+    "x_temperature_mix_weights",
 ]
 
 
