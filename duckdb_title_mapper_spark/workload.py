@@ -16719,6 +16719,68 @@ def x_temperature_mix_weights(spark, sf_dir):
     return spark.sql(_temperature_mix_sql(True))
 
 
+def _dedup_agreement_sql(spark_dialect: bool) -> str:
+    """Dedup-method AGREEMENT census: per document, the duplicate
+    verdicts of three families on one scan — exact (md5 text), full-
+    signature MinHash, full-signature SimHash — cross-tabulated into
+    the 8 agreement cells.  'Duplicate' everywhere means 'not the
+    cluster keeper (min doc_id)', so the three flags are directly
+    comparable.  Structural theorem the test locks: identical text
+    implies identical MinHash signature AND identical SimHash, so the
+    exact-but-not-minhash and exact-but-not-simhash cells are
+    provably empty — the census certifies the containment lattice,
+    and the interesting mass is where the near-dup methods fire
+    beyond exact."""
+    from .operators.dedup import simhash_clusters_sql
+
+    mh = _minhash_sig_subquery(spark_dialect)
+    sh = simhash_clusters_sql(spark_dialect)
+    return f"""WITH ex AS (
+      SELECT doc_id,
+             CASE WHEN min(doc_id) OVER (PARTITION BY md5(text))
+                  < doc_id THEN 1 ELSE 0 END AS exact_dup
+      FROM documents),
+    mh AS (
+      SELECT doc_id,
+             CASE WHEN min(doc_id) OVER (PARTITION BY h0, h1, h2, h3)
+                  < doc_id THEN 1 ELSE 0 END AS minhash_dup
+      FROM ({mh}) s),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN cluster_id < doc_id THEN 1 ELSE 0 END
+               AS simhash_dup
+      FROM ({sh}) s)
+    SELECT CAST(ex.exact_dup AS BIGINT) AS exact_dup,
+           CAST(mh.minhash_dup AS BIGINT) AS minhash_dup,
+           CAST(sh.simhash_dup AS BIGINT) AS simhash_dup,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(ex.doc_id) AS BIGINT) AS example_doc_id
+    FROM ex JOIN mh ON mh.doc_id = ex.doc_id
+    JOIN sh ON sh.doc_id = ex.doc_id
+    GROUP BY ex.exact_dup, mh.minhash_dup, sh.simhash_dup"""
+
+
+@_q(
+    "x_dedup_agreement_census",
+    _dedup_agreement_sql(False),
+    "Dedup-method agreement census (r10 — the cross-method QA view "
+    "over the dedup family): exact (md5), full-signature MinHash, "
+    "and full-signature SimHash duplicate verdicts cross-tabulated "
+    "into the 8 agreement cells with counts and an example doc per "
+    "cell.  The containment lattice is a THEOREM (identical text ⇒ "
+    "identical MinHash and SimHash signatures, so exact-only cells "
+    "are empty — test-locked), and the off-diagonal mass is exactly "
+    "the report a curation owner reads to pick a method: what "
+    "MinHash catches that exact misses, where SimHash disagrees.  "
+    "Plan: three window passes over one corpus scan (each keyed by "
+    "its signature — the same O(n) cluster shapes as the underlying "
+    "graded queries), one 8-cell aggregate.",
+)
+def x_dedup_agreement_census(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_dedup_agreement_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -195,6 +195,7 @@ EXTRA = [
     "x_multimodal_curation_manifest",
     "x_rouge_l",
     "x_temperature_mix_weights",
+    "x_dedup_agreement_census",
 ]
 
 

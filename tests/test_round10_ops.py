@@ -232,3 +232,20 @@ def test_rouge_l_against_python_dp(spark):
             (lcs(a, b), len(a), len(b)), source
         checked += 1
     assert checked > 0
+
+
+def test_dedup_agreement_containment_lattice(spark):
+    """Identical text => identical MinHash and SimHash signatures, so
+    no cell may have exact_dup=1 with either near-dup flag 0, and
+    every doc lands in exactly one cell."""
+    import pyarrow.parquet as pq
+
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = core_queries()["x_dedup_agreement_census"].spark_fn(
+        spark, SF).collect()
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert sum(r["n_docs"] for r in rows) == n
+    for r in rows:
+        if r["exact_dup"] == 1:
+            assert r["minhash_dup"] == 1 and r["simhash_dup"] == 1, r
