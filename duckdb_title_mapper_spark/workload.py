@@ -16781,6 +16781,192 @@ def x_dedup_agreement_census(spark, sf_dir):
     return spark.sql(_dedup_agreement_sql(True))
 
 
+def _adaboost_sql(spark_dialect: bool) -> str:
+    """Two-round INTEGER boosting over histogram decision stumps (the
+    x_gini_split machinery made sequential): binary label y = (status
+    = 'F'), feature = the $1000 price bucket.  Round 1 trains the
+    best (threshold, polarity) stump by weighted error from one
+    running-sum window over the (bucket, y) weight histogram; every
+    misclassified CELL's weight doubles (misclassification is a
+    bucket-level property, so weights live on the ~500-cell
+    histogram, never on rows — integers stay integers, where real
+    AdaBoost's exp(alpha) reweighting would be cross-engine drift);
+    round 2 re-searches on the doubled weights.  Argmin via the
+    err*2048 + bucket*2 + polarity integer pack (buckets < 1024,
+    asserted by construction of the $1000 grid).  The oracle hints
+    the multi-consumer histogram/stump CTEs AS MATERIALIZED (r7
+    rule); Spark re-scans the tiny histogram."""
+    idiv = "div" if spark_dialect else "//"
+    mat = "" if spark_dialect else "MATERIALIZED "
+
+    def search(src: str, wpos: str, wneg: str, rnd: int) -> str:
+        return f"""cum{rnd} AS (
+      SELECT b,
+             CAST(sum({wpos}) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cpos,
+             CAST(sum({wneg}) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cneg,
+             CAST(sum({wpos}) OVER () AS BIGINT) AS tpos,
+             CAST(sum({wneg}) OVER () AS BIGINT) AS tneg
+      FROM {src}),
+    cand{rnd} AS (
+      SELECT b, 0 AS pol, cneg + (tpos - cpos) AS err, tpos + tneg
+               AS tw
+      FROM cum{rnd}
+      UNION ALL
+      SELECT b, 1 AS pol, cpos + (tneg - cneg) AS err, tpos + tneg
+               AS tw
+      FROM cum{rnd}),
+    best{rnd} AS {mat}(
+      SELECT (min(err * 2048 + b * 2 + pol) % 2048) {idiv} 2 AS tb,
+             min(err * 2048 + b * 2 + pol) % 2 AS pol,
+             min(err * 2048 + b * 2 + pol) {idiv} 2048 AS err,
+             max(tw) AS tw
+      FROM cand{rnd})"""
+
+    return f"""WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               {idiv} 100000 AS b,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    hist AS {mat}(
+      SELECT b,
+             CAST(sum(y) AS BIGINT) AS npos,
+             CAST(sum(1 - y) AS BIGINT) AS nneg
+      FROM cents GROUP BY b),
+    {search('hist', 'npos', 'nneg', 1)},
+    rew AS {mat}(
+      SELECT h.b,
+             h.npos * (CASE
+               WHEN s.pol = 0 AND h.b <= s.tb THEN 1
+               WHEN s.pol = 0 AND h.b > s.tb THEN 2
+               WHEN s.pol = 1 AND h.b <= s.tb THEN 2
+               ELSE 1 END) AS wpos,
+             h.nneg * (CASE
+               WHEN s.pol = 0 AND h.b <= s.tb THEN 2
+               WHEN s.pol = 0 AND h.b > s.tb THEN 1
+               WHEN s.pol = 1 AND h.b <= s.tb THEN 1
+               ELSE 2 END) AS wneg
+      FROM hist h CROSS JOIN best1 s),
+    {search('rew', 'wpos', 'wneg', 2)}
+    SELECT CAST(1 AS BIGINT) AS round,
+           CAST(tb AS BIGINT) AS threshold_bucket,
+           CAST(pol AS BIGINT) AS polarity,
+           CAST(err AS BIGINT) AS weighted_error,
+           CAST(tw AS BIGINT) AS total_weight,
+           ((tw - err) * 1000) {idiv} tw AS accuracy_permille
+    FROM best1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(tb AS BIGINT), CAST(pol AS BIGINT),
+           CAST(err AS BIGINT), CAST(tw AS BIGINT),
+           ((tw - err) * 1000) {idiv} tw
+    FROM best2"""
+
+
+@_q(
+    "x_adaboost_rounds",
+    _adaboost_sql(False),
+    "Two-round integer boosting (r10 — the sequential-ensemble axis "
+    "of the ML-training family beside x_gini_split's single stump, "
+    "x_perceptron_epochs, and x_stump_confusion): round 1 trains the "
+    "best (threshold, polarity) price stump by weighted error from "
+    "one running window over the (bucket, label) histogram, every "
+    "misclassified cell's weight DOUBLES (the integer-exact "
+    "reweighting — misclassification is a bucket property, so "
+    "weights stay on ~500 histogram cells and real AdaBoost's "
+    "exp(alpha) drift never enters), and round 2 re-searches on the "
+    "doubled weights; per-round manifest with exact weighted errors "
+    "and accuracy permille.  At 100 TB only the (bucket, label) "
+    "partial agg touches data; both searches scan histogram cells.",
+)
+def x_adaboost_rounds(spark, sf_dir):
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_adaboost_sql(True))
+
+
+def _isotonic_sql(spark_dialect: bool) -> str:
+    """Isotonic (PAV) calibration fit over the 10 score deciles of
+    the x_score_calibration setup, via the minimax representation
+    f_i = max_{j<=i} min_{k>=i} avg(y[j..k]) (Robertson–Wright–
+    Dykstra) — exact on a 10-point grid: 220 (i, j, k) tuples from
+    decile prefix sums, block averages ORDERED through per-row IEEE
+    division on identical integers (bit-identical doubles, compare-
+    only — the r4-safe use), and the WINNING block's (sum, count)
+    emitted as the exact rational fit.  Ties broken (value, j, k)
+    deterministically.  No pooling loop: the minimax identity makes
+    PAV one join + two rank windows."""
+    idiv = "div" if spark_dialect else "//"
+    mat = "" if spark_dialect else "MATERIALIZED "
+    return f"""WITH scored AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             doc_id
+      FROM documents),
+    ranked AS (
+      SELECT score, y,
+             CAST((row_number() OVER (ORDER BY score, doc_id) - 1)
+                  * 10 AS BIGINT)
+               {idiv} CAST(count(*) OVER () AS BIGINT) AS bin
+      FROM scored),
+    bins AS {mat}(
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos
+      FROM ranked GROUP BY bin),
+    pre AS {mat}(
+      SELECT bin,
+             CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+             CAST(sum(n_pos) OVER (ORDER BY bin ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cpos
+      FROM bins),
+    blocks AS {mat}(
+      SELECT j.bin AS j, k.bin AS k,
+             k.cpos - coalesce(jp.cpos, 0) AS s,
+             k.cn - coalesce(jp.cn, 0) AS c
+      FROM pre j
+      JOIN pre k ON k.bin >= j.bin
+      LEFT JOIN pre jp ON jp.bin = j.bin - 1),
+    inner_min AS (
+      SELECT i.bin AS i, b.j, b.s, b.c,
+             row_number() OVER (PARTITION BY i.bin, b.j
+                 ORDER BY CAST(b.s AS DOUBLE) / CAST(b.c AS DOUBLE),
+                          b.k) AS rn
+      FROM bins i JOIN blocks b ON b.j <= i.bin AND b.k >= i.bin),
+    outer_max AS (
+      SELECT i, j, s, c,
+             row_number() OVER (PARTITION BY i
+                 ORDER BY CAST(s AS DOUBLE) / CAST(c AS DOUBLE) DESC,
+                          j) AS rn
+      FROM inner_min WHERE rn = 1)
+    SELECT b.bin AS decile, b.n, b.n_pos,
+           o.s AS fitted_num, o.c AS fitted_den,
+           (o.s * 1000000) {idiv} o.c AS fitted_rate_s6,
+           (b.n_pos * 1000000) {idiv} b.n AS raw_rate_s6
+    FROM bins b JOIN outer_max o ON o.i = b.bin AND o.rn = 1"""
+
+
+@_q(
+    "x_isotonic_calibration",
+    _isotonic_sql(False),
+    "Isotonic-regression (PAV) probability calibration (r10 — the "
+    "FIT that completes the calibration family: x_score_calibration "
+    "shows the reliability diagram, this produces the monotone "
+    "calibrated rates a scorer actually deploys): the pool-adjacent-"
+    "violators solution computed WITHOUT a pooling loop through the "
+    "minimax identity f_i = max_{j<=i} min_{k>=i} avg(j..k) over "
+    "decile blocks — 220 tuples from prefix sums, fractions ordered "
+    "by bit-identical per-row division (compare-only) and emitted as "
+    "exact (sum, count) rationals plus s6 fixed-point rates.  "
+    "Monotonicity of the fit is a theorem, test-locked by exact "
+    "cross-multiplication.  At 100 TB only the decile rollup "
+    "touches data; the PAV grid is 10 rows.",
+)
+def x_isotonic_calibration(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_isotonic_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

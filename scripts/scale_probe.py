@@ -196,6 +196,8 @@ EXTRA = [
     "x_rouge_l",
     "x_temperature_mix_weights",
     "x_dedup_agreement_census",
+    "x_adaboost_rounds",
+    "x_isotonic_calibration",
 ]
 
 

@@ -249,3 +249,42 @@ def test_dedup_agreement_containment_lattice(spark):
     for r in rows:
         if r["exact_dup"] == 1:
             assert r["minhash_dup"] == 1 and r["simhash_dup"] == 1, r
+
+
+def test_adaboost_weight_doubling_bounds(spark):
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = sorted(core_queries()["x_adaboost_rounds"].spark_fn(
+        spark, SF).collect(), key=lambda r: r["round"])
+    assert [r["round"] for r in rows] == [1, 2]
+    r1, r2 = rows
+    # round-2 total weight = n + (misclassified mass doubled once)
+    assert r2["total_weight"] == r1["total_weight"] + r1["weighted_error"]
+    for r in rows:
+        # a stump is never worse than the constant classifier
+        assert 2 * r["weighted_error"] <= r["total_weight"]
+        assert 0 <= r["polarity"] <= 1
+
+
+def test_isotonic_fit_is_monotone_and_mass_preserving(spark):
+    """PAV theorems: the fitted rates are non-decreasing (exact
+    cross-multiplication) and pooled blocks preserve the positive
+    mass of the deciles they cover."""
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = sorted(core_queries()["x_isotonic_calibration"].spark_fn(
+        spark, SF).collect(), key=lambda r: r["decile"])
+    assert len(rows) == 10
+    for a, b in zip(rows, rows[1:]):
+        assert a["fitted_num"] * b["fitted_den"] <= \
+            b["fitted_num"] * a["fitted_den"]
+    # block structure: consecutive deciles sharing a fit share the
+    # exact same (num, den); block dens sum to n over their deciles
+    seen = {}
+    for r in rows:
+        key = (r["fitted_num"], r["fitted_den"])
+        seen.setdefault(key, [0, 0])
+        seen[key][0] += r["n"]
+        seen[key][1] += r["n_pos"]
+    for (num, den), (n_sum, pos_sum) in seen.items():
+        assert n_sum == den and pos_sum == num
