@@ -265,6 +265,8 @@ EXTRA = [
     "x_dedup_agreement_census",
     "x_adaboost_rounds",
     "x_isotonic_calibration",
+    "x_seasonal_decompose",
+    "x_theil_sen_trend",
 ]
 
 

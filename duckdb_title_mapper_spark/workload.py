@@ -16967,6 +16967,140 @@ def x_isotonic_calibration(spark, sf_dir):
     return spark.sql(_isotonic_sql(True))
 
 
+def _seasonal_decompose_sql(spark_dialect: bool) -> str:
+    """Additive seasonal decomposition of hourly event volumes per
+    event_type: seasonal component = integer mean volume of each
+    hour-of-day slot (sum div count — the classic seasonal-means
+    estimator), residual = hourly volume minus its slot's seasonal
+    mean, summarized by the residual MAD picked with the division-
+    free rank idiom.  The trend/level is the global mean.  All
+    integer; the decomposition identity (volume = level + seasonal
+    anomaly + residual) holds exactly in the emitted columns."""
+    us = "unix_micros(ts)" if spark_dialect else "epoch_us(ts)"
+    idiv = "div" if spark_dialect else "//"
+    mat = "" if spark_dialect else "MATERIALIZED "
+    return f"""WITH hourly AS (
+      SELECT event_type,
+             {us} {idiv} 3600000000 AS hour_abs,
+             ({us} {idiv} 3600000000) % 24 AS hod,
+             CAST(count(*) AS BIGINT) AS vol
+      FROM events GROUP BY event_type, {us} {idiv} 3600000000,
+               ({us} {idiv} 3600000000) % 24),
+    seasonal AS {mat}(
+      SELECT event_type, hod,
+             CAST(sum(vol) {idiv} count(*) AS BIGINT) AS smean,
+             CAST(count(*) AS BIGINT) AS n_slots
+      FROM hourly GROUP BY event_type, hod),
+    level AS {mat}(
+      SELECT event_type,
+             CAST(sum(vol) {idiv} count(*) AS BIGINT) AS gmean
+      FROM hourly GROUP BY event_type),
+    resid AS {mat}(
+      SELECT h.event_type, h.hour_abs,
+             h.vol - s.smean AS r
+      FROM hourly h JOIN seasonal s
+        ON s.event_type = h.event_type AND s.hod = h.hod),
+    rmad AS (
+      SELECT event_type, ar AS mad_resid FROM (
+        SELECT event_type, abs(r) AS ar,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY abs(r), hour_abs) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM resid) t
+      WHERE rn * 2 <= n + 1 AND (rn + 1) * 2 > n + 1)
+    SELECT s.event_type, CAST(s.hod AS BIGINT) AS hour_of_day,
+           s.smean AS seasonal_mean,
+           l.gmean AS level_mean,
+           s.smean - l.gmean AS seasonal_anomaly,
+           CAST(m.mad_resid AS BIGINT) AS residual_mad,
+           s.n_slots
+    FROM seasonal s
+    JOIN level l ON l.event_type = s.event_type
+    JOIN rmad m ON m.event_type = s.event_type"""
+
+
+@_q(
+    "x_seasonal_decompose",
+    _seasonal_decompose_sql(False),
+    "Additive seasonal decomposition of hourly event volume (r10 — "
+    "the components view completing the time-series family: "
+    "x_seasonal_naive_eval scores the forecast, x_ewma_volume_dense "
+    "smooths, x_anomaly_windows flags; this SEPARATES level, hour-"
+    "of-day seasonal anomaly, and residual scale): per (event_type, "
+    "hour-of-day) the integer seasonal mean, the global level, the "
+    "seasonal anomaly, and the robust residual MAD (division-free "
+    "rank pick) — the operator behind 'is this spike seasonal or "
+    "real'.  All integer, 24 rows per event type.  Plan: one hourly "
+    "rollup (partial-agged), two tiny means, one rank window over "
+    "hourly residuals.",
+)
+def x_seasonal_decompose(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_seasonal_decompose_sql(True))
+
+
+def _theil_sen_sql(spark_dialect: bool, pool: int = 48) -> str:
+    """Theil–Sen robust trend of hourly total volume over the first
+    ``pool`` hours: the median of all C(48,2)=1128 pairwise slopes
+    (dv/dh) — slopes held as exact (num, den) rationals, ORDERED by
+    bit-identical per-row division (compare-only, the isotonic
+    idiom), median picked by the division-free rank rule with a
+    deterministic (num, den, i, j) tiebreak, and emitted as the
+    winning pair's exact rational."""
+    us = "unix_micros(ts)" if spark_dialect else "epoch_us(ts)"
+    idiv = "div" if spark_dialect else "//"
+    mat = "" if spark_dialect else "MATERIALIZED "
+    return f"""WITH hourly AS {mat}(
+      SELECT {us} {idiv} 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS vol
+      FROM events GROUP BY {us} {idiv} 3600000000),
+    pool AS {mat}(
+      SELECT h, vol,
+             row_number() OVER (ORDER BY h) AS i
+      FROM hourly
+      ORDER BY h LIMIT {pool}),
+    slopes AS (
+      SELECT a.i AS i, b.i AS j,
+             b.vol - a.vol AS num,
+             b.h - a.h AS den
+      FROM pool a JOIN pool b ON b.i > a.i),
+    ranked AS (
+      SELECT num, den,
+             row_number() OVER (ORDER BY
+                 CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+                 num, den, i, j) AS rn,
+             count(*) OVER () AS n
+      FROM slopes)
+    SELECT CAST(num AS BIGINT) AS slope_num,
+           CAST(den AS BIGINT) AS slope_den,
+           CAST(n AS BIGINT) AS n_pairs,
+           (num * 1000000) {idiv} den AS slope_s6
+    FROM ranked
+    WHERE rn * 2 <= n + 1 AND (rn + 1) * 2 > n + 1"""
+
+
+@_q(
+    "x_theil_sen_trend",
+    _theil_sen_sql(False),
+    "Theil–Sen robust trend estimator (r10 — the outlier-resistant "
+    "slope completing the robust-stats family beside x_mad_outliers "
+    "and x_winsorize): the median of all pairwise slopes of hourly "
+    "event volume over a rank-bounded 48-hour pool (1,128 exact "
+    "rational slopes — bounded like the Kendall-tau pool, so the "
+    "quadratic statistic is scale-stable), ordered by bit-identical "
+    "per-row division (compare-only) with a fully deterministic "
+    "tiebreak, emitted as the winning exact (num, den) plus an s6 "
+    "fixed-point reading.  Breakdown point 29%%: one third of the "
+    "hours can be corrupted before the trend moves — why SRE "
+    "dashboards fit Theil-Sen, not least squares.  Plan: one hourly "
+    "rollup, a 48-row pool self-join, one rank window over 1,128 "
+    "rows.",
+)
+def x_theil_sen_trend(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_theil_sen_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its
