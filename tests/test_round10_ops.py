@@ -288,3 +288,41 @@ def test_isotonic_fit_is_monotone_and_mass_preserving(spark):
         seen[key][1] += r["n_pos"]
     for (num, den), (n_sum, pos_sum) in seen.items():
         assert n_sum == den and pos_sum == num
+
+
+def test_media_meta_census_versioning(spark):
+    """build_media_meta contract: cache-hit without force, version
+    bump + superseded-dir GC with force, parquet-backed (no
+    cache/checkpoint blocks involved)."""
+    import glob
+    import os
+
+    from duckdb_title_mapper_spark.operators.multimodal import (
+        _MEDIA_META_CACHE,
+        build_media_meta,
+    )
+
+    d1 = build_media_meta(spark, SF, "aac", force=True)
+    key = next(k for k in _MEDIA_META_CACHE if k[2] == "aac"
+               and k[1] == os.path.realpath(SF))
+    v1 = _MEDIA_META_CACHE[key][1]
+    # cache hit: same version, same row count
+    d2 = build_media_meta(spark, SF, "aac")
+    assert _MEDIA_META_CACHE[key][1] == v1
+    assert d2.count() == d1.count()
+    # force: version bumps and the superseded dir is GC'd
+    build_media_meta(spark, SF, "aac", force=True)
+    v2 = _MEDIA_META_CACHE[key][1]
+    assert v2 == v1 + 1
+    base = "/tmp/duckdb_title_mapper_spark_media_meta"
+    tags = glob.glob(f"{base}/*.v{v1}")
+    live = glob.glob(f"{base}/*.v{v2}")
+    assert live
+    import hashlib
+
+    tag = hashlib.md5(":".join(map(str, key)).encode()).hexdigest()[:16]
+    assert not os.path.exists(f"{base}/{tag}.v{v1}")
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_media_meta(spark, SF, "mp9")
