@@ -200,6 +200,7 @@ EXTRA = [
     "x_isotonic_calibration",
     "x_seasonal_decompose",
     "x_theil_sen_trend",
+    "x_permutation_test_exact",
 ]
 
 

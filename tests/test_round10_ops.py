@@ -326,3 +326,17 @@ def test_media_meta_census_versioning(spark):
 
     with pytest.raises(ValueError):
         build_media_meta(spark, SF, "mp9")
+
+
+def test_permutation_test_exact_enumeration(spark):
+    """C(12,6) = 924 reassignments; the observed assignment is one of
+    them, so n_extreme >= 1; p is its exact permille."""
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = core_queries()["x_permutation_test_exact"].spark_fn(
+        spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_perms"] == 924
+    assert 1 <= r["n_extreme"] <= 924
+    assert r["p_permille"] == r["n_extreme"] * 1000 // 924
