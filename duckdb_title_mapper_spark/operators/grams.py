@@ -126,7 +126,6 @@ def build_census(spark, sf_dir: str, force: bool = False):
     the corpus."""
     import hashlib
     import os
-    import shutil
 
     from ..workload import register_views
 
@@ -146,8 +145,13 @@ def build_census(spark, sf_dir: str, force: bool = False):
     spark.sql(census_sql(True)).write.mode("overwrite").parquet(path)
     df = spark.read.parquet(path)
     _CENSUS_CACHE[key] = (df, version)
-    if cached is not None:  # GC the superseded version dir
-        shutil.rmtree(f"{base}/{tag}.v{cached[1]}", ignore_errors=True)
+    if cached is not None:
+        # Defer GC of the superseded dir to interpreter exit: plans or
+        # temp views captured from the old version re-resolve the path
+        # at action time (plans/tmpstore.py).
+        from ..plans.tmpstore import defer_rmtree
+
+        defer_rmtree(f"{base}/{tag}.v{cached[1]}")
     df.createOrReplaceTempView(CENSUS_VIEW)
     return df
 

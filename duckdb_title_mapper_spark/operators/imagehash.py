@@ -51,6 +51,11 @@ TILE = 4
 PERTURB_DELTA = 96
 GROUP_SIZE = 4
 N_BANDS = 4
+# Bits per dHash row = adjacent-column comparisons = GRID_COLS - 1.
+# Numerically equal to GRID_ROWS (8) for this grid, but semantically
+# distinct: band packing and the SQL oracle's bit offsets iterate row
+# BITS, so they must track GRID_COLS, not GRID_ROWS.
+N_ROW_BITS = GRID_COLS - 1
 BAND_BITS = 16
 
 
@@ -99,8 +104,8 @@ def dhash_bands_from_png(payload: bytes) -> tuple[int, int, int, int]:
     for k in range(N_BANDS):
         val = 0
         for rr in range(2):
-            for c in range(GRID_ROWS):
-                val |= int(bits[2 * k + rr, c]) << (rr * 8 + c)
+            for c in range(N_ROW_BITS):
+                val |= int(bits[2 * k + rr, c]) << (rr * N_ROW_BITS + c)
         bands.append(val)
     return tuple(bands)
 

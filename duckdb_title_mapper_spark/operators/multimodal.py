@@ -1210,7 +1210,6 @@ def build_media_meta(spark, sf_dir: str, lane: str, force: bool = False):
     payloads never re-decode per consumer."""
     import hashlib
     import os
-    import shutil
 
     if lane not in _MEDIA_META_LANES:
         raise ValueError(f"unknown media-meta lane {lane!r}")
@@ -1230,6 +1229,12 @@ def build_media_meta(spark, sf_dir: str, lane: str, force: bool = False):
     builders[lane]().write.mode("overwrite").parquet(path)
     df = spark.read.parquet(path)
     _MEDIA_META_CACHE[key] = (df, version)
-    if cached is not None:  # GC the superseded version dir
-        shutil.rmtree(f"{base}/{tag}.v{cached[1]}", ignore_errors=True)
+    if cached is not None:
+        # Defer GC of the superseded dir to interpreter exit: plans or
+        # temp views captured from the old version (e.g. the
+        # _r9_av_video view x_av_curation_report registers) re-resolve
+        # the parquet path at action time (plans/tmpstore.py).
+        from ..plans.tmpstore import defer_rmtree
+
+        defer_rmtree(f"{base}/{tag}.v{cached[1]}")
     return df

@@ -571,6 +571,85 @@ def _stage_docs_by_mod(spark, sf_dir: str, parts: int = 4) -> str:
     return d
 
 
+def _image_dedup_dirs(out: str, name: str):
+    import glob as _glob
+
+    return sorted(_glob.glob(os.path.join(out, f"{name}.b*")))
+
+
+def _image_dedup_merge_batch(out: str, batch_df, batch_id) -> None:
+    """One micro-batch of image_dedup_stream: dHash-band the batch,
+    flag each doc against the persisted band store (strictly EARLIER
+    batches) plus earlier-doc_id intra-batch matches, then append
+    ``flags.b{id}`` / ``bands.b{id}``.
+
+    Module-level (not a closure) so the at-least-once retry contract
+    is unit-testable: re-invoking with the same batch_id must rewrite
+    byte-identical flags (tests/test_round11_ops.py)."""
+    from ..operators.imagehash import dhash_bands_for
+
+    sess = batch_df.sparkSession
+    bands = dhash_bands_for(batch_df, carry=("source",))
+    bands.createOrReplaceTempView("__img_batch")
+    # Exclude THIS batch's own bands dir from the store view: on an
+    # at-least-once retry (bands.b{id} written, checkpoint commit
+    # lost) the prior attempt's dir would otherwise be probed as
+    # "earlier arrivals" and every doc would self-match at Hamming 0,
+    # flipping the rewritten flags.b{id} to all-dup.  Excluding the
+    # dir (not just doc_id != self) is required because same-batch
+    # pairs must be judged by the intra-batch b.doc_id < a.doc_id arm,
+    # never by the store arm.
+    store_dirs = [
+        p for p in _image_dedup_dirs(out, "bands")
+        if not p.endswith(f"bands.b{batch_id}")
+    ]
+    if store_dirs:
+        sess.read.parquet(*store_dirs).createOrReplaceTempView(
+            "__img_store")
+        store_probe = """
+          UNION ALL
+          SELECT a.doc_id AS da, b.doc_id AS db
+          FROM ub a JOIN us b ON b.bi = a.bi AND b.val = a.val"""
+        y_side = ("SELECT doc_id, b0, b1, b2, b3 FROM __img_batch "
+                  "UNION ALL "
+                  "SELECT doc_id, b0, b1, b2, b3 FROM __img_store")
+        us_cte = (", us AS (" + " UNION ALL ".join(
+            f"SELECT doc_id, {i} AS bi, b{i} AS val"
+            " FROM __img_store" for i in range(4)) + ")")
+    else:
+        store_probe = ""
+        y_side = "SELECT doc_id, b0, b1, b2, b3 FROM __img_batch"
+        us_cte = ""
+    unp_b = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS bi, b{i} AS val FROM __img_batch"
+        for i in range(4))
+    ham = " + ".join(
+        f"CAST(bit_count(x.b{i} ^ y.b{i}) AS BIGINT)"
+        for i in range(4))
+    flags = sess.sql(f"""
+        WITH ub AS ({unp_b}){us_cte},
+        cand AS (
+          SELECT a.doc_id AS da, b.doc_id AS db
+          FROM ub a JOIN ub b ON b.bi = a.bi AND b.val = a.val
+                             AND b.doc_id < a.doc_id{store_probe}),
+        dup AS (
+          SELECT DISTINCT c.da AS doc_id
+          FROM cand c
+          JOIN __img_batch x ON x.doc_id = c.da
+          JOIN ({y_side}) y ON y.doc_id = c.db
+          WHERE {ham} <= 3)
+        SELECT b.doc_id, b.source,
+               CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                 AS is_dup
+        FROM __img_batch b LEFT JOIN dup d ON d.doc_id = b.doc_id""")
+    (flags.coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(out, f"flags.b{batch_id}")))
+    (sess.table("__img_batch")
+     .select("doc_id", "b0", "b1", "b2", "b3")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(out, f"bands.b{batch_id}")))
+
+
 def image_dedup_stream(spark, sf_dir: str, parts: int = 4):
     """STREAMING perceptual image dedup-on-arrival: each micro-batch
     of the document firehose is dHash-banded (operators/imagehash —
@@ -589,6 +668,11 @@ def image_dedup_stream(spark, sf_dir: str, parts: int = 4):
     read-union-rewrite the version-pointer sketch stores pay — the
     right trade for unbounded append-only state (the sketches are
     fixed-size, so rewriting them is O(1); a band store is O(n)).
+    Idempotency requires the store probe to EXCLUDE the current
+    batch's own bands dir (a half-committed prior attempt would
+    otherwise self-match every doc at Hamming 0) — see
+    ``_image_dedup_merge_batch``, retry-tested in
+    tests/test_round11_ops.py.
 
     Arrival order is (slice index = doc_id % parts, doc_id) — fully
     deterministic (staged slice files carry strictly increasing
@@ -596,69 +680,14 @@ def image_dedup_stream(spark, sf_dir: str, parts: int = 4):
     BIGINTs per image; each batch's probe is a bucketed equi-join
     against storage, shard-prunable by band value — exactly how a
     production near-dup gate fronts an ingestion firehose."""
-    import glob as _glob
-
     from pyspark.sql import functions as F
-
-    from ..operators.imagehash import dhash_bands_for
 
     src_dir = _stage_docs_by_mod(spark, sf_dir, parts)
     out = tempfile.mkdtemp(prefix="dtm_stream_imgdedup_")
     chk = os.path.join(out, "chk")
 
-    def _dirs(name: str):
-        return sorted(_glob.glob(os.path.join(out, f"{name}.b*")))
-
     def merge(batch_df, batch_id):
-        sess = batch_df.sparkSession
-        bands = dhash_bands_for(batch_df, carry=("source",))
-        bands.createOrReplaceTempView("__img_batch")
-        store_dirs = _dirs("bands")
-        if store_dirs:
-            sess.read.parquet(*store_dirs).createOrReplaceTempView(
-                "__img_store")
-            store_probe = """
-              UNION ALL
-              SELECT a.doc_id AS da, b.doc_id AS db
-              FROM ub a JOIN us b ON b.bi = a.bi AND b.val = a.val"""
-            y_side = ("SELECT doc_id, b0, b1, b2, b3 FROM __img_batch "
-                      "UNION ALL "
-                      "SELECT doc_id, b0, b1, b2, b3 FROM __img_store")
-            us_cte = (", us AS (" + " UNION ALL ".join(
-                f"SELECT doc_id, {i} AS bi, b{i} AS val"
-                " FROM __img_store" for i in range(4)) + ")")
-        else:
-            store_probe = ""
-            y_side = "SELECT doc_id, b0, b1, b2, b3 FROM __img_batch"
-            us_cte = ""
-        unp_b = " UNION ALL ".join(
-            f"SELECT doc_id, {i} AS bi, b{i} AS val FROM __img_batch"
-            for i in range(4))
-        ham = " + ".join(
-            f"CAST(bit_count(x.b{i} ^ y.b{i}) AS BIGINT)"
-            for i in range(4))
-        flags = sess.sql(f"""
-            WITH ub AS ({unp_b}){us_cte},
-            cand AS (
-              SELECT a.doc_id AS da, b.doc_id AS db
-              FROM ub a JOIN ub b ON b.bi = a.bi AND b.val = a.val
-                                 AND b.doc_id < a.doc_id{store_probe}),
-            dup AS (
-              SELECT DISTINCT c.da AS doc_id
-              FROM cand c
-              JOIN __img_batch x ON x.doc_id = c.da
-              JOIN ({y_side}) y ON y.doc_id = c.db
-              WHERE {ham} <= 3)
-            SELECT b.doc_id, b.source,
-                   CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END
-                     AS is_dup
-            FROM __img_batch b LEFT JOIN dup d ON d.doc_id = b.doc_id""")
-        (flags.coalesce(1).write.mode("overwrite")
-         .parquet(os.path.join(out, f"flags.b{batch_id}")))
-        (sess.table("__img_batch")
-         .select("doc_id", "b0", "b1", "b2", "b3")
-         .coalesce(1).write.mode("overwrite")
-         .parquet(os.path.join(out, f"bands.b{batch_id}")))
+        _image_dedup_merge_batch(out, batch_df, batch_id)
 
     raw = (
         spark.readStream.schema("doc_id BIGINT, source STRING")
@@ -672,7 +701,7 @@ def image_dedup_stream(spark, sf_dir: str, parts: int = 4):
         .start()
     )
     q.awaitTermination()
-    flag_dirs = _dirs("flags")
+    flag_dirs = _image_dedup_dirs(out, "flags")
     if not flag_dirs:
         raise RuntimeError("streaming image dedup produced no flags")
     return (

@@ -15372,33 +15372,42 @@ def _image_dhash_bands_ctes() -> str:
     rows 2k..2k+1.  Must mirror operators/imagehash.tile_values +
     dhash_bands_from_png bit-for-bit.  Returns the CTE list through
     ``bands AS MATERIALIZED (...)`` — shared by the batch near-dup
-    oracle and the streaming dedup-on-arrival oracle."""
+    oracle and the streaming dedup-on-arrival oracle.  Grid and
+    bit-offset constants come FROM operators/imagehash (N_ROW_BITS =
+    GRID_COLS - 1), so a grid-shape change cannot silently diverge
+    the oracle's packing from the Python packer's."""
+    from .operators.imagehash import (
+        GRID_COLS, GRID_ROWS, GROUP_SIZE, N_BANDS, N_ROW_BITS,
+        PERTURB_DELTA)
+
     ms = ",\n             ".join(
         f"md5(CAST(gkey AS STRING) || ':{r}') AS m{r}"
-        for r in range(8))
+        for r in range(GRID_ROWS))
     vals = []
-    for r in range(8):
-        for c in range(9):
+    for r in range(GRID_ROWS):
+        for c in range(GRID_COLS):
             base = f"('0x' || substr(m{r}, {2 * c + 1}, 2))::BIGINT"
             vals.append(
                 f"CASE WHEN pr = {r} AND pc = {c}"
-                f" THEN ({base} + 96) % 256 ELSE {base} END AS v{r}_{c}")
+                f" THEN ({base} + {PERTURB_DELTA}) % 256"
+                f" ELSE {base} END AS v{r}_{c}")
     vcols = ",\n             ".join(vals)
     bands = []
-    for k in range(4):
+    for k in range(N_BANDS):
         terms = []
         for rr in range(2):
             r = 2 * k + rr
-            for c in range(8):
+            for c in range(N_ROW_BITS):
                 terms.append(
                     f"CASE WHEN v{r}_{c + 1} > v{r}_{c}"
-                    f" THEN {1 << (rr * 8 + c)} ELSE 0 END")
+                    f" THEN {1 << (rr * N_ROW_BITS + c)} ELSE 0 END")
         bands.append("CAST(" + " + ".join(terms)
                      + f" AS BIGINT) AS b{k}")
     bcols = ",\n             ".join(bands)
     return f"""t AS (
-      SELECT doc_id, doc_id // {4} AS gkey,
-             doc_id % 8 AS pr, (doc_id // 8) % 9 AS pc
+      SELECT doc_id, doc_id // {GROUP_SIZE} AS gkey,
+             doc_id % {GRID_ROWS} AS pr,
+             (doc_id // {GRID_ROWS}) % {GRID_COLS} AS pc
       FROM documents),
     h AS (SELECT doc_id, pr, pc,
              {ms}
@@ -15698,11 +15707,13 @@ def _preference_cycles_sql(spark_dialect: bool, k: int = 16,
 @_q(
     "x_preference_cycles",
     _preference_cycles_sql(False),
-    "Preference-data transitivity audit (r10 — the QA pass before "
+    "Preference-data transitivity audit over a RANK-BOUNDED POOL of "
+    "the top-16 longest documents (k=16 — output cardinality is a "
+    "constant, never a data-scale property; r10, the QA pass before "
     "training a reward model on pairwise comparisons, completing the "
     "preference family beside x_dpo_pairs/x_preference_pairs): a "
-    "deterministic 3-game tournament over the top-16 longest "
-    "documents, per-doc Copeland score and games won, one exact "
+    "deterministic 3-game tournament, per-doc Copeland score and "
+    "games won, one exact "
     "Bradley-Terry MM step from uniform strengths (num/den BIGINTs), "
     "and the count of CYCLIC triads (A>B>C>A intransitivities) via "
     "the Kendall-Babington Smith identity C(k,3) - sum C(outdeg,2) "
@@ -16599,12 +16610,15 @@ def _rouge_l_sql(spark_dialect: bool, cap: int = 24) -> str:
 @_q(
     "x_rouge_l",
     _rouge_l_sql(False),
-    "ROUGE-L summarization eval (r10 — the LCS member of the "
+    "ROUGE-L summarization eval on FIRST-24-TOKEN PREFIXES (cap=24: "
+    "candidate and reference are truncated before the LCS DP — "
+    "prefix-window ROUGE-L, not full-sequence; the cap is what makes "
+    "the relational DP a fixed 24-round window chain, "
+    "data-size-independent.  r10 — the LCS member of the "
     "text-generation eval family beside BLEU's clipped n-grams and "
     "the nDCG/MRR retrieval metrics): longest common subsequence "
-    "between each source's candidate and reference documents "
-    "(first-24-token bounded sequences, the repo's unrolled-DP "
-    "contract), emitted as exact (lcs, cand_len, ref_len) integers — "
+    "between each source's candidate and reference documents, "
+    "emitted as exact (lcs, cand_len, ref_len) integers — "
     "precision/recall/F are the reader's division.  The DP runs "
     "RELATIONALLY: LCS rows are non-decreasing, so each unrolled "
     "round is one lag() tap + one running-max window over the "
@@ -17187,6 +17201,264 @@ def x_permutation_test_exact(spark, sf_dir):
     return spark.sql(_permutation_test_sql(True))
 
 
+# ---------------------------------------------------------------------------
+# Round 11: WARC/WET ingestion walk (VERDICT r10 #3) — the format
+# CommonCrawl-scale text pipelines actually start from.
+
+
+def _warc_roundtrip_oracle() -> str:
+    from .sources.warc import CONV_FIXED_BYTES, INFO_BYTES
+
+    return f"""WITH d AS (
+      SELECT source, doc_id, octet_length(encode(text)) AS nb
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(count(*) + 1 AS BIGINT) AS gzip_members,
+           CAST(sum(nb) AS BIGINT) AS payload_bytes,
+           CAST({INFO_BYTES} + sum({CONV_FIXED_BYTES} + length(source)
+                + length(CAST(doc_id AS VARCHAR))
+                + length(CAST(nb AS VARCHAR)) + nb)
+                AS BIGINT) AS warc_bytes
+    FROM d GROUP BY source"""
+
+
+@_q(
+    "src_warc_roundtrip",
+    _warc_roundtrip_oracle(),
+    "WARC/WET ingestion walk (r11 — the ISO 28500 format "
+    "CommonCrawl-scale text pipelines start from, completing the "
+    "ingestion family beside CSV/JSON/ORC/XML/fixed-width/WebDataset/"
+    "TFRecord/tf.Example): per source, documents serialize in doc_id "
+    "order into a GENUINE gzipped WET file — one warcinfo record plus "
+    "one conversion record per document, each record its OWN "
+    "deterministic gzip member (the CommonCrawl seek-to-member "
+    "layout), WARC/1.0 header block with Content-Length byte framing "
+    "and CRLF CRLF trailers — then the whole file is READ BACK "
+    "(multi-member gzip split + strict per-record framing validation) "
+    "and asserted record-identical before the per-source manifest is "
+    "emitted.  Map-side per source (applyInPandas); the oracle "
+    "recomputes record/byte accounting closed-form from the framing "
+    "arithmetic (sources/warc.py shares the fixed-size constants).",
+)
+def src_warc_roundtrip(spark, sf_dir):
+    """Spark-side: sources/warc.py (reference has no crawl-format
+    surface; this extends the training-data ingestion family)."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id",
+                                                   "text")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .sources.warc import (
+            build_conversion, build_warc_gz, build_warcinfo, read_warc_gz)
+
+        pdf = pdf.sort_values("doc_id")
+        src = pdf["source"].iloc[0]
+        recs = [build_warcinfo(src)] + [
+            build_conversion(src, int(did), text)
+            for did, text in zip(pdf["doc_id"], pdf["text"])]
+        gz = build_warc_gz(recs)
+        back = read_warc_gz(gz)
+        if len(back) != len(recs) or back[0]["type"] != "warcinfo":
+            raise AssertionError("WARC round trip lost records")
+        for (did, text), rec in zip(
+                zip(pdf["doc_id"], pdf["text"]), back[1:]):
+            if (rec["type"] != "conversion"
+                    or rec["uri"] !=
+                    f"https://corpus.example/{src}/{int(did)}"
+                    or rec["block"] != text.encode()):
+                raise AssertionError("WARC round trip diverged")
+        return pd.DataFrame(
+            {
+                "source": [src],
+                "n_records": [len(pdf)],
+                "gzip_members": [len(recs)],
+                "payload_bytes": [sum(len(r["block"]) for r in back[1:])],
+                "warc_bytes": [sum(len(r) for r in recs)],
+            }
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        pack,
+        "source STRING, n_records BIGINT, gzip_members BIGINT, "
+        "payload_bytes BIGINT, warc_bytes BIGINT",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: HNSW graph SEARCH (VERDICT r10 #4) — completes the ANN
+# family's graph axis beside LSH / multiprobe / IVF / PQ.
+
+
+def _hnsw_search_sql(spark_dialect: bool) -> str:
+    """HNSW-style bounded-beam graph search, fully relational and
+    cross-engine exact:
+
+    - layer draw: trailing-zero md5 geometric(1/2), the
+      ``_hnsw_layers_sql`` integers;
+    - routing pool: vectors with max_layer >= l0, where l0 is derived
+      IN-QUERY (smallest l with expected pool n/2^l <= 128 — the
+      scale-adaptive-parameter discipline; ladder to 2^24 supports
+      ~2e9 vectors);
+    - layer graph: per descent round, each layer member's M=6 nearest
+      members (squared-L2, HNSW's canonical metric; pool is bounded so
+      the member x member join is <= 128^2 x 6 rounds, a CONSTANT)
+      plus per-round self-loops for every pool node so the beam
+      survives layers that are empty at small n;
+    - descent: 6 unrolled beam rounds over the layer schedule
+      l0+3, l0+2, l0+1, l0, l0, l0 (three refinement rounds at the
+      base routing layer — one greedy step per layer does not
+      converge; the 6-round/M=6/beam-6 point recovers 8/8 planted
+      twins where 4/4/4 recovered 6/8) from the single global entry
+      point (max layer, tie lowest vec_id), beam width 6, each round
+      a SINGLE-consumer CTE (the x_bigram_greedy_decode discipline —
+      no driver loop, no exponential re-inlining);
+    - base stage: every vector assigned to its nearest pool node ONCE
+      (the IVF-shape n x 128 linear pass), candidates = vectors in the
+      final beam's cells, exact top-3 re-rank among candidates;
+    - recall companion IN the result: each approx neighbor carries its
+      exact brute-force rank (-1 if outside the exact top-3), so the
+      row set certifies both the search and its recall.
+
+    Everything ordered by raw doubles (bit-identical per-row IEEE
+    folds) with vec_id tiebreaks; output all-BIGINT."""
+    if spark_dialect:
+        h = ("CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8),"
+             " 16, 10) AS BIGINT)")
+        mat = ""
+    else:
+        h = ("('0x' || substr(md5(CAST(vec_id AS STRING)), 1, 8))"
+             "::BIGINT")
+        mat = "MATERIALIZED "
+    ladder = " ".join(
+        f"WHEN h % {1 << (t + 1)} = {1 << t} THEN {t}"
+        for t in range(12))
+    l0_ladder = " ".join(
+        f"WHEN n <= {128 << t} THEN {t}" for t in range(25))
+    d_bp = _embed_l2(spark_dialect, "a.embedding", "b.embedding")
+    d_qp = _embed_l2(spark_dialect, "q.qe", "p.embedding")
+    d_qc = _embed_l2(spark_dialect, "q.qe", "e.embedding")
+    d_vp = _embed_l2(spark_dialect, "l.embedding", "p.embedding")
+    offsets = (3, 2, 1, 0, 0, 0)  # layer schedule: l0 + off per round
+    m_edges, beam_w = 6, 6
+    rounds_rows = ", ".join(
+        f"({i + 1}, {off})" for i, off in enumerate(offsets))
+    rounds_rel = (f"(SELECT r, off FROM (VALUES {rounds_rows})"
+                  " AS t(r, off))")
+    beams = []
+    for r in range(1, len(offsets) + 1):
+        prev = "beam0" if r == 1 else f"beam{r - 1}"
+        beams.append(f"""beam{r} AS (
+      SELECT query_id, node FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY d, node) AS rk
+        FROM (SELECT c.query_id, c.node, {d_qp} AS d
+              FROM (SELECT DISTINCT b.query_id, e.dst AS node
+                    FROM {prev} b
+                    JOIN edges e ON e.r = {r} AND e.src = b.node) c
+              JOIN queries q ON q.query_id = c.query_id
+              JOIN pool p ON p.vec_id = c.node) dd) rr
+      WHERE rk <= {beam_w})""")
+    beam_ctes = ",\n    ".join(beams)
+    last_beam = f"beam{len(offsets)}"
+    return f"""WITH lay AS (
+      SELECT vec_id, embedding,
+             CASE {ladder} ELSE 12 END AS max_layer
+      FROM (SELECT vec_id, embedding, {h} AS h FROM embeddings) v),
+    cut AS (
+      SELECT CASE {l0_ladder} ELSE 24 END AS l0
+      FROM (SELECT count(*) AS n FROM lay) t),
+    pool AS {mat}(
+      SELECT l.vec_id, l.embedding, l.max_layer
+      FROM lay l CROSS JOIN cut c WHERE l.max_layer >= c.l0),
+    edges AS {mat}(
+      SELECT r, src, dst FROM (
+        SELECT rr.r, a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY rr.r, a.vec_id
+                   ORDER BY {d_bp}, b.vec_id) AS rk
+        FROM pool a
+        JOIN pool b ON b.vec_id <> a.vec_id
+        CROSS JOIN {rounds_rel} rr
+        CROSS JOIN cut c
+        WHERE a.max_layer >= c.l0 + rr.off
+          AND b.max_layer >= c.l0 + rr.off) e
+      WHERE rk <= {m_edges}
+      UNION ALL
+      SELECT rr.r, p.vec_id, p.vec_id
+      FROM pool p CROSS JOIN {rounds_rel} rr),
+    queries AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM lay
+      WHERE vec_id < 8),
+    entry AS (
+      SELECT vec_id FROM pool
+      ORDER BY max_layer DESC, vec_id LIMIT 1),
+    beam0 AS (
+      SELECT q.query_id, e.vec_id AS node
+      FROM queries q CROSS JOIN entry e),
+    {beam_ctes},
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT l.vec_id, p.vec_id AS cell,
+               row_number() OVER (PARTITION BY l.vec_id
+                   ORDER BY {d_vp}, p.vec_id) AS rk
+        FROM lay l CROSS JOIN pool p) t
+      WHERE rk = 1),
+    approx AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT c.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY c.query_id
+                   ORDER BY {d_qc}, c.vec_id) AS rank
+        FROM (SELECT DISTINCT b.query_id, a.vec_id
+              FROM {last_beam} b JOIN assign a ON a.cell = b.node) c
+        JOIN queries q ON q.query_id = c.query_id
+        JOIN lay e ON e.vec_id = c.vec_id
+        WHERE c.vec_id <> c.query_id) t
+      WHERE rank <= 3),
+    exact AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {d_qc}, e.vec_id) AS rank
+        FROM queries q JOIN lay e ON e.vec_id <> q.query_id) t
+      WHERE rank <= 3)
+    SELECT a.query_id,
+           CAST(a.rank AS BIGINT) AS rank,
+           a.neighbor_id,
+           CAST(COALESCE(x.rank, -1) AS BIGINT) AS exact_rank
+    FROM approx a
+    LEFT JOIN exact x ON x.query_id = a.query_id
+                     AND x.neighbor_id = a.neighbor_id"""
+
+
+@_q(
+    "x_hnsw_search",
+    _hnsw_search_sql(False),
+    "HNSW graph SEARCH (r11 — the search to x_hnsw_layers' build "
+    "audit, completing the ANN family's graph axis beside "
+    "LSH/multiprobe/IVF/PQ): bounded-beam greedy descent (beam 6, 6 "
+    "unrolled single-consumer rounds over layers l0+3..l0 with three "
+    "refinement rounds at the base routing layer — no driver loop) "
+    "over a derived layer graph whose routing pool (max_layer >= l0, "
+    "l0 derived IN-QUERY so the expected pool is <= 128 at ANY n) "
+    "carries M=6 nearest-member edges per descent layer plus "
+    "self-loops, from the single max-layer entry point; final beam "
+    "cells gate an exact top-3 re-rank (squared-L2, raw-double "
+    "order, vec_id ties), and every emitted neighbor carries its "
+    "exact brute-force rank (-1 if outside) so the row set certifies "
+    "recall alongside the search (planted twins recovered 8/8 — "
+    "tests/test_round11_ops.py; on the near-isotropic driver corpus "
+    "recall equals the scanned cell fraction, the family's "
+    "documented single-probe contract).  Pool-bounded by "
+    "construction: edge build <= 128^2 x 6 constant, base assignment "
+    "the linear n x 128 IVF shape.  All BIGINT.",
+)
+def x_hnsw_search(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_hnsw_search_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its
@@ -17249,8 +17521,16 @@ GRADE_FIRST = [
     # (stream_tumbling_counts_i, x_sessionize_batch_i);
     # rel_window_running_i stays registered after the fold.
     "x_ndcg_topk",
-    # event-time batch rollups (+ gap-fill variants stay after the fold)
-    "rel_time_hourly_i",
+    # r11 swap (VERDICT r10 #1 — promote the composed curation
+    # capstone): rel_time_hourly_i's slot goes to
+    # x_multimodal_curation_manifest (the per-document keep-decision a
+    # curation pipeline actually runs: H.264 SPS gate + WAV QA + dHash
+    # dup flag + text gate with per-modality failure attribution; it
+    # transitively certifies the media-census and dHash-band machinery).
+    # Event-time rollups stay driver-certified through
+    # rel_tumbling_window_i and stream_tumbling_counts_i;
+    # rel_time_hourly_i stays registered after the fold.
+    "x_multimodal_curation_manifest",
     # multi-group aggregates
     "rel_rollup",
     # temporal joins

@@ -201,6 +201,9 @@ EXTRA = [
     "x_seasonal_decompose",
     "x_theil_sen_trend",
     "x_permutation_test_exact",
+    # round-11 flagships
+    "src_warc_roundtrip",
+    "x_hnsw_search",
 ]
 
 

@@ -143,7 +143,10 @@ def test_lateness_histogram_counts_all_events(spark):
     assert sum(r["n_events"] for r in rows) == n_events
     for r in rows:
         if r["lateness_octave_s"] == -1:
-            assert r["max_late_us"] < 0 or r["max_late_us"] is not None
+            # on-time rows carry late_us = -1 exactly, so the octave's
+            # max IS the sentinel (r10 advice: the old `< 0 or is not
+            # None` form was a tautology)
+            assert r["max_late_us"] == -1
         else:
             assert r["max_late_us"] > 0
 
@@ -292,8 +295,11 @@ def test_isotonic_fit_is_monotone_and_mass_preserving(spark):
 
 def test_media_meta_census_versioning(spark):
     """build_media_meta contract: cache-hit without force, version
-    bump + superseded-dir GC with force, parquet-backed (no
-    cache/checkpoint blocks involved)."""
+    bump with force, parquet-backed (no cache/checkpoint blocks
+    involved).  Superseded dirs are NOT deleted eagerly — plans/temp
+    views captured from the old version re-resolve the parquet path at
+    action time (r10 advice), so GC is deferred to interpreter exit
+    via plans/tmpstore."""
     import glob
     import os
 
@@ -301,6 +307,7 @@ def test_media_meta_census_versioning(spark):
         _MEDIA_META_CACHE,
         build_media_meta,
     )
+    from duckdb_title_mapper_spark.plans import tmpstore
 
     d1 = build_media_meta(spark, SF, "aac", force=True)
     key = next(k for k in _MEDIA_META_CACHE if k[2] == "aac"
@@ -310,18 +317,24 @@ def test_media_meta_census_versioning(spark):
     d2 = build_media_meta(spark, SF, "aac")
     assert _MEDIA_META_CACHE[key][1] == v1
     assert d2.count() == d1.count()
-    # force: version bumps and the superseded dir is GC'd
+    # a consumer-style DataFrame captured BEFORE the force-rebuild
+    pre_rebuild_count = d1.count()
+    # force: version bumps; the superseded dir survives (deferred GC)
     build_media_meta(spark, SF, "aac", force=True)
     v2 = _MEDIA_META_CACHE[key][1]
     assert v2 == v1 + 1
     base = "/tmp/duckdb_title_mapper_spark_media_meta"
-    tags = glob.glob(f"{base}/*.v{v1}")
     live = glob.glob(f"{base}/*.v{v2}")
     assert live
     import hashlib
 
     tag = hashlib.md5(":".join(map(str, key)).encode()).hexdigest()[:16]
-    assert not os.path.exists(f"{base}/{tag}.v{v1}")
+    superseded = f"{base}/{tag}.v{v1}"
+    assert os.path.exists(superseded)
+    assert superseded in tmpstore._SUPERSEDED
+    # the pre-rebuild DataFrame still executes (the r10-advice bug:
+    # eager rmtree made lazily re-executed consumers FileNotFound)
+    assert d1.count() == pre_rebuild_count
     import pytest
 
     with pytest.raises(ValueError):
