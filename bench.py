@@ -271,6 +271,13 @@ EXTRA = [
     # round-11 flagships
     "src_warc_roundtrip",
     "x_hnsw_search",
+    "x_inference_queue_wait",
+    "x_annotator_kappa",
+    "x_generation_loop_detect",
+    "x_epoch_shuffle_audit",
+    "src_safetensors_manifest",
+    "x_needle_depth_manifest",
+    "stream_queue_wait",
 ]
 
 

@@ -519,6 +519,168 @@ def hll_stream_registers(spark, sf_dir: str):
     )
 
 
+def _stage_events_by_time(spark, sf_dir: str, parts: int = 4) -> str:
+    """Stage the events table as ``parts`` parquet slices that are
+    CONTIGUOUS in (event-time, event_id) order, with strictly
+    increasing mtimes so the file stream replays them as a
+    time-ordered firehose — the arrival model the Lindley queue
+    recursion requires (unlike the modulo splits, whose arrival order
+    is id-striped).  Carries precomputed md5 service times so the
+    stateful operator only folds."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    d = f"/tmp/duckdb_title_mapper_spark_stream/{tag}_evtime{parts}"
+    done = f"{d}/.staged"
+    if os.path.exists(done):
+        return d
+
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type", "event_id",
+        F.unix_micros("ts").alias("us"),
+        (F.lit(1000) + F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16, 10).cast("bigint") % 9000).alias("svc_us"),
+    )
+    total = ev.count()
+    rn = F.row_number().over(Window.orderBy("us", "event_id"))
+    sliced_all = ev.withColumn(
+        "slice", ((rn - 1) * parts / F.lit(total)).cast("bigint"))
+    os.makedirs(d, exist_ok=True)
+    staged_rows = 0
+    for p in range(parts):
+        sl = (sliced_all.where(F.col("slice") == p)
+              .drop("slice"))
+        staged_rows += sl.count()
+        (sl.coalesce(1).write.mode("overwrite")
+         .parquet(f"{d}/_build_{p}"))
+        part_file = next(
+            f for f in os.listdir(f"{d}/_build_{p}")
+            if f.endswith(".parquet"))
+        os.replace(f"{d}/_build_{p}/{part_file}", f"{d}/slice_{p}.parquet")
+        shutil.rmtree(f"{d}/_build_{p}", ignore_errors=True)
+    import time as _time
+
+    base = _time.time()
+    for p in range(parts):
+        os.utime(f"{d}/slice_{p}.parquet", (base + p, base + p))
+    if staged_rows != total:
+        raise AssertionError(
+            f"event staging lost rows: staged {staged_rows} of {total}")
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+def queue_wait_stream(spark, sf_dir: str, parts: int = 4):
+    """STREAMING single-server FIFO queue telemetry: the event
+    firehose replays in exact (event-time, event_id) order (staged
+    time-contiguous slices) and a custom STATEFUL operator
+    (``applyInPandasWithState`` keyed by event_type) folds the
+    Lindley recursion W_n = max(0, W_{n-1} + S_{n-1} - A_n)
+    incrementally — state carries (prev arrival, prev service,
+    current wait) plus the running aggregates, each micro-batch
+    emits the updated per-type totals in update mode, and the last
+    update per type is the answer.  The DuckDB oracle is the batch
+    closed form (x_inference_queue_wait's SQL), so the streaming fold
+    is certified against the prefix-extremum identity.  At 100 TB:
+    per-type state is a constant-width tuple and batches fold in
+    arrival order — the monitoring loop a serving fleet runs live."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    import pandas as pd
+
+    src_dir = _stage_events_by_time(spark, sf_dir, parts)
+
+    state_schema = ("prev_us BIGINT, prev_svc BIGINT, w BIGINT, "
+                    "n BIGINT, delayed BIGINT, total_wait BIGINT, "
+                    "max_wait BIGINT, busy BIGINT, min_us BIGINT, "
+                    "max_done BIGINT")
+    out_schema = ("event_type STRING, n_requests BIGINT, "
+                  "n_delayed BIGINT, total_wait_us BIGINT, "
+                  "max_wait_us BIGINT, busy_us BIGINT, "
+                  "min_us BIGINT, max_done_us BIGINT")
+
+    def fold(key, pdf_iter, state):
+        (event_type,) = key
+        if state.exists:
+            (prev_us, prev_svc, w, n, delayed, total_wait, max_wait,
+             busy, min_us, max_done) = state.get
+        else:
+            prev_us = None
+            prev_svc = w = n = delayed = total_wait = max_wait = 0
+            busy = 0
+            min_us = max_done = None
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(zip((int(v) for v in pdf["us"]),
+                            (int(v) for v in pdf["event_id"]),
+                            (int(v) for v in pdf["svc_us"])))
+        for us, _eid, svc in sorted(rows):
+            if prev_us is not None:
+                w = max(0, w + prev_svc - (us - prev_us))
+            n += 1
+            delayed += 1 if w > 0 else 0
+            total_wait += w
+            max_wait = max(max_wait, w)
+            busy += svc
+            min_us = us if min_us is None else min(min_us, us)
+            done = us + w + svc
+            max_done = done if max_done is None else max(max_done, done)
+            prev_us, prev_svc = us, svc
+        state.update((prev_us, prev_svc, w, n, delayed, total_wait,
+                      max_wait, busy, min_us, max_done))
+        yield pd.DataFrame([{
+            "event_type": event_type, "n_requests": n,
+            "n_delayed": delayed, "total_wait_us": total_wait,
+            "max_wait_us": max_wait, "busy_us": busy,
+            "min_us": min_us, "max_done_us": max_done,
+        }])
+
+    raw = (
+        spark.readStream.schema(
+            "event_type STRING, event_id BIGINT, us BIGINT, "
+            "svc_us BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    updates = raw.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    from .windows import run_to_memory
+
+    mem = run_to_memory(updates, mode="update")
+    # update mode appends one row per (type, batch); the final state is
+    # the row with the largest n_requests per type
+    from pyspark.sql.window import Window
+
+    w = F.row_number().over(
+        Window.partitionBy("event_type")
+        .orderBy(F.col("n_requests").desc()))
+    return (
+        mem.withColumn("rk", w).where(F.col("rk") == 1)
+        .select(
+            "event_type", "n_requests", "n_delayed", "total_wait_us",
+            "max_wait_us", "busy_us",
+            # integer div (operands nonnegative) — never float `/` +
+            # cast, whose rounding diverges from the oracle's floor
+            F.expr("busy_us * 1000 div (max_done_us - min_us)")
+            .cast("bigint").alias("utilization_permille"),
+        )
+    )
+
+
 def _stage_docs_by_mod(spark, sf_dir: str, parts: int = 4) -> str:
     """Stage the documents table as ``parts`` parquet slices split by
     ``doc_id % parts`` — doc_ids are nonnegative and non-null (unlike

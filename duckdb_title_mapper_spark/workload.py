@@ -17459,6 +17459,502 @@ def x_hnsw_search(spark, sf_dir):
     return spark.sql(_hnsw_search_sql(True))
 
 
+def _inference_queue_sql(spark_dialect: bool) -> str:
+    """Single-server FIFO waiting times by the Lindley recursion in
+    CLOSED FORM: W_n = max(0, W_{n-1} + S_{n-1} - A_n) unrolls to
+    W_n = C_n - min(0, min_{k<=n} C_k) where C is the running sum of
+    X_n = S_{n-1} - A_n — ONE cumulative-sum window plus ONE
+    running-min window per event_type, no iteration (the same
+    prefix-extremum trick as x_cusum_changepoint).  Service times are
+    md5-derived integer microseconds (1000 + h % 9000), arrivals in
+    (event time, event_id) order; everything integer end to end."""
+    if spark_dialect:
+        us = "unix_micros(ts)"
+        h = ("CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8),"
+             " 16, 10) AS BIGINT)")
+        idiv = "div"
+    else:
+        us = "epoch_us(ts)"
+        h = ("('0x' || substr(md5(CAST(event_id AS STRING)), 1, 8))"
+             "::BIGINT")
+        idiv = "//"
+    return f"""WITH ev AS (
+      SELECT event_type, event_id, {us} AS us,
+             1000 + {h} % 9000 AS svc_us
+      FROM events),
+    x AS (
+      SELECT event_type, event_id, us, svc_us,
+             CASE WHEN lag(us) OVER w IS NULL THEN 0
+                  ELSE lag(svc_us) OVER w - (us - lag(us) OVER w)
+             END AS xn
+      FROM ev
+      WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)),
+    c AS (
+      SELECT event_type, event_id, us, svc_us,
+             sum(xn) OVER (PARTITION BY event_type
+                 ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cn
+      FROM x),
+    wt AS (
+      SELECT event_type, us, svc_us,
+             cn - CASE WHEN cmin < 0 THEN cmin ELSE 0 END AS wait_us
+      FROM (SELECT event_type, us, svc_us, cn,
+                   min(cn) OVER (PARTITION BY event_type
+                       ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cmin
+            FROM c) cc)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_requests,
+           CAST(sum(CASE WHEN wait_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_delayed,
+           CAST(sum(wait_us) AS BIGINT) AS total_wait_us,
+           CAST(max(wait_us) AS BIGINT) AS max_wait_us,
+           CAST(sum(svc_us) AS BIGINT) AS busy_us,
+           CAST(sum(svc_us) * 1000 {idiv}
+                (max(us + wait_us + svc_us) - min(us))
+                AS BIGINT) AS utilization_permille
+    FROM wt GROUP BY event_type"""
+
+
+@_q(
+    "x_inference_queue_wait",
+    _inference_queue_sql(False),
+    "Inference-serving queue audit (r11 — the queueing-telemetry view "
+    "an LLM serving stack reads before sizing replicas): each event "
+    "type is a single-server FIFO replica, arrivals in event-time "
+    "order, md5-derived integer service times (1000 + h % 9000 us); "
+    "per-request waiting times come from the Lindley recursion W_n = "
+    "max(0, W_{n-1} + S_{n-1} - A_n) solved in CLOSED FORM as W_n = "
+    "C_n - min(0, running-min C) — one cumulative-sum window + one "
+    "running-min window per event_type, NO iteration (the prefix-"
+    "extremum idiom of x_cusum_changepoint).  Emits delayed-request "
+    "count, total/max wait, busy time, and exact integer utilization "
+    "permille (nonnegative operands, so idiv is cross-engine safe).  "
+    "Plan: one scan, two stacked windows on the same sort, one "
+    "partial-agg rollup — at 100 TB a range-partitioned sort per "
+    "event_type, never a driver loop.",
+)
+def x_inference_queue_wait(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_inference_queue_sql(True))
+
+
+def _annotator_kappa_sql(spark_dialect: bool) -> str:
+    """Cohen's kappa between two deterministic binary annotators as an
+    EXACT RATIONAL: kappa = (N*agree - chance) / (N^2 - chance) with
+    chance = a1*b1 + a0*b0 — emitted as (num, den) BIGINTs so no
+    division (kappa can be negative, the cross-engine idiv trap)
+    touches the result.  Annotator A = token count >= 25 (a length
+    gate); annotator B = mean alpha-chars-per-token >= 4.5, spelled
+    division-free as 2*alpha_chars >= 9*tokens (a lexical-density
+    gate on an orthogonal axis, so ALL FOUR confusion cells populate
+    — a distinct-token gate was probed first but is a strict subset
+    of A, structurally zeroing n01; a letters-ratio gate fired on
+    100% of docs, pinning kappa at exactly 0)."""
+    if spark_dialect:
+        tok = "size(regexp_extract_all(lower(text), '\\\\w+', 0))"
+        alpha = "length(regexp_replace(lower(text), '[^a-z]', ''))"
+    else:
+        tok = r"len(regexp_extract_all(lower(text), '\w+'))"
+        alpha = "length(regexp_replace(lower(text), '[^a-z]', '', 'g'))"
+    return f"""WITH flags AS (
+      SELECT CASE WHEN {tok} >= 25 THEN 1 ELSE 0 END AS a,
+             CASE WHEN 2 * {alpha} >= 9 * {tok} THEN 1 ELSE 0 END AS b
+      FROM documents),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS a1,
+             CAST(sum(b) AS BIGINT) AS b1,
+             CAST(sum(a * b) AS BIGINT) AS n11,
+             CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00,
+             CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(sum((1 - a) * b) AS BIGINT) AS n01
+      FROM flags)
+    SELECT n AS n_docs, n11, n10, n01, n00,
+           CAST(n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1))
+                AS BIGINT) AS kappa_num,
+           CAST(n * n - (a1 * b1 + (n - a1) * (n - b1))
+                AS BIGINT) AS kappa_den
+    FROM agg"""
+
+
+@_q(
+    "x_annotator_kappa",
+    _annotator_kappa_sql(False),
+    "Inter-annotator agreement audit (r11 — the label-QA metric every "
+    "annotation pipeline reports before trusting its raters, new "
+    "beside the dedup-METHOD agreement census): Cohen's kappa between "
+    "two deterministic binary quality annotators (A: token count >= "
+    "25; B: mean alpha-chars-per-token >= 4.5, division-free as "
+    "2*alpha >= 9*tokens — near-median gates on orthogonal axes, so "
+    "all four confusion cells populate) over documents, emitted "
+    "as the full confusion matrix plus kappa as an EXACT RATIONAL "
+    "(num, den) BIGINT pair — kappa can be negative and integer "
+    "division diverges on negatives across engines, so the result "
+    "never divides.  Plan: one scan, map-side flags, one partial-agg "
+    "rollup to a single row — embarrassingly parallel at any scale.",
+)
+def x_annotator_kappa(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_annotator_kappa_sql(True))
+
+
+def _loop_detect_sql(spark_dialect: bool) -> str:
+    """Degenerate-repetition detection over token streams: longest
+    identical-token run (period 1) and longest ABAB alternation
+    (period 2) per document via the gaps-and-islands idiom — one lag
+    window for the equality flags, one running-sum window for the
+    island ids, a per-island count, rolled up per source.  An island
+    of m consecutive lag-1 equalities is a run of m+1 identical
+    tokens; m consecutive lag-2 equalities cover an alternating
+    stretch of m+2 tokens."""
+    if spark_dialect:
+        arr = "regexp_extract_all(lower(text), '\\\\w+', 0)"
+        # sequence(1, 0) DESCENDS on Spark — guard size >= 1
+        pos_src = ("SELECT doc_id, source, arr,"
+                   " explode(sequence(1, size(arr))) AS p"
+                   " FROM toks WHERE size(arr) >= 1")
+        tok = "element_at(arr, p)"
+    else:
+        arr = r"regexp_extract_all(lower(text), '\w+')"
+        pos_src = ("SELECT doc_id, source, arr,"
+                   " unnest(generate_series(1, len(arr))) AS p"
+                   " FROM toks")
+        tok = "arr[p]"
+    return f"""WITH toks AS (
+      SELECT doc_id, source, {arr} AS arr FROM documents),
+    pos AS ({pos_src}),
+    t AS (SELECT doc_id, source, p, {tok} AS tok FROM pos),
+    f AS (
+      SELECT doc_id, source, p,
+             CASE WHEN lag(tok) OVER w IS NOT NULL
+                   AND lag(tok) OVER w = tok THEN 1 ELSE 0 END AS eq1,
+             CASE WHEN lag(tok, 2) OVER w IS NOT NULL
+                   AND lag(tok, 2) OVER w = tok THEN 1 ELSE 0 END AS eq2
+      FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+    seg AS (
+      SELECT doc_id, source, eq1, eq2,
+             sum(1 - eq1) OVER w AS s1,
+             sum(1 - eq2) OVER w AS s2
+      FROM f
+      WINDOW w AS (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    rep AS (
+      SELECT doc_id, max(m) + 1 AS max_rep FROM (
+        SELECT doc_id, s1, count(*) AS m FROM seg
+        WHERE eq1 = 1 GROUP BY doc_id, s1) i
+      GROUP BY doc_id),
+    alt AS (
+      SELECT doc_id, max(m) + 2 AS max_alt FROM (
+        SELECT doc_id, s2, count(*) AS m FROM seg
+        WHERE eq2 = 1 GROUP BY doc_id, s2) i
+      GROUP BY doc_id)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(COALESCE(r.max_rep, 1)) AS BIGINT) AS max_rep_run,
+           CAST(sum(CASE WHEN COALESCE(r.max_rep, 1) >= 3
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_rep_ge3,
+           CAST(max(COALESCE(a.max_alt, 1)) AS BIGINT) AS max_alt_run,
+           CAST(sum(CASE WHEN COALESCE(a.max_alt, 1) >= 4
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_alt_ge4
+    FROM (SELECT doc_id, source FROM documents) d
+    LEFT JOIN rep r ON r.doc_id = d.doc_id
+    LEFT JOIN alt a ON a.doc_id = d.doc_id
+    GROUP BY d.source"""
+
+
+@_q(
+    "x_generation_loop_detect",
+    _loop_detect_sql(False),
+    "Degenerate-repetition audit over token streams (r11 — the "
+    "generation-QA gate that catches looping decoders and boilerplate "
+    "stutter before text enters a training mix): per document the "
+    "longest identical-token run (period 1) and the longest ABAB "
+    "alternation (period 2) via the gaps-and-islands idiom — an "
+    "island of m consecutive lag-k equalities is a period-k stretch "
+    "of m+k tokens — rolled up per source as max run lengths and "
+    "affected-doc counts.  One token explode, two stacked windows on "
+    "the same per-doc sort, two bounded island aggregates; "
+    "token-mass-linear with no joins beyond the per-doc rollup.  All "
+    "BIGINT.",
+)
+def x_generation_loop_detect(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_loop_detect_sql(True))
+
+
+def _shuffle_audit_sql(spark_dialect: bool) -> str:
+    """Epoch-shuffle decorrelation audit: adjacent-same-source counts
+    and longest same-source runs under (a) the ingestion order
+    (doc_id) and (b) a deterministic md5 hash shuffle, against the
+    exact uniform-permutation expectation E[adjacent same] =
+    sum_s n_s(n_s-1) / N, emitted as a (num, den) rational."""
+    cast_s = "STRING" if spark_dialect else "VARCHAR"
+    shuf = f"md5(CAST(doc_id AS {cast_s}))"
+    return f"""WITH nat AS (
+      SELECT doc_id, source,
+             CASE WHEN lag(source) OVER (ORDER BY doc_id) = source
+                  THEN 0 ELSE 1 END AS brk
+      FROM documents),
+    natrun AS (
+      SELECT CAST(max(m) AS BIGINT) AS mx FROM (
+        SELECT count(*) AS m FROM (
+          SELECT sum(brk) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+          FROM nat) s
+        GROUP BY seg) i),
+    natagg AS (
+      SELECT CAST(sum(1 - brk) AS BIGINT) AS adj_same FROM nat),
+    sh AS (
+      SELECT doc_id, source, {shuf} AS k,
+             CASE WHEN lag(source) OVER (ORDER BY {shuf}, doc_id)
+                    = source THEN 0 ELSE 1 END AS brk
+      FROM documents),
+    shrun AS (
+      SELECT CAST(max(m) AS BIGINT) AS mx FROM (
+        SELECT count(*) AS m FROM (
+          SELECT sum(brk) OVER (ORDER BY k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+          FROM sh) s
+        GROUP BY seg) i),
+    shagg AS (
+      SELECT CAST(sum(1 - brk) AS BIGINT) AS adj_same FROM sh),
+    expct AS (
+      SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS num FROM (
+        SELECT count(*) AS c FROM documents GROUP BY source) g),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT b.n_docs,
+           na.adj_same AS adj_same_natural,
+           sa.adj_same AS adj_same_shuffled,
+           e.num AS expected_same_num,
+           b.n_docs AS expected_same_den,
+           nr.mx AS max_run_natural,
+           sr.mx AS max_run_shuffled
+    FROM base b
+    CROSS JOIN natagg na CROSS JOIN shagg sa CROSS JOIN expct e
+    CROSS JOIN natrun nr CROSS JOIN shrun sr"""
+
+
+@_q(
+    "x_epoch_shuffle_audit",
+    _shuffle_audit_sql(False),
+    "Epoch-shuffle decorrelation audit (r11 — the data-loading QA a "
+    "training pipeline runs before trusting its epoch order: "
+    "correlated consecutive samples bias SGD): adjacent-same-source "
+    "pair counts and longest same-source runs under the INGESTION "
+    "order vs a deterministic md5 hash shuffle, against the exact "
+    "uniform-permutation expectation sum n_s(n_s-1)/N emitted as a "
+    "(num, den) rational.  On the driver corpus the audit shows the "
+    "interesting inversion: ingestion order is perfectly striped (0 "
+    "adjacent-same, an artifact) while the hash shuffle lands at the "
+    "uniform expectation — both deviations a loader should know "
+    "about.  Plan: two global-sort windows (range-partitioned sorts "
+    "at scale) + one group-by; all integers.",
+)
+def x_epoch_shuffle_audit(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_shuffle_audit_sql(True))
+
+
+def _safetensors_oracle() -> str:
+    from .sources.safetensors import ENTRY_FIXED
+
+    return f"""WITH t AS (
+      SELECT source, doc_id,
+             1 + length(text) % 8 AS r,
+             4 + doc_id % 4 AS c
+      FROM documents),
+    o AS (
+      SELECT source, doc_id, r, c, r * c * 4 AS nb,
+             COALESCE(sum(r * c * 4) OVER (PARTITION BY source
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS b
+      FROM t)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tensors,
+           CAST(sum(r * c) AS BIGINT) AS total_elements,
+           CAST(sum(nb) AS BIGINT) AS data_bytes,
+           CAST(2 + count(*) - 1
+                + sum({ENTRY_FIXED}
+                      + 14 + length(CAST(doc_id AS VARCHAR))
+                      + length(CAST(r AS VARCHAR))
+                      + length(CAST(c AS VARCHAR))
+                      + length(CAST(b AS VARCHAR))
+                      + length(CAST(b + nb AS VARCHAR)))
+                AS BIGINT) AS header_bytes,
+           CAST(8 + 2 + count(*) - 1
+                + sum({ENTRY_FIXED}
+                      + 14 + length(CAST(doc_id AS VARCHAR))
+                      + length(CAST(r AS VARCHAR))
+                      + length(CAST(c AS VARCHAR))
+                      + length(CAST(b AS VARCHAR))
+                      + length(CAST(b + nb AS VARCHAR)))
+                + sum(nb) AS BIGINT) AS file_bytes
+    FROM o GROUP BY source"""
+
+
+@_q(
+    "src_safetensors_manifest",
+    _safetensors_oracle(),
+    "safetensors checkpoint-shard walk (r11 — the format LLM weights "
+    "actually ship in, extending the ingestion family to the "
+    "checkpoint axis beside the erasure/Merkle manifests): per "
+    "source, one GENUINE safetensors file is built (8-byte LE header "
+    "length, canonical-JSON tensor header, contiguous little-endian "
+    "tensor spans; one F32 tensor per document with text-derived "
+    "shape), then re-walked with the format's FULL integrity "
+    "contract verified — span arithmetic = prod(shape)*dtype_size, "
+    "zero-based contiguous non-overlapping offsets, exact buffer "
+    "length — before the per-source manifest is emitted.  Map-side "
+    "per source (applyInPandas); the oracle recomputes byte "
+    "accounting closed-form INCLUDING the JSON header length (entry "
+    "constant + name length + decimal digit counts of shape and of "
+    "the RUNNING data offsets — one window).",
+)
+def src_safetensors_manifest(spark, sf_dir):
+    """Spark-side: sources/safetensors.py (public Hugging Face spec;
+    the reference has no checkpoint surface)."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id",
+                                                   "text")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .sources.safetensors import (
+            build_safetensors, read_safetensors)
+
+        pdf = pdf.sort_values("doc_id")
+        src = pdf["source"].iloc[0]
+        tensors = []
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            r, c = 1 + len(text) % 8, 4 + did % 4
+            fill = hashlib.md5(str(did).encode()).digest()
+            raw = (fill * (r * c * 4 // 16 + 1))[: r * c * 4]
+            tensors.append(
+                (f"layers.{did}.weight", "F32", (r, c), raw))
+        blob = build_safetensors(tensors)
+        back = read_safetensors(blob)
+        if [t["name"] for t in back] != [t[0] for t in tensors]:
+            raise AssertionError("safetensors round trip diverged")
+        hlen = int.from_bytes(blob[:8], "little")
+        return pd.DataFrame(
+            {
+                "source": [src],
+                "n_tensors": [len(back)],
+                "total_elements": [sum(t["n_elements"] for t in back)],
+                "data_bytes": [sum(t["n_bytes"] for t in back)],
+                "header_bytes": [hlen],
+                "file_bytes": [len(blob)],
+            }
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        pack,
+        "source STRING, n_tensors BIGINT, total_elements BIGINT, "
+        "data_bytes BIGINT, header_bytes BIGINT, file_bytes BIGINT",
+    )
+
+
+def _needle_depth_sql(spark_dialect: bool) -> str:
+    """Needle-in-a-haystack insertion manifest: for every document and
+    every target depth (10/25/50/75/90 % of the character length,
+    integer floor), the '.' sentence boundary NEAREST the target
+    (|pos - target| argmin, tie -> earlier position; -1 when the
+    document has no '.').  Dot positions come from a character-
+    position explode filtered to dots (sparse, linear in corpus
+    chars — the gram-census class); the argmin is one window per
+    (doc, depth)."""
+    if spark_dialect:
+        pos_src = ("SELECT doc_id, explode(sequence(1, length(text)))"
+                   " AS p, text FROM documents WHERE length(text) >= 1")
+        idiv = "div"
+    else:
+        pos_src = ("SELECT doc_id,"
+                   " unnest(generate_series(1, length(text))) AS p,"
+                   " text FROM documents")
+        idiv = "//"
+    return f"""WITH dots AS (
+      SELECT doc_id, p FROM ({pos_src}) cp
+      WHERE substr(text, CAST(p AS INT), 1) = '.'),
+    depths AS (SELECT d FROM (VALUES (10), (25), (50), (75), (90))
+               AS t(d)),
+    targets AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, d.d,
+             CAST(d.d * length(text) {idiv} 100 AS BIGINT) AS target
+      FROM documents CROSS JOIN depths d),
+    nearest AS (
+      SELECT doc_id, d, target, p FROM (
+        SELECT t.doc_id, t.d, t.target, o.p,
+               row_number() OVER (PARTITION BY t.doc_id, t.d
+                   ORDER BY CASE WHEN o.p >= t.target
+                                 THEN o.p - t.target
+                                 ELSE t.target - o.p END, o.p) AS rk
+        FROM targets t JOIN dots o ON o.doc_id = t.doc_id) r
+      WHERE rk = 1)
+    SELECT t.doc_id,
+           CAST(t.d AS BIGINT) AS depth_pct,
+           t.n_chars, t.target,
+           CAST(COALESCE(n.p, -1) AS BIGINT) AS insert_off,
+           CAST(CASE WHEN n.p IS NULL THEN -1
+                     WHEN n.p >= t.target THEN n.p - t.target
+                     ELSE t.target - n.p END AS BIGINT) AS boundary_dist
+    FROM targets t
+    LEFT JOIN nearest n ON n.doc_id = t.doc_id AND n.d = t.d"""
+
+
+@_q(
+    "x_needle_depth_manifest",
+    _needle_depth_sql(False),
+    "Needle-in-a-haystack insertion manifest (r11 — the eval-set "
+    "builder long-context testing starts from: where exactly to "
+    "plant the needle at each retrieval depth): for every document "
+    "and depth in {10,25,50,75,90}% of its character length, the "
+    "sentence boundary ('.') NEAREST the integer target offset "
+    "(argmin |pos - target|, tie -> earlier; -1 sentinel for dotless "
+    "docs) plus the boundary distance — the offsets a generator "
+    "then splices needles into.  Plan: one sparse dot-position "
+    "explode (linear in corpus chars, the gram-census class), a "
+    "5-row broadcast depth relation, one argmin window per "
+    "(doc, depth).  All BIGINT; floor division is nonnegative-only "
+    "so the idiv dialect split is safe.",
+)
+def x_needle_depth_manifest(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_needle_depth_sql(True))
+
+
+@_q(
+    "stream_queue_wait",
+    _inference_queue_sql(False),
+    "STREAMING queue telemetry (r11 — x_inference_queue_wait's "
+    "stateful twin, certifying the Lindley fold against the batch "
+    "closed form): the event firehose replays in exact (event-time, "
+    "event_id) order through time-contiguous staged slices, and an "
+    "applyInPandasWithState operator keyed by event_type carries "
+    "(prev arrival, prev service, current wait) plus running "
+    "aggregates across micro-batches, emitting updated totals per "
+    "batch; the final update per type must hash-match the batch "
+    "prefix-extremum identity — an iterative recursion and its "
+    "closed form certified against each other across the "
+    "batch/streaming boundary.  Constant-width per-type state, "
+    "arrival-order folding: the live monitoring loop of a serving "
+    "fleet.",
+)
+def stream_queue_wait(spark, sf_dir):
+    from .streaming.sinks import queue_wait_stream
+
+    return queue_wait_stream(spark, sf_dir)
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -94,6 +94,194 @@ def test_hnsw_search_structure_on_driver_data(spark):
     assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
 
 
+def test_inference_queue_matches_direct_lindley_recursion(spark):
+    """The closed form W_n = C_n - min(0, running-min C) must equal
+    the literal recursion W_n = max(0, W_{n-1} + S_{n-1} - A_n)
+    replayed in Python over the same arrival order."""
+    import hashlib
+
+    from duckdb_title_mapper_spark.workload import (
+        core_queries, register_views)
+
+    register_views(spark, SF, "events")
+    ev = spark.sql(
+        "SELECT event_type, event_id, unix_micros(ts) AS us"
+        " FROM events").collect()
+    by_type = {}
+    for r in sorted(ev, key=lambda r: (r.event_type, r.us, r.event_id)):
+        by_type.setdefault(r.event_type, []).append(r)
+    expect = {}
+    for et, rows in by_type.items():
+        w = prev_svc = 0
+        tot = mx = delayed = busy = 0
+        prev_us = None
+        for r in rows:
+            h = int(hashlib.md5(str(r.event_id).encode())
+                    .hexdigest()[:8], 16)
+            svc = 1000 + h % 9000
+            if prev_us is not None:
+                w = max(0, w + prev_svc - (r.us - prev_us))
+            tot += w
+            mx = max(mx, w)
+            delayed += 1 if w > 0 else 0
+            busy += svc
+            prev_us, prev_svc = r.us, svc
+        expect[et] = (len(rows), delayed, tot, mx, busy)
+    got = core_queries()["x_inference_queue_wait"].spark_fn(
+        spark, SF).collect()
+    for r in got:
+        assert expect[r.event_type] == (
+            r.n_requests, r.n_delayed, r.total_wait_us, r.max_wait_us,
+            r.busy_us), r.event_type
+
+
+def test_annotator_kappa_identities(spark):
+    """Confusion cells partition the corpus; kappa rational identities
+    hold: den = N^2 - chance, num = N*agree - chance, |kappa| <= 1."""
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    r = core_queries()["x_annotator_kappa"].spark_fn(spark, SF).collect()
+    assert len(r) == 1
+    r = r[0]
+    n = r.n_docs
+    assert r.n11 + r.n10 + r.n01 + r.n00 == n
+    a1, b1 = r.n11 + r.n10, r.n11 + r.n01
+    chance = a1 * b1 + (n - a1) * (n - b1)
+    assert r.kappa_den == n * n - chance
+    assert r.kappa_num == n * (r.n11 + r.n00) - chance
+    assert abs(r.kappa_num) <= r.kappa_den
+
+
+def test_loop_detect_matches_python_replay(spark):
+    """Island-window run lengths must equal a direct Python scan of
+    the token streams."""
+    import re
+
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text").collect()
+    per_source = {}
+    for d in docs:
+        toks = re.findall(r"\w+", d.text.lower())
+        mr = ma = 1
+        run = 1
+        for i in range(1, len(toks)):
+            run = run + 1 if toks[i] == toks[i - 1] else 1
+            mr = max(mr, run)
+        arun = 2 if len(toks) >= 2 else 1
+        best = 1
+        for i in range(2, len(toks)):
+            arun = arun + 1 if toks[i] == toks[i - 2] else 2
+            best = max(best, arun)
+        ma = best if len(toks) >= 3 and best >= 3 else 1
+        # SQL counts an island of m lag-2 equalities as m+2 tokens and
+        # reports 1 when no equality exists
+        s = per_source.setdefault(
+            d.source, {"n": 0, "mr": 1, "ma": 1, "r3": 0, "a4": 0})
+        s["n"] += 1
+        s["mr"] = max(s["mr"], mr)
+        s["ma"] = max(s["ma"], ma)
+        s["r3"] += 1 if mr >= 3 else 0
+        s["a4"] += 1 if ma >= 4 else 0
+    rows = core_queries()["x_generation_loop_detect"].spark_fn(
+        spark, SF).collect()
+    assert len(rows) == len(per_source)
+    for r in rows:
+        e = per_source[r.source]
+        assert (r.n_docs, r.max_rep_run, r.n_docs_rep_ge3,
+                r.max_alt_run, r.n_docs_alt_ge4) == (
+            e["n"], e["mr"], e["r3"], e["ma"], e["a4"]), r.source
+
+
+def test_shuffle_audit_invariants(spark):
+    """Run/adjacency identities: adjacent-same = N - #runs in both
+    orders; expectation rational uses the per-source counts."""
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    r = core_queries()["x_epoch_shuffle_audit"].spark_fn(
+        spark, SF).collect()[0]
+    assert r.expected_same_den == r.n_docs
+    assert 0 <= r.adj_same_natural < r.n_docs
+    assert 0 <= r.adj_same_shuffled < r.n_docs
+    assert 1 <= r.max_run_natural <= r.adj_same_natural + 1
+    assert 1 <= r.max_run_shuffled <= r.adj_same_shuffled + 1
+    import pyarrow.parquet as pq
+
+    assert r.n_docs == pq.read_metadata(
+        f"{SF}/documents.parquet").num_rows
+
+
+def test_safetensors_codec_validates_integrity():
+    import pytest
+
+    from duckdb_title_mapper_spark.sources.safetensors import (
+        build_safetensors, read_safetensors)
+
+    tensors = [
+        ("a.weight", "F32", (2, 3), b"\x01" * 24),
+        ("b.bias", "I64", (4,), b"\x02" * 32),
+    ]
+    blob = build_safetensors(tensors)
+    back = read_safetensors(blob)
+    assert [(t["name"], t["n_bytes"]) for t in back] == [
+        ("a.weight", 24), ("b.bias", 32)]
+    assert back[0]["begin"] == 0 and back[1]["begin"] == 24
+    # determinism
+    assert build_safetensors(tensors) == blob
+    # wrong payload size refused at build
+    with pytest.raises(ValueError):
+        build_safetensors([("x", "F32", (2, 2), b"\x00" * 15)])
+    # span-arithmetic violation refused at read
+    bad = blob.replace(b'"shape":[2,3]', b'"shape":[2,2]')
+    with pytest.raises(ValueError):
+        read_safetensors(bad)
+    # truncated buffer refused
+    with pytest.raises(ValueError):
+        read_safetensors(blob[:-4])
+
+
+def test_needle_depth_anchors_are_nearest_dots(spark):
+    """Replay a sample of docs in Python: the chosen insert_off must
+    be a '.' position minimizing |pos - target| (earlier on ties)."""
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = core_queries()["x_needle_depth_manifest"].spark_fn(
+        spark, SF).collect()
+    docs = {d.doc_id: d.text for d in spark.read.parquet(
+        f"{SF}/documents.parquet").select("doc_id", "text").collect()}
+    assert len(rows) == 5 * len(docs)
+    for r in rows[:200]:
+        text = docs[r.doc_id]
+        dots = [i + 1 for i, ch in enumerate(text) if ch == "."]
+        target = r.depth_pct * len(text) // 100
+        assert r.target == target and r.n_chars == len(text)
+        if not dots:
+            assert r.insert_off == -1 and r.boundary_dist == -1
+        else:
+            best = min(dots, key=lambda p: (abs(p - target), p))
+            assert r.insert_off == best
+            assert r.boundary_dist == abs(best - target)
+
+
+def test_stream_queue_wait_matches_batch_closed_form(spark):
+    """The stateful streaming fold must equal the batch query on
+    every column — the cross-boundary certification."""
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    batch = {r.event_type: r for r in core_queries()[
+        "x_inference_queue_wait"].spark_fn(spark, SF).collect()}
+    stream = core_queries()["stream_queue_wait"].spark_fn(
+        spark, SF).collect()
+    assert len(stream) == len(batch)
+    for r in stream:
+        b = batch[r.event_type]
+        assert (r.n_requests, r.n_delayed, r.total_wait_us,
+                r.max_wait_us, r.busy_us, r.utilization_permille) == (
+            b.n_requests, b.n_delayed, b.total_wait_us, b.max_wait_us,
+            b.busy_us, b.utilization_permille), r.event_type
+
+
 def test_warc_codec_roundtrip_and_framing():
     from duckdb_title_mapper_spark.sources import warc
 
