@@ -278,6 +278,9 @@ EXTRA = [
     "src_safetensors_manifest",
     "x_needle_depth_manifest",
     "stream_queue_wait",
+    "src_avro_roundtrip",
+    "x_pass_at_k",
+    "x_brier_score",
 ]
 
 

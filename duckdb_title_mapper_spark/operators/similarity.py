@@ -555,3 +555,50 @@ def cosine_topk(queries_df, corpus_df, k: int,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def nearest_cell_assign(df, pool_rows, id_col: str = "vec_id",
+                        vec_col: str = "embedding"):
+    """Nearest-pool-node assignment (squared L2, tie -> lowest pool
+    id) via ``mapInPandas`` with the pool shipped as a numpy constant
+    — the linear n x |pool| IVF-shape pass, ~10x the interpreted
+    array-lambda SQL form, same cells to the BIT.
+
+    Float discipline (the ``cosine_near_dup_pairs_grouped`` contract):
+    distances accumulate with an explicit loop over dimensions —
+    sequential in index order, vectorized across rows — the identical
+    IEEE op sequence as the SQL ``aggregate(zip_with(...))`` fold, so
+    the argmin (first-minimum = lowest pool id on exact ties, pool
+    pre-sorted by id) matches the window-rank form exactly.
+
+    ``pool_rows`` is a BOUNDED relation by the caller's contract
+    (x_hnsw_search derives it <= ~2*128 rows at any corpus size), so
+    shipping it in the task closure is a KB-scale broadcast, never a
+    data-scale collect."""
+    import numpy as np
+    import pandas as pd
+
+    pool_sorted = sorted(pool_rows, key=lambda r: int(r[0]))
+    pool_ids = np.array([int(r[0]) for r in pool_sorted], dtype=np.int64)
+    pool_mat = np.stack([
+        np.asarray(r[1], dtype=np.float64) for r in pool_sorted])
+    dims = pool_mat.shape[1]
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([
+                np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            acc = np.zeros((len(m), len(pool_ids)))
+            for d in range(dims):  # sequential-in-dim == SQL fold order
+                diff = m[:, d][:, None] - pool_mat[:, d][None, :]
+                acc += diff * diff
+            idx = np.argmin(acc, axis=1)  # first min = lowest pool id
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].astype("int64").values,
+                "cell": pool_ids[idx],
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        work, "vec_id BIGINT, cell BIGINT")

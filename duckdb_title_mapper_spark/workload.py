@@ -17291,7 +17291,12 @@ def src_warc_roundtrip(spark, sf_dir):
 # family's graph axis beside LSH / multiprobe / IVF / PQ.
 
 
-def _hnsw_search_sql(spark_dialect: bool) -> str:
+def _hnsw_search_sql(spark_dialect: bool,
+                     lay_rel: str | None = None,
+                     pool_rel: str | None = None,
+                     edges_rel: str | None = None,
+                     assign_rel: str | None = None,
+                     head_only: str | None = None) -> str:
     """HNSW-style bounded-beam graph search, fully relational and
     cross-engine exact:
 
@@ -17363,17 +17368,27 @@ def _hnsw_search_sql(spark_dialect: bool) -> str:
       WHERE rk <= {beam_w})""")
     beam_ctes = ",\n    ".join(beams)
     last_beam = f"beam{len(offsets)}"
-    return f"""WITH lay AS (
+    # Component bodies, overridable with pre-materialized views: the
+    # Spark side materializes lay/pool/edges ONCE (plans/materialize)
+    # because Spark inlines CTEs per consumer — the 6 beam rounds would
+    # otherwise recompute the pool-pair edge windows 6x (measured 5.4 s
+    # -> see SCALING.md r11 row); the DuckDB oracle keeps the inline
+    # CTEs under AS MATERIALIZED hints.
+    lay_cte = (f"""lay AS (
       SELECT vec_id, embedding,
              CASE {ladder} ELSE 12 END AS max_layer
-      FROM (SELECT vec_id, embedding, {h} AS h FROM embeddings) v),
-    cut AS (
+      FROM (SELECT vec_id, embedding, {h} AS h FROM embeddings) v)"""
+               if lay_rel is None else
+               f"lay AS (SELECT * FROM {lay_rel})")
+    cut_cte = f"""cut AS (
       SELECT CASE {l0_ladder} ELSE 24 END AS l0
-      FROM (SELECT count(*) AS n FROM lay) t),
-    pool AS {mat}(
+      FROM (SELECT count(*) AS n FROM lay) t)"""
+    pool_cte = (f"""pool AS {mat}(
       SELECT l.vec_id, l.embedding, l.max_layer
-      FROM lay l CROSS JOIN cut c WHERE l.max_layer >= c.l0),
-    edges AS {mat}(
+      FROM lay l CROSS JOIN cut c WHERE l.max_layer >= c.l0)"""
+                if pool_rel is None else
+                f"pool AS (SELECT * FROM {pool_rel})")
+    edges_cte = (f"""edges AS {mat}(
       SELECT r, src, dst FROM (
         SELECT rr.r, a.vec_id AS src, b.vec_id AS dst,
                row_number() OVER (PARTITION BY rr.r, a.vec_id
@@ -17387,7 +17402,30 @@ def _hnsw_search_sql(spark_dialect: bool) -> str:
       WHERE rk <= {m_edges}
       UNION ALL
       SELECT rr.r, p.vec_id, p.vec_id
-      FROM pool p CROSS JOIN {rounds_rel} rr),
+      FROM pool p CROSS JOIN {rounds_rel} rr)"""
+                 if edges_rel is None else
+                 f"edges AS (SELECT * FROM {edges_rel})")
+    assign_cte = (f"""assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT l.vec_id, p.vec_id AS cell,
+               row_number() OVER (PARTITION BY l.vec_id
+                   ORDER BY {d_vp}, p.vec_id) AS rk
+        FROM lay l CROSS JOIN pool p) t
+      WHERE rk = 1)"""
+                  if assign_rel is None else
+                  f"assign AS (SELECT * FROM {assign_rel})")
+    if head_only == "lay":
+        return f"WITH {lay_cte} SELECT * FROM lay"
+    if head_only == "pool":
+        return (f"WITH {lay_cte},\n    {cut_cte},\n    {pool_cte}"
+                " SELECT * FROM pool")
+    if head_only == "edges":
+        return (f"WITH {lay_cte},\n    {cut_cte},\n    {pool_cte},\n"
+                f"    {edges_cte} SELECT * FROM edges")
+    return f"""WITH {lay_cte},
+    {cut_cte},
+    {pool_cte},
+    {edges_cte},
     queries AS (
       SELECT vec_id AS query_id, embedding AS qe FROM lay
       WHERE vec_id < 8),
@@ -17398,13 +17436,7 @@ def _hnsw_search_sql(spark_dialect: bool) -> str:
       SELECT q.query_id, e.vec_id AS node
       FROM queries q CROSS JOIN entry e),
     {beam_ctes},
-    assign AS (
-      SELECT vec_id, cell FROM (
-        SELECT l.vec_id, p.vec_id AS cell,
-               row_number() OVER (PARTITION BY l.vec_id
-                   ORDER BY {d_vp}, p.vec_id) AS rk
-        FROM lay l CROSS JOIN pool p) t
-      WHERE rk = 1),
+    {assign_cte},
     approx AS (
       SELECT query_id, neighbor_id, rank FROM (
         SELECT c.query_id, c.vec_id AS neighbor_id,
@@ -17455,8 +17487,34 @@ def _hnsw_search_sql(spark_dialect: bool) -> str:
     "the linear n x 128 IVF shape.  All BIGINT.",
 )
 def x_hnsw_search(spark, sf_dir):
+    """Spark side materializes the three shared relations ONCE
+    (plans/materialize): Spark inlines CTEs per consumer, so the six
+    beam rounds would recompute the pool-pair edge windows 6x without
+    it (SCALING.md r11: 5.4 s -> materialized form)."""
+    from .plans.materialize import materialize
+
     register_views(spark, sf_dir, "embeddings")
-    return spark.sql(_hnsw_search_sql(True))
+    lay = materialize(spark.sql(_hnsw_search_sql(True, head_only="lay")))
+    lay.createOrReplaceTempView("__hnsw_lay")
+    pool = materialize(spark.sql(_hnsw_search_sql(
+        True, lay_rel="__hnsw_lay", head_only="pool")))
+    pool.createOrReplaceTempView("__hnsw_pool")
+    edges = materialize(spark.sql(_hnsw_search_sql(
+        True, lay_rel="__hnsw_lay", pool_rel="__hnsw_pool",
+        head_only="edges")))
+    edges.createOrReplaceTempView("__hnsw_edges")
+    # base assignment: numpy dimension-sequential kernel over the
+    # BOUNDED pool (<= ~2*128 rows by the l0 derivation) — bit-equal
+    # to the window form, ~10x faster than interpreted array lambdas
+    from .operators.similarity import nearest_cell_assign
+
+    pool_rows = [(r["vec_id"], r["embedding"])
+                 for r in pool.select("vec_id", "embedding").collect()]
+    nearest_cell_assign(lay, pool_rows).createOrReplaceTempView(
+        "__hnsw_assign")
+    return spark.sql(_hnsw_search_sql(
+        True, lay_rel="__hnsw_lay", pool_rel="__hnsw_pool",
+        edges_rel="__hnsw_edges", assign_rel="__hnsw_assign"))
 
 
 def _inference_queue_sql(spark_dialect: bool) -> str:
@@ -17953,6 +18011,225 @@ def stream_queue_wait(spark, sf_dir):
     from .streaming.sinks import queue_wait_stream
 
     return queue_wait_stream(spark, sf_dir)
+
+
+def _avro_vlen(expr: str) -> str:
+    """Encoded byte length of a NONNEGATIVE Avro long: zigzag doubles
+    the value, LEB128 takes 7 bits per byte — so the ladder thresholds
+    are v < 2^(7k - 1)."""
+    rungs = " ".join(
+        f"WHEN {expr} < {1 << (7 * k - 1)} THEN {k}"
+        for k in range(1, 9))
+    return f"CASE {rungs} ELSE 9 END"
+
+
+def _avro_roundtrip_oracle() -> str:
+    from .sources.avro import HEADER_BYTES
+
+    return f"""WITH d AS (
+      SELECT source, doc_id, octet_length(encode(text)) AS nb,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rn
+      FROM documents),
+    r AS (
+      SELECT source, (rn - 1) // 32 AS blk,
+             {_avro_vlen('doc_id')} + {_avro_vlen('nb')} + nb
+               AS rec_len
+      FROM d),
+    b AS (
+      SELECT source, blk, count(*) AS cnt, sum(rec_len) AS body
+      FROM r GROUP BY source, blk)
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_records,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(body) AS BIGINT) AS record_bytes,
+           CAST({HEADER_BYTES} + sum({_avro_vlen('cnt')}
+                + {_avro_vlen('body')} + 16 + body)
+                AS BIGINT) AS file_bytes
+    FROM b GROUP BY source"""
+
+
+@_q(
+    "src_avro_roundtrip",
+    _avro_roundtrip_oracle(),
+    "Avro Object Container walk (r11 — the Kafka-pipeline batch "
+    "format, completing the ingestion family's varint axis beside "
+    "the protobuf tf.Example wire walk): per source, documents "
+    "serialize in doc_id order into a GENUINE Avro container "
+    "(zigzag-LEB128 longs, length-prefixed strings, metadata map "
+    "with canonical schema JSON, md5-derived 16-byte sync marker, "
+    "32-record data blocks) and the file is READ BACK with the full "
+    "framing contract validated — declared block sizes, per-block "
+    "sync markers, exact EOF — before the per-source manifest is "
+    "emitted.  Map-side per source (applyInPandas); the oracle "
+    "recomputes byte accounting closed-form with the varint-length "
+    "ladder v < 2^(7k-1) applied to ids, string lengths, block "
+    "counts AND block body sizes.",
+)
+def src_avro_roundtrip(spark, sf_dir):
+    """Spark-side: sources/avro.py (public Avro 1.11 spec; the
+    reference has no container-format surface)."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id",
+                                                   "text")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .sources.avro import (
+            HEADER_BYTES, build_avro_container, read_avro_container)
+
+        pdf = pdf.sort_values("doc_id")
+        src = pdf["source"].iloc[0]
+        recs = [(int(d), t) for d, t in zip(pdf["doc_id"], pdf["text"])]
+        blob = build_avro_container(src, recs)
+        back = read_avro_container(blob)
+        if back["records"] != recs or back["codec"] != "null":
+            raise AssertionError("Avro round trip diverged")
+        blocks = list(_avro_blocks(recs))
+        record_bytes = sum(body for _c, body in blocks)
+        framing = sum(_avro_block_framing(c, body) + 16
+                      for c, body in blocks)
+        if HEADER_BYTES + framing + record_bytes != len(blob):
+            raise AssertionError("Avro byte accounting diverged")
+        return pd.DataFrame(
+            {
+                "source": [src],
+                "n_records": [len(recs)],
+                "n_blocks": [back["n_blocks"]],
+                "record_bytes": [record_bytes],
+                "file_bytes": [len(blob)],
+            }
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        pack,
+        "source STRING, n_records BIGINT, n_blocks BIGINT, "
+        "record_bytes BIGINT, file_bytes BIGINT",
+    )
+
+
+def _avro_blocks(recs, block_size: int = 32):
+    from .sources.avro import varint_len_nonneg
+
+    for s in range(0, len(recs), block_size):
+        chunk = recs[s:s + block_size]
+        body = sum(varint_len_nonneg(d)
+                   + varint_len_nonneg(len(t.encode()))
+                   + len(t.encode()) for d, t in chunk)
+        yield len(chunk), body
+
+
+def _avro_block_framing(cnt: int, body: int) -> int:
+    from .sources.avro import varint_len_nonneg
+
+    return varint_len_nonneg(cnt) + varint_len_nonneg(body)
+
+
+def _pass_at_k_sql(spark_dialect: bool) -> str:
+    """pass@k (Chen et al. 2021, the HumanEval estimator) as an EXACT
+    RATIONAL: pass@k = 1 - C(n-c, k)/C(n, k), with the binomial ratio
+    unrolled to falling-factorial products — num = prod_{j<k}
+    max(n-c-j, 0), den = prod_{j<k} (n-j) — so no floats and no
+    factorial overflow (n = 16 samples per problem, products <=
+    16^10).  The md5 'unit test' outcome stands in for the harness
+    verdict; the METRIC arithmetic is the operator."""
+    h = ("CAST(conv(substr(md5(concat('pass:', CAST(doc_id AS"
+         " STRING))), 1, 8), 16, 10) AS BIGINT)"
+         if spark_dialect else
+         "('0x' || substr(md5('pass:' || CAST(doc_id AS VARCHAR)),"
+         " 1, 8))::BIGINT")
+
+    def fail_num(k: int) -> str:
+        return " * ".join(
+            f"GREATEST(n - c - {j}, 0)" for j in range(k))
+
+    def den(k: int) -> str:
+        return " * ".join(f"(n - {j})" for j in range(k))
+
+    cols = []
+    for k in (1, 5, 10):
+        cols.append(
+            f"CAST({den(k)} - {fail_num(k)} AS BIGINT)"
+            f" AS pass{k}_num")
+        cols.append(f"CAST({den(k)} AS BIGINT) AS pass{k}_den")
+    cols_sql = ",\n           ".join(cols)
+    return f"""WITH s AS (
+      SELECT source, doc_id,
+             CASE WHEN {h} % 4 = 0 THEN 1 ELSE 0 END AS pass,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rn
+      FROM documents),
+    agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pass) AS BIGINT) AS c
+      FROM s WHERE rn <= 16 GROUP BY source)
+    SELECT source, n AS n_samples, c AS n_correct,
+           {cols_sql}
+    FROM agg"""
+
+
+@_q(
+    "x_pass_at_k",
+    _pass_at_k_sql(False),
+    "pass@k code-eval estimator (r11 — the HumanEval metric, Chen et "
+    "al. 2021, completing the eval family beside BLEU/ROUGE-L/nDCG/"
+    "MRR/AUC): per source, 16 samples (first 16 docs) with an "
+    "md5-derived unit-test verdict; pass@{1,5,10} emitted as EXACT "
+    "RATIONALS via the unbiased estimator 1 - C(n-c,k)/C(n,k), the "
+    "binomial ratio unrolled to falling-factorial products (num = "
+    "prod max(n-c-j, 0), den = prod (n-j)) so nothing floats and "
+    "nothing overflows (<= 16^10).  Plan: one map-side flag scan, one "
+    "rank window, one partial-agg rollup.",
+)
+def x_pass_at_k(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_pass_at_k_sql(True))
+
+
+def _brier_score_sql(spark_dialect: bool) -> str:
+    """Brier score (the quadratic proper scoring rule) in exact
+    integer permille arithmetic: prediction p in [0, 1000] and a
+    CORRELATED outcome (y = 1 iff p + md5-noise in [-200, 200) > 500)
+    so the score is non-degenerate; Brier = sum((p - 1000 y)^2) /
+    (10^6 n), emitted as (num, den)."""
+    if spark_dialect:
+        h1 = ("CAST(conv(substr(md5(concat('p:', CAST(event_id AS"
+              " STRING))), 1, 8), 16, 10) AS BIGINT)")
+        h2 = ("CAST(conv(substr(md5(concat('y:', CAST(event_id AS"
+              " STRING))), 1, 8), 16, 10) AS BIGINT)")
+    else:
+        h1 = ("('0x' || substr(md5('p:' || CAST(event_id AS VARCHAR)),"
+              " 1, 8))::BIGINT")
+        h2 = ("('0x' || substr(md5('y:' || CAST(event_id AS VARCHAR)),"
+              " 1, 8))::BIGINT")
+    return f"""WITH f AS (
+      SELECT event_type,
+             {h1} % 1001 AS p,
+             CASE WHEN {h1} % 1001 + {h2} % 400 - 200 > 500
+                  THEN 1 ELSE 0 END AS y
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_preds,
+           CAST(sum(y) AS BIGINT) AS n_positive,
+           CAST(sum((p - 1000 * y) * (p - 1000 * y)) AS BIGINT)
+             AS brier_num,
+           CAST(count(*) * 1000000 AS BIGINT) AS brier_den
+    FROM f GROUP BY event_type"""
+
+
+@_q(
+    "x_brier_score",
+    _brier_score_sql(False),
+    "Brier score audit (r11 — the quadratic PROPER scoring rule, "
+    "completing the calibration family beside the ECE bucket audit "
+    "and isotonic PAV): md5-derived permille predictions with a "
+    "correlated outcome, Brier emitted as the exact rational "
+    "sum((p - 1000y)^2) / (10^6 n) per event_type plus the base "
+    "rate.  All integers, one scan, one partial-agg rollup.",
+)
+def x_brier_score(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_brier_score_sql(True))
 
 
 GRADE_FIRST = [

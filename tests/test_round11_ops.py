@@ -282,6 +282,68 @@ def test_stream_queue_wait_matches_batch_closed_form(spark):
             b.busy_us, b.utilization_permille), r.event_type
 
 
+def test_avro_codec_roundtrip_and_framing():
+    import pytest
+
+    from duckdb_title_mapper_spark.sources import avro
+
+    recs = [(i, f"body {i} " * (i % 4 + 1)) for i in range(70)]
+    blob = avro.build_avro_container("s3", recs)
+    back = avro.read_avro_container(blob)
+    assert back["records"] == recs
+    assert back["n_blocks"] == 3
+    assert back["schema"] == avro.SCHEMA_JSON
+    assert avro.build_avro_container("s3", recs) == blob  # determinism
+    with pytest.raises(ValueError):
+        avro.read_avro_container(blob[:-5])  # torn block
+    with pytest.raises(ValueError):
+        avro.read_avro_container(b"Obj\x02" + blob[4:])  # bad magic
+    corrupted = bytearray(blob)
+    corrupted[-8] ^= 0xFF  # flip a sync-marker byte
+    with pytest.raises(ValueError):
+        avro.read_avro_container(bytes(corrupted))
+    # varint-length closed form matches real encodings
+    for v in (0, 63, 64, 8191, 8192, 2**27 - 1, 2**27, 2**40):
+        assert avro.varint_len_nonneg(v) == len(avro.write_long(v))
+
+
+def test_pass_at_k_matches_comb_formula(spark):
+    """The falling-factorial rationals must equal math.comb's
+    1 - C(n-c,k)/C(n,k) exactly."""
+    from math import comb
+
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = core_queries()["x_pass_at_k"].spark_fn(spark, SF).collect()
+    assert rows
+    from fractions import Fraction
+
+    for r in rows:
+        n, c = r.n_samples, r.n_correct
+        assert n == 16 and 0 <= c <= n
+        for k in (1, 5, 10):
+            num = getattr(r, f"pass{k}_num")
+            den = getattr(r, f"pass{k}_den")
+            expect = 1 - Fraction(comb(n - c, k), comb(n, k)) \
+                if n - c >= k else Fraction(1)
+            assert Fraction(num, den) == expect, (r.source, k)
+
+
+def test_brier_identities(spark):
+    """den = 10^6 n; num bounded by den (p and y in range); the
+    correlated construction keeps the score well under the 0.25
+    uninformed-predictor ceiling."""
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = core_queries()["x_brier_score"].spark_fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.brier_den == r.n_preds * 1_000_000
+        assert 0 <= r.brier_num <= r.brier_den
+        assert 0 < r.n_positive < r.n_preds
+        assert r.brier_num * 4 < r.brier_den  # < 0.25
+
+
 def test_warc_codec_roundtrip_and_framing():
     from duckdb_title_mapper_spark.sources import warc
 
