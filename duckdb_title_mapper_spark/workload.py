@@ -18232,6 +18232,116 @@ def x_brier_score(spark, sf_dir):
     return spark.sql(_brier_score_sql(True))
 
 
+def _heaps_law_sql(spark_dialect: bool) -> str:
+    """Heaps'-law vocabulary-growth checkpoints: the global token
+    stream in (doc_id, in-doc position) order, each term's FIRST
+    occurrence position, and at power-of-two checkpoints 2^10..2^20
+    (plus the full stream) the exact (tokens_seen, vocab_size) pair —
+    the curve whose log-log slope is the Heaps exponent every
+    tokenizer-budget plan reads."""
+    if spark_dialect:
+        arr = "regexp_extract_all(lower(text), '\\\\w+', 0)"
+        pos_src = ("SELECT doc_id, arr,"
+                   " explode(sequence(1, size(arr))) AS p"
+                   " FROM toks WHERE size(arr) >= 1")
+        tok = "element_at(arr, p)"
+    else:
+        arr = r"regexp_extract_all(lower(text), '\w+')"
+        pos_src = ("SELECT doc_id, arr,"
+                   " unnest(generate_series(1, len(arr))) AS p"
+                   " FROM toks")
+        tok = "arr[p]"
+    cps = ", ".join(f"({1 << k})" for k in range(10, 21))
+    return f"""WITH toks AS (
+      SELECT doc_id, {arr} AS arr FROM documents),
+    t AS (
+      SELECT doc_id, p, {tok} AS tok FROM ({pos_src}) ps),
+    g AS (
+      SELECT tok, row_number() OVER (ORDER BY doc_id, p) AS gpos
+      FROM t),
+    firsts AS (
+      SELECT tok, min(gpos) AS first_pos FROM g GROUP BY tok),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM g),
+    cps AS (
+      SELECT DISTINCT cp FROM (
+        SELECT cp FROM (VALUES {cps}) AS c(cp)
+        CROSS JOIN tot WHERE cp <= n_tokens
+        UNION ALL
+        SELECT n_tokens FROM tot) u)
+    SELECT CAST(c.cp AS BIGINT) AS tokens_seen,
+           CAST(count(*) AS BIGINT) AS vocab_size
+    FROM cps c JOIN firsts f ON f.first_pos <= c.cp
+    GROUP BY c.cp"""
+
+
+@_q(
+    "x_heaps_law_checkpoints",
+    _heaps_law_sql(False),
+    "Heaps'-law vocabulary-growth audit (r11 — the corpus-statistics "
+    "curve beside the Zipf octave histogram: how fast does the vocab "
+    "grow as the stream is consumed, the input to every tokenizer "
+    "vocab-budget decision): global token positions in (doc_id, "
+    "position) order, each term's FIRST-occurrence position, exact "
+    "(tokens_seen, vocab_size) pairs at checkpoints 2^10..2^20 plus "
+    "the full stream.  Plan: one token explode, ONE global sort "
+    "window (range-partitioned at scale, the pps class), a per-term "
+    "min, and a small checkpoint join — the first-occurrence rollup "
+    "is a hash aggregate, never a distinct-per-prefix rescan.",
+)
+def x_heaps_law_checkpoints(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_heaps_law_sql(True))
+
+
+def _gini_concentration_sql(spark_dialect: bool) -> str:
+    """Token-mass Gini CONCENTRATION coefficient per source (the
+    inequality measure, distinct from x_gini_split's impurity): term
+    frequencies ranked ascending, G = (2*sum(i*x_i) - (n+1)*sum(x)) /
+    (n*sum(x)) as an exact rational — integers end to end, one rank
+    window over the per-source vocabulary."""
+    if spark_dialect:
+        arr = "regexp_extract_all(lower(text), '\\\\w+', 0)"
+        tok_src = ("SELECT source, explode({a}) AS tok"
+                   " FROM documents").format(a=arr)
+    else:
+        arr = r"regexp_extract_all(lower(text), '\w+')"
+        tok_src = (f"SELECT source, unnest({arr}) AS tok"
+                   " FROM documents")
+    return f"""WITH t AS ({tok_src}),
+    f AS (
+      SELECT source, tok, count(*) AS x FROM t GROUP BY source, tok),
+    r AS (
+      SELECT source, x,
+             row_number() OVER (PARTITION BY source
+                 ORDER BY x, tok) AS i
+      FROM f)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(x) AS BIGINT) AS token_mass,
+           CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS BIGINT)
+             AS gini_num,
+           CAST(count(*) * sum(x) AS BIGINT) AS gini_den
+    FROM r GROUP BY source"""
+
+
+@_q(
+    "x_gini_concentration",
+    _gini_concentration_sql(False),
+    "Token-mass Gini concentration per source (r11 — the inequality "
+    "coefficient, a different object from x_gini_split's stump "
+    "impurity: how concentrated is a source's token mass in its head "
+    "terms, the diversity signal a data-mixing plan reads beside the "
+    "Zipf octaves): term frequencies ranked ascending (ties by term "
+    "for determinism), G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) "
+    "emitted as an exact (num, den) rational.  Plan: one token "
+    "explode, one hash aggregate, one per-source rank window, one "
+    "rollup.",
+)
+def x_gini_concentration(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_gini_concentration_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

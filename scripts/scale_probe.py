@@ -214,6 +214,8 @@ EXTRA = [
     "src_avro_roundtrip",
     "x_pass_at_k",
     "x_brier_score",
+    "x_heaps_law_checkpoints",
+    "x_gini_concentration",
 ]
 
 

@@ -344,6 +344,45 @@ def test_brier_identities(spark):
         assert r.brier_num * 4 < r.brier_den  # < 0.25
 
 
+def test_heaps_law_monotone_and_bounded(spark):
+    """Vocab size is nondecreasing in tokens_seen, bounded by
+    tokens_seen, and the final checkpoint equals the true global
+    vocabulary."""
+    import re
+
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = sorted(core_queries()["x_heaps_law_checkpoints"].spark_fn(
+        spark, SF).collect(), key=lambda r: r.tokens_seen)
+    assert rows
+    for a, b in zip(rows, rows[1:]):
+        assert a.vocab_size <= b.vocab_size
+        assert a.vocab_size <= a.tokens_seen
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "text").collect()
+    vocab = set()
+    total = 0
+    for d in docs:
+        ts = re.findall(r"\w+", d.text.lower())
+        total += len(ts)
+        vocab.update(ts)
+    assert rows[-1].tokens_seen == total
+    assert rows[-1].vocab_size == len(vocab)
+
+
+def test_gini_concentration_bounds(spark):
+    """0 <= G < 1 and mass/term identities hold per source."""
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = core_queries()["x_gini_concentration"].spark_fn(
+        spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.gini_den == r.n_terms * r.token_mass
+        assert 0 <= r.gini_num < r.gini_den
+        assert r.n_terms <= r.token_mass
+
+
 def test_warc_codec_roundtrip_and_framing():
     from duckdb_title_mapper_spark.sources import warc
 
