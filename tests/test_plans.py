@@ -644,3 +644,66 @@ def test_round10_plan_shapes(spark):
     assert shuffle_count(hn) <= 2, shuffle_count(hn)
     assert all(set(s) <= {"vec_id"} for s in read_schema_columns(hn)), (
         read_schema_columns(hn))
+
+
+def test_round11_plan_shapes(spark):
+    """Plan locks for the round-11 operators.
+
+    What each lock protects: the Lindley queue audit stays ONE
+    exchange (two stacked windows share the per-type sort) with no
+    Python; the kappa/pass@k/Brier/Gini/Heaps/loop-detect rollups
+    keep pruned scans, partial aggregation, bounded shuffles, and no
+    per-row Python; the three container walks (WARC, safetensors,
+    Avro) are exactly one groupBy-source exchange feeding an Arrow
+    applyInPandas (Python IS those operators' point — per-group, not
+    per-row); HNSW search reads its lay/pool/edges relations from
+    MATERIALIZED scans (the r11 fix for Spark's per-consumer CTE
+    inlining) and runs its base assignment as one MapInPandas
+    kernel."""
+    from duckdb_title_mapper_spark.plans import explain_str, shuffle_count
+    from duckdb_title_mapper_spark.workload import core_queries as all_queries
+
+    qs = all_queries()
+
+    for name, budget, cols in (
+        ("x_inference_queue_wait", 2, {"event_id", "event_type", "ts"}),
+        ("x_annotator_kappa", 1, {"text"}),
+        ("x_generation_loop_detect", 4, {"doc_id", "source", "text"}),
+        ("x_epoch_shuffle_audit", 3, {"doc_id", "source"}),
+        ("x_pass_at_k", 2, {"doc_id", "source"}),
+        ("x_brier_score", 2, {"event_id", "event_type"}),
+        ("x_gini_concentration", 3, {"source", "text"}),
+        ("x_heaps_law_checkpoints", 3, {"doc_id", "text"}),
+    ):
+        df = qs[name].spark_fn(spark, SF)
+        p = explain_str(df)
+        assert "BatchEvalPython" not in p, name
+        assert has_partial_aggregation(df), name
+        assert shuffle_count(df) <= budget, (name, shuffle_count(df))
+        assert all(set(s) <= cols for s in read_schema_columns(df)), (
+            name, read_schema_columns(df))
+
+    # the needle manifest is row-per-(doc, depth) — no aggregation to
+    # lock, but the scan must stay pruned and Python-free
+    nd = qs["x_needle_depth_manifest"].spark_fn(spark, SF)
+    p = explain_str(nd)
+    assert "BatchEvalPython" not in p
+    assert shuffle_count(nd) <= 3, shuffle_count(nd)
+    assert all(set(s) <= {"doc_id", "text"}
+               for s in read_schema_columns(nd)), read_schema_columns(nd)
+
+    for name in ("src_warc_roundtrip", "src_safetensors_manifest",
+                 "src_avro_roundtrip"):
+        df = qs[name].spark_fn(spark, SF)
+        p = explain_str(df)
+        assert "FlatMapGroupsInPandas" in p, name
+        assert "BatchEvalPython" not in p, name
+        assert shuffle_count(df) <= 2, (name, shuffle_count(df))
+
+    hn = qs["x_hnsw_search"].spark_fn(spark, SF)
+    p = explain_str(hn)
+    assert "BatchEvalPython" not in p
+    assert "MapInPandas" in p  # the dimension-sequential assign kernel
+    # lay/pool/edges must come from materialized scans, not recomputed
+    # CTE subtrees (Spark inlines per consumer — the r11 5.4s -> 2.5s fix)
+    assert p.count("Scan ExistingRDD") >= 3, p.count("Scan ExistingRDD")
