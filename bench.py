@@ -283,6 +283,7 @@ EXTRA = [
     "x_brier_score",
     "x_heaps_law_checkpoints",
     "x_gini_concentration",
+    "x_rake_keywords",
 ]
 
 

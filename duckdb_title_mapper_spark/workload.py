@@ -18342,6 +18342,119 @@ def x_gini_concentration(spark, sf_dir):
     return spark.sql(_gini_concentration_sql(True))
 
 
+_RAKE_STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is",
+                   "it", "for", "on", "with", "as", "was", "at", "by",
+                   "be", "this", "that", "are")
+
+
+def _rake_keywords_sql(spark_dialect: bool) -> str:
+    """RAKE keyword extraction (Rose et al. 2010), the deterministic
+    integer variant: candidate phrases are maximal non-stopword token
+    runs (gaps-and-islands on the stopword flag, capped at 4 words —
+    the classic phrase-length cap), word degree = sum of containing-
+    phrase lengths, word freq = occurrence count, word score =
+    1000*deg idiv freq (integer millis — the float deg/freq sum has
+    no exact cross-engine form; idiv operands are nonnegative so the
+    dialect split is safe), phrase score = sum of member word-score
+    millis; top-3 phrase types per source by (score, instance count,
+    text)."""
+    stops = ", ".join(f"'{w}'" for w in _RAKE_STOPWORDS)
+    if spark_dialect:
+        arr = "regexp_extract_all(lower(text), '\\\\w+', 0)"
+        pos_src = ("SELECT source, doc_id, arr,"
+                   " explode(sequence(1, size(arr))) AS p"
+                   " FROM toks WHERE size(arr) >= 1")
+        tok = "element_at(arr, p)"
+        idiv = "div"
+        agg_phrase = ("array_join(transform(array_sort("
+                      "collect_list(struct(g.p, g.tok))),"
+                      " x -> x.tok), ' ')")
+    else:
+        arr = r"regexp_extract_all(lower(text), '\w+')"
+        pos_src = ("SELECT source, doc_id, arr,"
+                   " unnest(generate_series(1, len(arr))) AS p"
+                   " FROM toks")
+        tok = "arr[p]"
+        idiv = "//"
+        agg_phrase = "string_agg(g.tok, ' ' ORDER BY g.p)"
+    return f"""WITH toks AS (
+      SELECT source, doc_id, {arr} AS arr FROM documents),
+    t AS (
+      SELECT source, doc_id, p, {tok} AS tok FROM ({pos_src}) ps),
+    f AS (
+      SELECT source, doc_id, p, tok,
+             CASE WHEN tok IN ({stops}) THEN 1 ELSE 0 END AS stop
+      FROM t),
+    seg AS (
+      SELECT source, doc_id, p, tok, stop,
+             sum(stop) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM f),
+    members AS (
+      SELECT source, doc_id, sid, p, tok FROM seg WHERE stop = 0),
+    plen AS (
+      SELECT source, doc_id, sid, count(*) AS n_words
+      FROM members GROUP BY source, doc_id, sid),
+    good AS (
+      SELECT m.source, m.doc_id, m.sid, m.p, m.tok, l.n_words
+      FROM members m JOIN plen l
+        ON l.doc_id = m.doc_id AND l.sid = m.sid
+           AND l.source = m.source
+      WHERE l.n_words <= 4),
+    wstat AS (
+      SELECT source, tok,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(n_words) AS BIGINT) AS deg
+      FROM good GROUP BY source, tok),
+    wscore AS (
+      SELECT source, tok,
+             CAST(1000 * deg {idiv} freq AS BIGINT) AS w_milli
+      FROM wstat),
+    phrases AS (
+      SELECT g.source, g.doc_id, g.sid,
+             {agg_phrase} AS phrase,
+             CAST(sum(w.w_milli) AS BIGINT) AS score_milli,
+             count(*) AS n_words
+      FROM good g JOIN wscore w
+        ON w.source = g.source AND w.tok = g.tok
+      GROUP BY g.source, g.doc_id, g.sid),
+    types AS (
+      SELECT source, phrase,
+             CAST(count(*) AS BIGINT) AS n_instances,
+             CAST(min(score_milli) AS BIGINT) AS score_milli,
+             CAST(min(n_words) AS BIGINT) AS n_words
+      FROM phrases GROUP BY source, phrase)
+    SELECT source,
+           CAST(rk AS BIGINT) AS rank, phrase, n_instances,
+           n_words, score_milli
+    FROM (SELECT *,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY score_milli DESC, n_instances DESC,
+                              phrase) AS rk
+          FROM types) r
+    WHERE rk <= 3"""
+
+
+@_q(
+    "x_rake_keywords",
+    _rake_keywords_sql(False),
+    "RAKE keyword extraction (r11 — Rose et al. 2010, the co-"
+    "occurrence keyword miner completing the text-analysis family "
+    "beside TextRank's graph ranking and TF-IDF's corpus weighting): "
+    "candidate phrases = maximal non-stopword runs (gaps-and-islands, "
+    "4-word cap), word score = 1000*degree idiv freq in integer "
+    "millis (documented deterministic variant — float deg/freq sums "
+    "have no exact cross-engine form; operands nonnegative), phrase "
+    "score = sum of member word millis, top-3 phrase types per "
+    "source with instance counts.  Plan: one token explode, one "
+    "island window, two hash aggregates, one bounded top-k window.",
+)
+def x_rake_keywords(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_rake_keywords_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -383,6 +383,26 @@ def test_gini_concentration_bounds(spark):
         assert r.n_terms <= r.token_mass
 
 
+def test_rake_keywords_structure(spark):
+    """Per-source top-3 with deterministic ranks; no stopword appears
+    inside any extracted phrase; phrase word counts respect the 4-word
+    cap and match the phrase text."""
+    from duckdb_title_mapper_spark.workload import (
+        _RAKE_STOPWORDS, core_queries)
+
+    rows = core_queries()["x_rake_keywords"].spark_fn(
+        spark, SF).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.rank)
+        words = r.phrase.split(" ")
+        assert 1 <= r.n_words <= 4
+        assert len(words) == r.n_words
+        assert not set(words) & set(_RAKE_STOPWORDS), r.phrase
+        assert r.score_milli > 0 and r.n_instances >= 1
+    assert all(sorted(v) == [1, 2, 3] for v in by_src.values())
+
+
 def test_warc_codec_roundtrip_and_framing():
     from duckdb_title_mapper_spark.sources import warc
 
