@@ -18455,6 +18455,113 @@ def x_rake_keywords(spark, sf_dir):
     return spark.sql(_rake_keywords_sql(True))
 
 
+def _knn_classifier_sql(spark_dialect: bool, nq: int = 32,
+                        k: int = 5) -> str:
+    """k-NN majority-vote classification eval: for each of the first
+    ``nq`` vectors, the 5 nearest OTHER vectors by squared-L2 vote on
+    the label (majority, tie -> smallest label); emits per-query true
+    vs predicted label, the winning vote count, and the hit flag —
+    the leave-one-out eval that says whether an embedding space's
+    labels are locally coherent before anyone trains a probe on it."""
+    l2 = _embed_l2(spark_dialect, "q.embedding", "c.embedding")
+    return f"""WITH nn AS (
+      SELECT query_id, true_label, label FROM (
+        SELECT q.vec_id AS query_id, q.label AS true_label,
+               c.label,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {l2}, c.vec_id) AS rk
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {nq}) t
+      WHERE rk <= {k}),
+    votes AS (
+      SELECT query_id, true_label, label, count(*) AS n_votes
+      FROM nn GROUP BY query_id, true_label, label),
+    win AS (
+      SELECT query_id, true_label, label AS pred_label, n_votes
+      FROM (SELECT *,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY n_votes DESC, label) AS rk
+            FROM votes) v
+      WHERE rk = 1)
+    SELECT query_id,
+           CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           CAST(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END
+                AS BIGINT) AS is_correct
+    FROM win"""
+
+
+@_q(
+    "x_knn_classifier",
+    _knn_classifier_sql(False),
+    "k-NN majority-vote classification eval (r11 — the leave-one-out "
+    "label-coherence check run on an embedding space before training "
+    "probes on it, completing the ML-eval family beside "
+    "x_stump_confusion and the retrieval metrics): for each of the "
+    "first 32 vectors, the 5 nearest others by squared-L2 (raw-"
+    "double order, vec_id ties) vote on the label — majority with "
+    "tie -> smallest label — emitting true vs predicted label, the "
+    "winning vote count, and the hit flag.  Bounded-query linear "
+    "scan (32 x n), never all-pairs.  All BIGINT.",
+)
+def x_knn_classifier(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_knn_classifier_sql(True))
+
+
+def _silhouette_sql(spark_dialect: bool, k: int = 16) -> str:
+    """Simplified (centroid-based) silhouette audit of the k-means
+    family's clustering: assignment = nearest of the first-16 seed
+    vectors (the x_kmeans_step seeds, squared-L2, ties -> lowest id),
+    a = distance to own centroid, b = distance to the nearest OTHER
+    centroid (rank 2 of the same window), s = (b - a) / max(a, b) in
+    [0, 1) per point (own centroid IS the nearest under nearest-
+    assignment, so s >= 0 by construction); points land in integer
+    s-deciles via floor(s*10) on bit-identical doubles — counts only,
+    so nothing float ever aggregates."""
+    l2 = _embed_l2(spark_dialect, "e.embedding", "c.cvec")
+    return f"""WITH seeds AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {k}),
+    r AS (
+      SELECT vec_id, cid, d2,
+             row_number() OVER (PARTITION BY vec_id
+                 ORDER BY d2, cid) AS rk
+      FROM (SELECT e.vec_id, c.cid, {l2} AS d2
+            FROM embeddings e CROSS JOIN seeds c) d),
+    sil AS (
+      SELECT o.vec_id, o.cid,
+             CASE WHEN o.a = 0 AND t.b = 0 THEN CAST(0.0 AS DOUBLE)
+                  WHEN o.a >= t.b THEN (t.b - o.a) / o.a
+                  ELSE (t.b - o.a) / t.b END AS s
+      FROM (SELECT vec_id, cid, d2 AS a FROM r WHERE rk = 1) o
+      JOIN (SELECT vec_id, d2 AS b FROM r WHERE rk = 2) t
+        ON t.vec_id = o.vec_id)
+    SELECT CAST(cid AS BIGINT) AS cluster,
+           CAST(floor(s * 10) AS BIGINT) AS s_decile,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM sil GROUP BY cid, floor(s * 10)"""
+
+
+@_q(
+    "x_silhouette_simplified",
+    _silhouette_sql(False),
+    "Simplified-silhouette clustering QA (r11 — the cluster-quality "
+    "audit of the k-means family's own seeds, beside x_kmeans_step/"
+    "x_kmeans_fit: how cleanly does each cluster separate from its "
+    "nearest rival): per point a = squared-L2 to the assigned "
+    "(nearest) of the 16 seed centroids, b = to the nearest OTHER "
+    "centroid, s = (b-a)/max(a,b) — then integer s-decile histograms "
+    "per cluster (floor on bit-identical doubles; only COUNTS "
+    "aggregate, so no float ever sums across rows).  Linear n x 16 "
+    "distance pass, one rank window, one rollup.",
+)
+def x_silhouette_simplified(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_silhouette_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -217,6 +217,8 @@ EXTRA = [
     "x_heaps_law_checkpoints",
     "x_gini_concentration",
     "x_rake_keywords",
+    "x_knn_classifier",
+    "x_silhouette_simplified",
 ]
 
 

@@ -403,6 +403,58 @@ def test_rake_keywords_structure(spark):
     assert all(sorted(v) == [1, 2, 3] for v in by_src.values())
 
 
+def test_knn_classifier_against_python_replay(spark):
+    """Majority vote, tie -> smallest label, must match a direct
+    numpy replay with the same dimension-sequential distance fold."""
+    from collections import Counter
+
+    import numpy as np
+
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in vecs])
+    labels = {r.vec_id: r.label for r in vecs}
+    m = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                  for r in vecs])
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    rows = core_queries()["x_knn_classifier"].spark_fn(
+        spark, SF).collect()
+    assert len(rows) == min(32, (ids < 32).sum())
+    for r in rows:
+        qi = int(np.where(ids == r.query_id)[0][0])
+        acc = np.zeros(len(ids))
+        for d in range(m.shape[1]):
+            diff = m[:, d] - m[qi, d]
+            acc += diff * diff
+        cand = [(acc[i], ids[i]) for i in range(len(ids))
+                if ids[i] != r.query_id]
+        top5 = [labels[v] for _, v in sorted(cand)[:5]]
+        counts = Counter(top5)
+        best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+        assert r.true_label == labels[r.query_id]
+        assert (r.pred_label, r.n_votes) == (best[0], best[1]), r
+        assert r.is_correct == (1 if r.pred_label == r.true_label
+                                else 0)
+
+
+def test_silhouette_partitions_all_points(spark):
+    """Decile counts partition the corpus; deciles lie in [0, 10]
+    (nearest-assignment makes s nonnegative by construction)."""
+    import pyarrow.parquet as pq
+
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = core_queries()["x_silhouette_simplified"].spark_fn(
+        spark, SF).collect()
+    n = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    assert sum(r.n_points for r in rows) == n
+    for r in rows:
+        assert 0 <= r.s_decile <= 10
+        assert 0 <= r.cluster < 16
+
+
 def test_warc_codec_roundtrip_and_framing():
     from duckdb_title_mapper_spark.sources import warc
 
