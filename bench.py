@@ -286,6 +286,7 @@ EXTRA = [
     "x_rake_keywords",
     "x_knn_classifier",
     "x_silhouette_simplified",
+    "stream_vocab_arrival",
 ]
 
 

@@ -681,6 +681,138 @@ def queue_wait_stream(spark, sf_dir: str, parts: int = 4):
     )
 
 
+def vocab_growth_stream(spark, sf_dir: str, parts: int = 4):
+    """STREAMING vocabulary growth on arrival (the Heaps audit's
+    incremental twin, and the streaming store family's SET-UNION
+    member beside the ADD/MAX/OR/MIN sketch monoids and the band
+    store): each micro-batch of the document firehose tokenizes
+    map-side, probes the persisted TERM STORE for already-seen terms,
+    appends only the genuinely new ones (``terms.b{id}``, idempotent
+    per-batch dirs), and records a per-batch growth row — tokens
+    arrived, distinct terms in batch, NEW terms.  The current batch's
+    own dirs are excluded from the store view on retry (the
+    ``_image_dedup_merge_batch`` at-least-once rule).  Arrival order
+    is (doc_id % parts, doc_id), oracle-reproducible, so the DuckDB
+    oracle computes each term's arrival-key minimum closed-form.  At
+    100 TB the term store is a bucketed string column probed by an
+    equi-join — the live vocab monitor a tokenizer-budget owner
+    watches during ingestion."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    src_dir = _stage_docs_with_text_by_mod(spark, sf_dir, parts)
+    out = tempfile.mkdtemp(prefix="dtm_stream_vocab_")
+    chk = os.path.join(out, "chk")
+
+    def merge(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        toks = batch_df.select(
+            F.explode(F.expr(
+                "regexp_extract_all(lower(text), '\\\\w+', 0)"))
+            .alias("tok"),
+        )
+        n_tokens = toks.count()
+        batch_terms = toks.distinct()
+        batch_terms.createOrReplaceTempView("__vocab_batch")
+        store_dirs = [
+            p for p in sorted(_glob.glob(os.path.join(out, "terms.b*")))
+            if not p.endswith(f"terms.b{batch_id}")
+        ]
+        if store_dirs:
+            sess.read.parquet(*store_dirs).createOrReplaceTempView(
+                "__vocab_store")
+            new_terms = sess.sql(
+                "SELECT b.tok FROM __vocab_batch b LEFT ANTI JOIN"
+                " __vocab_store s ON s.tok = b.tok")
+        else:
+            new_terms = sess.table("__vocab_batch")
+        n_batch_terms = batch_terms.count()
+        n_new = new_terms.count()
+        (new_terms.coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(out, f"terms.b{batch_id}")))
+        # SQL VALUES, never createDataFrame(list) — the Python-RDD
+        # source re-pays a non-Arrow worker chain per action
+        row = sess.sql(
+            f"SELECT CAST({int(batch_id)} AS BIGINT) AS batch_id,"
+            f" CAST({n_tokens} AS BIGINT) AS n_tokens,"
+            f" CAST({n_batch_terms} AS BIGINT) AS n_batch_terms,"
+            f" CAST({n_new} AS BIGINT) AS n_new_terms")
+        (row.coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(out, f"growth.b{batch_id}")))
+
+    raw = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    growth = sorted(_glob.glob(os.path.join(out, "growth.b*")))
+    if not growth:
+        raise RuntimeError("streaming vocab growth produced no rows")
+    from pyspark.sql.window import Window
+
+    g = spark.read.parquet(*growth)
+    w = (Window.orderBy("batch_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return g.select(
+        "batch_id", "n_tokens", "n_batch_terms", "n_new_terms",
+        F.sum("n_new_terms").over(w).cast("bigint").alias("cum_vocab"),
+    )
+
+
+def _stage_docs_with_text_by_mod(spark, sf_dir: str,
+                                 parts: int = 4) -> str:
+    """The ``_stage_docs_by_mod`` layout (doc_id % parts slices,
+    strictly increasing mtimes) carrying the TEXT column — staged
+    separately because the band-store stream's slices are
+    deliberately text-free."""
+    import hashlib
+
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    d = f"/tmp/duckdb_title_mapper_spark_stream/{tag}_doctext{parts}"
+    done = f"{d}/.staged"
+    if os.path.exists(done):
+        return d
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    os.makedirs(d, exist_ok=True)
+    staged_rows = 0
+    for p in range(parts):
+        sliced = docs.where(F.col("doc_id") % parts == p)
+        staged_rows += sliced.count()
+        (sliced.coalesce(1)
+         .write.mode("overwrite")
+         .parquet(f"{d}/_build_{p}"))
+        part_file = next(
+            f for f in os.listdir(f"{d}/_build_{p}")
+            if f.endswith(".parquet"))
+        os.replace(f"{d}/_build_{p}/{part_file}", f"{d}/slice_{p}.parquet")
+        shutil.rmtree(f"{d}/_build_{p}", ignore_errors=True)
+    import time as _time
+
+    base = _time.time()
+    for p in range(parts):
+        os.utime(f"{d}/slice_{p}.parquet", (base + p, base + p))
+    total = docs.count()
+    if staged_rows != total:
+        raise AssertionError(
+            f"doc staging lost rows: staged {staged_rows} of {total}")
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
 def _stage_docs_by_mod(spark, sf_dir: str, parts: int = 4) -> str:
     """Stage the documents table as ``parts`` parquet slices split by
     ``doc_id % parts`` — doc_ids are nonnegative and non-null (unlike

@@ -18562,6 +18562,58 @@ def x_silhouette_simplified(spark, sf_dir):
     return spark.sql(_silhouette_sql(True))
 
 
+def _vocab_arrival_oracle() -> str:
+    """Closed-form arrival-order oracle for the streaming vocab
+    monitor: arrival order is (doc_id % 4, doc_id) — slice index =
+    micro-batch id under the mtime-pinned availableNow replay — so a
+    term is NEW in the batch of its lexicographic-minimum arrival
+    key (slice * bound + doc_id, bound > max doc_id)."""
+    return r"""WITH t AS (
+      SELECT doc_id % 4 AS slice, doc_id, unnest(
+        regexp_extract_all(lower(text), '\w+')) AS tok
+      FROM documents),
+    mx AS (SELECT max(doc_id) + 1 AS bnd FROM documents),
+    fo AS (
+      SELECT tok, min(slice * bnd + doc_id) // bnd AS first_slice
+      FROM t CROSS JOIN mx GROUP BY tok, bnd),
+    per_tok AS (
+      SELECT slice, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT tok) AS BIGINT) AS n_batch_terms
+      FROM t GROUP BY slice),
+    news AS (
+      SELECT first_slice AS slice, CAST(count(*) AS BIGINT) AS n_new
+      FROM fo GROUP BY first_slice)
+    SELECT CAST(p.slice AS BIGINT) AS batch_id,
+           p.n_tokens, p.n_batch_terms,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_terms,
+           CAST(sum(COALESCE(n.n_new, 0)) OVER (ORDER BY p.slice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_vocab
+    FROM per_tok p LEFT JOIN news n ON n.slice = p.slice"""
+
+
+@_q(
+    "stream_vocab_arrival",
+    _vocab_arrival_oracle(),
+    "STREAMING vocabulary growth on arrival (r11 — the Heaps audit's "
+    "incremental twin and the streaming store family's SET-UNION "
+    "member beside the ADD/MAX/OR/MIN sketch monoids and the dHash "
+    "band store): each document micro-batch tokenizes map-side, "
+    "anti-joins the persisted term store for already-seen terms, "
+    "appends only the NEW ones (idempotent per-batch dirs, current "
+    "batch's own dir excluded from the store probe on retry — the "
+    "at-least-once rule), and records per-batch (tokens, distinct "
+    "terms, new terms, cumulative vocab).  The oracle recomputes "
+    "first-occurrence batches closed-form from the deterministic "
+    "(doc_id % 4, doc_id) arrival order.  The live vocab monitor a "
+    "tokenizer-budget owner watches during a 100 TB ingestion.",
+)
+def stream_vocab_arrival(spark, sf_dir):
+    from .streaming.sinks import vocab_growth_stream
+
+    return vocab_growth_stream(spark, sf_dir)
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -455,6 +455,29 @@ def test_silhouette_partitions_all_points(spark):
         assert 0 <= r.cluster < 16
 
 
+def test_stream_vocab_arrival_identities(spark):
+    """4 batches; new terms bounded by batch distinct terms; cum_vocab
+    is the running sum and ends at the true global vocabulary."""
+    import re
+
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    rows = sorted(core_queries()["stream_vocab_arrival"].spark_fn(
+        spark, SF).collect(), key=lambda r: r.batch_id)
+    assert [r.batch_id for r in rows] == [0, 1, 2, 3]
+    run = 0
+    for r in rows:
+        assert 0 <= r.n_new_terms <= r.n_batch_terms <= r.n_tokens
+        run += r.n_new_terms
+        assert r.cum_vocab == run
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "text").collect()
+    vocab = set()
+    for d in docs:
+        vocab.update(re.findall(r"\w+", d.text.lower()))
+    assert rows[-1].cum_vocab == len(vocab)
+
+
 def test_warc_codec_roundtrip_and_framing():
     from duckdb_title_mapper_spark.sources import warc
 
