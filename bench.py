@@ -287,6 +287,7 @@ EXTRA = [
     "x_knn_classifier",
     "x_silhouette_simplified",
     "stream_vocab_arrival",
+    "x_spearman_corr",
 ]
 
 

@@ -18614,6 +18614,66 @@ def stream_vocab_arrival(spark, sf_dir):
     return vocab_growth_stream(spark, sf_dir)
 
 
+def _spearman_sql(spark_dialect: bool) -> str:
+    """Spearman rank correlation between the hourly click and
+    purchase volumes, EXACT including ties: ranks carried DOUBLED
+    (2*midrank = 2*rank() + tie_count - 1, always integral — the
+    x_auc_exact idiom), then Pearson on the integer doubled ranks as
+    pure-integer sums — rho = num / sqrt(den_x * den_y) is the
+    reader's epilogue; num and the two variance factors are emitted
+    as exact BIGINTs (the popular 1 - 6*sum(d^2)/(n(n^2-1)) shortcut
+    is exact only WITHOUT ties, so it is not used)."""
+    us = "unix_micros(ts)" if spark_dialect else "epoch_us(ts)"
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH h AS (
+      SELECT {us} {idiv} 3600000000 AS hr,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                  END) AS BIGINT) AS y
+      FROM events GROUP BY hr),
+    rx AS (
+      SELECT hr, x, y,
+             2 * rank() OVER (ORDER BY x)
+               + count(*) OVER (PARTITION BY x) - 1 AS dx,
+             2 * rank() OVER (ORDER BY y)
+               + count(*) OVER (PARTITION BY y) - 1 AS dy
+      FROM h),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS BIGINT) AS sx,
+             CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy
+      FROM rx)
+    SELECT n AS n_hours,
+           CAST(n * sxy - sx * sy AS BIGINT) AS rho_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS var_x,
+           CAST(n * syy - sy * sy AS BIGINT) AS var_y
+    FROM agg"""
+
+
+@_q(
+    "x_spearman_corr",
+    _spearman_sql(False),
+    "Spearman rank correlation, exact INCLUDING ties (r11 — the "
+    "monotone-association member of the stats family beside Kendall "
+    "tau, KS drift, and the exact permutation test): hourly click vs "
+    "purchase volumes ranked with DOUBLED midranks (2*midrank = "
+    "2*rank + ties - 1, always integral — the x_auc_exact idiom), "
+    "then Pearson on the integer doubled ranks as pure-integer sums; "
+    "emits rho's numerator and both variance factors as exact "
+    "BIGINTs (rho = num/sqrt(vx*vy) is the reader's epilogue; the "
+    "6*sum(d^2) shortcut is tie-broken and not used).  Plan: one "
+    "hourly rollup, two rank windows over the hour series, one "
+    "1-row aggregate.",
+)
+def x_spearman_corr(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_spearman_sql(True))
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -478,6 +478,53 @@ def test_stream_vocab_arrival_identities(spark):
     assert rows[-1].cum_vocab == len(vocab)
 
 
+def test_spearman_matches_scipy_free_replay(spark):
+    """Exact rationals must reproduce textbook Spearman (Pearson on
+    midranks) computed directly in Python with Fractions."""
+    from fractions import Fraction
+
+    from duckdb_title_mapper_spark.workload import (
+        core_queries, register_views)
+
+    register_views(spark, SF, "events")
+    rows = spark.sql(
+        "SELECT unix_micros(ts) div 3600000000 AS hr,"
+        " sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,"
+        " sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+        " AS y FROM events GROUP BY hr").collect()
+    xs = [r.x for r in rows]
+    ys = [r.y for r in rows]
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        out = [0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            mr = Fraction(i + 1 + j, 2)  # (lo + hi) / 2
+            for t in range(i, j):
+                out[order[t]] = mr
+            i = j
+        return out
+
+    rx, ry = midranks(xs), midranks(ys)
+    n = len(xs)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(v * v for v in rx)
+    syy = sum(v * v for v in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    r = core_queries()["x_spearman_corr"].spark_fn(spark, SF).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n_hours == n
+    # the query's doubled ranks scale num by 4 and each variance by 4
+    assert Fraction(r.rho_num, 4) == n * sxy - sx * sy
+    assert Fraction(r.var_x, 4) == n * sxx - sx * sx
+    assert Fraction(r.var_y, 4) == n * syy - sy * sy
+
+
 def test_warc_codec_roundtrip_and_framing():
     from duckdb_title_mapper_spark.sources import warc
 
