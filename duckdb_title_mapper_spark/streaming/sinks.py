@@ -550,8 +550,14 @@ def _stage_events_by_time(spark, sf_dir: str, parts: int = 4) -> str:
     )
     total = ev.count()
     rn = F.row_number().over(Window.orderBy("us", "event_id"))
+    # (rn-1)*parts must be 64-bit (row_number is IntegerType — 32-bit
+    # multiply overflows past ~536M events) and the bucketizer must be
+    # exact integer division, not a float round-trip (ADVICE r11).
     sliced_all = ev.withColumn(
-        "slice", ((rn - 1) * parts / F.lit(total)).cast("bigint"))
+        "rn0", rn.cast("bigint") - F.lit(1)
+    ).withColumn(
+        "slice", F.expr(f"rn0 * {int(parts)} div {int(total)}")
+    ).drop("rn0")
     os.makedirs(d, exist_ok=True)
     staged_rows = 0
     for p in range(parts):

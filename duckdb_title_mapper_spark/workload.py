@@ -18146,12 +18146,18 @@ def _pass_at_k_sql(spark_dialect: bool) -> str:
     def den(k: int) -> str:
         return " * ".join(f"(n - {j})" for j in range(k))
 
+    # n < k guard (ADVICE r11): den(k) would carry a zero factor,
+    # emitting the degenerate rational 0/0 — clamp to 0/1 ("no
+    # estimate") so a reader dividing num/den never crashes.  At the
+    # test SFs every source has >= 16 docs, so values are unchanged.
     cols = []
     for k in (1, 5, 10):
         cols.append(
-            f"CAST({den(k)} - {fail_num(k)} AS BIGINT)"
-            f" AS pass{k}_num")
-        cols.append(f"CAST({den(k)} AS BIGINT) AS pass{k}_den")
+            f"CAST(CASE WHEN n >= {k} THEN {den(k)} - {fail_num(k)}"
+            f" ELSE 0 END AS BIGINT) AS pass{k}_num")
+        cols.append(
+            f"CAST(CASE WHEN n >= {k} THEN {den(k)}"
+            f" ELSE 1 END AS BIGINT) AS pass{k}_den")
     cols_sql = ",\n           ".join(cols)
     return f"""WITH s AS (
       SELECT source, doc_id,
@@ -18567,7 +18573,11 @@ def _vocab_arrival_oracle() -> str:
     monitor: arrival order is (doc_id % 4, doc_id) — slice index =
     micro-batch id under the mtime-pinned availableNow replay — so a
     term is NEW in the batch of its lexicographic-minimum arrival
-    key (slice * bound + doc_id, bound > max doc_id)."""
+    key (slice * bound + doc_id, bound > max doc_id).  Rows come
+    from the LITERAL slice set 0..3 (not the token relation): the
+    stream stages one file per slice unconditionally and emits a
+    growth row for EVERY micro-batch, so a token-less or document-
+    less slice must still yield a (0, 0, 0) row (ADVICE r11)."""
     return r"""WITH t AS (
       SELECT doc_id % 4 AS slice, doc_id, unnest(
         regexp_extract_all(lower(text), '\w+')) AS tok
@@ -18576,6 +18586,7 @@ def _vocab_arrival_oracle() -> str:
     fo AS (
       SELECT tok, min(slice * bnd + doc_id) // bnd AS first_slice
       FROM t CROSS JOIN mx GROUP BY tok, bnd),
+    slices(slice) AS (VALUES (0), (1), (2), (3)),
     per_tok AS (
       SELECT slice, CAST(count(*) AS BIGINT) AS n_tokens,
              CAST(count(DISTINCT tok) AS BIGINT) AS n_batch_terms
@@ -18583,13 +18594,16 @@ def _vocab_arrival_oracle() -> str:
     news AS (
       SELECT first_slice AS slice, CAST(count(*) AS BIGINT) AS n_new
       FROM fo GROUP BY first_slice)
-    SELECT CAST(p.slice AS BIGINT) AS batch_id,
-           p.n_tokens, p.n_batch_terms,
+    SELECT CAST(s.slice AS BIGINT) AS batch_id,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_batch_terms, 0) AS BIGINT)
+             AS n_batch_terms,
            CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_terms,
-           CAST(sum(COALESCE(n.n_new, 0)) OVER (ORDER BY p.slice
+           CAST(sum(COALESCE(n.n_new, 0)) OVER (ORDER BY s.slice
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS BIGINT) AS cum_vocab
-    FROM per_tok p LEFT JOIN news n ON n.slice = p.slice"""
+    FROM slices s LEFT JOIN per_tok p ON p.slice = s.slice
+    LEFT JOIN news n ON n.slice = s.slice"""
 
 
 @_q(
