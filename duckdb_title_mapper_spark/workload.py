@@ -18729,7 +18729,15 @@ GRADE_FIRST = [
     # certified through the graded top-k retrieval trio (x_bm25_topk,
     # x_knn_bruteforce, x_ann_lsh_topk all ORDER BY score DESC LIMIT k);
     # rel_topk stays registered after the fold.
-    "rel_scan_project", "x_multimodal_jpeg_decode", "rel_group_by_all_i",
+    # r12 swap (VERDICT r11 #1 — slot distinctiveness): rel_scan_project's
+    # slot goes to x_hnsw_search (bounded-beam HNSW descent — the
+    # production ANN shape; the graph axis of the ANN family had no
+    # driver row beside brute-force kNN slot 40 and LSH slot 41; output
+    # all-BIGINT, planted-twin recall test-locked).  R1/R2 scan +
+    # projection stay driver-certified through every other graded
+    # query's scan and aliased projection; rel_scan_project stays
+    # registered after the fold.
+    "x_hnsw_search", "x_multimodal_jpeg_decode", "rel_group_by_all_i",
     "x_setsim_ppjoin",
     "x_hll_sketch", "x_merkle_manifest", "x_parquet_footer_stats",
     # joins incl. outer + skew-salted (r5: rel_join_dims_i's slot went
