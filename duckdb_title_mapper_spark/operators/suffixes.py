@@ -1,0 +1,217 @@
+"""Exact suffix-array substring dedup via PREFIX DOUBLING.
+
+Upgrades the strided-span stand-in (``x_substring_dup_rolling``,
+fingerprint-based, probabilistically exact) to the REAL thing: the
+Manber-Myers prefix-doubling construction (SODA 1990) run just far
+enough to answer the dedup questions Lee et al. 2022 ("Deduplicating
+Training Data Makes Language Models Better") ask of a suffix array —
+which positions start a duplicated substring of length >= L, merged
+into maximal spans, and how long the longest duplicated prefix ladder
+reaches.
+
+Exactness without a global sort: classic prefix doubling assigns each
+suffix a RANK (a global ``dense_rank`` — a total sort, which on Spark
+is a single-partition bottleneck).  But dedup never needs the ORDER of
+the suffix array, only its EQUALITY CLASSES, and a class id can be any
+injective label — we use ``min(doc_id * 2^32 + pos)`` over the class,
+computed with a hash-partitioned window (``PARTITION BY class-pair``),
+which distributes across executors.  Induction: level-8 classes come
+from the exact 8-char substring (real characters, no hashes — unlike
+the gram census's md5 lanes this layer is collision-free by
+construction); level-2k classes partition on the (level-k class of p,
+level-k class of p+k) pair, which equals character-equality on 2k
+chars by the standard doubling argument.  ``lead(cls, k)`` over the
+per-doc position window IS cls(p+k) because live positions stay
+contiguous (live at level k <=> pos <= n-k+1).
+
+Per-round the live relation is materialized once (plans/materialize —
+Spark inlines multi-consumer CTEs per consumer, the x_kcore_peel
+lesson) and positions whose suffix is too short for the next level
+RETIRE into a side list instead of being carried dead through every
+remaining round (the live set collapses fast: mean doc is ~300 chars,
+so levels 256/512 touch only the long tail).
+
+Output contract (all BIGINT, one row per doc with any duplicated
+8-prefix):
+
+- ``n_dup32_pos``  — positions whose 32-char window occurs >= 2 times
+  corpus-wide (exact string equality).
+- ``n_spans32``    — maximal spans after merging consecutive
+  duplicated positions (the intervals Lee et al. cut).
+- ``dup_chars32``  — chars covered by the span union (run + 31 each).
+- ``max_span32``   — longest merged span.
+- ``max_occ32``    — max occurrence count among duplicated windows.
+- ``max_dup_pow2`` — largest k in {8,16,...,512} such that some
+  k-char substring of the doc occurs >= 2 times corpus-wide.
+
+The DuckDB oracle unrolls the identical rounds as CTEs with explicit
+``AS MATERIALIZED`` hints (DuckDB 1.0 inlines per consumer too — each
+``led`` relation feeds both the next level and the retired union).
+
+Scale: every window is hash-partitioned (by 8-gram, by class pair, by
+doc) — no global sort anywhere; rounds are O(log max_doc_len) = 7 for
+this ladder; rows never exceed total_chars and shrink as levels pass
+doc lengths.  At 100 TB the level relations write as bucketed parquet
+(materialize mode ``reliable``) and the class-pair shuffle is the same
+shape AQE skew-handles everywhere else in the repo.
+"""
+
+from __future__ import annotations
+
+LADDER = (8, 16, 32, 64, 128, 256, 512)
+
+_KEY = "doc_id * 4294967296 + pos"
+
+
+def _positions_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        return (
+            "SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,"
+            " explode(sequence(1, length(text) - 7)) AS pos"
+            " FROM documents WHERE length(text) >= 8"
+        )
+    return (
+        "SELECT doc_id, text, length(text) AS n_chars,"
+        " unnest(generate_series(1, length(text) - 7)) AS pos"
+        " FROM documents WHERE length(text) >= 8"
+    )
+
+
+def base_sql(spark_dialect: bool) -> str:
+    """Level-8 live relation: exact 8-char substrings -> class ids."""
+    return f"""SELECT doc_id, n_chars, pos, key,
+           min(key) OVER (PARTITION BY g) AS cls,
+           CASE WHEN count(*) OVER (PARTITION BY g) > 1
+                THEN CAST(8 AS BIGINT) ELSE CAST(0 AS BIGINT)
+           END AS max_dup,
+           CAST(0 AS BIGINT) AS dup32,
+           CAST(0 AS BIGINT) AS occ32
+    FROM (SELECT doc_id, n_chars, pos, {_KEY} AS key,
+                 substr(text, pos, 8) AS g
+          FROM ({_positions_sql(spark_dialect)}) p) b"""
+
+
+def led_sql(k: int, src: str) -> str:
+    """Attach cls(p+k): live rows are contiguous per doc, so a row
+    lead of k IS a position lead of k (shared dialect)."""
+    return (
+        f"SELECT doc_id, n_chars, pos, key, cls, max_dup, dup32, occ32,"
+        f" lead(cls, {k}) OVER (PARTITION BY doc_id ORDER BY pos) AS c2"
+        f" FROM {src}"
+    )
+
+
+def double_sql(m: int, led_src: str) -> str:
+    """Level-m (= 2k) live relation from the led view: class id =
+    min key over the (cls, c2) pair partition; positions without a
+    full m-char window (c2 NULL) retire (shared dialect)."""
+    if m == 32:
+        caught = """CASE WHEN count(*) OVER (PARTITION BY cls, c2) > 1
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+           END AS dup32,
+           CASE WHEN count(*) OVER (PARTITION BY cls, c2) > 1
+                THEN count(*) OVER (PARTITION BY cls, c2)
+                ELSE CAST(0 AS BIGINT)
+           END AS occ32"""
+    else:
+        caught = "dup32, occ32"
+    return f"""SELECT doc_id, n_chars, pos, key,
+           min(key) OVER (PARTITION BY cls, c2) AS cls,
+           CASE WHEN count(*) OVER (PARTITION BY cls, c2) > 1
+                THEN CAST({m} AS BIGINT) ELSE max_dup
+           END AS max_dup,
+           {caught}
+    FROM {led_src} WHERE c2 IS NOT NULL"""
+
+
+_RETIRE_COLS = "doc_id, pos, max_dup, dup32, occ32"
+
+
+def final_sql(union_src: str) -> str:
+    """Per-doc aggregation: dup32 runs merged into maximal spans
+    (pos - row_number grouping idiom) + the ladder max (shared
+    dialect; every output column CAST to BIGINT on both engines)."""
+    return f"""WITH d32 AS (
+      SELECT doc_id, pos, occ32,
+             pos - row_number() OVER (PARTITION BY doc_id
+                 ORDER BY pos) AS grp
+      FROM {union_src} WHERE dup32 = 1),
+    runs AS (
+      SELECT doc_id, grp, count(*) AS run_len, max(occ32) AS mo
+      FROM d32 GROUP BY doc_id, grp),
+    per32 AS (
+      SELECT doc_id,
+             CAST(sum(run_len) AS BIGINT) AS n_dup32_pos,
+             CAST(count(*) AS BIGINT) AS n_spans32,
+             CAST(sum(run_len + 31) AS BIGINT) AS dup_chars32,
+             CAST(max(run_len + 31) AS BIGINT) AS max_span32,
+             CAST(max(mo) AS BIGINT) AS max_occ32
+      FROM runs GROUP BY doc_id),
+    lad AS (
+      SELECT doc_id, CAST(max(max_dup) AS BIGINT) AS max_dup_pow2
+      FROM {union_src} GROUP BY doc_id)
+    SELECT l.doc_id, l.max_dup_pow2,
+           CAST(COALESCE(p.n_dup32_pos, 0) AS BIGINT) AS n_dup32_pos,
+           CAST(COALESCE(p.n_spans32, 0) AS BIGINT) AS n_spans32,
+           CAST(COALESCE(p.dup_chars32, 0) AS BIGINT) AS dup_chars32,
+           CAST(COALESCE(p.max_span32, 0) AS BIGINT) AS max_span32,
+           CAST(COALESCE(p.max_occ32, 0) AS BIGINT) AS max_occ32
+    FROM lad l LEFT JOIN per32 p ON p.doc_id = l.doc_id
+    WHERE l.max_dup_pow2 >= 8"""
+
+
+def suffix_dup_spans(spark):
+    """Driver-loop prefix doubling over the registered ``documents``
+    view; one materialization per round (the graph-loop discipline).
+    The led relations stay materialized until the final union (each
+    feeds both the next level and a retired slice); only the base is
+    released once its sole consumer is cut."""
+    from ..plans.materialize import materialize, release
+
+    base = materialize(spark.sql(base_sql(True)))
+    live = base
+    retired = []
+    for k in LADDER[:-1]:
+        vl = f"__sfx_led_{k}"
+        live.createOrReplaceTempView(f"__sfx_live_{k}")
+        led = materialize(spark.sql(led_sql(k, f"__sfx_live_{k}")))
+        led.createOrReplaceTempView(vl)
+        if k == LADDER[0]:
+            release(base)
+        retired.append(
+            spark.sql(
+                f"SELECT {_RETIRE_COLS} FROM {vl} WHERE c2 IS NULL"
+            )
+        )
+        live = spark.sql(double_sql(2 * k, vl))
+    u = live.selectExpr("doc_id", "pos", "max_dup", "dup32", "occ32")
+    for r in retired:
+        u = u.unionAll(r)
+    u.createOrReplaceTempView("__sfx_union")
+    return spark.sql(final_sql("__sfx_union"))
+
+
+def suffix_oracle_sql() -> str:
+    """The identical rounds unrolled as DuckDB CTEs.  Every level and
+    led relation carries ``AS MATERIALIZED``: each led feeds TWO
+    consumers (the next level + the retired union), and DuckDB 1.0
+    inlines per consumer exactly like Spark (the x_kcore_peel spill
+    incident)."""
+    parts = [f"l8 AS MATERIALIZED ({base_sql(False)})"]
+    for k in LADDER[:-1]:
+        parts.append(
+            f"led{k} AS MATERIALIZED ({led_sql(k, f'l{k}')})"
+        )
+        parts.append(
+            f"l{2 * k} AS MATERIALIZED ({double_sql(2 * k, f'led{k}')})"
+        )
+    union = "\n      UNION ALL ".join(
+        [f"SELECT {_RETIRE_COLS} FROM l{LADDER[-1]}"]
+        + [
+            f"SELECT {_RETIRE_COLS} FROM led{k} WHERE c2 IS NULL"
+            for k in LADDER[:-1]
+        ]
+    )
+    parts.append(f"u AS MATERIALIZED (\n      {union})")
+    chain = ",\n    ".join(parts)
+    return f"WITH {chain},\n    fin AS ({final_sql('u')})\n    SELECT * FROM fin"

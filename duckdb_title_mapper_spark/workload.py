@@ -18688,6 +18688,39 @@ def x_spearman_corr(spark, sf_dir):
     return spark.sql(_spearman_sql(True))
 
 
+def _q_suffix_dup_oracle():
+    from .operators.suffixes import suffix_oracle_sql
+
+    return suffix_oracle_sql()
+
+
+@_q(
+    "x_suffix_dup_spans",
+    _q_suffix_dup_oracle(),
+    "EXACT suffix-array substring dedup via prefix doubling (r12 — "
+    "VERDICT r11 #2, upgrading the fingerprint-based "
+    "x_substring_dup_rolling stand-in to collision-free character "
+    "equality, the Lee et al. 2022 suffix-array dedup semantics): "
+    "Manber-Myers rank doubling over per-document suffixes, but with "
+    "EQUALITY-CLASS ids (min arrival key over the class) instead of "
+    "dense ranks — dedup never needs suffix-array ORDER, and class "
+    "ids come from hash-partitioned windows, so there is NO global "
+    "sort anywhere (the dense_rank form would bottleneck on a single "
+    "partition at scale).  Seven O(log max_len) rounds (8..512), one "
+    "materialization per round with short suffixes retiring out of "
+    "the live set; emits per-doc maximal duplicated >=32-char spans "
+    "(merged runs: count, char coverage, longest, max occurrence) "
+    "plus the power-of-2 ladder maximum.  The oracle unrolls the "
+    "identical rounds as AS MATERIALIZED CTEs (each led relation has "
+    "two consumers — the x_kcore_peel inlining rule).  All-BIGINT.",
+)
+def x_suffix_dup_spans(spark, sf_dir):
+    from .operators.suffixes import suffix_dup_spans
+
+    register_views(spark, sf_dir, "documents")
+    return suffix_dup_spans(spark)
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its
