@@ -1,0 +1,186 @@
+"""Unigram-LM (SentencePiece-style) tokenizer E-step — EXACT rationals.
+
+One EM expectation pass of Kudo 2018 ("Subword Regularization", the
+unigram language model SentencePiece trains) over the corpus's bounded
+words, computed entirely in integer arithmetic so Spark and DuckDB
+agree bit-for-bit:
+
+- WORDS: distinct ``\\w+`` tokens of 2..8 chars (lowercased) with
+  corpus frequency ``f``.  The length bound makes the lattice
+  CLOSED-FORM: at most 8 positions means the forward/backward
+  recursions unroll into a fixed 26-column projection — no driver
+  loop, no iteration, no convergence concern.
+- SEED VOCAB: every substring piece of length 1..4 (the 26-cell span
+  grid), kept when ``len = 1`` (so every word retains a valid
+  segmentation and the lattice sum is never zero) or corpus count
+  >= 5.  Piece weight ``w`` = 1 + #{powers of 8 <= count} in 1..7 —
+  a pure integer CASE ladder, no logarithms, no drift.
+- LATTICE: for a word of length n, segmentations are paths over spans
+  (i, l); path score = product of piece weights; the model is the
+  lattice-normalized unigram LM (score / Z where Z sums all paths).
+  Forward ``A[j]`` (paths covering chars 1..j) and backward ``B[j]``
+  (paths covering j+1..n) are each a <= 8-step integer recursion over
+  the pivoted ``w_i_l`` grid; ``Z = B[0]``.  Weights <= 7 and n <= 8
+  bound A, B, Z below ~2e7 — every product fits int64 with 10 digits
+  to spare.
+- E-STEP: expected count of the piece at span (i, l) is
+  ``A[i-1] * w_i_l * B[i+l-1] / Z`` (classic lattice
+  forward-backward).  The rational is quantized to EXACT parts-per-
+  million by two-step long division (q = num idiv Z; then
+  q*1e6 + (rem*1e6) idiv Z — num <= Z so q <= 1, rem*1e6 < 2e13,
+  everything int64-safe), then summed corpus-wide weighted by word
+  frequency.  idiv is the only dialect split (Spark ``div`` vs DuckDB
+  ``//``; all operands provably nonnegative per the house rule).
+
+Scale: one token-explode scan of ``documents`` (the same shape as
+every text-analysis query), then all relations are per-DISTINCT-WORD
+(26 rows/word max) — sublinear in corpus size.  The pivoted lattice
+is ONE row per word; the 26 UNION arms re-scan only the materialized
+ab relation.  Multi-consumer relations (spans -> vocab+lattice,
+vocab -> lattice+final, ab -> 26 arms) are materialized on Spark
+(plans/materialize, per-consumer CTE inlining) and ``AS MATERIALIZED``
+in the DuckDB oracle (the x_kcore_peel rule).
+
+Reference scope: the reference engine (src/lib.rs:1-86) tokenizes by
+regex only; the unigram axis is the LLM-pipeline extension mandated by
+the build brief (tokenizer family: BPE train/step/apply, WordPiece,
+fertility — this adds the probabilistic-lattice member).
+"""
+
+from __future__ import annotations
+
+# (i, l) span grid: i + l - 1 <= 8, l in 1..4 -> 26 cells
+GRID = [(i, l) for l in range(1, 5) for i in range(1, 10 - l)]
+
+MAX_N = 8
+PPM = 1000000
+# piece-count thresholds for the weight ladder (powers of 8)
+W_STEPS = (8, 64, 512, 4096, 32768, 262144)
+MIN_CNT = 5
+
+
+def words_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        tok = r"explode(regexp_extract_all(lower(text), '\\w+', 0))"
+    else:
+        tok = r"unnest(regexp_extract_all(lower(text), '\w+'))"
+    return f"""SELECT tok AS word, CAST(count(*) AS BIGINT) AS f,
+           CAST(length(tok) AS BIGINT) AS n
+    FROM (SELECT {tok} AS tok FROM documents) t
+    WHERE length(tok) BETWEEN 2 AND {MAX_N}
+    GROUP BY tok"""
+
+
+def spans_sql(words_rel: str) -> str:
+    grid = ", ".join(f"({i}, {l})" for i, l in GRID)
+    return f"""SELECT word, f, n, i, l, substr(word, i, l) AS piece
+    FROM {words_rel} CROSS JOIN (VALUES {grid}) AS g(i, l)
+    WHERE i + l - 1 <= n"""
+
+
+def vocab_sql(spans_rel: str) -> str:
+    ladder = " + ".join(
+        f"CASE WHEN sum(f) >= {t} THEN 1 ELSE 0 END" for t in W_STEPS
+    )
+    return f"""SELECT piece, CAST(length(piece) AS BIGINT) AS plen,
+           CAST(sum(f) AS BIGINT) AS cnt,
+           CAST(1 + {ladder} AS BIGINT) AS w
+    FROM {spans_rel}
+    GROUP BY piece
+    HAVING length(piece) = 1 OR sum(f) >= {MIN_CNT}"""
+
+
+def _wcol(i: int, l: int) -> str:
+    return f"w_{i}_{l}"
+
+
+def ab_sql(spans_rel: str, vocab_rel: str) -> str:
+    """Pivot the valid spans to one row per word, then unroll the
+    forward (a1..a8) and backward (b8..b0) recursions as nested
+    projections (Catalyst collapses them into one).  Spans absent
+    from the vocab pivot to weight 0, which zeroes every path through
+    them — exactly the lattice semantics."""
+    pivot = ", ".join(
+        f"max(CASE WHEN i = {i} AND l = {l} THEN w"
+        f" ELSE CAST(0 AS BIGINT) END) AS {_wcol(i, l)}"
+        for i, l in GRID
+    )
+    q = f"""SELECT s.word, s.f, s.n, {pivot}
+    FROM {spans_rel} s JOIN {vocab_rel} v ON v.piece = s.piece
+    GROUP BY s.word, s.f, s.n"""
+    # forward: A[0] = 1; A[j] = sum_l w(j-l+1, l) * A[j-l]
+    q = f"SELECT *, CAST(1 AS BIGINT) AS a0 FROM ({q}) z0"
+    for j in range(1, MAX_N + 1):
+        terms = " + ".join(
+            f"{_wcol(j - l + 1, l)} * a{j - l}"
+            for l in range(1, min(4, j) + 1)
+        )
+        q = f"SELECT *, {terms} AS a{j} FROM ({q}) za{j}"
+    # backward: B[j] = [n = j] + sum_l w(j+1, l) * B[j+l]
+    q = (f"SELECT *, CASE WHEN n = {MAX_N} THEN CAST(1 AS BIGINT)"
+         f" ELSE CAST(0 AS BIGINT) END AS b{MAX_N} FROM ({q}) zb")
+    for j in range(MAX_N - 1, -1, -1):
+        terms = " + ".join(
+            f"{_wcol(j + 1, l)} * b{j + l}"
+            for l in range(1, min(4, MAX_N - j) + 1)
+        )
+        q = (f"SELECT *, CASE WHEN n = {j} THEN 1 ELSE 0 END"
+             f" + {terms} AS b{j} FROM ({q}) zb{j}")
+    return q
+
+
+def final_sql(ab_rel: str, vocab_rel: str, spark_dialect: bool) -> str:
+    """26 UNION arms over the materialized lattice (one per grid
+    cell), exact-ppm long division, then the corpus-wide E-step sum
+    per piece.  num <= z (paths through a span are a subset of all
+    paths), so q <= 1 and every intermediate fits int64."""
+    idiv = "div" if spark_dialect else "//"
+    arms = "\n      UNION ALL ".join(
+        f"SELECT word, f, substr(word, {i}, {l}) AS piece,"
+        f" a{i - 1} * {_wcol(i, l)} * b{i + l - 1} AS num, b0 AS z"
+        f" FROM {ab_rel} WHERE {_wcol(i, l)} > 0"
+        for i, l in GRID
+    )
+    return f"""WITH c AS (
+      {arms}),
+    p AS (
+      SELECT word, f, piece,
+             (num {idiv} z) * {PPM}
+               + ((num - (num {idiv} z) * z) * {PPM}) {idiv} z AS ppm
+      FROM c)
+    SELECT v.piece, v.plen, v.w, v.cnt,
+           CAST(sum(p.f * p.ppm) AS BIGINT) AS expected_ppm,
+           CAST(count(DISTINCT p.word) AS BIGINT) AS n_words
+    FROM p JOIN {vocab_rel} v ON v.piece = p.piece
+    GROUP BY v.piece, v.plen, v.w, v.cnt"""
+
+
+def oracle_sql() -> str:
+    """The whole chain as one DuckDB query.  spans feeds vocab AND
+    the lattice join, vocab feeds the join AND the final, ab feeds 26
+    arms — all three carry AS MATERIALIZED (DuckDB 1.0 inlines CTEs
+    per consumer, the x_kcore_peel incident)."""
+    fin = final_sql("ab", "vocab", False)
+    # final_sql opens its own WITH — splice its CTEs into ours
+    assert fin.startswith("WITH ")
+    return f"""WITH words AS ({words_sql(False)}),
+    spans AS MATERIALIZED ({spans_sql('words')}),
+    vocab AS MATERIALIZED ({vocab_sql('spans')}),
+    ab AS MATERIALIZED ({ab_sql('spans', 'vocab')}),
+    {fin[5:]}"""
+
+
+def unigram_estep(spark):
+    """Spark side: materialize the three multi-consumer relations
+    once (plans/materialize), then run the final aggregation."""
+    from ..plans.materialize import materialize
+
+    spans = materialize(
+        spark.sql(f"WITH words AS ({words_sql(True)}) {spans_sql('words')}")
+    )
+    spans.createOrReplaceTempView("__uni_spans")
+    vocab = materialize(spark.sql(vocab_sql("__uni_spans")))
+    vocab.createOrReplaceTempView("__uni_vocab")
+    ab = materialize(spark.sql(ab_sql("__uni_spans", "__uni_vocab")))
+    ab.createOrReplaceTempView("__uni_ab")
+    return spark.sql(final_sql("__uni_ab", "__uni_vocab", True))

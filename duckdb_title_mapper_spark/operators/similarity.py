@@ -602,3 +602,74 @@ def nearest_cell_assign(df, pool_rows, id_col: str = "vec_id",
 
     return df.select(id_col, vec_col).mapInPandas(
         work, "vec_id BIGINT, cell BIGINT")
+
+
+# ---------------------------------------------------------------------
+# IVF cell assignment (shared generator for the batch oracle and the
+# streaming maintenance twin `stream_ann_assign`)
+# ---------------------------------------------------------------------
+
+IVF_ASSIGN_CELLS = 16
+IVF_ASSIGN_PARTS = 4
+
+
+def _unit_rel_sql(spark_dialect: bool, rel: str, out: str = "uvec") -> str:
+    """Relation (vec_id, embedding) -> (vec_id, unit-normalized DOUBLE
+    vector), norm computed ONCE in a nested projection (not per
+    element — array lambdas are interpreted)."""
+    nrm = "sqrt(" + embed_dot(spark_dialect, "embedding", "embedding") + ")"
+    fn = "transform" if spark_dialect else "list_transform"
+    return (
+        f"SELECT vec_id, {fn}(embedding, x -> CAST(x AS DOUBLE) / nrm)"
+        f" AS {out} FROM (SELECT vec_id, embedding, {nrm} AS nrm"
+        f" FROM {rel}) n"
+    )
+
+
+def ivf_cents_sql(spark_dialect: bool, rel: str = "embeddings",
+                  n_cells: int = IVF_ASSIGN_CELLS) -> str:
+    """The deterministic seed centroids (`ivf_topk`'s md5-ordered
+    spread — similarity.py:450), unit-normalized, numbered 0..n-1 in
+    seed order.  Engine-portable: no RNG, no collect."""
+    seeds = (
+        f"SELECT vec_id, embedding FROM {rel}"
+        f" ORDER BY md5(CAST(vec_id AS STRING)), vec_id LIMIT {n_cells}"
+    )
+    unit = _unit_rel_sql(spark_dialect, f"({seeds}) s", out="cvec")
+    return (
+        f"SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS"
+        f" STRING)), vec_id) - 1 AS BIGINT) AS cell, cvec"
+        f" FROM ({unit}) u"
+    )
+
+
+def ivf_assign_sql(spark_dialect: bool, src_rel: str,
+                   cents_rel: str) -> str:
+    """Nearest-centroid assignment: cosine = one dot of the two unit
+    vectors (both sides pre-normalized), argmax on the RAW double with
+    lowest-cell tiebreak (the x_knn_bruteforce contract — membership
+    never depends on a quantized value).  The centroid side is n_cells
+    rows, so the CROSS JOIN broadcasts; assignment is the linear
+    n x n_cells map-side pass."""
+    dot = embed_dot(spark_dialect, "u.uvec", "c.cvec")
+    unit = _unit_rel_sql(spark_dialect, src_rel)
+    return f"""SELECT vec_id, cell FROM (
+      SELECT u.vec_id, c.cell,
+             row_number() OVER (PARTITION BY u.vec_id
+                 ORDER BY {dot} DESC, c.cell) AS rk
+      FROM ({unit}) u CROSS JOIN {cents_rel} c) r
+    WHERE rk = 1"""
+
+
+def ivf_assign_oracle_sql(n_cells: int = IVF_ASSIGN_CELLS,
+                          parts: int = IVF_ASSIGN_PARTS) -> str:
+    """DuckDB batch closed form of the streaming run: batch id is the
+    arrival slice (vec_id % parts under the mtime-pinned availableNow
+    replay), assignment is slice-independent.  Single-consumer CTE
+    chain — no MATERIALIZED hints needed."""
+    cents = ivf_cents_sql(False, "embeddings", n_cells)
+    assign = ivf_assign_sql(False, "embeddings", "cents")
+    return f"""WITH cents AS ({cents}),
+    a AS ({assign})
+    SELECT vec_id, CAST(vec_id % {parts} AS BIGINT) AS batch_id, cell
+    FROM a"""

@@ -1014,3 +1014,111 @@ def image_dedup_stream(spark, sf_dir: str, parts: int = 4):
             .alias("n_unique"),
         )
     )
+
+
+def _stage_embeddings_by_mod(spark, sf_dir: str, parts: int = 4) -> str:
+    """The mod-split staging layout (`_stage_docs_by_mod`) for the
+    embeddings table: ``vec_id % parts`` slices with strictly
+    increasing mtimes so the availableNow file stream replays slice i
+    as micro-batch i."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    src = os.path.realpath(f"{sf_dir}/embeddings.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    d = f"/tmp/duckdb_title_mapper_spark_stream/{tag}_embmod{parts}"
+    done = f"{d}/.staged"
+    if os.path.exists(done):
+        return d
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    os.makedirs(d, exist_ok=True)
+    staged_rows = 0
+    for p in range(parts):
+        sliced = emb.where(F.col("vec_id") % parts == p)
+        staged_rows += sliced.count()
+        (sliced.coalesce(1)
+         .write.mode("overwrite")
+         .parquet(f"{d}/_build_{p}"))
+        part_file = next(
+            f for f in os.listdir(f"{d}/_build_{p}")
+            if f.endswith(".parquet"))
+        os.replace(f"{d}/_build_{p}/{part_file}", f"{d}/slice_{p}.parquet")
+        shutil.rmtree(f"{d}/_build_{p}", ignore_errors=True)
+    import time as _time
+
+    base = _time.time()
+    for p in range(parts):
+        os.utime(f"{d}/slice_{p}.parquet", (base + p, base + p))
+    total = emb.count()
+    if staged_rows != total:
+        raise AssertionError(
+            f"embedding staging lost rows: staged {staged_rows} of {total}")
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+def ann_assign_stream(spark, sf_dir: str, parts: int = 4):
+    """STREAMING ANN index maintenance (the store family's INDEX
+    shape beside the ADD/MAX/OR/MIN/set-union merges): the coarse
+    IVF quantizer's centroids are built ONCE from the static corpus
+    and PARQUET-BACKED (`operators/similarity.ivf_cents_sql` — the
+    md5-ordered deterministic seeds of `ivf_topk`); each embedding
+    micro-batch is assigned to its nearest centroid by one broadcast
+    n x n_cells cosine pass and APPENDED to a per-batch cell store
+    (``cells.b{id}`` dirs — overwrite mode, so an at-least-once
+    retry rewrites byte-identical rows; no prior-state probe needed
+    because assignment is state-free).  The final store is the full
+    posting-list index; the DuckDB oracle recomputes every
+    assignment closed-form with batch id = arrival slice.  At 100 TB
+    this is exactly how an IVF index ingests a firehose: constant
+    centroid broadcast, map-side argmax, append-only postings."""
+    import glob as _glob
+
+    from ..operators.similarity import ivf_assign_sql, ivf_cents_sql
+
+    src_dir = _stage_embeddings_by_mod(spark, sf_dir, parts)
+    out = tempfile.mkdtemp(prefix="dtm_stream_annassign_")
+    chk = os.path.join(out, "chk")
+    cents_dir = os.path.join(out, "cents")
+
+    # parquet-backed centroids, built once before the stream starts
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, "embeddings")
+    (spark.sql(ivf_cents_sql(True, "embeddings"))
+     .coalesce(1).write.mode("overwrite").parquet(cents_dir))
+
+    def merge(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        batch_df.createOrReplaceTempView("__ann_batch")
+        sess.read.parquet(cents_dir).createOrReplaceTempView(
+            "__ann_cents")
+        assigned = sess.sql(
+            ivf_assign_sql(True, "__ann_batch", "__ann_cents"))
+        (assigned.selectExpr(
+            "vec_id", f"CAST({int(batch_id)} AS BIGINT) AS batch_id",
+            "cell")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(out, f"cells.b{batch_id}")))
+
+    raw = (
+        spark.readStream.schema(
+            "vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cells = sorted(_glob.glob(os.path.join(out, "cells.b*")))
+    if not cells:
+        raise RuntimeError("streaming ANN assignment produced no cells")
+    return spark.read.parquet(*cells).select("vec_id", "batch_id", "cell")

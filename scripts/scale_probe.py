@@ -221,6 +221,11 @@ EXTRA = [
     "x_silhouette_simplified",
     "stream_vocab_arrival",
     "x_spearman_corr",
+    # round-12 flagships
+    "x_suffix_dup_spans",
+    "x_unigram_lm_estep",
+    "stream_ann_assign",
+    "src_arrow_ipc_roundtrip",
 ]
 
 

@@ -707,3 +707,49 @@ def test_round11_plan_shapes(spark):
     # lay/pool/edges must come from materialized scans, not recomputed
     # CTE subtrees (Spark inlines per consumer — the r11 5.4s -> 2.5s fix)
     assert p.count("Scan ExistingRDD") >= 3, p.count("Scan ExistingRDD")
+
+
+def test_round12_plan_shapes(spark):
+    """Plan locks for the round-12 operators.
+
+    What each lock protects: the suffix-array prefix-doubling rounds
+    and the unigram lattice read their multi-consumer relations from
+    MATERIALIZED scans (Spark inlines CTEs per consumer — the
+    x_kcore_peel/x_hnsw_search lesson: without materialization the 6
+    retired slices would recompute every led window and the 26 union
+    arms would recompute the whole lattice pivot); the Arrow IPC walk
+    is exactly one groupBy-source exchange into an Arrow
+    applyInPandas (per-group Python IS that operator's point, never
+    per-row); the streaming ANN store read-back is a bare pruned
+    parquet scan — assignment work happened per micro-batch, so the
+    final result must not recompute anything."""
+    from duckdb_title_mapper_spark.plans import explain_str, shuffle_count
+    from duckdb_title_mapper_spark.workload import core_queries as all_queries
+
+    qs = all_queries()
+
+    sx = qs["x_suffix_dup_spans"].spark_fn(spark, SF)
+    p = explain_str(sx)
+    assert "BatchEvalPython" not in p
+    # 6 led levels feed both the next level and a retired slice; all
+    # must come from materialized scans, not recomputed window chains
+    assert p.count("Scan ExistingRDD") >= 6, p.count("Scan ExistingRDD")
+
+    un = qs["x_unigram_lm_estep"].spark_fn(spark, SF)
+    p = explain_str(un)
+    assert "BatchEvalPython" not in p
+    # 26 union arms over the materialized lattice + the vocab join
+    assert p.count("Scan ExistingRDD") >= 20, p.count("Scan ExistingRDD")
+
+    ai = qs["src_arrow_ipc_roundtrip"].spark_fn(spark, SF)
+    p = explain_str(ai)
+    assert "FlatMapGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert shuffle_count(ai) <= 2, shuffle_count(ai)
+
+    sa = qs["stream_ann_assign"].spark_fn(spark, SF)
+    p = explain_str(sa)
+    assert "BatchEvalPython" not in p
+    assert shuffle_count(sa) == 0, shuffle_count(sa)
+    assert all(set(s) <= {"vec_id", "batch_id", "cell"}
+               for s in read_schema_columns(sa)), read_schema_columns(sa)
