@@ -293,6 +293,11 @@ EXTRA = [
     "x_unigram_lm_estep",
     "stream_ann_assign",
     "src_arrow_ipc_roundtrip",
+    "x_bradley_terry_mm",
+    "x_suffix_dup_extract",
+    "x_unigram_segment",
+    "x_acf_exact",
+    "src_orc_walk",
 ]
 
 

@@ -184,3 +184,88 @@ def unigram_estep(spark):
     ab = materialize(spark.sql(ab_sql("__uni_spans", "__uni_vocab")))
     ab.createOrReplaceTempView("__uni_ab")
     return spark.sql(final_sql("__uni_ab", "__uni_vocab", True))
+
+
+def viterbi_sql(spans_rel: str, vocab_rel: str) -> str:
+    """Viterbi max-product DECODE over the same lattice the E-step
+    sums (Kudo 2018's inference step — what SentencePiece does at
+    tokenize time): M[j] = max_l w(j-l+1, l) * M[j-l] with
+    backpointers preferring the SMALLEST piece on ties (the CASE
+    ladder tests l = 1..4 in order), then the cut walk unrolls into
+    8 closed-form projection layers and the segmentation string is
+    rebuilt with concat_ws (both engines skip NULL arguments).
+    Pure integer arithmetic + substrings — no dialect split at all;
+    singles are always in the vocab, so every word decodes."""
+    pivot = ", ".join(
+        f"max(CASE WHEN i = {i} AND l = {l} THEN w"
+        f" ELSE CAST(0 AS BIGINT) END) AS {_wcol(i, l)}"
+        for i, l in GRID
+    )
+    q = f"""SELECT s.word, s.f, s.n, {pivot}
+    FROM {spans_rel} s JOIN {vocab_rel} v ON v.piece = s.piece
+    GROUP BY s.word, s.f, s.n"""
+    q = f"SELECT *, CAST(1 AS BIGINT) AS m0 FROM ({q}) v0"
+    for j in range(1, MAX_N + 1):
+        terms = [
+            f"{_wcol(j - l + 1, l)} * m{j - l}"
+            for l in range(1, min(4, j) + 1)
+        ]
+        mj = terms[0] if len(terms) == 1 else (
+            "greatest(" + ", ".join(terms) + ")")
+        q = f"SELECT *, {mj} AS m{j} FROM ({q}) vm{j}"
+        arms = " ".join(
+            f"WHEN {_wcol(j - l + 1, l)} * m{j - l} = m{j}"
+            f" THEN CAST({l} AS BIGINT)"
+            for l in range(1, min(4, j) + 1)
+        )
+        bp = (f"CASE WHEN m{j} = 0 THEN CAST(0 AS BIGINT)"
+              f" ELSE CASE {arms} ELSE CAST(0 AS BIGINT) END END")
+        q = f"SELECT *, {bp} AS bp{j} FROM ({q}) vb{j}"
+    bpat = ("CASE %s "
+            + " ".join(f"WHEN {j} THEN bp{j}"
+                       for j in range(1, MAX_N + 1))
+            + " ELSE CAST(0 AS BIGINT) END")
+    q = f"SELECT *, n AS c1 FROM ({q}) vw0"
+    for k in range(1, MAX_N + 1):
+        lk = (f"CASE WHEN c{k} <= 0 THEN CAST(0 AS BIGINT)"
+              f" ELSE {bpat % f'c{k}'} END")
+        q = f"SELECT *, {lk} AS l{k} FROM ({q}) vl{k}"
+        if k < MAX_N:
+            q = f"SELECT *, c{k} - l{k} AS c{k + 1} FROM ({q}) vc{k}"
+    score = ("CASE n "
+             + " ".join(f"WHEN {j} THEN m{j}"
+                        for j in range(2, MAX_N + 1))
+             + " ELSE CAST(0 AS BIGINT) END")
+    pieces = ", ".join(
+        f"CASE WHEN l{k} > 0 THEN substr(word,"
+        f" CAST(c{k} - l{k} + 1 AS INT), CAST(l{k} AS INT)) END"
+        for k in range(MAX_N, 0, -1)
+    )
+    n_pieces = " + ".join(
+        f"CASE WHEN l{k} > 0 THEN 1 ELSE 0 END"
+        for k in range(1, MAX_N + 1)
+    )
+    return f"""SELECT word, f, n, {score} AS best_score,
+           CAST({n_pieces} AS BIGINT) AS n_pieces,
+           concat_ws('|', {pieces}) AS seg
+    FROM ({q}) vfin"""
+
+
+def viterbi_oracle_sql() -> str:
+    """spans feeds vocab AND the lattice pivot -> AS MATERIALIZED."""
+    return f"""WITH words AS ({words_sql(False)}),
+    spans AS MATERIALIZED ({spans_sql('words')}),
+    vocab AS MATERIALIZED ({vocab_sql('spans')})
+    {viterbi_sql('spans', 'vocab')}"""
+
+
+def unigram_segment(spark):
+    from ..plans.materialize import materialize
+
+    spans = materialize(
+        spark.sql(f"WITH words AS ({words_sql(True)}) {spans_sql('words')}")
+    )
+    spans.createOrReplaceTempView("__uni_spans")
+    vocab = materialize(spark.sql(vocab_sql("__uni_spans")))
+    vocab.createOrReplaceTempView("__uni_vocab")
+    return spark.sql(viterbi_sql("__uni_spans", "__uni_vocab"))

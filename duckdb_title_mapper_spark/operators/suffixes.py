@@ -215,3 +215,38 @@ def suffix_oracle_sql() -> str:
     parts.append(f"u AS MATERIALIZED (\n      {union})")
     chain = ",\n    ".join(parts)
     return f"WITH {chain},\n    fin AS ({final_sql('u')})\n    SELECT * FROM fin"
+
+
+def extract_sql(spark_dialect: bool) -> str:
+    """The Lee-et-al CUT LIST companion to ``suffix_dup_spans``: the
+    top-100 distinct duplicated 32-char substrings corpus-wide, WITH
+    their content — what a dedup pass would actually remove.  Runs
+    the doubling ladder only to level 32 (base + two rounds); the
+    chain is single-consumer end to end (no retired slices needed),
+    so it needs no materialization on either engine.  Class id =
+    min arrival key, so the representative (doc, pos) is decodable
+    from the id itself (doc = key idiv 2^32, pos = key % 2^32) and
+    the span text comes from ONE broadcast join of the 100 winners
+    back to documents.  Ties broken (occ DESC, cls ASC) — membership
+    and order never touch a float."""
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH l8 AS ({base_sql(spark_dialect)}),
+    led8 AS ({led_sql(8, 'l8')}),
+    l16 AS ({double_sql(16, 'led8')}),
+    led16 AS ({led_sql(16, 'l16')}),
+    l32 AS ({double_sql(32, 'led16')}),
+    cl AS (
+      SELECT cls, CAST(count(*) AS BIGINT) AS occ,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM l32 GROUP BY cls HAVING count(*) >= 2),
+    top AS (
+      SELECT cls, occ, n_docs,
+             CAST(row_number() OVER (ORDER BY occ DESC, cls)
+                 AS BIGINT) AS dup_rank
+      FROM cl ORDER BY occ DESC, cls LIMIT 100)
+    SELECT t.dup_rank, substr(d.text, CAST(t.cls % 4294967296 AS INT),
+               32) AS span,
+           t.occ, t.n_docs,
+           t.cls {idiv} 4294967296 AS rep_doc,
+           t.cls % 4294967296 AS rep_pos
+    FROM top t JOIN documents d ON d.doc_id = t.cls {idiv} 4294967296"""

@@ -753,3 +753,30 @@ def test_round12_plan_shapes(spark):
     assert shuffle_count(sa) == 0, shuffle_count(sa)
     assert all(set(s) <= {"vec_id", "batch_id", "cell"}
                for s in read_schema_columns(sa)), read_schema_columns(sa)
+
+    # second-wave round-12 ops: Bradley-Terry and ACF read their
+    # multi-consumer relations from materialized scans (battle long
+    # relation / centered series); the suffix cut-list is a
+    # single-consumer window chain ending in a broadcast join-back;
+    # the unigram Viterbi walk collapses into projections over the
+    # materialized lattice; the ORC walk is one grouped Arrow pass
+    for name, rdd_min in (("x_bradley_terry_mm", 3),
+                          ("x_acf_exact", 13),
+                          ("x_unigram_segment", 2)):
+        df = qs[name].spark_fn(spark, SF)
+        p = explain_str(df)
+        assert "BatchEvalPython" not in p, name
+        assert p.count("Scan ExistingRDD") >= rdd_min, (
+            name, p.count("Scan ExistingRDD"))
+
+    se = qs["x_suffix_dup_extract"].spark_fn(spark, SF)
+    p = explain_str(se)
+    assert "BatchEvalPython" not in p
+    from duckdb_title_mapper_spark.plans import broadcast_join_count
+    assert broadcast_join_count(se) >= 1  # top-100 join-back
+
+    ow = qs["src_orc_walk"].spark_fn(spark, SF)
+    p = explain_str(ow)
+    assert "FlatMapGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert shuffle_count(ow) <= 2, shuffle_count(ow)

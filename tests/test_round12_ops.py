@@ -126,6 +126,52 @@ def test_arrow_ipc_pyarrow_authority():
     assert len(footer_bytes([(1, 2, 3)] * 7)) == FOOTER_BASE + 24 * 7
 
 
+def test_orc_pyarrow_authority():
+    """The from-scratch ORC writer against the Apache ORC C++ reader
+    (via pyarrow.orc): it must parse our bytes and return the exact
+    table.  The reverse direction is out of the declared profile
+    (modern writers emit RLEv2 + row indexes); our walker instead
+    proves strict framing validation on its own profile."""
+    import io
+
+    import pyarrow
+    from pyarrow import orc
+
+    from duckdb_title_mapper_spark.sources.orcfile import (
+        build_orc,
+        read_orc,
+        rle_v1_decode,
+        rle_v1_literals,
+    )
+
+    recs = [(i, f"text number {i} " + "x" * (i % 37))
+            for i in range(1, 101)]
+    blob = build_orc(recs)
+    back = read_orc(blob)
+    assert back["records"] == recs
+    assert back["n_stripes"] == 4
+    t = orc.ORCFile(io.BytesIO(blob)).read()
+    assert t.column("doc_id").to_pylist() == [d for d, _ in recs]
+    assert t.column("text").to_pylist() == [s for _, s in recs]
+    assert isinstance(t, pyarrow.Table)
+    # RLEv1 decoder also handles delta RUNS (other writers' streams):
+    # control 0x05 = run of 8, delta +2, zigzag base 10
+    run = bytes([0x05, 0x02]) + b"\x14"
+    assert rle_v1_decode(run, 8, signed=True) == list(range(10, 26, 2))
+    # literal encoder round-trips negatives via zigzag
+    vals = [0, -1, 5, -1000, 2**40, -(2**40)]
+    assert rle_v1_decode(rle_v1_literals(vals, True), len(vals),
+                         True) == vals
+    # framing validation: a flipped PostScript magic must be rejected
+    bad = bytearray(blob)
+    bad[-4] = ord("X")
+    try:
+        read_orc(bytes(bad))
+        raise AssertionError("torn ORC accepted")
+    except ValueError:
+        pass
+
+
 def _unigram_replay(texts):
     """Brute-force replay of the unigram E-step contract: enumerate
     every composition of each bounded word into 1..4-char pieces,
@@ -231,6 +277,151 @@ def test_unigram_estep_equals_python_replay(spark):
     assert max(v[1] for v in expect.values()) >= 2
     assert all(len(p) <= 4 for p in expect)
     assert any(v[3] > 0 for v in expect.values())
+
+
+def test_unigram_viterbi_equals_python_replay(spark):
+    """Max-product decode with the declared smallest-piece tie-break,
+    against a brute-force enumeration of every segmentation."""
+    import pandas as pd
+
+    from duckdb_title_mapper_spark.functions.unigram import (
+        GRID,
+        MIN_CNT,
+        W_STEPS,
+        unigram_segment,
+    )
+    from duckdb_title_mapper_spark.operators.standardize import _arrow_df
+
+    base = ["banana", "bandana", "ban", "anna", "nab", "band",
+            "cabana", "a", "verylongword123"]
+    texts = {
+        d: " ".join(random.choice(base) for _ in range(25))
+        for d in range(1, 9)
+    }
+    # replay vocab (same as the E-step contract)
+    import re
+    from collections import Counter
+
+    toks = []
+    for t in texts.values():
+        toks += re.findall(r"\w+", t.lower())
+    words = Counter(w for w in toks if 2 <= len(w) <= 8)
+    cnt = Counter()
+    for w, f in words.items():
+        for i, l in GRID:
+            if i + l - 1 <= len(w):
+                cnt[w[i - 1:i - 1 + l]] += f
+    vocab = {
+        p: 1 + sum(c >= t for t in W_STEPS)
+        for p, c in cnt.items()
+        if len(p) == 1 or c >= MIN_CNT
+    }
+    expect = {}
+    for w, f in words.items():
+        n = len(w)
+        m = [0] * (n + 1)
+        bp = [0] * (n + 1)
+        m[0] = 1
+        for j in range(1, n + 1):
+            best, bl = 0, 0
+            for l in range(1, min(4, j) + 1):
+                v = vocab.get(w[j - l:j], 0) * m[j - l]
+                if v > best:  # strict: first (smallest) l wins ties
+                    best, bl = v, l
+            m[j], bp[j] = best, bl
+        pieces = []
+        c = n
+        while c > 0:
+            l = bp[c]
+            pieces.append(w[c - l:c])
+            c -= l
+        expect[w] = (f, n, m[n], len(pieces),
+                     "|".join(reversed(pieces)))
+
+    pdf = pd.DataFrame(
+        {"doc_id": list(texts), "text": [texts[d] for d in texts]}
+    )
+    _arrow_df(spark, pdf).createOrReplaceTempView("documents")
+    got = {
+        r["word"]: (r["f"], r["n"], r["best_score"], r["n_pieces"],
+                    r["seg"])
+        for r in unigram_segment(spark).collect()
+    }
+    assert got == expect
+    assert any(v[3] >= 2 for v in expect.values())  # real multi-cuts
+
+
+def test_bradley_terry_equals_python_replay(spark):
+    """Fixed-point MM arithmetic replayed with Python // floor
+    division, battles rebuilt from the same md5 derivations."""
+    import hashlib
+
+    import pandas as pd
+
+    from duckdb_title_mapper_spark.operators.standardize import _arrow_df
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    random.seed(13)
+    srcs = ["alpha", "beta", "gamma", "delta"]
+    docs = {d: random.choice(srcs) for d in range(1, 161)}
+    pdf = pd.DataFrame(
+        {"doc_id": list(docs), "source": [docs[d] for d in docs],
+         "text": ["x"] * len(docs)}
+    )
+    _arrow_df(spark, pdf).createOrReplaceTempView("documents")
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    idx = {s: i for i, s in enumerate(sorted(set(docs.values())))}
+    by_idx = {i: s for s, i in idx.items()}
+    k = len(idx)
+    long_rows = []
+    for d, a in docs.items():
+        b = by_idx[h(str(d)) % k]
+        if b == a:
+            continue
+        wa = 1 if h(str(d) + "w") % 2 == 0 else 0
+        long_rows.append((a, b, wa))
+        long_rows.append((b, a, 1 - wa))
+    games, wins, pair_n = {}, {}, {}
+    for m, o, won in long_rows:
+        games[m] = games.get(m, 0) + 1
+        wins[m] = wins.get(m, 0) + won
+        pair_n[(m, o)] = pair_n.get((m, o), 0) + 1
+    g1 = {m: (wins[m] * 2000000) // games[m] for m in games}
+    s_i = {}
+    for (m, o), n_mo in pair_n.items():
+        s_i[m] = s_i.get(m, 0) + (n_mo * 10**12) // (g1[m] + g1[o])
+    g2 = {m: (wins[m] * 10**12) // s_i[m] for m in games}
+    order = sorted(games, key=lambda m: (-g2[m], -wins[m], m))
+    expect = {
+        m: (games[m], wins[m], g1[m], g2[m], order.index(m) + 1)
+        for m in games
+    }
+
+    q = all_queries()["x_bradley_terry_mm"]
+    # spark_fn re-registers views from sf_dir; call the SQL path on
+    # our planted view instead
+    from duckdb_title_mapper_spark.plans.materialize import materialize
+    from duckdb_title_mapper_spark.workload import _bradley_terry_sql
+
+    long_df = materialize(
+        spark.sql(_bradley_terry_sql(True, head_only="long")))
+    long_df.createOrReplaceTempView("__bt_long")
+    gam = materialize(spark.sql(_bradley_terry_sql(
+        True, long_rel="__bt_long", head_only="gamma")))
+    gam.createOrReplaceTempView("__bt_gamma")
+    out = spark.sql(_bradley_terry_sql(
+        True, long_rel="__bt_long", gam_rel="__bt_gamma",
+        head_only="final"))
+    got = {
+        r["source"]: (r["games"], r["wins"], r["g1_ppm"], r["g2_ppm"],
+                      r["bt_rank"])
+        for r in out.collect()
+    }
+    assert got == expect
+    assert q.oracle is not None
 
 
 def test_suffix_dup_spans_equals_python_replay(spark):
