@@ -298,6 +298,10 @@ EXTRA = [
     "x_unigram_segment",
     "x_acf_exact",
     "src_orc_walk",
+    "x_binary_embedding_recall",
+    "x_doremi_step",
+    "x_wilcoxon_signed_rank",
+    "x_suffix_dedup_apply",
 ]
 
 

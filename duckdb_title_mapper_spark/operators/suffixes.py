@@ -250,3 +250,80 @@ def extract_sql(spark_dialect: bool) -> str:
            t.cls {idiv} 4294967296 AS rep_doc,
            t.cls % 4294967296 AS rep_pos
     FROM top t JOIN documents d ON d.doc_id = t.cls {idiv} 4294967296"""
+
+
+def _apply_l32_sql(spark_dialect: bool) -> str:
+    """Level-32 chain (base + two doubling rounds), single-consumer."""
+    return f"""WITH l8 AS ({base_sql(spark_dialect)}),
+    led8 AS ({led_sql(8, 'l8')}),
+    l16 AS ({double_sql(16, 'led8')}),
+    led16 AS ({led_sql(16, 'l16')}),
+    l32 AS ({double_sql(32, 'led16')}),
+    rm AS (
+      SELECT doc_id, n_chars, pos FROM (
+        SELECT doc_id, n_chars, pos, key, cls,
+               count(*) OVER (PARTITION BY cls) AS occ
+        FROM l32) z
+      WHERE occ > 1 AND key <> cls),
+    x AS (
+      SELECT doc_id, n_chars, pos, pos + 31 AS e,
+             CASE WHEN pos > COALESCE(max(pos + 31) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) THEN 1 ELSE 0 END AS brk
+      FROM rm)
+    SELECT doc_id, n_chars,
+           CAST(min(pos) AS BIGINT) AS s, CAST(max(e) AS BIGINT) AS e
+    FROM (SELECT doc_id, n_chars, pos, e,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS grp
+          FROM x) g
+    GROUP BY doc_id, n_chars, grp"""
+
+
+def apply_final_sql(iv_rel: str, spark_dialect: bool) -> str:
+    """Kept-interval complement of the merged removed intervals, text
+    reassembled in interval order, cleaned fingerprint emitted."""
+    if spark_dialect:
+        assemble = ("concat_ws('', transform(array_sort("
+                    "collect_list(struct(ks, piece))), z -> z.piece))")
+    else:
+        assemble = "string_agg(piece, '' ORDER BY ks)"
+    return f"""WITH kept AS (
+      SELECT doc_id,
+             COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s),
+                      0) + 1 AS ks,
+             s - 1 AS ke
+      FROM {iv_rel}
+      UNION ALL
+      SELECT doc_id, max(e) + 1 AS ks, max(n_chars) AS ke
+      FROM {iv_rel} GROUP BY doc_id),
+    stats AS (
+      SELECT doc_id, CAST(max(n_chars) AS BIGINT) AS old_len,
+             CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+      FROM {iv_rel} GROUP BY doc_id),
+    pieces AS (
+      SELECT k.doc_id, k.ks,
+             substr(d.text, CAST(k.ks AS INT),
+                    CAST(k.ke - k.ks + 1 AS INT)) AS piece
+      FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+      WHERE k.ks <= k.ke),
+    built AS (
+      SELECT doc_id, {assemble} AS cleaned
+      FROM pieces GROUP BY doc_id)
+    SELECT s.doc_id, s.old_len, s.removed_chars,
+           s.old_len - s.removed_chars AS new_len,
+           md5(COALESCE(b.cleaned, '')) AS clean_md5
+    FROM stats s LEFT JOIN built b ON b.doc_id = s.doc_id"""
+
+
+def apply_oracle_sql() -> str:
+    """iv feeds kept (twice via the UNION arms), stats, and the
+    pieces join -> AS MATERIALIZED (multi-consumer rule; the level
+    chain nests as a sub-WITH inside the CTE body)."""
+    fin = apply_final_sql("iv", False)
+    assert fin.startswith("WITH ")
+    return f"""WITH iv AS MATERIALIZED (
+      {_apply_l32_sql(False)}),
+    {fin[5:]}"""

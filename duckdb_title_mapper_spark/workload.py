@@ -18721,6 +18721,280 @@ def x_suffix_dup_spans(spark, sf_dir):
     return suffix_dup_spans(spark)
 
 
+def _q_suffix_apply_oracle():
+    from .operators.suffixes import apply_oracle_sql
+
+    return apply_oracle_sql()
+
+
+@_q(
+    "x_suffix_dedup_apply",
+    _q_suffix_apply_oracle(),
+    "Suffix-array dedup APPLIED (r12 — the transform step after "
+    "x_suffix_dup_spans' detection and x_suffix_dup_extract's cut "
+    "list, i.e. what Lee et al. 2022 actually do to the corpus): "
+    "every position whose 32-char window is duplicated corpus-wide "
+    "AND is not the class REPRESENTATIVE (key <> class-min) marks "
+    "its [pos, pos+31] chars for removal; marked windows merge into "
+    "maximal intervals (island window), the KEPT complement is "
+    "reassembled in interval order (array_sort struct-collect on "
+    "Spark, ORDER BY string_agg in the oracle), and each affected "
+    "doc emits old/removed/new char counts plus md5 of the cleaned "
+    "text — the fingerprint a downstream shard manifest would "
+    "checksum.  Representative occurrences survive unless an "
+    "overlapping non-representative window covers their chars (the "
+    "declared union semantics).  Level-32 chain is single-consumer; "
+    "only the interval relation is materialized (3 consumers).",
+)
+def x_suffix_dedup_apply(spark, sf_dir):
+    from .operators.suffixes import _apply_l32_sql, apply_final_sql
+    from .plans.materialize import materialize
+
+    register_views(spark, sf_dir, "documents")
+    iv = materialize(spark.sql(_apply_l32_sql(True)))
+    iv.createOrReplaceTempView("__sfxap_iv")
+    return spark.sql(apply_final_sql("__sfxap_iv", True))
+
+
+def _wilcoxon_sql(spark_dialect: bool) -> str:
+    """Wilcoxon signed-rank test, EXACT including ties (the PAIRED
+    member of the stats family beside Mann-Whitney AUC's unpaired
+    ranks): paired hourly click/purchase volumes, zero differences
+    dropped (the standard Wilcoxon treatment), |d| ranked with
+    DOUBLED midranks (2*rank + ties - 1, always integral — the
+    x_auc_exact idiom), W+ = sum of doubled ranks over positive
+    differences.  The normal-approximation pieces are emitted as
+    exact integers with the tie correction: w_mean_x4 = n(n+1)
+    = 4*E[W+], and w_var_x48 = 48*Var[W+] = 2n(n+1)(2n+1) -
+    sum(t^3 - t) over tie groups (the per-row identity
+    (t^3-t)/t summed over a group's t rows IS t^3-t, so no
+    distinct-group pass is needed).  Reader's epilogue:
+    z = (w_plus_doubled/2 - w_mean_x4/4) / sqrt(w_var_x48/48).
+    Theorem emitted for free: w_plus_doubled + w_minus_doubled =
+    w_mean_x4.  No float ever aggregates."""
+    us = "unix_micros(ts)" if spark_dialect else "epoch_us(ts)"
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH h AS (
+      SELECT {us} {idiv} 3600000000 AS hr,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                  END) AS BIGINT) AS y
+      FROM events GROUP BY hr),
+    d AS (
+      SELECT hr, x - y AS diff,
+             CASE WHEN x - y < 0 THEN y - x ELSE x - y END AS ad
+      FROM h WHERE x <> y),
+    r AS (
+      SELECT diff, ad,
+             2 * rank() OVER (ORDER BY ad)
+               + count(*) OVER (PARTITION BY ad) - 1 AS dr,
+             CAST(count(*) OVER (PARTITION BY ad) AS BIGINT) AS t
+      FROM d)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN diff > 0 THEN dr ELSE 0 END) AS BIGINT)
+             AS w_plus_doubled,
+           CAST(sum(CASE WHEN diff < 0 THEN dr ELSE 0 END) AS BIGINT)
+             AS w_minus_doubled,
+           CAST(count(*) * (count(*) + 1) AS BIGINT) AS w_mean_x4,
+           CAST(2 * count(*) * (count(*) + 1) * (2 * count(*) + 1)
+                - CAST(sum((t * t * t - t) {idiv} t) AS BIGINT)
+             AS BIGINT) AS w_var_x48
+    FROM r"""
+
+
+@_q(
+    "x_wilcoxon_signed_rank",
+    _wilcoxon_sql(False),
+    "Wilcoxon signed-rank test, exact INCLUDING ties (r12 — the "
+    "PAIRED-sample member completing the nonparametric stats family "
+    "beside Mann-Whitney AUC, Spearman, Kendall, KS, and the exact "
+    "permutation test): paired hourly click/purchase volumes, zeros "
+    "dropped, |d| ranked with doubled midranks (always integral), "
+    "W+ and W- as exact doubled BIGINTs plus the tie-corrected "
+    "normal-approximation pieces (doubled mean n(n+1), 48*variance "
+    "with the t^3-t tie term) — the reader forms z; no float ever "
+    "aggregates.  One hourly rollup + two rank windows.",
+)
+def x_wilcoxon_signed_rank(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_wilcoxon_sql(True))
+
+
+def _doremi_sql(spark_dialect: bool) -> str:
+    """DoReMi-style domain reweighting (Xie et al. 2023), ONE
+    multiplicative-weights step in exact integer arithmetic: per-doc
+    proxy/reference losses are md5-derived integer permille (the
+    x_annotator_kappa synthetic-outcome idiom), per-domain excess =
+    sum of max(0, proxy - ref), the domain's excess SHARE in basis
+    points gates a power-of-two octave multiplier (exp(eta*excess)
+    integerized as 2^bucket — the x_boosting weight-DOUBLING
+    precedent: exp drift never enters), and the uniform-smoothed mix
+    (1-1/64)*w_d/W + (1/64)*(1/K) is emitted as one exact rational
+    per domain over the common denominator 64*W*K.  Single window
+    chain — corpus-wide sums are unpartitioned window aggregates, no
+    multi-consumer relation anywhere."""
+    if spark_dialect:
+        idiv = "div"
+        h1 = ("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8),"
+              " 16, 10) AS BIGINT)")
+        h2 = ("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING),"
+              " 'r')), 1, 8), 16, 10) AS BIGINT)")
+    else:
+        idiv = "//"
+        h1 = "('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT"
+        h2 = ("('0x' || substr(md5(CAST(doc_id AS STRING) || 'r'),"
+              " 1, 8))::BIGINT")
+    shares = " + ".join(
+        f"CASE WHEN share_bp >= {t} THEN 1 ELSE 0 END"
+        for t in (500, 1000, 2000, 4000, 8000))
+    mult = ("CASE octave WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4"
+            " WHEN 3 THEN 8 WHEN 4 THEN 16 ELSE 32 END")
+    return f"""WITH d AS (
+      SELECT source,
+             CASE WHEN {h1} % 4000 > {h2} % 4000
+                  THEN {h1} % 4000 - {h2} % 4000
+                  ELSE 0 END AS excess
+      FROM documents),
+    dom AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(excess) AS BIGINT) AS excess_sum
+      FROM d GROUP BY source),
+    sh AS (
+      SELECT source, n_docs, excess_sum,
+             (excess_sum * 10000) {idiv} greatest(
+                 CAST(sum(excess_sum) OVER () AS BIGINT), 1) AS share_bp,
+             CAST(count(*) OVER () AS BIGINT) AS k
+      FROM dom),
+    oc AS (
+      SELECT source, n_docs, excess_sum, share_bp, k,
+             CAST({shares} AS BIGINT) AS octave
+      FROM sh),
+    w AS (
+      SELECT source, n_docs, excess_sum, share_bp, k, octave,
+             CAST({mult} AS BIGINT) AS mult,
+             CAST(sum({mult}) OVER () AS BIGINT) AS wsum
+      FROM oc)
+    SELECT source, n_docs, excess_sum, share_bp, octave,
+           CAST(63 * mult * k + wsum AS BIGINT) AS mix_num,
+           CAST(64 * wsum * k AS BIGINT) AS mix_den
+    FROM w"""
+
+
+@_q(
+    "x_doremi_step",
+    _doremi_sql(False),
+    "DoReMi domain-reweighting step (r12 — Xie et al. 2023, the "
+    "EXCESS-LOSS-driven mixture optimizer beside the static "
+    "x_domain_mix_weights and the temperature-sampling recipe: which "
+    "domains should a proxy run upweight for the next epoch): "
+    "md5-derived per-doc proxy/reference losses, per-domain excess "
+    "share in basis points, power-of-two octave multiplier (the "
+    "boosting weight-DOUBLING integerization — exp drift never "
+    "enters), uniform-smoothed mixture emitted as exact rationals "
+    "over the common denominator 64*W*K.  One window chain, no "
+    "multi-consumer relations.  All BIGINT.",
+)
+def x_doremi_step(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_doremi_sql(True))
+
+
+def _binary_embed_sql(spark_dialect: bool, sig_rel: str | None = None,
+                      head_only: str | None = None, nq: int = 8,
+                      k: int = 3) -> str:
+    """1-BIT embedding quantization retrieval eval (the binary axis
+    of the quantization family beside int8 scalar and PQ): each
+    64-dim vector collapses to its sign bitmap, packed as TWO 32-bit
+    halves in BIGINTs (bit 63 of a single word would need 2^63,
+    which overflows signed int64 — the halves also keep every shift
+    int64-safe), Hamming distance = popcount of the XOR halves
+    (bit_count on both engines), top-k by (hamming ASC, vec_id) —
+    integer order, never a float — and every selected neighbor
+    carries its EXACT brute-force cosine rank in-row (the
+    x_hnsw_search recall-certification contract).  Sign bits compare
+    the raw float against 0 — bit-identical on both engines."""
+    from .operators.similarity import embed_dot
+
+    if spark_dialect:
+        def pack(lo):
+            return (f"aggregate(sequence(0, 31), CAST(0 AS BIGINT),"
+                    f" (acc, i) -> acc + CASE WHEN CAST(element_at("
+                    f"embedding, i + {lo} + 1) AS DOUBLE) > 0"
+                    f" THEN shiftleft(CAST(1 AS BIGINT), i)"
+                    f" ELSE CAST(0 AS BIGINT) END)")
+        xor = "({a} ^ {b})"
+    else:
+        def pack(lo):
+            return (f"list_sum(list_transform(range(0, 32),"
+                    f" i -> CASE WHEN CAST(embedding[i + {lo} + 1]"
+                    f" AS DOUBLE) > 0"
+                    f" THEN (CAST(1 AS BIGINT) << i)"
+                    f" ELSE CAST(0 AS BIGINT) END))")
+        xor = "xor({a}, {b})"
+    nrm = "sqrt(" + embed_dot(spark_dialect, "embedding", "embedding") + ")"
+    unit = ("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
+            if spark_dialect else
+            "list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)")
+    sig_sql = f"""SELECT vec_id,
+           CAST({pack(0)} AS BIGINT) AS w1,
+           CAST({pack(32)} AS BIGINT) AS w2,
+           {unit} AS uvec
+    FROM (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings) n"""
+    if head_only == "sig":
+        return sig_sql
+    sr = sig_rel or "sig"
+    ham = (f"CAST(bit_count({xor.format(a='q.w1', b='b.w1')})"
+           f" + bit_count({xor.format(a='q.w2', b='b.w2')}) AS BIGINT)")
+    dot = embed_dot(spark_dialect, "q.uvec", "b.uvec")
+    fin = f"""WITH pairs AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+             {ham} AS hamming, {dot} AS cosine
+      FROM {sr} q JOIN {sr} b ON b.vec_id <> q.vec_id
+      WHERE q.vec_id < {nq}),
+    ranked AS (
+      SELECT query_id, vec_id, hamming,
+             CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY hamming, vec_id) AS BIGINT) AS ham_rank,
+             CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, vec_id) AS BIGINT) AS exact_rank
+      FROM pairs)
+    SELECT query_id, vec_id, hamming, ham_rank, exact_rank
+    FROM ranked WHERE ham_rank <= {k}"""
+    if head_only == "final":
+        return fin
+    assert not spark_dialect
+    assert fin.startswith("WITH ")
+    return f"""WITH sig AS MATERIALIZED ({sig_sql}),
+    {fin[5:]}"""
+
+
+@_q(
+    "x_binary_embedding_recall",
+    _binary_embed_sql(False),
+    "Binary (1-bit sign) embedding retrieval eval (r12 — the missing "
+    "quantization axis beside int8 scalar and product quantization: "
+    "the 64x-compression regime where vectors become sign bitmaps "
+    "and search becomes XOR+popcount): signs packed as two 32-bit "
+    "halves in BIGINTs (single-word bit 63 would overflow signed "
+    "int64), Hamming = bit_count of the XOR halves, top-3 per query "
+    "by (hamming, vec_id) — integer membership — with each selected "
+    "neighbor's exact brute-force cosine rank emitted in-row (the "
+    "x_hnsw_search recall-certification contract).  One broadcast "
+    "pairs pass over the materialized signature relation; at scale "
+    "the Hamming probe is the classic 64x-cheaper first stage "
+    "gating an exact re-rank.  All BIGINT.",
+)
+def x_binary_embedding_recall(spark, sf_dir):
+    from .plans.materialize import materialize
+
+    register_views(spark, sf_dir, "embeddings")
+    sig = materialize(spark.sql(_binary_embed_sql(True, head_only="sig")))
+    sig.createOrReplaceTempView("__bin_sig")
+    return spark.sql(_binary_embed_sql(True, sig_rel="__bin_sig",
+                                       head_only="final"))
+
+
 def _vlen_unsigned(expr: str) -> str:
     """Varint byte length of a NONNEGATIVE value WITHOUT zigzag
     (ORC RLEv1 unsigned streams): k bytes iff v < 2^(7k)."""

@@ -11,6 +11,7 @@ from duckdb_title_mapper_spark.operators.suffixes import (
 )
 
 random.seed(12)
+SF = "/root/testdata/sf0.001"
 _AL = "abcdefghijklmnopqrstuvwxyz "
 
 
@@ -451,3 +452,197 @@ def test_suffix_dup_spans_equals_python_replay(spark):
     assert expect[1][0] == 64 and expect[2][5] == 3
     assert expect[3][0] >= 32 and expect[5][0] == 8
     assert 7 not in expect
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _recs = st.lists(
+        st.tuples(
+            st.integers(min_value=-(1 << 62), max_value=(1 << 62)),
+            st.text(
+                alphabet=st.characters(codec="utf-8",
+                                       blacklist_categories=("Cs",)),
+                max_size=120),
+        ),
+        min_size=1, max_size=90)
+
+    @given(_recs)
+    @settings(max_examples=60, deadline=None)
+    def test_arrow_ipc_roundtrip_property(recs):
+        """Any (int64, utf8) record list round-trips through the
+        from-scratch flatbuffer/IPC codec byte-exactly, whatever the
+        batch split or payload shape."""
+        from duckdb_title_mapper_spark.sources.arrowipc import (
+            build_arrow_ipc,
+            read_arrow_ipc,
+        )
+
+        back = read_arrow_ipc(build_arrow_ipc(recs))
+        assert back["records"] == recs
+        assert back["n_batches"] == (len(recs) + 31) // 32
+
+    @given(_recs)
+    @settings(max_examples=60, deadline=None)
+    def test_orc_roundtrip_property(recs):
+        """Any (int64, utf8) record list round-trips through the
+        from-scratch ORC writer/walker — including negative ids
+        (zigzag) and multi-stripe splits."""
+        from duckdb_title_mapper_spark.sources.orcfile import (
+            build_orc,
+            read_orc,
+        )
+
+        back = read_orc(build_orc(recs))
+        assert back["records"] == recs
+        assert back["n_stripes"] == (len(recs) + 31) // 32
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
+def test_binary_embedding_planted_twin(spark):
+    """The 1-bit quantization contract on a planted corpus: a vector
+    and its tiny-perturbation twin share every sign bit, so Hamming
+    rank 1 must recover the twin AND the in-row exact cosine rank
+    must certify it as the true nearest neighbor."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_title_mapper_spark.operators.standardize import _arrow_df
+    from duckdb_title_mapper_spark.plans.materialize import materialize
+    from duckdb_title_mapper_spark.workload import _binary_embed_sql
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8, 64) * 2 + np.sign(rng.randn(8, 64)) * 0.5
+    rows = []
+    for i in range(8):
+        rows.append((i, base[i].astype("float32").tolist()))
+        # twin: same signs, slightly different magnitudes
+        rows.append((100 + i,
+                     (base[i] * 1.01).astype("float32").tolist()))
+    pdf = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                        "embedding": [r[1] for r in rows]})
+    _arrow_df(spark, pdf).createOrReplaceTempView("embeddings")
+    sig = materialize(spark.sql(_binary_embed_sql(True, head_only="sig")))
+    sig.createOrReplaceTempView("__bin_sig_t")
+    out = spark.sql(_binary_embed_sql(
+        True, sig_rel="__bin_sig_t", head_only="final")).collect()
+    top1 = {r["query_id"]: r for r in out if r["ham_rank"] == 1}
+    for q in range(8):
+        assert top1[q]["vec_id"] == 100 + q, top1[q]
+        assert top1[q]["hamming"] == 0
+        assert top1[q]["exact_rank"] == 1
+
+
+def test_doremi_mixture_sums_to_one(spark):
+    """Theorem: sum_d mix_num = mix_den (the smoothed mixture is an
+    exact probability distribution) — holds by construction
+    63*k*W + k*W = 64*k*W; assert it on real data."""
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_doremi_step"].spark_fn(
+        spark, SF).collect()
+    dens = {r["mix_den"] for r in rows}
+    assert len(dens) == 1
+    assert sum(r["mix_num"] for r in rows) == dens.pop()
+    assert all(r["mix_num"] > 0 for r in rows)
+
+
+def test_wilcoxon_matches_pure_python_replay(spark):
+    """W+/W- and the tie-corrected variance pieces against a
+    from-first-principles replay on the same hourly volumes
+    (midranks with ties, zeros dropped) — plus the free theorem
+    w_plus + w_minus = n(n+1) on doubled ranks."""
+    import pyarrow.parquet as pq
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["ts", "event_type"])
+    hrs = {}
+    for ts, et in zip(t.column("ts").to_pylist(),
+                      t.column("event_type").to_pylist()):
+        if et not in ("click", "purchase"):
+            continue
+        hr = (int(ts.timestamp() * 1_000_000)) // 3_600_000_000
+        x, y = hrs.get(hr, (0, 0))
+        hrs[hr] = (x + 1, y) if et == "click" else (x, y + 1)
+    diffs = [x - y for x, y in hrs.values() if x != y]
+    srt = sorted(abs(d) for d in diffs)
+    # doubled midrank of each |d|: 2*rank + ties - 1
+    first = {}
+    cnt = {}
+    for i, v in enumerate(srt):
+        first.setdefault(v, i + 1)
+        cnt[v] = cnt.get(v, 0) + 1
+    wp = sum(2 * first[abs(d)] + cnt[abs(d)] - 1
+             for d in diffs if d > 0)
+    wm = sum(2 * first[abs(d)] + cnt[abs(d)] - 1
+             for d in diffs if d < 0)
+    n = len(diffs)
+    var48 = (2 * n * (n + 1) * (2 * n + 1)
+             - sum(t3 ** 3 - t3 for t3 in cnt.values()))
+
+    row = all_queries()["x_wilcoxon_signed_rank"].spark_fn(
+        spark, SF).collect()[0]
+    assert row["n_pairs"] == n
+    assert row["w_plus_doubled"] == wp
+    assert row["w_minus_doubled"] == wm
+    assert row["w_mean_x4"] == n * (n + 1)
+    assert row["w_var_x48"] == var48
+    assert wp + wm == n * (n + 1)
+
+
+def test_suffix_dedup_apply_equals_python_replay(spark):
+    """The declared union-removal semantics replayed brute-force:
+    a position's 32-window is removed iff the window text is
+    duplicated corpus-wide and (doc, pos) is not the arrival-key
+    minimum of its equality class; cleaned text = chars outside the
+    union of removed windows."""
+    import hashlib
+
+    import pandas as pd
+
+    from duckdb_title_mapper_spark.operators.standardize import _arrow_df
+    from duckdb_title_mapper_spark.operators.suffixes import (
+        _apply_l32_sql,
+        apply_final_sql,
+    )
+    from duckdb_title_mapper_spark.plans.materialize import materialize
+
+    docs = _planted_corpus()
+    occ = {}
+    for d, t in sorted(docs.items()):
+        for p in range(1, len(t) - 30):
+            occ.setdefault(t[p - 1:p + 31], []).append((d, p))
+    expect = {}
+    for d, t in docs.items():
+        removed = set()
+        for p in range(1, len(t) - 30):
+            sites = occ[t[p - 1:p + 31]]
+            if len(sites) > 1 and min(sites) != (d, p):
+                removed.update(range(p, p + 32))
+        if not removed:
+            continue
+        cleaned = "".join(
+            ch for i, ch in enumerate(t, start=1) if i not in removed)
+        expect[d] = (len(t), len(removed), len(cleaned),
+                     hashlib.md5(cleaned.encode()).hexdigest())
+
+    pdf = pd.DataFrame(
+        {"doc_id": list(docs), "text": [docs[d] for d in docs]}
+    )
+    _arrow_df(spark, pdf).createOrReplaceTempView("documents")
+    iv = materialize(spark.sql(_apply_l32_sql(True)))
+    iv.createOrReplaceTempView("__sfxap_iv_t")
+    got = {
+        r["doc_id"]: (r["old_len"], r["removed_chars"], r["new_len"],
+                      r["clean_md5"])
+        for r in spark.sql(
+            apply_final_sql("__sfxap_iv_t", True)).collect()
+    }
+    assert got == expect
+    # the planted 64-block's copies in docs 2/4 were excised while
+    # doc 1 (holding the class representatives) was left untouched
+    assert expect[2][1] >= 64 and 1 not in expect and 4 in expect
