@@ -1122,3 +1122,70 @@ def ann_assign_stream(spark, sf_dir: str, parts: int = 4):
     if not cells:
         raise RuntimeError("streaming ANN assignment produced no cells")
     return spark.read.parquet(*cells).select("vec_id", "batch_id", "cell")
+
+
+def topk_leaderboard_stream(spark, sf_dir: str, parts: int = 4,
+                            k: int = 10):
+    """STREAMING exact top-k term leaderboard: each document
+    micro-batch tokenizes map-side and appends its PER-BATCH term
+    counts (``counts.b{id}`` dirs — idempotent overwrite; the
+    at-least-once probe excludes nothing because counts are
+    batch-local, never cumulative), then the CURRENT leaderboard is
+    computed from the union of all landed batch dirs <= this batch
+    and recorded as ``board.b{id}``.  Unlike the count-min twin this
+    is the EXACT top-k (full term store, the monitoring dashboard a
+    curation owner actually reads); the oracle recomputes each
+    batch's leaderboard closed-form as a prefix aggregation over the
+    (doc_id % parts, doc_id) arrival order.  Ties (count DESC, term
+    ASC).  At 100 TB the per-batch count relations are bucketed
+    parquet and the prefix merge is one ADD-shuffle per trigger."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    src_dir = _stage_docs_with_text_by_mod(spark, sf_dir, parts)
+    out = tempfile.mkdtemp(prefix="dtm_stream_topk_")
+    chk = os.path.join(out, "chk")
+
+    def merge(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        toks = batch_df.select(
+            F.explode(F.expr(
+                "regexp_extract_all(lower(text), '\\\\w+', 0)"))
+            .alias("tok"))
+        (toks.groupBy("tok").count()
+         .select("tok", F.col("count").cast("bigint").alias("cnt"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(out, f"counts.b{batch_id}")))
+        upto = [
+            p for p in sorted(_glob.glob(os.path.join(out, "counts.b*")))
+            if int(p.rsplit(".b", 1)[1]) <= batch_id
+        ]
+        sess.read.parquet(*upto).createOrReplaceTempView("__topk_all")
+        board = sess.sql(
+            f"SELECT CAST({int(batch_id)} AS BIGINT) AS batch_id,"
+            f" tok, CAST(sum(cnt) AS BIGINT) AS cnt,"
+            f" CAST(row_number() OVER (ORDER BY sum(cnt) DESC, tok)"
+            f"   AS BIGINT) AS rnk"
+            f" FROM __topk_all GROUP BY tok"
+            f" ORDER BY rnk LIMIT {int(k)}")
+        (board.coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(out, f"board.b{batch_id}")))
+
+    raw = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    boards = sorted(_glob.glob(os.path.join(out, "board.b*")))
+    if not boards:
+        raise RuntimeError("streaming top-k produced no leaderboards")
+    return spark.read.parquet(*boards).select(
+        "batch_id", "rnk", "tok", "cnt")

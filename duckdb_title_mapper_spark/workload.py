@@ -18721,6 +18721,88 @@ def x_suffix_dup_spans(spark, sf_dir):
     return suffix_dup_spans(spark)
 
 
+_LOO_INFLUENCE_SQL = """WITH d AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(length(text)) AS BIGINT) AS chars_sum
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT source, n_docs, chars_sum,
+             CAST(sum(n_docs) OVER () AS BIGINT) AS n,
+             CAST(sum(chars_sum) OVER () AS BIGINT) AS s
+      FROM d),
+    infl AS (
+      SELECT source, n_docs, chars_sum,
+             s * n_docs - n * chars_sum AS influence_num,
+             n * (n - n_docs) AS influence_den
+      FROM tot)
+    SELECT source, n_docs, chars_sum,
+           CAST(influence_num AS BIGINT) AS influence_num,
+           CAST(influence_den AS BIGINT) AS influence_den,
+           CAST(row_number() OVER (ORDER BY
+               CAST(influence_num AS DOUBLE)
+                 / CAST(influence_den AS DOUBLE) DESC, source)
+             AS BIGINT) AS loo_rank
+    FROM infl"""
+
+
+@_q(
+    "x_loo_source_influence",
+    _LOO_INFLUENCE_SQL,
+    "Leave-one-out source influence (r12 — the data-ablation "
+    "primitive of the curation family beside the domain-mix/DoReMi "
+    "weights: how much does dropping a whole source move the corpus "
+    "mean doc length, the first question a source-level data-"
+    "valuation pass answers): per source, influence = mean_loo - "
+    "mean_full emitted as the exact rational (S*n_d - N*s_d) / "
+    "(N*(N - n_d)) in BIGINT pieces; the rank orders sources by the "
+    "per-row IEEE double of that rational (bit-identical on both "
+    "engines — never an aggregated float) with a source tiebreak.  "
+    "Shared-dialect text: one aggregate + unpartitioned windows.",
+)
+def x_loo_source_influence(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_LOO_INFLUENCE_SQL)
+
+
+_TOPK_BOARD_ORACLE = r"""WITH t AS (
+      SELECT doc_id % 4 AS slice,
+             unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+      FROM documents),
+    slices(batch_id) AS (VALUES (0), (1), (2), (3)),
+    pref AS (
+      SELECT s.batch_id, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM slices s JOIN t ON t.slice <= s.batch_id
+      GROUP BY s.batch_id, tok),
+    r AS (
+      SELECT batch_id, tok, cnt,
+             CAST(row_number() OVER (PARTITION BY batch_id
+                 ORDER BY cnt DESC, tok) AS BIGINT) AS rnk
+      FROM pref)
+    SELECT CAST(batch_id AS BIGINT) AS batch_id, rnk, tok, cnt
+    FROM r WHERE rnk <= 10"""
+
+
+@_q(
+    "stream_topk_leaderboard",
+    _TOPK_BOARD_ORACLE,
+    "STREAMING exact top-k term leaderboard (r12 — the "
+    "PREFIX-AGGREGATION monitoring shape beside the store family's "
+    "ADD/MAX/OR/MIN/set-union/index merges, and the EXACT twin of "
+    "the approximate count-min heavy-hitter stream): each document "
+    "micro-batch lands its batch-local term counts (idempotent "
+    "per-batch dirs), then the CURRENT top-10 (count DESC, term) is "
+    "recomputed from the union of landed batches <= this one and "
+    "recorded per trigger — the dashboard a curation owner watches. "
+    "The oracle replays each batch's leaderboard closed-form as a "
+    "prefix aggregation over the (doc_id % 4, doc_id) arrival "
+    "order.  Counts and ranks BIGINT.",
+)
+def stream_topk_leaderboard(spark, sf_dir):
+    from .streaming.sinks import topk_leaderboard_stream
+
+    return topk_leaderboard_stream(spark, sf_dir)
+
+
 def _q_suffix_apply_oracle():
     from .operators.suffixes import apply_oracle_sql
 

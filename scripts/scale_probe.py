@@ -235,6 +235,8 @@ EXTRA = [
     "x_doremi_step",
     "x_wilcoxon_signed_rank",
     "x_suffix_dedup_apply",
+    "stream_topk_leaderboard",
+    "x_loo_source_influence",
 ]
 
 

@@ -646,3 +646,73 @@ def test_suffix_dedup_apply_equals_python_replay(spark):
     # the planted 64-block's copies in docs 2/4 were excised while
     # doc 1 (holding the class representatives) was left untouched
     assert expect[2][1] >= 64 and 1 not in expect and 4 in expect
+
+
+def test_arrow_ipc_rejects_torn_files():
+    """Framing validation: every structural invariant the walker
+    claims to check must actually reject a violation."""
+    import struct
+
+    from duckdb_title_mapper_spark.sources.arrowipc import (
+        build_arrow_ipc,
+        read_arrow_ipc,
+    )
+
+    blob = build_arrow_ipc([(1, "alpha"), (2, "beta")])
+
+    def rejects(mutated, why):
+        try:
+            read_arrow_ipc(bytes(mutated))
+            raise AssertionError(f"accepted: {why}")
+        except (ValueError, struct.error):
+            pass
+
+    rejects(b"XRROW1\x00\x00" + blob[8:], "head magic")
+    rejects(blob[:-6] + b"ARROW2", "tail magic")
+    b = bytearray(blob)
+    b[8] = 0  # continuation of the schema message
+    rejects(b, "schema continuation")
+    # footer bodyLength corrupted: bump the footer length field so the
+    # footer region shifts and block accounting tears
+    b = bytearray(blob)
+    flen = struct.unpack_from("<i", b, len(b) - 10)[0]
+    struct.pack_into("<i", b, len(b) - 10, flen + 8)
+    rejects(b, "footer length")
+    # stray bytes between EOS and footer
+    eos = blob.rindex(b"\xff\xff\xff\xff\x00\x00\x00\x00")
+    rejects(blob[:eos + 8] + b"\x00" * 8 + blob[eos + 8:], "stray bytes")
+
+
+def test_stream_topk_leaderboard_is_prefix_consistent(spark):
+    """Each batch's board must equal the exact top-10 of the token
+    counts over arrival slices <= that batch, and ranks must be a
+    dense 1..k prefix with non-increasing counts."""
+    from duckdb_title_mapper_spark.streaming.sinks import (
+        topk_leaderboard_stream,
+    )
+
+    rows = topk_leaderboard_stream(spark, SF).collect()
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_id"], []).append(r)
+    assert set(by_batch) == {0, 1, 2, 3}
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    cum = Counter()
+    truth = {}
+    for s in range(4):
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            if d % 4 == s:
+                cum.update(re.findall(r"\w+", txt.lower()))
+        top = sorted(cum.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        truth[s] = top
+    for s, rs in by_batch.items():
+        rs = sorted(rs, key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert [(r["tok"], r["cnt"]) for r in rs] == truth[s]
