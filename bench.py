@@ -304,6 +304,7 @@ EXTRA = [
     "x_suffix_dedup_apply",
     "stream_topk_leaderboard",
     "x_loo_source_influence",
+    "src_zip_npy_walk",
 ]
 
 

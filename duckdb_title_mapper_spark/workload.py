@@ -18721,6 +18721,99 @@ def x_suffix_dup_spans(spark, sf_dir):
     return suffix_dup_spans(spark)
 
 
+def _digits_ladder(expr: str) -> str:
+    rungs = " ".join(
+        f"WHEN {expr} < {10 ** k} THEN {k}" for k in range(1, 19))
+    return f"CASE {rungs} ELSE 19 END"
+
+
+def _zip_npy_oracle() -> str:
+    from .sources.zipnpy import NPY_HEAD_BASE, NPY_NAME
+
+    name_base = len(NPY_NAME)
+    return f"""WITH d AS (
+      SELECT source, doc_id, octet_length(encode(text)) AS nb,
+             {_digits_ladder('doc_id')} AS dg
+      FROM documents),
+    s AS (
+      SELECT source, count(*) AS n,
+             sum(nb) AS tb,
+             sum(76 + 2 * (8 + dg) + nb) AS doc_bytes
+      FROM d GROUP BY source),
+    z AS (
+      SELECT source, n, tb, doc_bytes,
+             10 + ((10 + {NPY_HEAD_BASE} + {_digits_ladder('n')}
+                    + 64) // 64) * 64 - 10 + 8 * n AS npy_data
+      FROM s)
+    SELECT source,
+           CAST(n + 1 AS BIGINT) AS n_members,
+           CAST(tb AS BIGINT) AS text_bytes,
+           CAST(npy_data AS BIGINT) AS npy_bytes,
+           CAST(doc_bytes + 76 + 2 * {name_base} + npy_data + 22
+             AS BIGINT) AS file_bytes
+    FROM z"""
+
+
+@_q(
+    "src_zip_npy_walk",
+    _zip_npy_oracle(),
+    "ZIP archive + .npy member walk (r12 — the ARCHIVE axis of the "
+    "ingestion family beside the tar-based WebDataset shards: the "
+    "npz-checkpoint / dataset-bundle container): per source, "
+    "documents pack as STORED members with real CRC-32 plus one "
+    "genuine NumPy .npy member carrying the sorted doc_id int64 "
+    "array (spec 64-byte-aligned header), built from the public "
+    "PKWARE APPNOTE and .npy v1 spec with the standard library — "
+    "then READ BACK with local headers, the central directory, EOCD "
+    "counts/size/offset, and every member CRC cross-validated "
+    "(stdlib zipfile AND numpy.load parse our bytes; our walker "
+    "parses stdlib-written archives — test-locked).  Map-side per "
+    "source; the oracle ladders member-name digit lengths and the "
+    "npy 64-byte header alignment closed-form.",
+)
+def src_zip_npy_walk(spark, sf_dir):
+    """Spark-side: sources/zipnpy.py (public ZIP/npy specs; the
+    reference has no container-format surface, src/lib.rs:1-86)."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id",
+                                                   "text")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .sources.zipnpy import (
+            NPY_NAME, build_zip, npy_int64, read_npy_int64, read_zip)
+
+        pdf = pdf.sort_values("doc_id")
+        src = pdf["source"].iloc[0]
+        ids = [int(v) for v in pdf["doc_id"]]
+        members = [(NPY_NAME, npy_int64(ids))] + [
+            (f"doc_{d}.txt", t.encode())
+            for d, t in zip(ids, pdf["text"])
+        ]
+        blob = build_zip(members)
+        back = read_zip(blob)
+        if back["members"] != members:
+            raise AssertionError("ZIP round trip diverged")
+        if read_npy_int64(back["members"][0][1]) != ids:
+            raise AssertionError(".npy round trip diverged")
+        return pd.DataFrame(
+            {
+                "source": [src],
+                "n_members": [back["n_members"]],
+                "text_bytes": [sum(len(t.encode())
+                                   for t in pdf["text"])],
+                "npy_bytes": [len(members[0][1])],
+                "file_bytes": [len(blob)],
+            }
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        pack,
+        "source STRING, n_members BIGINT, text_bytes BIGINT, "
+        "npy_bytes BIGINT, file_bytes BIGINT",
+    )
+
+
 _LOO_INFLUENCE_SQL = """WITH d AS (
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(length(text)) AS BIGINT) AS chars_sum

@@ -716,3 +716,51 @@ def test_stream_topk_leaderboard_is_prefix_consistent(spark):
         rs = sorted(rs, key=lambda r: r["rnk"])
         assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
         assert [(r["tok"], r["cnt"]) for r in rs] == truth[s]
+
+
+def test_zip_npy_authorities():
+    """stdlib zipfile and numpy must parse our bytes; our walker must
+    parse stdlib-written STORED archives; torn members rejected."""
+    import io
+    import zipfile
+
+    import numpy as np
+
+    from duckdb_title_mapper_spark.sources.zipnpy import (
+        NPY_NAME,
+        build_zip,
+        npy_bytes_closed_form,
+        npy_int64,
+        read_npy_int64,
+        read_zip,
+    )
+
+    ids = list(range(1, 101))
+    members = [(NPY_NAME, npy_int64(ids))] + [
+        (f"doc_{i}.txt", f"text {i} ".encode() + b"x" * (i % 37))
+        for i in ids
+    ]
+    blob = build_zip(members)
+    back = read_zip(blob)
+    assert back["members"] == members
+    assert read_npy_int64(back["members"][0][1]) == ids
+    assert len(npy_int64(ids)) == npy_bytes_closed_form(100, 3)
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert zf.testzip() is None
+    assert zf.namelist() == [m[0] for m in members]
+    arr = np.load(io.BytesIO(zf.read(NPY_NAME)))
+    assert arr.dtype == np.int64 and arr.tolist() == ids
+    sink = io.BytesIO()
+    with zipfile.ZipFile(sink, "w", zipfile.ZIP_STORED) as w:
+        for n, d in members:
+            w.writestr(n, d)
+    assert read_zip(sink.getvalue())["members"] == members
+    # CRC validation: flip a data byte inside the first text member
+    bad = bytearray(blob)
+    idx = blob.index(b"text 1 ")
+    bad[idx] ^= 0xFF
+    try:
+        read_zip(bytes(bad))
+        raise AssertionError("corrupt ZIP member accepted")
+    except ValueError:
+        pass
