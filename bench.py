@@ -305,6 +305,7 @@ EXTRA = [
     "stream_topk_leaderboard",
     "x_loo_source_influence",
     "src_zip_npy_walk",
+    "x_unigram_lm_estep2",
 ]
 
 

@@ -269,3 +269,67 @@ def unigram_segment(spark):
     vocab = materialize(spark.sql(vocab_sql("__uni_spans")))
     vocab.createOrReplaceTempView("__uni_vocab")
     return spark.sql(viterbi_sql("__uni_spans", "__uni_vocab"))
+
+
+# M-step thresholds for iteration 2: expected-count ppm octaves
+# (powers of 8 scaled by PPM — the same ladder shape as W_STEPS)
+E_STEPS = tuple(t * PPM for t in (8, 64, 512, 4096, 32768, 262144))
+
+
+def vocab2_sql(fin1_rel: str) -> str:
+    """M-step: iteration-2 piece weights from iteration-1 expected
+    counts (the same 1..7 integer octave ladder, applied to the
+    exact ppm sufficient statistic instead of the raw seed counts).
+    Every iteration-1 piece survives with w >= 1, so all lattices
+    keep their mass."""
+    ladder = " + ".join(
+        f"CASE WHEN expected_ppm >= {t} THEN 1 ELSE 0 END"
+        for t in E_STEPS
+    )
+    return f"""SELECT piece, plen, cnt,
+           CAST(1 + {ladder} AS BIGINT) AS w
+    FROM {fin1_rel}"""
+
+
+def oracle2_sql() -> str:
+    """Two full EM iterations unrolled: seed vocab -> E-step 1 ->
+    octave M-step -> E-step 2.  Every multi-consumer relation
+    (spans, both vocabs, both lattices, the iteration-1 result)
+    carries AS MATERIALIZED."""
+    fin1 = final_sql("ab1", "vocab1", False)
+    fin2 = final_sql("ab2", "vocab2", False)
+    assert fin1.startswith("WITH ") and fin2.startswith("WITH ")
+    # fin1 nests as its own sub-WITH inside the CTE body, so its
+    # internal c/p names stay scoped and cannot collide with fin2's
+    return f"""WITH words AS ({words_sql(False)}),
+    spans AS MATERIALIZED ({spans_sql('words')}),
+    vocab1 AS MATERIALIZED ({vocab_sql('spans')}),
+    ab1 AS MATERIALIZED ({ab_sql('spans', 'vocab1')}),
+    fin1 AS MATERIALIZED (
+      {fin1}),
+    vocab2 AS MATERIALIZED ({vocab2_sql('fin1')}),
+    ab2 AS MATERIALIZED ({ab_sql('spans', 'vocab2')}),
+    {fin2[5:]}"""
+
+
+def unigram_estep2(spark):
+    """Spark side: the iteration-1 chain materialized, the octave
+    M-step, then the second lattice + E-step."""
+    from ..plans.materialize import materialize
+
+    spans = materialize(
+        spark.sql(f"WITH words AS ({words_sql(True)}) {spans_sql('words')}")
+    )
+    spans.createOrReplaceTempView("__uni2_spans")
+    vocab1 = materialize(spark.sql(vocab_sql("__uni2_spans")))
+    vocab1.createOrReplaceTempView("__uni2_vocab1")
+    ab1 = materialize(spark.sql(ab_sql("__uni2_spans", "__uni2_vocab1")))
+    ab1.createOrReplaceTempView("__uni2_ab1")
+    fin1 = materialize(
+        spark.sql(final_sql("__uni2_ab1", "__uni2_vocab1", True)))
+    fin1.createOrReplaceTempView("__uni2_fin1")
+    vocab2 = materialize(spark.sql(vocab2_sql("__uni2_fin1")))
+    vocab2.createOrReplaceTempView("__uni2_vocab2")
+    ab2 = materialize(spark.sql(ab_sql("__uni2_spans", "__uni2_vocab2")))
+    ab2.createOrReplaceTempView("__uni2_ab2")
+    return spark.sql(final_sql("__uni2_ab2", "__uni2_vocab2", True))

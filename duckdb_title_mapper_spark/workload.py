@@ -18721,6 +18721,35 @@ def x_suffix_dup_spans(spark, sf_dir):
     return suffix_dup_spans(spark)
 
 
+def _q_unigram2_oracle():
+    from .functions.unigram import oracle2_sql
+
+    return oracle2_sql()
+
+
+@_q(
+    "x_unigram_lm_estep2",
+    _q_unigram2_oracle(),
+    "Unigram-LM EM, SECOND iteration (r12 — the loop behind "
+    "x_unigram_lm_estep's single pass, i.e. SentencePiece's actual "
+    "training dynamic: E-step -> M-step -> E-step): iteration-1 "
+    "expected counts feed an integer octave M-step (the same 1..7 "
+    "powers-of-8 ladder, applied to the exact ppm sufficient "
+    "statistic — every piece survives with w >= 1 so lattice mass "
+    "never vanishes), then the full forward/backward E-step reruns "
+    "under the re-estimated weights.  Both iterations unrolled with "
+    "every multi-consumer relation materialized (7 on the Spark "
+    "side, AS MATERIALIZED in the oracle; iteration 1 nests as a "
+    "sub-WITH so its CTE names stay scoped).  All integer; output "
+    "schema identical to iteration 1 under the new weights.",
+)
+def x_unigram_lm_estep2(spark, sf_dir):
+    from .functions.unigram import unigram_estep2
+
+    register_views(spark, sf_dir, "documents")
+    return unigram_estep2(spark)
+
+
 def _digits_ladder(expr: str) -> str:
     rungs = " ".join(
         f"WHEN {expr} < {10 ** k} THEN {k}" for k in range(1, 19))

@@ -764,3 +764,87 @@ def test_zip_npy_authorities():
         raise AssertionError("corrupt ZIP member accepted")
     except ValueError:
         pass
+
+
+def test_unigram_estep2_equals_python_replay(spark):
+    """The full E -> octave-M -> E loop replayed brute-force: the
+    iteration-2 expected counts must match a replay that re-runs the
+    composition enumeration under the re-estimated octave weights."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from duckdb_title_mapper_spark.functions.unigram import (
+        E_STEPS,
+        GRID,
+        MIN_CNT,
+        PPM,
+        W_STEPS,
+        unigram_estep2,
+    )
+    from duckdb_title_mapper_spark.operators.standardize import _arrow_df
+
+    base = ["banana", "bandana", "ban", "anna", "nab", "band",
+            "cabana", "a", "verylongword123"]
+    texts = {
+        d: " ".join(random.choice(base) for _ in range(25))
+        for d in range(1, 9)
+    }
+
+    def estep(words, vocab):
+        def comps(n):
+            if n == 0:
+                return [[]]
+            return [[l] + rest for l in range(1, min(4, n) + 1)
+                    for rest in comps(n - l)]
+
+        exp = Counter()
+        for w, f in words.items():
+            span_num = Counter()
+            z = 0
+            for comp in comps(len(w)):
+                pos, weight, spans = 1, 1, []
+                for l in comp:
+                    weight *= vocab.get(w[pos - 1:pos - 1 + l], 0)
+                    spans.append((pos, l))
+                    pos += l
+                if weight:
+                    z += weight
+                    for s in spans:
+                        span_num[s] += weight
+            for i, l in GRID:
+                p = w[i - 1:i - 1 + l]
+                if i + l - 1 > len(w) or p not in vocab:
+                    continue
+                num = span_num[(i, l)]
+                q = num // z
+                exp[p] += f * (q * PPM + ((num - q * z) * PPM) // z)
+        return exp
+
+    toks = []
+    for t in texts.values():
+        toks += re.findall(r"\w+", t.lower())
+    words = Counter(w for w in toks if 2 <= len(w) <= 8)
+    cnt = Counter()
+    for w, f in words.items():
+        for i, l in GRID:
+            if i + l - 1 <= len(w):
+                cnt[w[i - 1:i - 1 + l]] += f
+    vocab1 = {p: 1 + sum(c >= t for t in W_STEPS)
+              for p, c in cnt.items()
+              if len(p) == 1 or c >= MIN_CNT}
+    e1 = estep(words, vocab1)
+    vocab2 = {p: 1 + sum(e1[p] >= t for t in E_STEPS) for p in vocab1}
+    e2 = estep(words, vocab2)
+    expect = {p: (vocab2[p], e2[p]) for p in vocab2}
+
+    pdf = pd.DataFrame(
+        {"doc_id": list(texts), "text": [texts[d] for d in texts]}
+    )
+    _arrow_df(spark, pdf).createOrReplaceTempView("documents")
+    got = {r["piece"]: (r["w"], r["expected_ppm"])
+           for r in unigram_estep2(spark).collect()}
+    assert got == expect
+    # the M-step actually moved at least one weight
+    assert any(vocab2[p] != vocab1[p] for p in vocab1)
