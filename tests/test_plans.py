@@ -780,3 +780,41 @@ def test_round12_plan_shapes(spark):
     assert "FlatMapGroupsInPandas" in p
     assert "BatchEvalPython" not in p
     assert shuffle_count(ow) <= 2, shuffle_count(ow)
+
+    # late-round batch: the ZIP walk is the same one-exchange grouped
+    # Arrow shape; DoReMi/Wilcoxon/LOO stay pure JVM window chains
+    # with partial aggregation and pruned scans; the binary-embedding
+    # pairs pass reads its signature relation from materialized scans
+    zw = qs["src_zip_npy_walk"].spark_fn(spark, SF)
+    p = explain_str(zw)
+    assert "FlatMapGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert shuffle_count(zw) <= 2, shuffle_count(zw)
+
+    for name, cols in (
+        ("x_doremi_step", {"doc_id", "source"}),
+        ("x_wilcoxon_signed_rank", {"event_type", "ts"}),
+        ("x_loo_source_influence", {"source", "text"}),
+    ):
+        df = qs[name].spark_fn(spark, SF)
+        p = explain_str(df)
+        assert "BatchEvalPython" not in p, name
+        assert has_partial_aggregation(df), name
+        assert all(set(s) <= cols for s in read_schema_columns(df)), (
+            name, read_schema_columns(df))
+
+    be = qs["x_binary_embedding_recall"].spark_fn(spark, SF)
+    p = explain_str(be)
+    assert "BatchEvalPython" not in p
+    assert p.count("Scan ExistingRDD") >= 2, p.count("Scan ExistingRDD")
+
+    u2 = qs["x_unigram_lm_estep2"].spark_fn(spark, SF)
+    p = explain_str(u2)
+    assert "BatchEvalPython" not in p
+    # 26 arms over the materialized iteration-2 lattice + vocab2
+    assert p.count("Scan ExistingRDD") >= 20, p.count("Scan ExistingRDD")
+
+    tk = qs["stream_topk_leaderboard"].spark_fn(spark, SF)
+    p = explain_str(tk)
+    assert "BatchEvalPython" not in p
+    assert shuffle_count(tk) == 0, shuffle_count(tk)  # store read-back
