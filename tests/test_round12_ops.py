@@ -848,3 +848,71 @@ def test_unigram_estep2_equals_python_replay(spark):
     assert got == expect
     # the M-step actually moved at least one weight
     assert any(vocab2[p] != vocab1[p] for p in vocab1)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _corpus = st.lists(
+        st.text(alphabet="abcd", min_size=0, max_size=120),
+        min_size=1, max_size=6)
+
+    @given(_corpus)
+    @settings(max_examples=25, deadline=None)
+    def test_suffix_sql_matches_replay_on_random_corpora(texts):
+        """The shared prefix-doubling SQL (DuckDB dialect — the same
+        generators build the Spark side) against the brute-force
+        replay on RANDOM corpora: a 4-letter alphabet forces heavy
+        class collisions, empty/short docs exercise the retirement
+        edges beyond the planted corpus."""
+        import duckdb
+
+        from duckdb_title_mapper_spark.operators.suffixes import (
+            suffix_oracle_sql,
+        )
+
+        docs = {i + 1: t for i, t in enumerate(texts)}
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (SELECT "
+            "unnest(?) AS doc_id, unnest(?) AS text)",
+            [list(docs), [docs[d] for d in docs]])
+        rows = con.execute(suffix_oracle_sql()).fetchall()
+        got = {r[0]: tuple(r[1:]) for r in rows}
+        expect = {
+            d: (v[0], v[1], v[2], v[3], v[4], v[5])
+            for d, v in _replay(docs).items()
+        }
+        # column order: doc_id, max_dup_pow2, then the five span cols
+        assert got == expect
+
+    @given(st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=60),
+        min_size=1, max_size=5))
+    @settings(max_examples=25, deadline=None)
+    def test_unigram_sql_matches_replay_on_random_corpora(texts):
+        """The shared unigram E-step SQL (DuckDB dialect) against the
+        composition-enumeration replay on random 2-letter corpora —
+        heavy piece collisions and words hitting both vocab-threshold
+        sides."""
+        import duckdb
+
+        from duckdb_title_mapper_spark.functions.unigram import (
+            oracle_sql,
+        )
+
+        docs = {i + 1: t for i, t in enumerate(texts)}
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (SELECT "
+            "unnest(?) AS doc_id, unnest(?) AS text)",
+            [list(docs), [docs[d] for d in docs]])
+        rows = con.execute(oracle_sql()).fetchall()
+        got = {r[0]: (r[1], r[3], r[2], r[4], r[5]) for r in rows}
+        exp = _unigram_replay(docs)
+        expect = {p: (v[0], v[2], v[1], v[3], v[4])
+                  for p, v in exp.items()}
+        assert got == expect
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
