@@ -18721,6 +18721,74 @@ def x_suffix_dup_spans(spark, sf_dir):
     return suffix_dup_spans(spark)
 
 
+_AP_LCM = 232792560  # lcm(1..20): every precision@k denominator divides it
+
+
+def _average_precision_sql(spark_dialect: bool, nq: int = 8,
+                           k: int = 20) -> str:
+    """Average Precision @ 20 as ONE exact rational per query (the
+    retrieval-eval member beside nDCG/MRR/AUC, and the one the
+    family lacked): candidates ranked by raw cosine (vec_id ties —
+    the x_knn_bruteforce contract), relevance = same label, and
+    AP = (1/R) * sum over relevant ranks k of precision@k.  Every
+    precision@k = rels_so_far/k has a denominator dividing
+    lcm(1..20) = 232792560 < 2^31, so each contribution
+    rels_so_far * LCM idiv k is an EXACT integer division and the
+    whole AP is num / (R * LCM) in int64 with room to spare
+    (20 * 20 * 2.3e8 ~ 9e10).  R = relevant in the top-20 pool;
+    R = 0 emits (0, LCM) — a well-defined zero."""
+    from .operators.similarity import embed_dot
+
+    idiv = "div" if spark_dialect else "//"
+    nrm = "sqrt(" + embed_dot(spark_dialect, "embedding", "embedding") + ")"
+    unit = ("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
+            if spark_dialect else
+            "list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)")
+    dot = embed_dot(spark_dialect, "q.uvec", "b.uvec")
+    return f"""WITH uv AS (
+      SELECT vec_id, label, {unit} AS uvec
+      FROM (SELECT vec_id, label, embedding, {nrm} AS nrm
+            FROM embeddings) n),
+    ranked AS (
+      SELECT q.vec_id AS query_id,
+             CASE WHEN b.label = q.label THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {dot} DESC, b.vec_id) AS rk
+      FROM uv q JOIN uv b ON b.vec_id <> q.vec_id
+      WHERE q.vec_id < {nq}),
+    top AS (
+      SELECT query_id, rel, rk,
+             sum(rel) OVER (PARTITION BY query_id ORDER BY rk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS rels_at_k
+      FROM ranked WHERE rk <= {k})
+    SELECT query_id,
+           CAST(sum(rel) AS BIGINT) AS n_rel20,
+           CAST(sum(CASE WHEN rel = 1
+                THEN (rels_at_k * {_AP_LCM}) {idiv} rk
+                ELSE 0 END) AS BIGINT) AS ap_num,
+           CAST(greatest(sum(rel), 1) * {_AP_LCM} AS BIGINT) AS ap_den
+    FROM top GROUP BY query_id"""
+
+
+@_q(
+    "x_average_precision",
+    _average_precision_sql(False),
+    "Average Precision @ 20 as exact rationals (r12 — the ranked-"
+    "retrieval summary metric completing the eval family beside "
+    "integer-exact nDCG@10, MRR, and Mann-Whitney AUC): per query "
+    "vector, candidates ranked by raw cosine with vec_id ties, "
+    "relevance = shared label, AP = mean of precision@k over "
+    "relevant ranks — every precision@k denominator divides "
+    "lcm(1..20), so each contribution is an exact integer division "
+    "and AP emits as num over R*lcm in int64.  One broadcast pairs "
+    "pass + one rank window + one running-relevance window.",
+)
+def x_average_precision(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_average_precision_sql(True))
+
+
 def _q_unigram2_oracle():
     from .functions.unigram import oracle2_sql
 

@@ -239,6 +239,7 @@ EXTRA = [
     "x_loo_source_influence",
     "src_zip_npy_walk",
     "x_unigram_lm_estep2",
+    "x_average_precision",
 ]
 
 

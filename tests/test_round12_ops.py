@@ -916,3 +916,48 @@ try:
         assert got == expect
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_average_precision_matches_fraction_replay(spark):
+    """AP@20 rationals against an exact fractions.Fraction replay
+    computed from the raw embeddings (numpy float64 cosine, same
+    tie-break)."""
+    from fractions import Fraction
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from duckdb_title_mapper_spark.workload import (
+        _AP_LCM,
+        all_queries,
+    )
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t.column("vec_id").to_pylist()
+    labels = dict(zip(ids, t.column("label").to_pylist()))
+    vecs = {i: np.asarray(v, dtype=np.float64)
+            for i, v in zip(ids, t.column("embedding").to_pylist())}
+    unit = {i: v / np.sqrt((v * v).sum()) for i, v in vecs.items()}
+    expect = {}
+    for q in [i for i in ids if i < 8]:
+        scored = sorted(
+            ((float(unit[q] @ unit[b]), b) for b in ids if b != q),
+            key=lambda sb: (-sb[0], sb[1]))[:20]
+        rels = [1 if labels[b] == labels[q] else 0 for _s, b in scored]
+        run, ap = 0, Fraction(0)
+        for k, r in enumerate(rels, start=1):
+            run += r
+            if r:
+                ap += Fraction(run, k)
+        n_rel = sum(rels)
+        num = ap * _AP_LCM
+        assert num.denominator == 1  # every 1/k divides the LCM
+        expect[q] = (n_rel, int(num), max(n_rel, 1) * _AP_LCM)
+
+    got = {
+        r["query_id"]: (r["n_rel20"], r["ap_num"], r["ap_den"])
+        for r in all_queries()["x_average_precision"].spark_fn(
+            spark, SF).collect()
+    }
+    assert got == expect
+    assert any(v[0] > 0 for v in expect.values())
