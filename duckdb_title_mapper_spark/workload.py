@@ -18721,6 +18721,86 @@ def x_suffix_dup_spans(spark, sf_dir):
     return suffix_dup_spans(spark)
 
 
+def _rbo_sql(spark_dialect: bool, ranks_rel: str | None = None,
+             head_only: str | None = None, depth: int = 10) -> str:
+    """Rank-Biased Overlap at p = 9/10 (Webber et al. 2010 — the
+    TOP-WEIGHTED list-comparison metric beside Kendall tau's
+    pool-uniform pairs): suppliers ranked independently by revenue
+    cents and by order count (full rankings, deterministic suppkey
+    ties), overlap |top-d(A) intersect top-d(B)| evaluated at
+    literal depths 1..10 (UNION arms over the materialized rank
+    relation — never an offsets join, the x_sorted_neighborhood
+    rule), and the truncated RBO prefix sum emitted as ONE exact
+    rational: (1-p)p^(d-1)/d = 9^(d-1)/(d*10^d), so with the common
+    denominator 2520*10^10 (< 2^45) every per-depth coefficient
+    9^(d-1)*(2520/d)*10^(10-d) is an exact integer literal baked by
+    the generator; cum numerators stay < ~1.3e13."""
+    ranks_sql = f"""SELECT s,
+           CAST(row_number() OVER (ORDER BY cents DESC, s) AS BIGINT)
+             AS ra,
+           CAST(row_number() OVER (ORDER BY n_orders DESC, s)
+             AS BIGINT) AS rb
+    FROM (
+      SELECT l_suppkey AS s,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * 100 AS BIGINT)) AS BIGINT) AS cents,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem GROUP BY l_suppkey) m"""
+    if head_only == "ranks":
+        return ranks_sql
+    rr = ranks_rel or "ranks"
+    arms = []
+    for d in range(1, depth + 1):
+        coef = 9 ** (d - 1) * (2520 // d) * 10 ** (depth - d)
+        arms.append(
+            f"SELECT CAST({d} AS BIGINT) AS depth,"
+            f" CAST(count(*) AS BIGINT) AS overlap,"
+            f" CAST({2520 // d} AS BIGINT) AS a_scale,"
+            f" CAST({coef} AS BIGINT) AS coef"
+            f" FROM {rr} WHERE ra <= {d} AND rb <= {d}")
+    union = "\n      UNION ALL ".join(arms)
+    fin = f"""WITH ov AS (
+      {union})
+    SELECT depth, overlap,
+           CAST(overlap * a_scale AS BIGINT) AS agreement_num,
+           CAST(2520 AS BIGINT) AS agreement_den,
+           CAST(sum(overlap * coef) OVER (ORDER BY depth
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS rbo_num,
+           CAST(2520 AS BIGINT) * {10 ** depth} AS rbo_den
+    FROM ov"""
+    if head_only == "final":
+        return fin
+    assert not spark_dialect
+    assert fin.startswith("WITH ")
+    return f"""WITH ranks AS MATERIALIZED ({ranks_sql}),
+    {fin[5:]}"""
+
+
+@_q(
+    "x_rbo_rank_overlap",
+    _rbo_sql(False),
+    "Rank-Biased Overlap @ p=0.9 (r12 — Webber et al. 2010, the "
+    "TOP-WEIGHTED rank-comparison member beside Kendall tau's "
+    "pool-uniform pairs and Spearman's full-rank rho: how much do "
+    "two rankings agree where it matters, at the head): suppliers "
+    "ranked by revenue cents vs order count, per-depth overlap via "
+    "ten literal-depth arms over the once-materialized rank "
+    "relation, agreement A_d and the truncated RBO prefix emitted "
+    "as exact rationals over 2520 and 2520*10^10 (every 9^(d-1)/"
+    "(d*10^d) coefficient is an exact integer at that denominator "
+    "— generator-baked literals, no float ever).  All BIGINT.",
+)
+def x_rbo_rank_overlap(spark, sf_dir):
+    from .plans.materialize import materialize
+
+    register_views(spark, sf_dir, "lineitem")
+    ranks = materialize(spark.sql(_rbo_sql(True, head_only="ranks")))
+    ranks.createOrReplaceTempView("__rbo_ranks")
+    return spark.sql(_rbo_sql(True, ranks_rel="__rbo_ranks",
+                              head_only="final"))
+
+
 _AP_LCM = 232792560  # lcm(1..20): every precision@k denominator divides it
 
 

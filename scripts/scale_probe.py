@@ -240,6 +240,7 @@ EXTRA = [
     "src_zip_npy_walk",
     "x_unigram_lm_estep2",
     "x_average_precision",
+    "x_rbo_rank_overlap",
 ]
 
 

@@ -961,3 +961,45 @@ def test_average_precision_matches_fraction_replay(spark):
     }
     assert got == expect
     assert any(v[0] > 0 for v in expect.values())
+
+
+def test_rbo_matches_fraction_replay(spark):
+    """RBO@10 prefix rationals against a fractions.Fraction replay
+    from the raw lineitem table (same cents metric, same ties)."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    import pyarrow.parquet as pq
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_suppkey", "l_orderkey", "l_extendedprice"])
+    cents = defaultdict(int)
+    orders = defaultdict(set)
+    for sk, ok, p in zip(t.column("l_suppkey").to_pylist(),
+                         t.column("l_orderkey").to_pylist(),
+                         t.column("l_extendedprice").to_pylist()):
+        cents[sk] += int(round(p * 100))
+        orders[sk].add(ok)
+    sks = sorted(cents)
+    by_rev = sorted(sks, key=lambda s: (-cents[s], s))
+    by_cnt = sorted(sks, key=lambda s: (-len(orders[s]), s))
+    rbo = Fraction(0)
+    expect = {}
+    for d in range(1, 11):
+        ov = len(set(by_rev[:d]) & set(by_cnt[:d]))
+        rbo += Fraction(ov * 9 ** (d - 1), d * 10 ** d)
+        num = rbo * 2520 * 10 ** 10
+        assert num.denominator == 1
+        expect[d] = (ov, ov * (2520 // d), 2520, int(num),
+                     2520 * 10 ** 10)
+    got = {
+        r["depth"]: (r["overlap"], r["agreement_num"],
+                     r["agreement_den"], r["rbo_num"], r["rbo_den"])
+        for r in all_queries()["x_rbo_rank_overlap"].spark_fn(
+            spark, SF).collect()
+    }
+    assert got == expect
+    assert expect[10][0] >= 1  # the rankings overlap somewhere
