@@ -18721,6 +18721,99 @@ def x_suffix_dup_spans(spark, sf_dir):
     return suffix_dup_spans(spark)
 
 
+def _tokenizer_faceoff_sql(spark_dialect: bool,
+                           vit_rel: str | None = None,
+                           head_only: str | None = None) -> str:
+    """Cross-tokenizer compression faceoff (the comparative capstone
+    of the tokenizer family: whitespace \\w+, the BPE-ish regex, and
+    the unigram-LM Viterbi segmentation compete per source on tokens
+    per 1000 chars): per-source char/token counts are one scan;
+    unigram pieces = per-(source, word) frequency joined to the
+    GLOBAL per-word Viterbi piece count (words outside the 2..8-char
+    lattice bound count one piece each, keeping totals comparable);
+    ratios in exact integer permille (idiv); winner by least pieces
+    with the fixed tie order whitespace < bpe_regex < unigram."""
+    idiv = "div" if spark_dialect else "//"
+    if spark_dialect:
+        tok = r"explode(regexp_extract_all(lower(text), '\\w+', 0))"
+        ws = r"size(regexp_extract_all(lower(text), '\\w+', 0))"
+        bpe = f"size(regexp_extract_all(text, '{_BPE_SPARK}', 0))"
+    else:
+        tok = r"unnest(regexp_extract_all(lower(text), '\w+'))"
+        ws = r"len(regexp_extract_all(lower(text), '\w+'))"
+        bpe = f"len(regexp_extract_all(text, '{_BPE_DUCK}'))"
+    base_sql = f"""SELECT source,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum({ws}) AS BIGINT) AS ws_tokens,
+           CAST(sum({bpe}) AS BIGINT) AS bpe_tokens
+    FROM documents GROUP BY source"""
+    psw_sql = f"""SELECT source, tok AS word,
+           CAST(count(*) AS BIGINT) AS f,
+           CAST(length(tok) AS BIGINT) AS n
+    FROM (SELECT source, {tok} AS tok FROM documents) t
+    GROUP BY source, tok"""
+    vr = vit_rel or "vit"
+    fin = f"""WITH base AS (
+      {base_sql}),
+    psw AS (
+      {psw_sql}),
+    uni AS (
+      SELECT p.source,
+             CAST(sum(CASE WHEN p.n BETWEEN 2 AND 8
+                  THEN p.f * v.n_pieces ELSE p.f END) AS BIGINT)
+               AS unigram_pieces
+      FROM psw p LEFT JOIN {vr} v ON v.word = p.word
+      GROUP BY p.source)
+    SELECT b.source, b.n_chars, b.ws_tokens, b.bpe_tokens,
+           u.unigram_pieces,
+           (b.ws_tokens * 1000) {idiv} b.n_chars AS ws_per_kchar,
+           (b.bpe_tokens * 1000) {idiv} b.n_chars AS bpe_per_kchar,
+           (u.unigram_pieces * 1000) {idiv} b.n_chars
+             AS uni_per_kchar,
+           CASE WHEN b.ws_tokens <= b.bpe_tokens
+                     AND b.ws_tokens <= u.unigram_pieces
+                THEN 'whitespace'
+                WHEN b.bpe_tokens <= u.unigram_pieces
+                THEN 'bpe_regex' ELSE 'unigram' END AS best_scheme
+    FROM base b JOIN uni u ON u.source = b.source"""
+    if head_only == "final":
+        return fin
+    assert not spark_dialect
+    assert fin.startswith("WITH ")
+    from .functions.unigram import viterbi_oracle_sql
+
+    return f"""WITH vit AS MATERIALIZED (
+      {viterbi_oracle_sql()}),
+    {fin[5:]}"""
+
+
+@_q(
+    "x_tokenizer_faceoff",
+    _tokenizer_faceoff_sql(False),
+    "Cross-tokenizer compression faceoff (r12 — the COMPARATIVE "
+    "capstone of the tokenizer family: whitespace \\w+, the BPE-ish "
+    "pre-tokenizer regex, and the unigram-LM Viterbi segmentation "
+    "compete per source on tokens per 1000 chars — the fertility "
+    "question asked across schemes instead of within one): one scan "
+    "for the char/regex counts, per-(source, word) frequencies "
+    "joined to the GLOBAL per-word Viterbi piece counts (out-of-"
+    "lattice words count one piece, keeping totals comparable), "
+    "exact permille ratios, winner by least pieces with a fixed tie "
+    "order.  The Viterbi relation nests materialized on both "
+    "engines.  BIGINTs + one STRING verdict per source.",
+)
+def x_tokenizer_faceoff(spark, sf_dir):
+    from .functions.unigram import unigram_segment
+    from .plans.materialize import materialize
+
+    register_views(spark, sf_dir, "documents")
+    vit = materialize(
+        unigram_segment(spark).select("word", "n_pieces"))
+    vit.createOrReplaceTempView("__faceoff_vit")
+    return spark.sql(_tokenizer_faceoff_sql(
+        True, vit_rel="__faceoff_vit", head_only="final"))
+
+
 def _rbo_sql(spark_dialect: bool, ranks_rel: str | None = None,
              head_only: str | None = None, depth: int = 10) -> str:
     """Rank-Biased Overlap at p = 9/10 (Webber et al. 2010 — the

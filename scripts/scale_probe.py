@@ -241,6 +241,7 @@ EXTRA = [
     "x_unigram_lm_estep2",
     "x_average_precision",
     "x_rbo_rank_overlap",
+    "x_tokenizer_faceoff",
 ]
 
 
