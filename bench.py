@@ -309,6 +309,7 @@ EXTRA = [
     "x_average_precision",
     "x_rbo_rank_overlap",
     "x_tokenizer_faceoff",
+    "x_suffix_dup_flow",
 ]
 
 

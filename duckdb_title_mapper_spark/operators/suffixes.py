@@ -327,3 +327,34 @@ def apply_oracle_sql() -> str:
     return f"""WITH iv AS MATERIALIZED (
       {_apply_l32_sql(False)}),
     {fin[5:]}"""
+
+
+def flow_sql(spark_dialect: bool) -> str:
+    """Cross-source duplication FLOW matrix: for every duplicated
+    32-char window, the class representative's source (the earliest
+    arrival — where the content 'originates' under the keep-first
+    policy) vs the source of each non-representative occurrence
+    (who re-hosts it).  The provenance question behind substring
+    dedup at corpus scale: which sources copy from which, including
+    self-flows.  Level-32 chain single-consumer; two broadcastable
+    joins back to documents decode sources for both ends."""
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH l8 AS ({base_sql(spark_dialect)}),
+    led8 AS ({led_sql(8, 'l8')}),
+    l16 AS ({double_sql(16, 'led8')}),
+    led16 AS ({led_sql(16, 'l16')}),
+    l32 AS ({double_sql(32, 'led16')}),
+    e AS (
+      SELECT doc_id, cls, cls {idiv} 4294967296 AS rep_doc
+      FROM (SELECT doc_id, cls, key,
+                   count(*) OVER (PARTITION BY cls) AS occ
+            FROM l32) z
+      WHERE occ > 1 AND key <> cls)
+    SELECT rd.source AS rep_source, dd.source AS dup_source,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(DISTINCT e.cls) AS BIGINT) AS n_classes,
+           CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_dup_docs
+    FROM e
+    JOIN documents rd ON rd.doc_id = e.rep_doc
+    JOIN documents dd ON dd.doc_id = e.doc_id
+    GROUP BY rd.source, dd.source"""

@@ -18721,6 +18721,34 @@ def x_suffix_dup_spans(spark, sf_dir):
     return suffix_dup_spans(spark)
 
 
+def _q_suffix_flow_oracle():
+    from .operators.suffixes import flow_sql
+
+    return flow_sql(False)
+
+
+@_q(
+    "x_suffix_dup_flow",
+    _q_suffix_flow_oracle(),
+    "Cross-source duplication FLOW matrix (r12 — the provenance "
+    "companion to the suffix-dedup trio: which sources copy from "
+    "which, the license-contamination question substring dedup "
+    "answers at corpus scale): for every duplicated 32-char window, "
+    "the class representative's source (earliest arrival — the "
+    "keep-first 'origin') pairs with each non-representative "
+    "occurrence's source; per (origin, re-hoster) pair the matrix "
+    "counts windows, distinct content classes, and distinct copying "
+    "docs, self-flows included.  Level-32 chain single-consumer; "
+    "the two decode joins back to documents are broadcastable.  All "
+    "BIGINT + two source STRINGs.",
+)
+def x_suffix_dup_flow(spark, sf_dir):
+    from .operators.suffixes import flow_sql
+
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(flow_sql(True))
+
+
 def _tokenizer_faceoff_sql(spark_dialect: bool,
                            vit_rel: str | None = None,
                            head_only: str | None = None) -> str:
