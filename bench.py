@@ -310,6 +310,7 @@ EXTRA = [
     "x_rbo_rank_overlap",
     "x_tokenizer_faceoff",
     "x_suffix_dup_flow",
+    "x_wilson_interval",
 ]
 
 

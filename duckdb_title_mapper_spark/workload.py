@@ -18721,6 +18721,60 @@ def x_suffix_dup_spans(spark, sf_dir):
     return suffix_dup_spans(spark)
 
 
+def _wilson_sql(spark_dialect: bool) -> str:
+    """Wilson score interval pieces for per-source pass rates, EXACT
+    (the binomial-CI member beside the two-proportion z-test and the
+    exact pass@k rationals): z = 1.96 = 49/25 exactly, so z^2 =
+    2401/625 and every Wilson term is a rational —
+      center    = (1250c + 2401) / (1250n + 4802)
+      radicand  = 2401*(2500*c*(n-c) + 2401*n) / (1562500*n)
+      halfwidth = 625*sqrt(radicand) / (625n + 2401)
+    The sqrt is the reader's epilogue (the x_spearman_corr pattern);
+    every emitted piece is an int64 (worst term 2401*2500*c*(n-c)
+    ~ 6e14 at c,n ~ 1e4).  Outcomes are the md5 'unit test' verdict
+    of x_pass_at_k, aggregated per source."""
+    if spark_dialect:
+        h = ("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING),"
+             " 'pass')), 1, 8), 16, 10) AS BIGINT)")
+    else:
+        h = ("('0x' || substr(md5(CAST(doc_id AS STRING) || 'pass'),"
+             " 1, 8))::BIGINT")
+    return f"""WITH d AS (
+      SELECT source,
+             CASE WHEN {h} % 5 < 2 THEN 1 ELSE 0 END AS pass
+      FROM documents),
+    s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pass) AS BIGINT) AS c
+      FROM d GROUP BY source)
+    SELECT source, n, c,
+           CAST(1250 * c + 2401 AS BIGINT) AS center_num,
+           CAST(1250 * n + 4802 AS BIGINT) AS center_den,
+           CAST(2401 * (2500 * c * (n - c) + 2401 * n) AS BIGINT)
+             AS rad_num,
+           CAST(1562500 * n AS BIGINT) AS rad_den,
+           CAST(625 * n + 2401 AS BIGINT) AS scale_den
+    FROM s"""
+
+
+@_q(
+    "x_wilson_interval",
+    _wilson_sql(False),
+    "Wilson score interval, exact rational pieces (r12 — the "
+    "binomial confidence member completing the frequentist-bounds "
+    "family beside the A/B two-proportion z-test, the ppm "
+    "sample-ratio guardrail, and pass@k's falling factorials): "
+    "z = 1.96 is exactly 49/25, so center, radicand, and the "
+    "halfwidth scale all emit as int64 rationals — the reader takes "
+    "ONE sqrt (the x_spearman_corr epilogue pattern) and never a "
+    "float aggregates.  Per-source md5-derived pass outcomes, one "
+    "partial-agg scan.",
+)
+def x_wilson_interval(spark, sf_dir):
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_wilson_sql(True))
+
+
 def _q_suffix_flow_oracle():
     from .operators.suffixes import flow_sql
 

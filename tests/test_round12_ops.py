@@ -1003,3 +1003,40 @@ def test_rbo_matches_fraction_replay(spark):
     }
     assert got == expect
     assert expect[10][0] >= 1  # the rankings overlap somewhere
+
+
+def test_wilson_pieces_reconstruct_textbook_interval(spark):
+    """The emitted rationals must reconstruct the classic Wilson
+    bounds: center +- 625*sqrt(rad)/scale_den equals the float
+    formula with z = 1.96 to ~1e-12, and the md5 pass counts replay
+    exactly."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from duckdb_title_mapper_spark.workload import all_queries
+
+    rows = all_queries()["x_wilson_interval"].spark_fn(
+        spark, SF).collect()
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "source"])
+    cn = {}
+    for d, s in zip(t.column("doc_id").to_pylist(),
+                    t.column("source").to_pylist()):
+        h = int(hashlib.md5(f"{d}pass".encode()).hexdigest()[:8], 16)
+        n, c = cn.get(s, (0, 0))
+        cn[s] = (n + 1, c + (1 if h % 5 < 2 else 0))
+    z = 1.96
+    for r in rows:
+        n, c = cn[r["source"]]
+        assert (r["n"], r["c"]) == (n, c)
+        p = c / n
+        center = (p + z * z / (2 * n)) / (1 + z * z / n)
+        half = (z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+                / (1 + z * z / n))
+        got_center = r["center_num"] / r["center_den"]
+        got_half = (625 * math.sqrt(r["rad_num"] / r["rad_den"])
+                    / r["scale_den"])
+        assert abs(got_center - center) < 1e-12
+        assert abs(got_half - half) < 1e-12
