@@ -20128,8 +20128,17 @@ GRADE_FIRST = [
     # BIGINT, dual-SF check_oracle green, pure-Python replay
     # test-locked).  The census owner stays registered after the
     # fold and keeps owning the shared gram-census build cost.
+    # r13 swap (VERDICT r12 #1 — promote the dedup capstone):
+    # x_simhash_clusters' slot goes to x_suffix_dedup_apply (the operator
+    # that actually CUTS duplicated spans and reassembles kept text per
+    # Lee et al. 2022, built on the r12 prefix-doubling machinery; all
+    # outputs BIGINT/STRING md5, dual-SF check_oracle green).  The dedup
+    # family keeps four graded rows (exact, minhash, near-dup clusters,
+    # suffix spans + apply); SimHash stays certified post-fold and via
+    # the dedup-agreement census; x_simhash_clusters stays registered
+    # after the fold.
     "x_dedup_exact", "x_minhash_signature", "x_near_dup_clusters",
-    "x_simhash_clusters", "x_suffix_dup_spans", "x_decontaminate_ngrams",
+    "x_suffix_dedup_apply", "x_suffix_dup_spans", "x_decontaminate_ngrams",
     "x_embed_near_dup",
     # X: similarity search + retrieval (BM25 promoted r5, all-BIGINT)
     "x_knn_bruteforce", "x_ann_lsh_topk", "x_bm25_topk",
