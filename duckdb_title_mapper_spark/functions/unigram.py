@@ -333,3 +333,163 @@ def unigram_estep2(spark):
     ab2 = materialize(spark.sql(ab_sql("__uni2_spans", "__uni2_vocab2")))
     ab2.createOrReplaceTempView("__uni2_ab2")
     return spark.sql(final_sql("__uni2_ab2", "__uni2_vocab2", True))
+
+
+# Prune fraction: keep the top 4/5 of multi-char pieces by loss
+# (Kudo 2018 §3.2 drops the bottom ~20% per outer iteration).
+PRUNE_KEEP_NUM, PRUNE_KEEP_DEN = 4, 5
+
+
+def excl_sql(ab_rel: str) -> str:
+    """Counterfactual lattices for the PRUNE step (Kudo 2018 §3.2):
+    for every (word, multi-char piece p present in the word's
+    lattice), zero EVERY span carrying p and recompute the forward
+    recursion closed-form, giving Z_without = total path weight
+    avoiding p.  Singles are never candidates (SentencePiece keeps
+    them so all words stay decodable).  One row per (word, distinct
+    multi piece) <= 21 rows/word; same int64 bounds as the base
+    lattice (weights <= 7, n <= 8)."""
+    arms = "\n      UNION ALL ".join(
+        f"SELECT word, substr(word, {i}, {l}) AS excl"
+        f" FROM {ab_rel} WHERE {_wcol(i, l)} > 0"
+        for i, l in GRID if l >= 2
+    )
+    q = f"""SELECT c.excl, t.*
+    FROM (SELECT word, excl FROM ({arms}) u GROUP BY word, excl) c
+    JOIN {ab_rel} t ON t.word = c.word"""
+    # zeroed weight grid: every span whose text equals the excluded
+    # piece drops to 0 (a piece may occupy several spans of one word)
+    wz = ", ".join(
+        (f"CASE WHEN substr(word, {i}, {l}) = excl THEN CAST(0 AS BIGINT)"
+         f" ELSE {_wcol(i, l)} END AS wz_{i}_{l}") if l >= 2
+        else f"{_wcol(i, l)} AS wz_{i}_{l}"
+        for i, l in GRID
+    )
+    q = f"SELECT excl, word, f, n, b0 AS z, {wz} FROM ({q}) e0"
+    q = f"SELECT *, CAST(1 AS BIGINT) AS x0 FROM ({q}) e1"
+    for j in range(1, MAX_N + 1):
+        terms = " + ".join(
+            f"wz_{j - l + 1}_{l} * x{j - l}"
+            for l in range(1, min(4, j) + 1)
+        )
+        q = f"SELECT *, {terms} AS x{j} FROM ({q}) ex{j}"
+    zwo = ("CASE n "
+           + " ".join(f"WHEN {j} THEN x{j}"
+                      for j in range(2, MAX_N + 1))
+           + " ELSE CAST(0 AS BIGINT) END")
+    return f"""SELECT excl AS piece, word, f, z, {zwo} AS zwo
+    FROM ({q}) efin"""
+
+
+def loss_sql(excl_rel: str, spark_dialect: bool) -> str:
+    """Per-piece pruning loss, exact integers: the frequency-weighted
+    lattice mass LOST when the piece is removed, in parts-per-million
+    of each word's total mass — sum_w f_w * (PPM - ppm(Z_wo/Z)).
+    This is the linear-loss surrogate for Kudo's log-likelihood drop
+    (documented deviation: log() drifts cross-engine; the ranking it
+    induces is the same monotone notion of 'how much probability mass
+    rides on this piece').  zwo < z strictly whenever the piece has
+    weight, so every candidate's loss >= its word frequency; ties
+    break on piece text.  Same two-step long division as the E-step
+    (zwo <= z, everything < 2e13)."""
+    idiv = "div" if spark_dialect else "//"
+    ppm = (f"(zwo {idiv} z) * {PPM}"
+           f" + ((zwo - (zwo {idiv} z) * z) * {PPM}) {idiv} z")
+    return f"""SELECT piece,
+           CAST(sum(f * ({PPM} - ({ppm}))) AS BIGINT) AS loss_ppm,
+           CAST(count(*) AS BIGINT) AS n_words_hit
+    FROM {excl_rel}
+    GROUP BY piece"""
+
+
+def prune_sql(fin_rel: str, loss_rel: str) -> str:
+    """The prune decision + re-normalized final vocab: singles are
+    always kept (rank 0); multi-char pieces rank by (loss DESC, piece
+    ASC) — a total order, piece is unique — and the top
+    PRUNE_KEEP_NUM/PRUNE_KEEP_DEN survive (rank*DEN <= count*NUM
+    avoids integer division entirely).  Survivors get iteration-3
+    weights from the octave ladder over the iteration-2 expected
+    counts (the vocab2_sql M-step applied post-prune = SentencePiece's
+    re-estimate after dropping pieces); pruned pieces get w_final 0."""
+    ladder = " + ".join(
+        f"CASE WHEN expected_ppm >= {t} THEN 1 ELSE 0 END"
+        for t in E_STEPS
+    )
+    q = f"""SELECT fn.piece, fn.plen, fn.w, fn.cnt, fn.expected_ppm,
+           coalesce(lo.loss_ppm, CAST(0 AS BIGINT)) AS loss_ppm,
+           coalesce(lo.n_words_hit, CAST(0 AS BIGINT)) AS n_words_hit,
+           CASE WHEN fn.plen = 1 THEN CAST(0 AS BIGINT)
+                ELSE CAST(row_number() OVER (
+                  PARTITION BY CASE WHEN fn.plen = 1 THEN 0 ELSE 1 END
+                  ORDER BY coalesce(lo.loss_ppm, CAST(0 AS BIGINT)) DESC,
+                           fn.piece ASC) AS BIGINT) END AS prune_rank,
+           CAST(sum(CASE WHEN fn.plen = 1 THEN 0 ELSE 1 END)
+                OVER () AS BIGINT) AS n_multi
+    FROM {fin_rel} fn LEFT JOIN {loss_rel} lo ON lo.piece = fn.piece"""
+    return f"""SELECT piece, plen, w, cnt, expected_ppm, loss_ppm,
+           n_words_hit, prune_rank,
+           CASE WHEN plen = 1 THEN CAST(1 AS BIGINT)
+                WHEN prune_rank * {PRUNE_KEEP_DEN}
+                     <= n_multi * {PRUNE_KEEP_NUM} THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS kept,
+           CASE WHEN plen = 1 OR prune_rank * {PRUNE_KEEP_DEN}
+                     <= n_multi * {PRUNE_KEEP_NUM}
+                THEN CAST(1 + {ladder} AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS w_final
+    FROM ({q}) pr"""
+
+
+def prune_oracle_sql() -> str:
+    """Full train chain as one DuckDB query: seed -> EM x2 -> prune.
+    ab2 now has THREE consumers (fin2, the exclusion arms via 21
+    UNION branches); every multi-consumer relation carries
+    AS MATERIALIZED (the x_kcore_peel rule)."""
+    fin1 = final_sql("ab1", "vocab1", False)
+    fin2 = final_sql("ab2", "vocab2", False)
+    assert fin1.startswith("WITH ") and fin2.startswith("WITH ")
+    return f"""WITH words AS ({words_sql(False)}),
+    spans AS MATERIALIZED ({spans_sql('words')}),
+    vocab1 AS MATERIALIZED ({vocab_sql('spans')}),
+    ab1 AS MATERIALIZED ({ab_sql('spans', 'vocab1')}),
+    fin1 AS MATERIALIZED (
+      {fin1}),
+    vocab2 AS MATERIALIZED ({vocab2_sql('fin1')}),
+    ab2 AS MATERIALIZED ({ab_sql('spans', 'vocab2')}),
+    fin2 AS MATERIALIZED (
+      {fin2}),
+    excl AS MATERIALIZED ({excl_sql('ab2')}),
+    loss AS MATERIALIZED ({loss_sql('excl', False)})
+    {prune_sql('fin2', 'loss')}"""
+
+
+def unigram_prune(spark):
+    """Spark side of the prune step: the estep2 chain with fresh view
+    names (per-name caching rule), then counterfactual lattices ->
+    loss -> prune decision.  Each multi-consumer relation is
+    materialized once; the 21 exclusion arms re-scan only the
+    materialized ab2."""
+    from ..plans.materialize import materialize
+
+    spans = materialize(
+        spark.sql(f"WITH words AS ({words_sql(True)}) {spans_sql('words')}")
+    )
+    spans.createOrReplaceTempView("__unip_spans")
+    vocab1 = materialize(spark.sql(vocab_sql("__unip_spans")))
+    vocab1.createOrReplaceTempView("__unip_vocab1")
+    ab1 = materialize(spark.sql(ab_sql("__unip_spans", "__unip_vocab1")))
+    ab1.createOrReplaceTempView("__unip_ab1")
+    fin1 = materialize(
+        spark.sql(final_sql("__unip_ab1", "__unip_vocab1", True)))
+    fin1.createOrReplaceTempView("__unip_fin1")
+    vocab2 = materialize(spark.sql(vocab2_sql("__unip_fin1")))
+    vocab2.createOrReplaceTempView("__unip_vocab2")
+    ab2 = materialize(spark.sql(ab_sql("__unip_spans", "__unip_vocab2")))
+    ab2.createOrReplaceTempView("__unip_ab2")
+    fin2 = materialize(
+        spark.sql(final_sql("__unip_ab2", "__unip_vocab2", True)))
+    fin2.createOrReplaceTempView("__unip_fin2")
+    excl = materialize(spark.sql(excl_sql("__unip_ab2")))
+    excl.createOrReplaceTempView("__unip_excl")
+    loss = materialize(spark.sql(loss_sql("__unip_excl", True)))
+    loss.createOrReplaceTempView("__unip_loss")
+    return spark.sql(prune_sql("__unip_fin2", "__unip_loss"))

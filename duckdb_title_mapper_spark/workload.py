@@ -20014,6 +20014,38 @@ def x_unigram_lm_estep(spark, sf_dir):
     return unigram_estep(spark)
 
 
+def _q_unigram_prune_oracle():
+    from .functions.unigram import prune_oracle_sql
+
+    return prune_oracle_sql()
+
+
+@_q(
+    "x_unigram_prune_step",
+    _q_unigram_prune_oracle(),
+    "Unigram-LM vocab PRUNE step (r13 — VERDICT r12 #2, completing "
+    "the SentencePiece train loop: seed -> EM x2 -> prune -> "
+    "re-estimate, matching BPE's train/step/apply completeness): for "
+    "every (word, multi-char piece) in the iteration-2 lattice, a "
+    "COUNTERFACTUAL closed-form forward recursion with that piece's "
+    "spans zeroed gives Z_without; the piece's loss = frequency-"
+    "weighted lattice mass lost, sum f*(PPM - ppm(Z_wo/Z)), exact "
+    "two-step integer long division (the linear-loss surrogate for "
+    "Kudo 2018 s3.2's log-likelihood drop — log() drifts cross-"
+    "engine).  Singles always survive; multi pieces rank by (loss "
+    "DESC, piece ASC) and the top 4/5 are kept (rank*5 <= n_multi*4, "
+    "no division); survivors get iteration-3 octave-ladder weights "
+    "from the iteration-2 expected counts, pruned pieces w_final 0. "
+    "ab2 has three consumer groups -> materialized on Spark, AS "
+    "MATERIALIZED in the oracle.  Output piece STRING + 9 BIGINTs.",
+)
+def x_unigram_prune_step(spark, sf_dir):
+    from .functions.unigram import unigram_prune
+
+    register_views(spark, sf_dir, "documents")
+    return unigram_prune(spark)
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

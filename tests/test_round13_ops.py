@@ -1,0 +1,189 @@
+"""Round-13 operator tests: the unigram-LM vocab PRUNE step.
+
+Brute-force replays of the counterfactual-lattice loss and the prune
+decision, following the test_round12_ops unigram replay pattern.
+"""
+
+import random
+
+import pytest
+
+from tests.conftest import spark  # noqa: F401
+
+
+def _comps(n):
+    if n == 0:
+        return [[]]
+    return [[l] + rest for l in range(1, min(4, n) + 1)
+            for rest in _comps(n - l)]
+
+
+def _prune_replay(texts):
+    """Replay the full seed -> EM x2 -> prune chain in pure Python:
+    per-(word, multi piece) counterfactual lattice mass (every
+    composition that avoids all spans carrying the piece), exact ppm
+    long division, frequency-weighted loss, then the rank / keep /
+    re-weight decision."""
+    import re
+    from collections import Counter
+
+    from duckdb_title_mapper_spark.functions.unigram import (
+        E_STEPS,
+        GRID,
+        MIN_CNT,
+        PPM,
+        PRUNE_KEEP_DEN,
+        PRUNE_KEEP_NUM,
+        W_STEPS,
+    )
+
+    def estep(words, vocab):
+        exp = Counter()
+        nw = {}
+        for w, f in words.items():
+            span_num = Counter()
+            z = 0
+            for comp in _comps(len(w)):
+                pos, weight, spans = 1, 1, []
+                for l in comp:
+                    weight *= vocab.get(w[pos - 1:pos - 1 + l], 0)
+                    spans.append((pos, l))
+                    pos += l
+                if weight:
+                    z += weight
+                    for s in spans:
+                        span_num[s] += weight
+            for i, l in GRID:
+                p = w[i - 1:i - 1 + l]
+                if i + l - 1 > len(w) or p not in vocab:
+                    continue
+                num = span_num[(i, l)]
+                q = num // z
+                exp[p] += f * (q * PPM + ((num - q * z) * PPM) // z)
+                nw.setdefault(p, set()).add(w)
+        return exp, nw
+
+    toks = []
+    for t in texts.values():
+        toks += re.findall(r"\w+", t.lower())
+    words = Counter(w for w in toks if 2 <= len(w) <= 8)
+    cnt = Counter()
+    for w, f in words.items():
+        for i, l in GRID:
+            if i + l - 1 <= len(w):
+                cnt[w[i - 1:i - 1 + l]] += f
+    vocab1 = {p: 1 + sum(c >= t for t in W_STEPS)
+              for p, c in cnt.items()
+              if len(p) == 1 or c >= MIN_CNT}
+    e1, _ = estep(words, vocab1)
+    vocab2 = {p: 1 + sum(e1[p] >= t for t in E_STEPS) for p in vocab1}
+    e2, nw2 = estep(words, vocab2)
+
+    # counterfactual loss per multi-char piece
+    loss = Counter()
+    hit = Counter()
+    for w, f in words.items():
+        present = {
+            w[i - 1:i - 1 + l]
+            for i, l in GRID
+            if l >= 2 and i + l - 1 <= len(w)
+            and w[i - 1:i - 1 + l] in vocab2
+        }
+        weights = []
+        for comp in _comps(len(w)):
+            pos, weight, pieces = 1, 1, set()
+            for l in comp:
+                piece = w[pos - 1:pos - 1 + l]
+                weight *= vocab2.get(piece, 0)
+                pieces.add(piece)
+                pos += l
+            if weight:
+                weights.append((weight, pieces))
+        z = sum(wt for wt, _ in weights)
+        for p in present:
+            zwo = sum(wt for wt, ps in weights if p not in ps)
+            q = zwo // z
+            ppm = q * PPM + ((zwo - q * z) * PPM) // z
+            loss[p] += f * (PPM - ppm)
+            hit[p] += 1
+
+    multi = sorted((p for p in vocab2 if len(p) >= 2),
+                   key=lambda p: (-loss[p], p))
+    rank = {p: i + 1 for i, p in enumerate(multi)}
+    n_multi = len(multi)
+    out = {}
+    for p in vocab2:
+        r = rank.get(p, 0)
+        kept = 1 if (len(p) == 1
+                     or r * PRUNE_KEEP_DEN <= n_multi * PRUNE_KEEP_NUM) \
+            else 0
+        wf = (1 + sum(e2[p] >= t for t in E_STEPS)) if kept else 0
+        out[p] = (len(p), vocab2[p], cnt[p], e2[p], loss[p], hit[p],
+                  r, kept, wf)
+    return out
+
+
+def test_unigram_prune_equals_python_replay(spark):  # noqa: F811
+    import pandas as pd
+
+    from duckdb_title_mapper_spark.functions.unigram import unigram_prune
+    from duckdb_title_mapper_spark.operators.standardize import _arrow_df
+
+    random.seed(13)
+    base = ["banana", "bandana", "ban", "anna", "nab", "band",
+            "cabana", "a", "verylongword123"]
+    texts = {
+        d: " ".join(random.choice(base) for _ in range(25))
+        for d in range(1, 9)
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": list(texts), "text": [texts[d] for d in texts]}
+    )
+    _arrow_df(spark, pdf).createOrReplaceTempView("documents")
+    got = {
+        r["piece"]: (
+            r["plen"], r["w"], r["cnt"], r["expected_ppm"],
+            r["loss_ppm"], r["n_words_hit"], r["prune_rank"],
+            r["kept"], r["w_final"],
+        )
+        for r in unigram_prune(spark).collect()
+    }
+    expect = _prune_replay(texts)
+    assert got == expect
+    # the prune actually dropped pieces and kept all singles
+    dropped = [p for p, v in expect.items() if v[7] == 0]
+    assert dropped and all(len(p) >= 2 for p in dropped)
+    assert all(v[7] == 1 for p, v in expect.items() if len(p) == 1)
+    # every candidate's loss is at least its word-frequency floor
+    assert all(v[4] >= 1 for p, v in expect.items() if len(p) >= 2)
+
+
+def test_unigram_prune_oracle_matches_on_tiny_corpus():
+    """Dual-dialect exactness on a corpus small enough to eyeball:
+    DuckDB oracle vs the pure-Python replay (the Spark side is
+    covered by the replay test above and check_oracle at both SFs)."""
+    import duckdb
+    import pandas as pd
+
+    from duckdb_title_mapper_spark.functions.unigram import (
+        prune_oracle_sql,
+    )
+
+    random.seed(131)
+    base = ["banana", "bandana", "ban", "anna", "nab", "band"]
+    texts = {
+        d: " ".join(random.choice(base) for _ in range(20))
+        for d in range(1, 7)
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {"doc_id": list(texts), "text": [texts[d] for d in texts]}
+        ),
+    )
+    got = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(prune_oracle_sql()).fetchall()
+    }
+    assert got == _prune_replay(texts)
