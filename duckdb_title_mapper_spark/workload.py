@@ -20046,6 +20046,122 @@ def x_unigram_prune_step(spark, sf_dir):
     return unigram_prune(spark)
 
 
+def _delta_log_oracle() -> str:
+    from .sources.deltalog import (
+        ADD_BASE, CHUNK, META_BASE, PROTO_LINE, REC_OVERHEAD, RM_BASE)
+
+    dig = "length(CAST(%s AS VARCHAR))"
+    add_len = (f"{ADD_BASE} + length(source) + 16 + {dig % 'sz'}"
+               f" + {dig % 'cnt'} + {dig % 'mn'} + {dig % 'mx'} + 1")
+    m_add_len = (f"{ADD_BASE} + length(source) + 19 + {dig % 'sz'}"
+                 f" + {dig % 'cnt'} + {dig % 'mn'} + {dig % 'mx'} + 1")
+    return f"""WITH d AS (
+      SELECT source, doc_id, octet_length(encode(text)) AS nb,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rn
+      FROM documents),
+    r AS (
+      SELECT source, doc_id, (rn - 1) // {CHUNK} AS blk,
+             nb + length(CAST(doc_id AS VARCHAR)) + {REC_OVERHEAD} AS rsz
+      FROM d),
+    c AS (
+      SELECT source, blk, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(rsz) AS BIGINT) AS sz,
+             min(doc_id) AS mn, max(doc_id) AS mx
+      FROM r GROUP BY source, blk),
+    s AS (
+      SELECT source, count(*) AS n_chunks, min(mn) AS smn,
+             max(mx) AS smx, CAST(sum({add_len}) AS BIGINT) AS add_bytes
+      FROM c GROUP BY source),
+    m AS (
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS cnt,
+             CAST(sum(sz) AS BIGINT) AS sz,
+             min(mn) AS mn, max(mx) AS mx
+      FROM c WHERE blk <= 1 GROUP BY source
+      HAVING count(*) = 2),
+    live AS (
+      SELECT c.source, c.cnt, c.sz, c.mx
+      FROM c JOIN s ON s.source = c.source
+      WHERE c.blk >= 2 OR s.n_chunks = 1
+      UNION ALL
+      SELECT source, cnt, sz, mx FROM m),
+    agg AS (
+      SELECT l.source,
+             CAST(count(*) AS BIGINT) AS n_live_files,
+             CAST(sum(l.cnt) AS BIGINT) AS live_records,
+             CAST(sum(l.sz) AS BIGINT) AS live_bytes,
+             CAST(sum(CASE WHEN l.mx < (s.smn + s.smx) // 2
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned_files,
+             CAST(sum(CASE WHEN l.mx >= (s.smn + s.smx) // 2
+                      THEN l.cnt ELSE 0 END) AS BIGINT)
+               AS scanned_records
+      FROM live l JOIN s ON s.source = l.source
+      GROUP BY l.source)
+    SELECT s.source,
+           CAST(CASE WHEN s.n_chunks >= 2 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_commits,
+           CAST({len(PROTO_LINE) + 1} + {META_BASE} + length(s.source)
+                + 1 + s.add_bytes
+                + CASE WHEN s.n_chunks >= 2
+                  THEN 2 * ({RM_BASE} + length(s.source) + 16 + 1)
+                       + (SELECT {m_add_len} FROM m
+                          WHERE m.source = s.source)
+                  ELSE 0 END AS BIGINT) AS log_bytes,
+           agg.n_live_files,
+           CAST(CASE WHEN s.n_chunks >= 2 THEN 2 ELSE 0 END AS BIGINT)
+             AS n_removed_files,
+           agg.live_records, agg.live_bytes, agg.n_pruned_files,
+           agg.scanned_records
+    FROM s JOIN agg ON agg.source = s.source"""
+
+
+@_q(
+    "src_table_log_replay",
+    _delta_log_oracle(),
+    "Delta-style table transaction-log walk (r13 — VERDICT r12 #3, "
+    "the lakehouse storage layer completing the sources family "
+    "beside WARC/safetensors/Avro/TFRecord/WebDataset/Arrow-IPC/ORC/"
+    "ZIP): per source, the doc_id-ordered corpus chunks into 8-record "
+    "data files whose add actions (path, size, numRecords, min/max "
+    "doc_id stats) land in commit 0 with protocol+metaData header, "
+    "then a COMPACTION commit removes chunks 0-1 and adds the merged "
+    "file — and the log is REPLAYED with full framing validation "
+    "(contiguous versions, header order, one JSON action per line, "
+    "no dup-add, no dead-remove; liveness is replay-ORDER state, not "
+    "set difference).  The snapshot manifest emits live-file counts/"
+    "records/bytes, actual log bytes, and min/max-stats PRUNING for "
+    "a doc_id >= (min+max) div 2 scan (nonnegative ids, idiv-safe). "
+    "Rigid byte layout makes log_bytes closed-form: the oracle "
+    "recomputes every add/remove line length with digit ladders "
+    "(length(CAST(x AS VARCHAR))).  Map-side per source "
+    "(applyInPandas); all BIGINT.",
+)
+def src_table_log_replay(spark, sf_dir):
+    """Spark-side: sources/deltalog.py (published Delta protocol
+    semantics rebuilt from first principles; the reference has no
+    table-format surface)."""
+    import pandas as pd
+
+    cols = ["source", "n_commits", "log_bytes", "n_live_files",
+            "n_removed_files", "live_records", "live_bytes",
+            "n_pruned_files", "scanned_records"]
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "source", "doc_id", "octet_length(text) AS nb")
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .sources.deltalog import snapshot_manifest
+
+        pdf = pdf.sort_values("doc_id")
+        recs = [(int(d), int(nb))
+                for d, nb in zip(pdf["doc_id"], pdf["nb"])]
+        return pd.DataFrame([snapshot_manifest(pdf["source"].iloc[0],
+                                               recs)])[cols]
+
+    schema = ("source string, " +
+              ", ".join(f"{c} bigint" for c in cols[1:]))
+    return docs.groupBy("source").applyInPandas(walk, schema)
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -187,3 +187,90 @@ def test_unigram_prune_oracle_matches_on_tiny_corpus():
         for r in con.execute(prune_oracle_sql()).fetchall()
     }
     assert got == _prune_replay(texts)
+
+
+def test_delta_log_build_replay_roundtrip(tmp_path):
+    """The log survives a real disk round trip under the %020d.json
+    naming contract, and the replay accounting matches a hand
+    computation on a table small enough to eyeball."""
+    from duckdb_title_mapper_spark.sources.deltalog import (
+        CHUNK,
+        build_log,
+        chunk_path,
+        compact_path,
+        replay_log,
+        snapshot_manifest,
+    )
+
+    recs = [(i * 3, 10 + i) for i in range(CHUNK * 2 + 3)]  # 3 chunks
+    log = build_log("srcA", recs)
+    assert sorted(log) == [0, 1]
+    for v, blob in log.items():
+        (tmp_path / f"{v:020d}.json").write_bytes(blob)
+    back = {
+        int(p.stem): p.read_bytes()
+        for p in tmp_path.glob("*.json")
+    }
+    rep = replay_log(back)
+    assert rep["n_commits"] == 2
+    assert rep["log_bytes"] == sum(len(b) for b in log.values())
+    assert rep["n_removed"] == 2
+    # live = compacted(chunks 0+1) + chunk 2
+    assert sorted(rep["live"]) == [compact_path("srcA"),
+                                   chunk_path("srcA", 2)]
+    comp = rep["live"][compact_path("srcA")]
+    assert comp["numRecords"] == 2 * CHUNK
+    assert comp["minDocId"] == 0
+    assert comp["maxDocId"] == (2 * CHUNK - 1) * 3
+    man = snapshot_manifest("srcA", recs)
+    assert man["live_records"] == len(recs)
+    assert man["n_live_files"] == 2
+    # threshold = (0 + 54) div 2 = 27; compact spans 0..45 (kept),
+    # chunk 2 spans 48..54 (kept) -> nothing prunable here
+    assert man["n_pruned_files"] == 0
+    assert man["scanned_records"] == len(recs)
+    # single-chunk table: one commit, nothing removed, chunk 0 live
+    small = snapshot_manifest("srcB", recs[:3])
+    assert (small["n_commits"], small["n_removed_files"],
+            small["n_live_files"]) == (1, 0, 1)
+
+
+def test_delta_log_replay_rejects_torn_logs():
+    """Every framing invariant the replayer claims to validate."""
+    import json
+
+    from duckdb_title_mapper_spark.sources.deltalog import (
+        build_log,
+        replay_log,
+    )
+
+    recs = [(i, 10) for i in range(20)]
+    log = build_log("s", recs)
+
+    def expect_reject(bad, msg):
+        try:
+            replay_log(bad)
+            raise AssertionError(f"accepted torn log: {msg}")
+        except ValueError:
+            pass
+
+    expect_reject({0: log[0], 2: log[1]}, "version gap")
+    expect_reject({0: log[0], 1: log[1][:-1]}, "missing newline")
+    # protocol not first
+    lines = log[0].decode().splitlines()
+    expect_reject({0: ("\n".join(lines[1:] + lines[:1]) + "\n").encode()},
+                  "header order")
+    # duplicate add of a live path
+    dup = lines[2]
+    expect_reject({0: ("\n".join(lines + [dup]) + "\n").encode()},
+                  "duplicate add")
+    # remove of a never-added path
+    rm = json.dumps({"remove": {"path": "ghost", "dataChange": False}},
+                    separators=(",", ":"))
+    expect_reject({0: log[0], 1: (rm + "\n").encode()}, "dead remove")
+    # unknown action kind
+    expect_reject({0: log[0], 1: b'{"commitInfo":{}}\n'},
+                  "unknown action")
+    # protocol outside commit 0
+    expect_reject({0: log[0], 1: lines[0].encode() + b"\n"},
+                  "late protocol")
