@@ -165,6 +165,7 @@ EXTRA = [
     "x_bloom_semijoin_prune",
     "stream_bloom_words",
     "x_skyline_pareto",
+    "x_copurchase_census",
     "x_kcore_peel",
     "x_hll_rollup",
     "x_ivm_agg_merge",
