@@ -673,3 +673,153 @@ def ivf_assign_oracle_sql(n_cells: int = IVF_ASSIGN_CELLS,
     a AS ({assign})
     SELECT vec_id, CAST(vec_id % {parts} AS BIGINT) AS batch_id, cell
     FROM a"""
+
+
+# ---------------------------------------------------------------------
+# oracle-certified IVF search with in-row recall (r13 — VERDICT r12 #5)
+# ---------------------------------------------------------------------
+
+def ivf_certified_par_sql(spark_dialect: bool, adaptive: bool,
+                          units_rel: str) -> str:
+    """The (n_cells, nprobe) parameter relation.  adaptive derives
+    both from the corpus count in-query (n_cells ~ sqrt(n) keeps cell
+    lists ~sqrt(n)-sized, nprobe ~ n_cells/8 holds the probed
+    fraction constant — the ivf_topk sizing recipe); sqrt of an exact
+    integer is correctly rounded IEEE, identical in both engines, and
+    floor lands on an integral double where DuckDB's rounding cast and
+    Spark's truncating cast agree.  idiv operands are nonnegative."""
+    if not adaptive:
+        return ("SELECT CAST(16 AS BIGINT) AS n_cells,"
+                " CAST(2 AS BIGINT) AS nprobe")
+    idiv = "div" if spark_dialect else "//"
+    return f"""SELECT n_cells,
+           greatest(CAST(2 AS BIGINT), n_cells {idiv} 8) AS nprobe
+    FROM (SELECT greatest(CAST(4 AS BIGINT),
+                 CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT))
+                   AS n_cells
+          FROM (SELECT count(*) AS n FROM {units_rel}) t) p"""
+
+
+def ivf_certified_cents_sql(spark_dialect: bool, par_rel: str,
+                            rel: str = "embeddings") -> str:
+    """Seed centroids with a DERIVED count: the md5-ordered
+    deterministic spread of ivf_cents_sql, but row_number-gated by the
+    parameter relation instead of a literal LIMIT."""
+    nrm = "sqrt(" + embed_dot(spark_dialect, "embedding", "embedding") + ")"
+    fn = "transform" if spark_dialect else "list_transform"
+    return f"""SELECT CAST(rn - 1 AS BIGINT) AS cell,
+           {fn}(embedding, x -> CAST(x AS DOUBLE) / nrm) AS cvec
+    FROM (SELECT rn, embedding, {nrm} AS nrm
+          FROM (SELECT vec_id, embedding,
+                       row_number() OVER (ORDER BY
+                         md5(CAST(vec_id AS STRING)), vec_id) AS rn
+                FROM {rel}) s
+          CROSS JOIN {par_rel} WHERE rn <= n_cells) u"""
+
+
+def ivf_certified_sql(spark_dialect: bool, adaptive: bool = False,
+                      k: int = 3, nq: int = 10,
+                      rels: dict | None = None) -> str:
+    """IVF ANN search, fully SQL on BOTH engines, with the
+    x_hnsw_search recall-certification contract: every emitted
+    neighbor carries its exact brute-force rank (-1 if outside the
+    exact top-k), so the rows themselves certify recall@k.
+
+    Pipeline: unit-normalize once (units), derive (n_cells, nprobe)
+    (par), md5-seeded centroids (cents), nearest-centroid assignment
+    carrying the unit vector (assign — argmax on the raw double,
+    lowest-cell tiebreak), per-query top-nprobe cell probe, candidate
+    equi-join ON CELL (each vector lives in exactly one cell, so
+    candidates are duplicate-free without DISTINCT), exact-cosine
+    rank.  All comparisons order raw doubles computed by the same
+    index-order fold (embed_dot) — membership never depends on a
+    quantized value.  Scale shape: assignment is the linear
+    n x n_cells broadcast pass, the probe join is posting-list
+    equi-join, exact is nq x n (nq bounded at {nq}).
+
+    ``rels`` lets the Spark runner substitute pre-materialized views
+    for the multi-consumer components (units x3, cents x2, par x2,
+    queries x2 — the per-consumer CTE-inlining rule); the DuckDB
+    oracle keeps them inline under AS MATERIALIZED."""
+    rels = rels or {}
+    mat = "" if spark_dialect else "MATERIALIZED "
+    d_uc = embed_dot(spark_dialect, "u.uvec", "c.cvec")
+    d_qc = embed_dot(spark_dialect, "q.quvec", "c.cvec")
+    d_pa = embed_dot(spark_dialect, "p.quvec", "a.uvec")
+    d_qu = embed_dot(spark_dialect, "q.quvec", "u.uvec")
+    units = rels.get(
+        "units", f"({_unit_rel_sql(spark_dialect, 'embeddings')})")
+    par = rels.get(
+        "par",
+        f"({ivf_certified_par_sql(spark_dialect, adaptive, 'units')})")
+    cents = rels.get(
+        "cents", f"({ivf_certified_cents_sql(spark_dialect, 'par')})")
+    queries = rels.get("queries", "(SELECT vec_id AS query_id, uvec"
+                                  f" AS quvec FROM units"
+                                  f" WHERE vec_id < {nq})")
+    return f"""WITH units AS {mat}(SELECT * FROM {units} __cu),
+    par AS {mat}(SELECT * FROM {par} __cp),
+    cents AS {mat}(SELECT * FROM {cents} __cc),
+    queries AS {mat}(SELECT * FROM {queries} __cq),
+    assign AS (
+      SELECT vec_id, cell, uvec FROM (
+        SELECT u.vec_id, c.cell, u.uvec,
+               row_number() OVER (PARTITION BY u.vec_id
+                   ORDER BY {d_uc} DESC, c.cell) AS rk
+        FROM units u CROSS JOIN cents c) r
+      WHERE rk = 1),
+    probe AS (
+      SELECT query_id, quvec, cell FROM (
+        SELECT q.query_id, q.quvec, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {d_qc} DESC, c.cell) AS rk
+        FROM queries q CROSS JOIN cents c) r
+      CROSS JOIN par WHERE rk <= nprobe),
+    approx AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id
+                   ORDER BY {d_pa} DESC, a.vec_id) AS rank
+        FROM probe p JOIN assign a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id) t
+      WHERE rank <= {k}),
+    exact AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.query_id, u.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {d_qu} DESC, u.vec_id) AS rank
+        FROM queries q JOIN units u ON u.vec_id <> q.query_id) t
+      WHERE rank <= {k})
+    SELECT a.query_id, CAST(a.rank AS BIGINT) AS rank, a.neighbor_id,
+           CAST(coalesce(x.rank, -1) AS BIGINT) AS exact_rank
+    FROM approx a
+    LEFT JOIN exact x ON x.query_id = a.query_id
+                     AND x.neighbor_id = a.neighbor_id"""
+
+
+def ivf_certified(spark, adaptive: bool = False, k: int = 3,
+                  nq: int = 10):
+    """Spark runner: materialize the multi-consumer components once
+    (per-consumer CTE inlining would recompute units 3x / cents 2x),
+    then run the search+certification tail over the views."""
+    from ..plans.materialize import materialize
+
+    tag = "s" if adaptive else "f"
+    units = materialize(spark.sql(_unit_rel_sql(True, "embeddings")))
+    units.createOrReplaceTempView(f"__ivfc_{tag}_units")
+    par = materialize(spark.sql(
+        ivf_certified_par_sql(True, adaptive, f"__ivfc_{tag}_units")))
+    par.createOrReplaceTempView(f"__ivfc_{tag}_par")
+    cents = materialize(spark.sql(
+        ivf_certified_cents_sql(True, f"__ivfc_{tag}_par")))
+    cents.createOrReplaceTempView(f"__ivfc_{tag}_cents")
+    queries = materialize(spark.sql(
+        f"SELECT vec_id AS query_id, uvec AS quvec"
+        f" FROM __ivfc_{tag}_units WHERE vec_id < {nq}"))
+    queries.createOrReplaceTempView(f"__ivfc_{tag}_queries")
+    return spark.sql(ivf_certified_sql(
+        True, adaptive, k, nq,
+        rels={"units": f"__ivfc_{tag}_units",
+              "par": f"__ivfc_{tag}_par",
+              "cents": f"__ivfc_{tag}_cents",
+              "queries": f"__ivfc_{tag}_queries"}))

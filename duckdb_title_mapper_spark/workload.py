@@ -2716,6 +2716,54 @@ def x_ann_ivf_scaled(spark, sf_dir):
     return ivf_topk(load(spark, sf_dir, "embeddings"), adaptive=True)
 
 
+def _q_ivf_certified_oracle(adaptive: bool):
+    from .operators.similarity import ivf_certified_sql
+
+    return ivf_certified_sql(False, adaptive)
+
+
+@_q(
+    "x_ann_ivf_certified",
+    _q_ivf_certified_oracle(False),
+    "ORACLE-CERTIFIED IVF ANN with in-row recall (r13 — VERDICT r12 "
+    "#5, closing the IVF axis' certification gap: the mapInPandas "
+    "twins x_ann_ivf_topk/scaled stay rows-only because their numpy "
+    "matmul sums pairwise; this form computes every cosine with the "
+    "shared index-order fold on BOTH engines, so the full pipeline — "
+    "md5-seeded centroids, raw-double argmax assignment, top-nprobe "
+    "probe, cell-equi-join candidates, exact-cosine rank — is "
+    "dual-SF exact).  Every emitted neighbor carries its exact "
+    "brute-force rank (-1 outside top-3), the x_hnsw_search "
+    "recall-certification contract: the row set certifies recall@3 "
+    "alongside the search.  Multi-consumer components materialized "
+    "on Spark / AS MATERIALIZED in the oracle.  All BIGINT.",
+)
+def x_ann_ivf_certified(spark, sf_dir):
+    from .operators.similarity import ivf_certified
+
+    register_views(spark, sf_dir, "embeddings")
+    return ivf_certified(spark, adaptive=False)
+
+
+@_q(
+    "x_ann_ivf_scaled_certified",
+    _q_ivf_certified_oracle(True),
+    "Scale-adaptive twin of x_ann_ivf_certified: n_cells = "
+    "greatest(4, floor(sqrt(n))) and nprobe = greatest(2, n_cells "
+    "div 8) derived IN-QUERY from the corpus count (sqrt of an exact "
+    "integer is correctly-rounded IEEE on both engines; floor lands "
+    "on an integral double where DuckDB's rounding cast equals "
+    "Spark's truncation) — cell lists stay ~sqrt(n) so assign and "
+    "probe costs balance as the table grows, with the same in-row "
+    "exact-rank recall certification and dual-SF-exact oracle.",
+)
+def x_ann_ivf_scaled_certified(spark, sf_dir):
+    from .operators.similarity import ivf_certified
+
+    register_views(spark, sf_dir, "embeddings")
+    return ivf_certified(spark, adaptive=True)
+
+
 def _q_ann_multiprobe_scaled_oracle():
     from .operators.similarity import ann_multiprobe_scaled_sql
 

@@ -82,6 +82,8 @@ EXTRA = [
     "x_ann_lsh_scaled",
     "x_ann_recall_scaled",
     "x_ann_ivf_scaled",
+    "x_ann_ivf_certified",
+    "x_ann_ivf_scaled_certified",
     "x_multimodal_png_decode",
     "x_sequence_packing_sharded",
     "x_grpo_advantages",

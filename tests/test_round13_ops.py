@@ -189,6 +189,42 @@ def test_unigram_prune_oracle_matches_on_tiny_corpus():
     assert got == _prune_replay(texts)
 
 
+def test_ivf_certified_contract(spark):  # noqa: F811
+    """The in-row recall certification semantics: <= 3 approx rows per
+    query with contiguous ranks, exact_rank in {-1, 1..3}, and a
+    planted twin (vec 9001 = copy of query 1's vector) is recovered at
+    approx rank 1 with exact_rank 1 — same cell by construction."""
+    import pandas as pd
+
+    from duckdb_title_mapper_spark.operators.similarity import (
+        ivf_certified,
+    )
+    from duckdb_title_mapper_spark.operators.standardize import _arrow_df
+
+    random.seed(1313)
+    dim = 8
+    rows = [
+        {"vec_id": i, "embedding": [random.uniform(-1, 1)
+                                    for _ in range(dim)]}
+        for i in range(60)
+    ]
+    twin = dict(rows[1])
+    rows.append({"vec_id": 9001, "embedding": list(twin["embedding"])})
+    _arrow_df(spark, pd.DataFrame(rows)).createOrReplaceTempView(
+        "embeddings")
+    got = ivf_certified(spark, adaptive=False, k=3, nq=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) <= {0, 1, 2}
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert all(r["exact_rank"] in (-1, 1, 2, 3) for r in rs)
+    top1 = next(r for r in by_q[1] if r["rank"] == 1)
+    assert top1["neighbor_id"] == 9001 and top1["exact_rank"] == 1
+
+
 def test_delta_log_build_replay_roundtrip(tmp_path):
     """The log survives a real disk round trip under the %020d.json
     naming contract, and the replay accounting matches a hand
