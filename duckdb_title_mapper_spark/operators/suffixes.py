@@ -253,7 +253,16 @@ def extract_sql(spark_dialect: bool) -> str:
 
 
 def _apply_l32_sql(spark_dialect: bool) -> str:
-    """Level-32 chain (base + two doubling rounds), single-consumer."""
+    """Level-32 chain (base + two doubling rounds), single-consumer.
+
+    Interval merge note (ADVICE r12): ``brk`` fires when pos > the
+    running max of prior interval ends, so OVERLAPPING removal windows
+    merge but exactly-adjacent ones (pos = prev_e + 1) abut as two
+    intervals.  Downstream outputs are invariant either way — the
+    kept gap between abutting intervals is empty and filtered by
+    ``ks <= ke`` in apply_final_sql — so the split is a representation
+    detail, kept stable to preserve the declared queries' interval
+    relation."""
     return f"""WITH l8 AS ({base_sql(spark_dialect)}),
     led8 AS ({led_sql(8, 'l8')}),
     l16 AS ({double_sql(16, 'led8')}),

@@ -78,6 +78,10 @@ def _central_entry(name: bytes, data: bytes, offset: int) -> bytes:
 
 
 def build_zip(members: list[tuple[str, bytes]]) -> bytes:
+    if len(members) > 0xFFFF:
+        raise ValueError(
+            f"ZIP64 not implemented: {len(members)} members exceeds the "
+            "classic EOCD's 16-bit count")
     out = bytearray()
     entries = bytearray()
     for name_s, data in members:
@@ -85,6 +89,10 @@ def build_zip(members: list[tuple[str, bytes]]) -> bytes:
         entries += _central_entry(name, data, len(out))
         out += _local_header(name, data) + data
     cd_off = len(out)
+    if cd_off > 0xFFFFFFFF:
+        raise ValueError(
+            "ZIP64 not implemented: central-directory offset "
+            f"{cd_off} exceeds the classic EOCD's 32-bit field")
     out += entries
     out += struct.pack(
         "<4sHHHHIIH", b"PK\x05\x06", 0, 0, len(members), len(members),

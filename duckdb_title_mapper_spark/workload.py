@@ -18967,8 +18967,13 @@ def _tokenizer_faceoff_sql(spark_dialect: bool,
     "joined to the GLOBAL per-word Viterbi piece counts (out-of-"
     "lattice words count one piece, keeping totals comparable), "
     "exact permille ratios, winner by least pieces with a fixed tie "
-    "order.  The Viterbi relation nests materialized on both "
-    "engines.  BIGINTs + one STRING verdict per source.",
+    "order.  Note (ADVICE r12): unigram pieces >= whitespace tokens "
+    "by construction (every \\w+ word contributes >= 1 piece), so "
+    "whitespace dominates the unigram arm and 'unigram' can win only "
+    "against bpe_regex — the verdict column is a two-way race with "
+    "unigram's fertility reported alongside.  The Viterbi relation "
+    "nests materialized on both engines.  BIGINTs + one STRING "
+    "verdict per source.",
 )
 def x_tokenizer_faceoff(spark, sf_dir):
     from .functions.unigram import unigram_segment
@@ -19349,7 +19354,11 @@ def _q_suffix_apply_oracle():
     "every position whose 32-char window is duplicated corpus-wide "
     "AND is not the class REPRESENTATIVE (key <> class-min) marks "
     "its [pos, pos+31] chars for removal; marked windows merge into "
-    "maximal intervals (island window), the KEPT complement is "
+    "removal intervals (island window; OVERLAPPING windows merge, "
+    "exactly-adjacent ones may abut as two intervals — the empty "
+    "kept gap between abutting intervals is filtered, so every "
+    "emitted count/text/md5 is identical either way), the KEPT "
+    "complement is "
     "reassembled in interval order (array_sort struct-collect on "
     "Spark, ORDER BY string_agg in the oracle), and each affected "
     "doc emits old/removed/new char counts plus md5 of the cleaned "
