@@ -155,6 +155,28 @@ def replay_log(log: dict[int, bytes]) -> dict:
     }
 
 
+def time_travel_manifests(source: str, records) -> list[dict]:
+    """Snapshot AS OF every version (time travel): replay the log
+    prefix [0..v] for each v and emit the live-set accounting — the
+    reader contract that lets a pipeline pin a training run to the
+    exact file set it saw.  One row per (source, version)."""
+    log = build_log(source, records)
+    out = []
+    for v in sorted(log):
+        rep = replay_log({u: log[u] for u in sorted(log) if u <= v})
+        live = rep["live"].values()
+        out.append({
+            "source": source,
+            "version": v,
+            "n_live_files": len(live),
+            "n_removed_files": rep["n_removed"],
+            "live_records": sum(a["numRecords"] for a in live),
+            "live_bytes": sum(a["size"] for a in live),
+            "log_bytes": rep["log_bytes"],
+        })
+    return out
+
+
 def snapshot_manifest(source: str, records) -> dict:
     """build -> replay -> snapshot stats + min/max predicate pruning
     for a ``doc_id >= (min+max) div 2`` scan (all doc_ids are

@@ -20257,6 +20257,95 @@ def src_table_log_replay(spark, sf_dir):
     return docs.groupBy("source").applyInPandas(walk, schema)
 
 
+def _delta_time_travel_oracle() -> str:
+    from .sources.deltalog import (
+        ADD_BASE, CHUNK, META_BASE, PROTO_LINE, REC_OVERHEAD, RM_BASE)
+
+    dig = "length(CAST(%s AS VARCHAR))"
+    add_len = (f"{ADD_BASE} + length(source) + 16 + {dig % 'sz'}"
+               f" + {dig % 'cnt'} + {dig % 'mn'} + {dig % 'mx'} + 1")
+    m_add_len = (f"{ADD_BASE} + length(s.source) + 19 + {dig % 'm.sz'}"
+                 f" + {dig % 'm.cnt'} + {dig % 'm.mn'} + {dig % 'm.mx'}"
+                 " + 1")
+    v0_bytes = (f"{len(PROTO_LINE) + 1} + {META_BASE}"
+                " + length(s.source) + 1 + s.add_bytes")
+    return f"""WITH d AS (
+      SELECT source, doc_id, octet_length(encode(text)) AS nb,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rn
+      FROM documents),
+    r AS (
+      SELECT source, doc_id, (rn - 1) // {CHUNK} AS blk,
+             nb + length(CAST(doc_id AS VARCHAR)) + {REC_OVERHEAD} AS rsz
+      FROM d),
+    c AS (
+      SELECT source, blk, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(rsz) AS BIGINT) AS sz,
+             min(doc_id) AS mn, max(doc_id) AS mx
+      FROM r GROUP BY source, blk),
+    s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(cnt) AS BIGINT) AS tot_records,
+             CAST(sum(sz) AS BIGINT) AS tot_bytes,
+             CAST(sum({add_len}) AS BIGINT) AS add_bytes
+      FROM c GROUP BY source),
+    m AS (
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS cnt,
+             CAST(sum(sz) AS BIGINT) AS sz,
+             min(mn) AS mn, max(mx) AS mx
+      FROM c WHERE blk <= 1 GROUP BY source
+      HAVING count(*) = 2)
+    SELECT s.source, CAST(0 AS BIGINT) AS version,
+           s.n_chunks AS n_live_files,
+           CAST(0 AS BIGINT) AS n_removed_files,
+           s.tot_records AS live_records, s.tot_bytes AS live_bytes,
+           CAST({v0_bytes} AS BIGINT) AS log_bytes
+    FROM s
+    UNION ALL
+    SELECT s.source, CAST(1 AS BIGINT) AS version,
+           s.n_chunks - 1 AS n_live_files,
+           CAST(2 AS BIGINT) AS n_removed_files,
+           s.tot_records AS live_records, s.tot_bytes AS live_bytes,
+           CAST({v0_bytes} + 2 * ({RM_BASE} + length(s.source) + 16 + 1)
+                + {m_add_len} AS BIGINT) AS log_bytes
+    FROM s JOIN m ON m.source = s.source"""
+
+
+@_q(
+    "src_table_log_time_travel",
+    _delta_time_travel_oracle(),
+    "Transaction-log TIME TRAVEL (r13 — src_table_log_replay's "
+    "version axis): the snapshot AS OF every version, each a replay "
+    "of the log prefix [0..v] with the same framing validation — the "
+    "reader contract that pins a training run to the exact file set "
+    "it saw.  Per (source, version): live files/records/bytes, "
+    "cumulative removed count, cumulative log bytes (closed-form "
+    "digit-ladder oracle; the compaction commit changes the FILE "
+    "count but conserves records and bytes — visible in the rows). "
+    "Map-side per source; all BIGINT.",
+)
+def src_table_log_time_travel(spark, sf_dir):
+    import pandas as pd
+
+    cols = ["source", "version", "n_live_files", "n_removed_files",
+            "live_records", "live_bytes", "log_bytes"]
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "source", "doc_id", "octet_length(text) AS nb")
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .sources.deltalog import time_travel_manifests
+
+        pdf = pdf.sort_values("doc_id")
+        recs = [(int(d), int(nb))
+                for d, nb in zip(pdf["doc_id"], pdf["nb"])]
+        return pd.DataFrame(
+            time_travel_manifests(pdf["source"].iloc[0], recs))[cols]
+
+    schema = ("source string, " +
+              ", ".join(f"{c} bigint" for c in cols[1:]))
+    return docs.groupBy("source").applyInPandas(walk, schema)
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

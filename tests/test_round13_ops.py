@@ -271,6 +271,26 @@ def test_delta_log_build_replay_roundtrip(tmp_path):
             small["n_live_files"]) == (1, 0, 1)
 
 
+def test_delta_log_time_travel_versions():
+    """Version 0 sees all chunks; version 1 sees the compacted set
+    with conserved records/bytes and a strictly larger log."""
+    from duckdb_title_mapper_spark.sources.deltalog import (
+        CHUNK,
+        time_travel_manifests,
+    )
+
+    recs = [(i, 10 + i % 7) for i in range(CHUNK * 3)]
+    v0, v1 = time_travel_manifests("srcT", recs)
+    assert v0["version"] == 0 and v1["version"] == 1
+    assert v0["n_live_files"] == 3 and v1["n_live_files"] == 2
+    assert v0["n_removed_files"] == 0 and v1["n_removed_files"] == 2
+    assert v0["live_records"] == v1["live_records"] == len(recs)
+    assert v0["live_bytes"] == v1["live_bytes"]
+    assert v1["log_bytes"] > v0["log_bytes"]
+    # single-chunk source: one snapshot only
+    assert len(time_travel_manifests("srcT", recs[:2])) == 1
+
+
 def test_delta_log_replay_rejects_torn_logs():
     """Every framing invariant the replayer claims to validate."""
     import json
