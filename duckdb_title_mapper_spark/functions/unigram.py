@@ -462,6 +462,146 @@ def prune_oracle_sql() -> str:
     {prune_sql('fin2', 'loss')}"""
 
 
+def viterbi_min_sql(spans_rel: str, vocab_rel: str) -> str:
+    """MIN-PIECES decode over the vocab lattice (the minimal-
+    tokenization objective WordPiece-style tokenizers optimize, as
+    opposed to viterbi_sql's max-product): C[j] = min over valid
+    spans of C[j-l] + 1, backpointers preferring the LONGEST piece on
+    ties (the CASE ladder tests l = 4..1), then the same closed-form
+    cut walk.  Validity-only scoring — no weights in the objective —
+    so it is trivially integer-exact, and vocab PRUNING visibly
+    changes both the count and the segmentation (under the octave
+    max-product, singles dominate every decode on this corpus and
+    pruning is invisible; see x_unigram_apply_pruned)."""
+    big = 99
+    pivot = ", ".join(
+        f"max(CASE WHEN i = {i} AND l = {l} THEN 1"
+        f" ELSE 0 END) AS v_{i}_{l}"
+        for i, l in GRID
+    )
+    q = f"""SELECT s.word, s.f, s.n, {pivot}
+    FROM {spans_rel} s JOIN {vocab_rel} v ON v.piece = s.piece
+    GROUP BY s.word, s.f, s.n"""
+    q = f"SELECT *, CAST(0 AS BIGINT) AS c0 FROM ({q}) n0"
+    for j in range(1, MAX_N + 1):
+        terms = [
+            f"CASE WHEN v_{j - l + 1}_{l} = 1 THEN c{j - l} + 1"
+            f" ELSE CAST({big} AS BIGINT) END"
+            for l in range(1, min(4, j) + 1)
+        ]
+        cj = terms[0] if len(terms) == 1 else (
+            "least(" + ", ".join(terms) + ")")
+        q = f"SELECT *, {cj} AS c{j} FROM ({q}) nm{j}"
+        arms = " ".join(
+            f"WHEN v_{j - l + 1}_{l} = 1 AND c{j - l} + 1 = c{j}"
+            f" THEN CAST({l} AS BIGINT)"
+            for l in range(min(4, j), 0, -1)
+        )
+        bp = (f"CASE WHEN c{j} >= {big} THEN CAST(0 AS BIGINT)"
+              f" ELSE CASE {arms} ELSE CAST(0 AS BIGINT) END END")
+        q = f"SELECT *, {bp} AS bp{j} FROM ({q}) nb{j}"
+    bpat = ("CASE %s "
+            + " ".join(f"WHEN {j} THEN bp{j}"
+                       for j in range(1, MAX_N + 1))
+            + " ELSE CAST(0 AS BIGINT) END")
+    q = f"SELECT *, n AS k1 FROM ({q}) nw0"
+    for k in range(1, MAX_N + 1):
+        lk = (f"CASE WHEN k{k} <= 0 THEN CAST(0 AS BIGINT)"
+              f" ELSE {bpat % f'k{k}'} END")
+        q = f"SELECT *, {lk} AS g{k} FROM ({q}) nl{k}"
+        if k < MAX_N:
+            q = f"SELECT *, k{k} - g{k} AS k{k + 1} FROM ({q}) nc{k}"
+    n_pieces = ("CASE n "
+                + " ".join(f"WHEN {j} THEN c{j}"
+                           for j in range(2, MAX_N + 1))
+                + " ELSE CAST(0 AS BIGINT) END")
+    pieces = ", ".join(
+        f"CASE WHEN g{k} > 0 THEN substr(word,"
+        f" CAST(k{k} - g{k} + 1 AS INT), CAST(g{k} AS INT)) END"
+        for k in range(MAX_N, 0, -1)
+    )
+    return f"""SELECT word, f, n,
+           CAST({n_pieces} AS BIGINT) AS n_pieces,
+           concat_ws('|', {pieces}) AS seg
+    FROM ({q}) nfin"""
+
+
+def vocab3_sql(prune_rel: str) -> str:
+    """The post-prune vocabulary: survivors with their re-estimated
+    octave weights (w_final).  Singles always survive, so every word
+    still decodes."""
+    return (f"SELECT piece, w_final AS w FROM {prune_rel}"
+            " WHERE kept = 1")
+
+
+def apply_pruned_sql(vit2_rel: str, vit3_rel: str) -> str:
+    """Join the full-vocab and pruned-vocab min-pieces decodes per
+    word: the fertility regression pruning causes, measured in-row
+    (pieces_pruned >= pieces_full always — removing pieces can only
+    lengthen the minimal segmentation)."""
+    return f"""SELECT a.word, a.f, a.n,
+           a.n_pieces AS pieces_full, b.n_pieces AS pieces_pruned,
+           CASE WHEN a.seg = b.seg THEN CAST(0 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS seg_changed,
+           a.seg AS seg_full, b.seg AS seg_pruned
+    FROM {vit2_rel} a JOIN {vit3_rel} b ON b.word = a.word"""
+
+
+def apply_pruned_oracle_sql() -> str:
+    """Full train -> prune -> APPLY chain as one DuckDB query: the
+    prune_oracle_sql chain, plus the pruned vocab and two Viterbi
+    decodes (under vocab2 and vocab3) joined per word.  spans now
+    feeds both lattices AND both Viterbi pivots; everything
+    multi-consumer carries AS MATERIALIZED."""
+    fin1 = final_sql("ab1", "vocab1", False)
+    fin2 = final_sql("ab2", "vocab2", False)
+    assert fin1.startswith("WITH ") and fin2.startswith("WITH ")
+    return f"""WITH words AS ({words_sql(False)}),
+    spans AS MATERIALIZED ({spans_sql('words')}),
+    vocab1 AS MATERIALIZED ({vocab_sql('spans')}),
+    ab1 AS MATERIALIZED ({ab_sql('spans', 'vocab1')}),
+    fin1 AS MATERIALIZED (
+      {fin1}),
+    vocab2 AS MATERIALIZED ({vocab2_sql('fin1')}),
+    ab2 AS MATERIALIZED ({ab_sql('spans', 'vocab2')}),
+    fin2 AS MATERIALIZED (
+      {fin2}),
+    excl AS MATERIALIZED ({excl_sql('ab2')}),
+    loss AS MATERIALIZED ({loss_sql('excl', False)}),
+    prune AS MATERIALIZED ({prune_sql('fin2', 'loss')}),
+    vocab3 AS MATERIALIZED ({vocab3_sql('prune')}),
+    vit2 AS MATERIALIZED ({viterbi_min_sql('spans', 'vocab2')}),
+    vit3 AS MATERIALIZED ({viterbi_min_sql('spans', 'vocab3')})
+    {apply_pruned_sql('vit2', 'vit3')}"""
+
+
+def unigram_apply_pruned(spark):
+    """Spark side: the prune chain under fresh __unia_* view names,
+    then both Viterbi decodes and the per-word join."""
+    from ..plans.materialize import materialize
+
+    def mat(name, sql):
+        df = materialize(spark.sql(sql))
+        df.createOrReplaceTempView(name)
+        return df
+
+    mat("__unia_spans",
+        f"WITH words AS ({words_sql(True)}) {spans_sql('words')}")
+    mat("__unia_vocab1", vocab_sql("__unia_spans"))
+    mat("__unia_ab1", ab_sql("__unia_spans", "__unia_vocab1"))
+    mat("__unia_fin1", final_sql("__unia_ab1", "__unia_vocab1", True))
+    mat("__unia_vocab2", vocab2_sql("__unia_fin1"))
+    mat("__unia_ab2", ab_sql("__unia_spans", "__unia_vocab2"))
+    mat("__unia_fin2", final_sql("__unia_ab2", "__unia_vocab2", True))
+    mat("__unia_excl", excl_sql("__unia_ab2"))
+    mat("__unia_loss", loss_sql("__unia_excl", True))
+    mat("__unia_prune", prune_sql("__unia_fin2", "__unia_loss"))
+    mat("__unia_vocab3", vocab3_sql("__unia_prune"))
+    mat("__unia_vit2", viterbi_min_sql("__unia_spans", "__unia_vocab2"))
+    mat("__unia_vit3", viterbi_min_sql("__unia_spans", "__unia_vocab3"))
+    return spark.sql(apply_pruned_sql("__unia_vit2", "__unia_vit3"))
+
+
 def unigram_prune(spark):
     """Spark side of the prune step: the estep2 chain with fresh view
     names (per-name caching rule), then counterfactual lattices ->

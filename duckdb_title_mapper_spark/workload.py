@@ -20141,6 +20141,37 @@ def x_unigram_prune_step(spark, sf_dir):
     return unigram_prune(spark)
 
 
+def _q_unigram_apply_pruned_oracle():
+    from .functions.unigram import apply_pruned_oracle_sql
+
+    return apply_pruned_oracle_sql()
+
+
+@_q(
+    "x_unigram_apply_pruned",
+    _q_unigram_apply_pruned_oracle(),
+    "Unigram train -> prune -> APPLY end-to-end (r13, completing "
+    "VERDICT r12 #2's axis to BPE-level train/step/apply parity): "
+    "MIN-PIECES decode (the minimal-tokenization objective, "
+    "longest-piece tiebreak — validity-only scoring, trivially "
+    "integer-exact; under the octave max-product singles dominate "
+    "every decode on this corpus and pruning would be invisible) of "
+    "every bounded word under the FULL iteration-2 vocab and under "
+    "the PRUNED vocab, joined per word — piece counts, a seg_changed "
+    "flag, both segmentations: the fertility regression pruning "
+    "causes is measured in-row (pieces_pruned >= pieces_full by "
+    "construction; singles survive so every word decodes; 19/30 "
+    "words re-segment at sf0.01).  Per-distinct-word after one token "
+    "scan; multi-consumer relations materialized on Spark / AS "
+    "MATERIALIZED in the oracle.  BIGINTs + the two seg strings.",
+)
+def x_unigram_apply_pruned(spark, sf_dir):
+    from .functions.unigram import unigram_apply_pruned
+
+    register_views(spark, sf_dir, "documents")
+    return unigram_apply_pruned(spark)
+
+
 def _delta_log_oracle() -> str:
     from .sources.deltalog import (
         ADD_BASE, CHUNK, META_BASE, PROTO_LINE, REC_OVERHEAD, RM_BASE)

@@ -189,6 +189,80 @@ def test_unigram_prune_oracle_matches_on_tiny_corpus():
     assert got == _prune_replay(texts)
 
 
+def _min_decode(word, vocab):
+    """Min-pieces DP with longest-piece tiebreak, mirroring
+    viterbi_min_sql's contract."""
+    n = len(word)
+    big = 99
+    c = [0] + [big] * n
+    bp = [0] * (n + 1)
+    for j in range(1, n + 1):
+        for l in range(1, min(4, j) + 1):
+            if word[j - l:j] in vocab and c[j - l] + 1 < c[j]:
+                c[j] = c[j - l] + 1
+        for l in range(min(4, j), 0, -1):
+            if word[j - l:j] in vocab and c[j - l] + 1 == c[j]:
+                bp[j] = l
+                break
+    pieces = []
+    k = n
+    while k > 0:
+        pieces.append(word[k - bp[k]:k])
+        k -= bp[k]
+    return c[n], "|".join(reversed(pieces))
+
+
+def test_unigram_apply_pruned_equals_python_replay(spark):  # noqa: F811
+    """train -> prune -> min-pieces APPLY vs a full pure-Python
+    replay: vocab2/vocab3 from the prune replay, decode per word."""
+    import pandas as pd
+
+    from duckdb_title_mapper_spark.functions.unigram import (
+        unigram_apply_pruned,
+    )
+    from duckdb_title_mapper_spark.operators.standardize import _arrow_df
+
+    random.seed(13)
+    base = ["banana", "bandana", "ban", "anna", "nab", "band",
+            "cabana", "a", "verylongword123"]
+    texts = {
+        d: " ".join(random.choice(base) for _ in range(25))
+        for d in range(1, 9)
+    }
+    pr = _prune_replay(texts)
+    vocab2 = set(pr)
+    vocab3 = {p for p, v in pr.items() if v[7] == 1}
+    # decode every bounded corpus word under both vocabularies
+    import re
+    from collections import Counter
+
+    expect = {}
+
+    toks = []
+    for t in texts.values():
+        toks += re.findall(r"\w+", t.lower())
+    wf = Counter(w for w in toks if 2 <= len(w) <= 8)
+    for w in wf:
+        c2, s2 = _min_decode(w, vocab2)
+        c3, s3 = _min_decode(w, vocab3)
+        expect[w] = (wf[w], len(w), c2, c3,
+                     0 if s2 == s3 else 1, s2, s3)
+    pdf = pd.DataFrame(
+        {"doc_id": list(texts), "text": [texts[d] for d in texts]}
+    )
+    _arrow_df(spark, pdf).createOrReplaceTempView("documents")
+    got = {
+        r["word"]: (r["f"], r["n"], r["pieces_full"],
+                    r["pieces_pruned"], r["seg_changed"],
+                    r["seg_full"], r["seg_pruned"])
+        for r in unigram_apply_pruned(spark).collect()
+    }
+    assert got == expect
+    # pruning can only lengthen the minimal segmentation
+    assert all(v[3] >= v[2] for v in expect.values())
+    assert any(v[4] == 1 for v in expect.values())
+
+
 def test_ivf_certified_contract(spark):  # noqa: F811
     """The in-row recall certification semantics: <= 3 approx rows per
     query with contiguous ranks, exact_rank in {-1, 1..3}, and a
