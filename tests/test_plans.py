@@ -818,3 +818,60 @@ def test_round12_plan_shapes(spark):
     p = explain_str(tk)
     assert "BatchEvalPython" not in p
     assert shuffle_count(tk) == 0, shuffle_count(tk)  # store read-back
+
+
+def test_round13_plan_shapes(spark):
+    """Plan locks for the round-13 operators.
+
+    What each lock protects: the unigram prune/apply chains read every
+    multi-consumer relation (lattice, exclusion, loss, prune, both
+    decodes) from MATERIALIZED scans — inlined, the 21 exclusion arms
+    would recompute the whole iteration-2 lattice pivot 21x; the
+    delta-log walks are exactly one groupBy-source exchange into an
+    Arrow applyInPandas (per-group Python IS the format walk's point);
+    the certified IVF reads units/cents/par/queries from materialized
+    scans and stays pure JVM (the mapInPandas twins keep the Arrow
+    kernel lane); the graph family reads the shared co-purchase pairs
+    from a PRUNED PARQUET scan — s,d only, never a lineitem re-join."""
+    from duckdb_title_mapper_spark.plans import explain_str, shuffle_count
+    from duckdb_title_mapper_spark.workload import core_queries as all_queries
+
+    qs = all_queries()
+
+    up = qs["x_unigram_prune_step"].spark_fn(spark, SF)
+    p = explain_str(up)
+    assert "BatchEvalPython" not in p
+    # 21 exclusion arms + fin2/loss join over materialized scans
+    assert p.count("Scan ExistingRDD") >= 3, p.count("Scan ExistingRDD")
+
+    ua = qs["x_unigram_apply_pruned"].spark_fn(spark, SF)
+    p = explain_str(ua)
+    assert "BatchEvalPython" not in p
+    assert p.count("Scan ExistingRDD") >= 2, p.count("Scan ExistingRDD")
+
+    for name in ("src_table_log_replay", "src_table_log_time_travel"):
+        df = qs[name].spark_fn(spark, SF)
+        p = explain_str(df)
+        assert "FlatMapGroupsInPandas" in p, name
+        assert "BatchEvalPython" not in p, name
+        assert shuffle_count(df) <= 2, (name, shuffle_count(df))
+
+    for name in ("x_ann_ivf_certified", "x_ann_ivf_scaled_certified"):
+        df = qs[name].spark_fn(spark, SF)
+        p = explain_str(df)
+        assert "BatchEvalPython" not in p, name
+        assert "MapInPandas" not in p, name  # pure JVM by design
+        assert p.count("Scan ExistingRDD") >= 3, (
+            name, p.count("Scan ExistingRDD"))
+
+    cc = qs["x_copurchase_census"].spark_fn(spark, SF)
+    p = explain_str(cc)
+    assert "BatchEvalPython" not in p
+    # the census query itself reads the store it just built
+    assert "Scan parquet" in p, p
+
+    # consumers read the shared pairs store: a pruned parquet scan of
+    # (s, d) with no lineitem join upstream of the graph loop
+    lp = qs["x_label_propagation"].spark_fn(spark, SF)
+    p = explain_str(lp)
+    assert "l_orderkey" not in p, "label_prop rebuilt the pair join"
