@@ -20355,6 +20355,96 @@ def _delta_time_travel_oracle() -> str:
     "count but conserves records and bytes — visible in the rows). "
     "Map-side per source; all BIGINT.",
 )
+def _zorder_pruning_sql(spark_dialect: bool) -> str:
+    """Z-ORDER (Morton) data-layout clustering vs min/max pruning:
+    the lakehouse layout-optimization primitive (Delta OPTIMIZE
+    ZORDER BY / Iceberg sort orders).  Two derived 10-bit dimensions
+    per order — customer shard k1 = o_custkey % 1024 and price band
+    k2 = min(1023, cents div 500000) — interleave into a 20-bit
+    Morton key by pure integer arithmetic ((k div 2^b) % 2 ladders,
+    nonnegative idiv).  Rows are laid out into 64 files under THREE
+    layouts (natural order-key, single-dim k1 sort, Morton z-sort);
+    each file carries min/max stats on both dims, and a fixed
+    rectangle predicate (k1 256..511, k2 8..40) prunes files whose
+    stats box misses it.  Emitted per layout: files touched, rows
+    scanned, exact matches (layout-invariant), and integer
+    scan-amplification permille — showing one-dim sort wins on its
+    own dim but loses the rectangle, while z-order bounds both.  At
+    100 TB the ntile is a repartitionByRange write; the stats/prune
+    arithmetic is exactly what the scan planner runs."""
+    idiv = "div" if spark_dialect else "//"
+    z = " + ".join(
+        f"((k1 {idiv} {1 << b}) % 2) * {1 << (2 * b)}"
+        f" + ((k2 {idiv} {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        for b in range(10)
+    )
+    lo1, hi1, lo2, hi2 = 256, 511, 8, 40
+    hit = f"k1 BETWEEN {lo1} AND {hi1} AND k2 BETWEEN {lo2} AND {hi2}"
+    return f"""WITH dims AS (
+      SELECT o_orderkey, o_custkey % 1024 AS k1,
+             least(CAST(1023 AS BIGINT),
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) {idiv} 500000) AS k2
+      FROM orders),
+    keyed AS (
+      SELECT o_orderkey, k1, k2, {z} AS zkey,
+             CASE WHEN {hit} THEN 1 ELSE 0 END AS hit
+      FROM dims),
+    placed AS (
+      SELECT layout, fileno, k1, k2, hit FROM (
+        SELECT 'natural' AS layout,
+               ntile(64) OVER (ORDER BY o_orderkey) AS fileno,
+               k1, k2, hit FROM keyed
+        UNION ALL
+        SELECT 'k1sort',
+               ntile(64) OVER (ORDER BY k1, o_orderkey),
+               k1, k2, hit FROM keyed
+        UNION ALL
+        SELECT 'zorder',
+               ntile(64) OVER (ORDER BY zkey, o_orderkey),
+               k1, k2, hit FROM keyed) u),
+    files AS (
+      SELECT layout, fileno, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(hit) AS BIGINT) AS hits,
+             min(k1) AS min1, max(k1) AS max1,
+             min(k2) AS min2, max(k2) AS max2
+      FROM placed GROUP BY layout, fileno)
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN max1 < {lo1} OR min1 > {hi1}
+                          OR max2 < {lo2} OR min2 > {hi2}
+                    THEN 0 ELSE 1 END) AS BIGINT) AS files_touched,
+           CAST(sum(CASE WHEN max1 < {lo1} OR min1 > {hi1}
+                          OR max2 < {lo2} OR min2 > {hi2}
+                    THEN 0 ELSE cnt END) AS BIGINT) AS rows_scanned,
+           CAST(sum(hits) AS BIGINT) AS rows_matched,
+           (CAST(sum(CASE WHEN max1 < {lo1} OR min1 > {hi1}
+                           OR max2 < {lo2} OR min2 > {hi2}
+                     THEN 0 ELSE cnt END) AS BIGINT) * 1000)
+             {idiv} greatest(CAST(1 AS BIGINT),
+                             CAST(sum(hits) AS BIGINT))
+             AS amplification_permille
+    FROM files GROUP BY layout"""
+
+
+@_q(
+    "x_zorder_pruning",
+    _zorder_pruning_sql(False),
+    "Z-order layout clustering + min/max pruning faceoff (r13 — the "
+    "lakehouse OPTIMIZE ZORDER primitive beside the delta-log walk "
+    "and the compaction planner): Morton-interleave two derived "
+    "10-bit dims by integer ladders, lay rows into 64 stat-carrying "
+    "files under natural / single-dim-sort / z-sort layouts, prune "
+    "with a fixed rectangle, and report files touched + exact "
+    "scan-amplification permille per layout.  All BIGINT + the "
+    "layout string; idiv nonnegative (k1, k2, cents, counts all "
+    ">= 0).",
+)
+def x_zorder_pruning(spark, sf_dir):
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_zorder_pruning_sql(True))
+
+
 def src_table_log_time_travel(spark, sf_dir):
     import pandas as pd
 

@@ -247,6 +247,11 @@ EXTRA = [
     "x_tokenizer_faceoff",
     "x_suffix_dup_flow",
     "x_wilson_interval",
+    # round 13
+    "x_unigram_prune_step",
+    "x_unigram_apply_pruned",
+    "src_table_log_replay",
+    "src_table_log_time_travel",
 ]
 
 
