@@ -823,3 +823,89 @@ def ivf_certified(spark, adaptive: bool = False, k: int = 3,
               "par": f"__ivfc_{tag}_par",
               "cents": f"__ivfc_{tag}_cents",
               "queries": f"__ivfc_{tag}_queries"}))
+
+
+# ---------------------------------------------------------------------
+# Matryoshka prefix-dim retrieval with in-row recall (r13)
+# ---------------------------------------------------------------------
+
+MATRYOSHKA_BUDGETS = (8, 16, 64)
+
+
+def _prefix_unit_sql(spark_dialect: bool, d: int,
+                     rel: str = "embeddings") -> str:
+    """Unit-normalized PREFIX of the embedding (Matryoshka property:
+    the first d dims of an MRL-trained vector are themselves a valid
+    embedding).  Norm computed once per row over the slice."""
+    s = (f"slice(embedding, 1, {d})" if spark_dialect
+         else f"embedding[1:{d}]")
+    dot_ss = embed_dot(spark_dialect, "s", "s")
+    fn = "transform" if spark_dialect else "list_transform"
+    return (f"SELECT vec_id, {fn}(s, x -> CAST(x AS DOUBLE) / nrm)"
+            f" AS uvec FROM (SELECT vec_id, s, sqrt({dot_ss}) AS nrm"
+            f" FROM (SELECT vec_id, {s} AS s FROM {rel}) a) b")
+
+
+def matryoshka_sql(spark_dialect: bool, k: int = 3, nq: int = 10,
+                   rels: dict | None = None) -> str:
+    """Matryoshka retrieval faceoff: top-k per query under each
+    prefix-dim budget (8, 16, 64 of the 64-dim column), every emitted
+    neighbor carrying its exact FULL-dim rank (-1 outside top-k) —
+    the budget-vs-recall curve a deployment reads before truncating
+    its index, certified in-row (the x_hnsw_search contract).  The
+    full-dim budget's rows double as a self-check (exact_rank = rank
+    by construction).  Raw-double ordering over the shared
+    index-order fold; prefix-unit relations are each consumed by
+    their query and corpus sides (+ the exact arm for 64) —
+    materialized on Spark, AS MATERIALIZED in the oracle.  At scale
+    each budget arm is the brute-force nq x n pass (nq bounded) or
+    feeds any of the bucketed ANN paths unchanged."""
+    rels = rels or {}
+    mat = "" if spark_dialect else "MATERIALIZED "
+    ctes = []
+    arms = []
+    for d in MATRYOSHKA_BUDGETS:
+        u = rels.get(f"u{d}",
+                     f"({_prefix_unit_sql(spark_dialect, d)}) __m{d}")
+        ctes.append(f"u{d} AS {mat}(SELECT * FROM {u})")
+        dot = embed_dot(spark_dialect, "q.uvec", "v.uvec")
+        arms.append(f"""SELECT CAST({d} AS BIGINT) AS dim_budget,
+               query_id, neighbor_id, rank FROM (
+          SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY {dot} DESC, v.vec_id) AS rank
+          FROM u{d} q JOIN u{d} v ON v.vec_id <> q.vec_id
+          WHERE q.vec_id < {nq}) t{d} WHERE rank <= {k}""")
+    dot64 = embed_dot(spark_dialect, "q.uvec", "v.uvec")
+    arms_sql = "\n      UNION ALL ".join(arms)
+    ctes_sql = ",\n    ".join(ctes)
+    return f"""WITH {ctes_sql},
+    approx AS (
+      {arms_sql}),
+    exact AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {dot64} DESC, v.vec_id) AS rank
+        FROM u64 q JOIN u64 v ON v.vec_id <> q.vec_id
+        WHERE q.vec_id < {nq}) t WHERE rank <= {k})
+    SELECT a.dim_budget, a.query_id, CAST(a.rank AS BIGINT) AS rank,
+           a.neighbor_id,
+           CAST(coalesce(x.rank, -1) AS BIGINT) AS exact_rank
+    FROM approx a
+    LEFT JOIN exact x ON x.query_id = a.query_id
+                     AND x.neighbor_id = a.neighbor_id"""
+
+
+def matryoshka_recall(spark, k: int = 3, nq: int = 10):
+    """Spark runner: one materialized prefix-unit relation per budget
+    (each feeds its query side, corpus side, and — for 64 — the
+    exact arm)."""
+    from ..plans.materialize import materialize
+
+    rels = {}
+    for d in MATRYOSHKA_BUDGETS:
+        df = materialize(spark.sql(_prefix_unit_sql(True, d)))
+        df.createOrReplaceTempView(f"__mat_u{d}")
+        rels[f"u{d}"] = f"__mat_u{d}"
+    return spark.sql(matryoshka_sql(True, k, nq, rels))

@@ -20445,6 +20445,38 @@ def x_zorder_pruning(spark, sf_dir):
     return spark.sql(_zorder_pruning_sql(True))
 
 
+def _q_matryoshka_oracle():
+    from .operators.similarity import matryoshka_sql
+
+    return matryoshka_sql(False)
+
+
+@_q(
+    "x_matryoshka_curve",
+    _q_matryoshka_oracle(),
+    "Matryoshka prefix-dim retrieval CURVE (r13 — extends "
+    "x_matryoshka_recall's single-budget aggregated overlap to the "
+    "budget-vs-recall curve a deployment reads before truncating its "
+    "embedding index, Kusupati et al. 2022): top-3 per query under "
+    "each prefix budget (8, 16, 64 of the 64-dim column; prefixes "
+    "unit-normalized per budget), every emitted neighbor carrying "
+    "its exact FULL-dim rank (-1 outside top-3) — the in-row recall "
+    "certification contract, with the 64-dim arm as a built-in "
+    "self-check (exact_rank = rank by construction).  On the "
+    "driver's isotropic random embeddings prefix recall approximates "
+    "chance (the family's documented contract — the curve becomes "
+    "informative on MRL-trained vectors); the MECHANISM (slice, "
+    "re-normalize, rank, certify) is what the exact oracle locks.  "
+    "All BIGINT; raw-double ordering over the shared index-order "
+    "fold.",
+)
+def x_matryoshka_curve(spark, sf_dir):
+    from .operators.similarity import matryoshka_recall
+
+    register_views(spark, sf_dir, "embeddings")
+    return matryoshka_recall(spark)
+
+
 def src_table_log_time_travel(spark, sf_dir):
     import pandas as pd
 
