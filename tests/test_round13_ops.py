@@ -404,3 +404,63 @@ def test_delta_log_replay_rejects_torn_logs():
     # protocol outside commit 0
     expect_reject({0: log[0], 1: lines[0].encode() + b"\n"},
                   "late protocol")
+
+
+def test_zorder_pruning_orders_layouts(spark):
+    """The demonstrative property the query exists for: z-order never
+    scans more than the single-dim sort for the 2-D rectangle, and
+    both beat the natural layout; matches are layout-invariant."""
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    qs = core_queries()
+    # sf0.001's custkeys never reach the rectangle (k1 max 149 < 256),
+    # so every layout prunes everything there; sf0.01 selects ~10%
+    rows = {r["layout"]: r for r in
+            qs["x_zorder_pruning"].spark_fn(
+                spark, "/root/testdata/sf0.01").collect()}
+    assert set(rows) == {"natural", "k1sort", "zorder"}
+    assert len({r["rows_matched"] for r in rows.values()}) == 1
+    assert (rows["zorder"]["rows_scanned"]
+            <= rows["k1sort"]["rows_scanned"]
+            <= rows["natural"]["rows_scanned"])
+    for r in rows.values():
+        assert r["rows_scanned"] >= r["rows_matched"]
+        assert 0 < r["files_touched"] <= r["n_files"] == 64
+
+
+def test_matryoshka_curve_contract(spark):
+    """Budget-64 rows are their own exact self-check, ranks are
+    contiguous per (budget, query), and a planted twin is recovered
+    at rank 1 under EVERY budget (its prefix is identical too)."""
+    import pandas as pd
+
+    from duckdb_title_mapper_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+    from duckdb_title_mapper_spark.operators.standardize import _arrow_df
+
+    random.seed(64)
+    rows = [
+        {"vec_id": i, "embedding": [random.uniform(-1, 1)
+                                    for _ in range(64)]}
+        for i in range(40)
+    ]
+    rows.append({"vec_id": 7001,
+                 "embedding": list(rows[2]["embedding"])})
+    _arrow_df(spark, pd.DataFrame(rows)).createOrReplaceTempView(
+        "embeddings")
+    got = matryoshka_recall(spark, k=3, nq=4).collect()
+    for r in got:
+        if r["dim_budget"] == 64:
+            assert r["exact_rank"] == r["rank"], r
+    by = {}
+    for r in got:
+        by.setdefault((r["dim_budget"], r["query_id"]), []).append(
+            r["rank"])
+    for ranks in by.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    for d in (8, 16, 64):
+        top1 = next(r for r in got
+                    if r["dim_budget"] == d and r["query_id"] == 2
+                    and r["rank"] == 1)
+        assert top1["neighbor_id"] == 7001 and top1["exact_rank"] == 1
