@@ -1189,3 +1189,151 @@ def topk_leaderboard_stream(spark, sf_dir: str, parts: int = 4,
         raise RuntimeError("streaming top-k produced no leaderboards")
     return spark.read.parquet(*boards).select(
         "batch_id", "rnk", "tok", "cnt")
+
+
+def _stage_docs_src_by_mod(spark, sf_dir: str, parts: int = 4) -> str:
+    """``_stage_docs_with_text_by_mod`` carrying the SOURCE column —
+    the table-log stream commits per-source file stats."""
+    import hashlib
+
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    d = f"/tmp/duckdb_title_mapper_spark_stream/{tag}_docsrch{parts}"
+    done = f"{d}/.staged"
+    if os.path.exists(done):
+        return d
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text")
+    os.makedirs(d, exist_ok=True)
+    # md5-derived slice (the portable hash idiom): the testdata's
+    # doc_id stride makes doc_id % parts CONSTANT per source, which
+    # would put each source in exactly one commit — the hash slice
+    # spreads every source across batches and the oracle reproduces
+    # it closed-form
+    hslice = ("conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+              f" % {parts}")
+    staged_rows = 0
+    for p in range(parts):
+        sliced = docs.where(F.expr(hslice) == p)
+        staged_rows += sliced.count()
+        (sliced.coalesce(1)
+         .write.mode("overwrite")
+         .parquet(f"{d}/_build_{p}"))
+        part_file = next(
+            f for f in os.listdir(f"{d}/_build_{p}")
+            if f.endswith(".parquet"))
+        os.replace(f"{d}/_build_{p}/{part_file}", f"{d}/slice_{p}.parquet")
+        shutil.rmtree(f"{d}/_build_{p}", ignore_errors=True)
+    import time as _time
+
+    base = _time.time()
+    for p in range(parts):
+        os.utime(f"{d}/slice_{p}.parquet", (base + p, base + p))
+    total = docs.count()
+    if staged_rows != total:
+        raise AssertionError(
+            f"doc staging lost rows: staged {staged_rows} of {total}")
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+def table_log_stream(spark, sf_dir: str, parts: int = 4):
+    """STREAMING transaction-log maintenance (the WAL shape beside
+    the store family's data merges): each document micro-batch
+    computes its per-source file statistics DISTRIBUTED (one small
+    aggregate — count, byte mass, min/max doc_id per source), and the
+    driver appends ONE commit to a ``_delta_log`` (exactly the Delta
+    writer model: stats are cluster work, the log append is a tiny
+    driver action).  Commit 0 carries the protocol+metaData header;
+    every commit's bytes are a pure function of its batch content, so
+    an at-least-once retry rewrites the identical file (idempotent).
+    The final read REPLAYS the log with full framing validation
+    (sources/deltalog.replay_log — contiguous versions, header order,
+    no dup adds) and emits one row per logged file; the DuckDB
+    oracle recomputes every stat closed-form with batch id = arrival
+    slice (doc_id % parts under the mtime-pinned availableNow
+    replay).  Streaming ingest is add-only by design — compaction
+    (remove + merged add) is the batch maintenance job
+    src_table_log_replay certifies."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.standardize import _arrow_df
+    from ..sources.deltalog import (
+        ADD_TMPL, META_TMPL, PROTO_LINE, replay_log)
+
+    src_dir = _stage_docs_src_by_mod(spark, sf_dir, parts)
+    out = tempfile.mkdtemp(prefix="dtm_stream_tablelog_")
+    chk = os.path.join(out, "chk")
+    logdir = os.path.join(out, "_delta_log")
+    os.makedirs(logdir, exist_ok=True)
+
+    def commit(batch_df, batch_id):
+        stats = (batch_df.selectExpr(
+            "source", "doc_id",
+            "octet_length(text) + length(CAST(doc_id AS STRING)) + 22"
+            " AS rsz")
+            .groupBy("source")
+            .agg(F.count("*").alias("cnt"), F.sum("rsz").alias("sz"),
+                 F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+            .orderBy("source")
+            .collect())  # bounded: one row per source (20), never data
+        lines = []
+        if int(batch_id) == 0:
+            import hashlib as _hl
+
+            lines.append(PROTO_LINE)
+            lines.append(META_TMPL % (
+                _hl.md5(b"stream").hexdigest(), "stream"))
+        for r in stats:
+            lines.append(ADD_TMPL % (
+                f"part-b{int(batch_id)}-{r['source']}.json",
+                int(r["sz"]), int(r["cnt"]), int(r["mn"]), int(r["mx"])))
+        blob = ("\n".join(lines) + "\n").encode()
+        with open(os.path.join(logdir, f"{int(batch_id):020d}.json"),
+                  "wb") as f:
+            f.write(blob)
+
+    raw = (
+        spark.readStream.schema(
+            "doc_id BIGINT, source STRING, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    log = {
+        int(name.split(".")[0]): open(os.path.join(logdir, name),
+                                      "rb").read()
+        for name in os.listdir(logdir)
+        if name.endswith(".json")
+    }
+    rep = replay_log(log)
+    rows = []
+    for path, add in rep["live"].items():
+        stem = path[len("part-b"):-len(".json")]
+        b, source = stem.split("-", 1)
+        rows.append({
+            "source": source,
+            "batch_id": int(b),
+            "n_records": int(add["numRecords"]),
+            "file_bytes": int(add["size"]),
+            "min_doc": int(add["minDocId"]),
+            "max_doc": int(add["maxDocId"]),
+        })
+    pdf = pd.DataFrame(rows).sort_values(["source", "batch_id"])
+    cols = ["source", "batch_id", "n_records", "file_bytes",
+            "min_doc", "max_doc"]
+    sdf = _arrow_df(spark, pdf[cols])
+    for c in cols[1:]:
+        sdf = sdf.withColumn(c, F.col(c).cast("bigint"))
+    return sdf

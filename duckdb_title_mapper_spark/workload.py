@@ -20477,6 +20477,46 @@ def x_matryoshka_curve(spark, sf_dir):
     return matryoshka_recall(spark)
 
 
+_STREAM_TABLE_LOG_ORACLE = """SELECT source,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 4 AS BIGINT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(octet_length(encode(text))
+                + length(CAST(doc_id AS VARCHAR)) + 22) AS BIGINT)
+         AS file_bytes,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM documents GROUP BY source,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4"""
+
+
+@_q(
+    "stream_table_log_commits",
+    _STREAM_TABLE_LOG_ORACLE,
+    "STREAMING transaction-log maintenance (r13 — the WAL shape "
+    "beside the store family's ADD/MAX/OR/MIN/set-union/index "
+    "merges, tying the delta-log source to the streaming family): "
+    "each document micro-batch computes per-source file stats "
+    "DISTRIBUTED (count / byte mass / min-max doc_id — a ~20-row "
+    "aggregate, never a data-sized collect) and the driver appends "
+    "ONE commit to a _delta_log, the exact Delta writer model; "
+    "commit bytes are a pure function of batch content, so "
+    "at-least-once retries rewrite identical files.  The final read "
+    "REPLAYS the log with full framing validation (contiguous "
+    "versions, header order, no dup adds) and emits one row per "
+    "logged file; the oracle recomputes every stat closed-form with "
+    "batch id = arrival slice (md5-hash of doc_id % 4 — the "
+    "portable-hash idiom; the raw doc_id stride is constant per "
+    "source in the testdata — under the mtime-pinned "
+    "availableNow replay).  Add-only by design — compaction is the "
+    "batch job src_table_log_replay certifies.  All BIGINT.",
+)
+def stream_table_log_commits(spark, sf_dir):
+    from .streaming.sinks import table_log_stream
+
+    return table_log_stream(spark, sf_dir)
+
+
 def src_table_log_time_travel(spark, sf_dir):
     import pandas as pd
 
