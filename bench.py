@@ -319,6 +319,9 @@ EXTRA = [
     "x_unigram_apply_pruned",
     "src_table_log_replay",
     "src_table_log_time_travel",
+    "stream_table_log_commits",
+    "x_zorder_pruning",
+    "x_matryoshka_curve",
 ]
 
 
