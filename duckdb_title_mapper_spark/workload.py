@@ -20342,19 +20342,6 @@ def _delta_time_travel_oracle() -> str:
     FROM s JOIN m ON m.source = s.source"""
 
 
-@_q(
-    "src_table_log_time_travel",
-    _delta_time_travel_oracle(),
-    "Transaction-log TIME TRAVEL (r13 — src_table_log_replay's "
-    "version axis): the snapshot AS OF every version, each a replay "
-    "of the log prefix [0..v] with the same framing validation — the "
-    "reader contract that pins a training run to the exact file set "
-    "it saw.  Per (source, version): live files/records/bytes, "
-    "cumulative removed count, cumulative log bytes (closed-form "
-    "digit-ladder oracle; the compaction commit changes the FILE "
-    "count but conserves records and bytes — visible in the rows). "
-    "Map-side per source; all BIGINT.",
-)
 def _zorder_pruning_sql(spark_dialect: bool) -> str:
     """Z-ORDER (Morton) data-layout clustering vs min/max pruning:
     the lakehouse layout-optimization primitive (Delta OPTIMIZE
@@ -20517,6 +20504,19 @@ def stream_table_log_commits(spark, sf_dir):
     return table_log_stream(spark, sf_dir)
 
 
+@_q(
+    "src_table_log_time_travel",
+    _delta_time_travel_oracle(),
+    "Transaction-log TIME TRAVEL (r13 — src_table_log_replay's "
+    "version axis): the snapshot AS OF every version, each a replay "
+    "of the log prefix [0..v] with the same framing validation — the "
+    "reader contract that pins a training run to the exact file set "
+    "it saw.  Per (source, version): live files/records/bytes, "
+    "cumulative removed count, cumulative log bytes (closed-form "
+    "digit-ladder oracle; the compaction commit changes the FILE "
+    "count but conserves records and bytes — visible in the rows). "
+    "Map-side per source; all BIGINT.",
+)
 def src_table_log_time_travel(spark, sf_dir):
     import pandas as pd
 
