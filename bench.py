@@ -322,6 +322,7 @@ EXTRA = [
     "stream_table_log_commits",
     "x_zorder_pruning",
     "x_matryoshka_curve",
+    "x_pca_power_iteration",
 ]
 
 

@@ -20432,6 +20432,107 @@ def x_zorder_pruning(spark, sf_dir):
     return spark.sql(_zorder_pruning_sql(True))
 
 
+def _pca_power_sql(spark_dialect: bool, rounds: int = 3) -> str:
+    """Dominant PCA direction by POWER ITERATION, fully integer-exact:
+    embedding coordinates quantize via the PROVEN s9 string route (the
+    x_kmeans_step idiom — FLOAT widens through DOUBLE, the
+    shortest-repr STRING pins both engines to identical digits), then
+    round to s3 with a sign-split integer idiv — NEVER a direct
+    coarse-scale string cast: DuckDB mis-rounds E-notation strings at
+    scales coarser than the value's magnitude (measured:
+    CAST('7.1e-5' AS DECIMAL(18,3)) -> 0.001 on DuckDB, 0.000 on
+    Spark), so the string route is only safe at a scale fine enough
+    that rounding happens in integer arithmetic afterwards.  The
+    64x64 Gram matrix accumulates as exact integer products (the
+    map-side covariance partial every distributed PCA shuffles), and
+    each iteration is one matvec (integer sum) + a sign-split idiv
+    rescale to max-abs 1000 (Spark div truncates toward zero, DuckDB
+    // floors — identical only on nonnegative operands, so negatives
+    route through -((-w) idiv m)).  Integer bounds: |x3| <= 1000 so
+    g_ij <= 1e6*n and each matvec term <= g*1000, 64-term sums — safe
+    through n ~ 1e8 per partition-free sum; beyond that drop the
+    quantization to s2 (the suffix `_sN` widening rule).  The Rayleigh
+    pair (v.Gv, v.v) is emitted as exact integers alongside the final
+    direction."""
+    idiv = "div" if spark_dialect else "//"
+    if spark_dialect:
+        dims = ("SELECT vec_id, dim, CAST(CAST(CAST(CAST(val AS DOUBLE)"
+                " AS STRING) AS DECIMAL(18,9)) * 1000000000 AS BIGINT)"
+                " AS x9 FROM embeddings"
+                " LATERAL VIEW posexplode(embedding) t AS dim, val")
+    else:
+        dims = ("SELECT vec_id, i - 1 AS dim,"
+                " CAST(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS STRING)"
+                " AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS x9"
+                " FROM (SELECT vec_id, embedding,"
+                " unnest(generate_series(1, len(embedding))) AS i"
+                " FROM embeddings) u")
+    mat = "" if spark_dialect else "MATERIALIZED "
+    resc = (f"CASE WHEN w >= 0 THEN (w * 1000) {idiv} m"
+            f" ELSE -(((-w) * 1000) {idiv} m) END")
+    x3 = (f"CASE WHEN x9 >= 0 THEN (x9 + 500000) {idiv} 1000000"
+          f" ELSE -(((-x9) + 500000) {idiv} 1000000) END")
+    ctes = [f"dims AS {mat}(SELECT vec_id, dim, {x3} AS x3"
+            f" FROM ({dims}) d9)",
+            f"""glo AS (
+      SELECT a.dim AS i, b.dim AS j,
+             CAST(sum(a.x3 * b.x3) AS BIGINT) AS g
+      FROM dims a JOIN dims b
+        ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      GROUP BY a.dim, b.dim)""",
+            f"""gram AS {mat}(
+      SELECT i, j, g FROM glo
+      UNION ALL
+      SELECT j AS i, i AS j, g FROM glo WHERE i < j)""",
+            """v0 AS (SELECT DISTINCT dim, CAST(1000 AS BIGINT) AS v
+      FROM dims)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""w{r} AS {mat}(
+      SELECT g.i AS dim, CAST(sum(g.g * v.v) AS BIGINT) AS w
+      FROM gram g JOIN v{r - 1} v ON v.dim = g.j
+      GROUP BY g.i)""")
+        ctes.append(f"""v{r} AS {mat}(
+      SELECT dim, {resc} AS v
+      FROM w{r} CROSS JOIN (SELECT max(abs(w)) AS m FROM w{r}) mm)""")
+    last = rounds
+    ctes.append(f"""wf AS {mat}(
+      SELECT g.i AS dim, CAST(sum(g.g * v.v) AS BIGINT) AS w
+      FROM gram g JOIN v{last} v ON v.dim = g.j
+      GROUP BY g.i)""")
+    ctes.append(f"""ray AS (
+      SELECT CAST(sum(v.v * w.w) AS BIGINT) AS ray_num,
+             CAST(sum(v.v * v.v) AS BIGINT) AS ray_den
+      FROM v{last} v JOIN wf w ON w.dim = v.dim)""")
+    body = ",\n    ".join(ctes)
+    return f"""WITH {body}
+    SELECT CAST(v.dim AS BIGINT) AS dim, v.v AS v3,
+           r.ray_num, r.ray_den
+    FROM v{last} v CROSS JOIN ray r"""
+
+
+@_q(
+    "x_pca_power_iteration",
+    _pca_power_sql(False),
+    "Dominant PCA direction of the embedding corpus by integer-exact "
+    "power iteration (r13 — the whitening/dim-reduction decision "
+    "input; s9 string-route quantization + sign-split integer "
+    "rounding to s3, never a coarse-scale string cast — see the "
+    "E-notation rule; beside the Matryoshka curve and the "
+    "quantization evals): "
+    "string-route s3 quantization, exact integer 64x64 Gram "
+    "accumulation (the map-side covariance partial a distributed PCA "
+    "shuffles — ONE scan, dims-squared output), three matvec + "
+    "sign-split-idiv rescale rounds as single-consumer CTEs (no "
+    "driver loop), final direction at max-abs-1000 resolution plus "
+    "the exact Rayleigh pair (v.Gv, v.v).  An iterative "
+    "linear-algebra fit certified bit-exactly across engines — the "
+    "class floats could never certify.  All BIGINT.",
+)
+def x_pca_power_iteration(spark, sf_dir):
+    register_views(spark, sf_dir, "embeddings")
+    return spark.sql(_pca_power_sql(True))
+
+
 def _q_matryoshka_oracle():
     from .operators.similarity import matryoshka_sql
 
