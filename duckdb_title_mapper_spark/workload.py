@@ -20728,8 +20728,16 @@ GRADE_FIRST = [
     "rel_percentiles_i",
     # fixed-point iterative ranking (exact unrolled-CTE oracle)
     "x_pagerank",
-    # source/sink round-trips
-    "src_csv_roundtrip",
+    # source/sink round-trips — r13 swap #2 (slot distinctiveness, the
+    # r8 two-swap precedent): src_csv_roundtrip's slot goes to
+    # src_table_log_replay (the lakehouse transaction-log walk: add/
+    # remove replay with order-dependent liveness, min/max stats
+    # pruning, closed-form digit-ladder byte oracle — the sources
+    # family's most distinctive member; STRING + BIGINT output,
+    # graded-safe).  CSV parsing stays driver-certified through the
+    # parity suite and post-fold check_oracle; src_csv_roundtrip stays
+    # registered after the fold.
+    "src_table_log_replay",
     # Structured Streaming: the five round-1 flagships + stream-static
     # enrichment (hopping-window variant stays after the fold)
     "stream_tumbling_counts_i", "stream_session_windows",
