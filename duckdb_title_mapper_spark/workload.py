@@ -17179,6 +17179,80 @@ def _theil_sen_sql(spark_dialect: bool, pool: int = 48) -> str:
     WHERE rn * 2 <= n + 1 AND (rn + 1) * 2 > n + 1"""
 
 
+def _ols_trend_sql(spark_dialect: bool, pool: int = 48) -> str:
+    """EXACT-RATIONAL ordinary least squares over the first ``pool``
+    hours per event type: slope and intercept emitted as integer
+    (num, den) pairs with the canonical positive denominator
+    den = n*Sxx - Sx^2 (engine-identical, no gcd reduction — neither
+    engine shares one), fixed-point readings via SIGN-SPLIT idiv
+    (numerators can be negative; Spark div truncates, DuckDB //
+    floors), and a next-hour forecast from the same rationals.  The
+    x axis is the dense hour index (1..n per type), so gaps in wall
+    time don't leak into the design matrix.  Bounds: n <= 48,
+    vol <= per-hour counts — every cross-multiplied term orders of
+    magnitude inside int64."""
+    us = "unix_micros(ts)" if spark_dialect else "epoch_us(ts)"
+    idiv = "div" if spark_dialect else "//"
+    mat = "" if spark_dialect else "MATERIALIZED "
+
+    def ssplit(num: str, scale: int) -> str:
+        return (f"CASE WHEN {num} >= 0"
+                f" THEN ({num} * {scale}) {idiv} den"
+                f" ELSE -((-({num}) * {scale}) {idiv} den) END")
+
+    fnum = f"(icpt_num + slope_num * (n + 1))"
+    return f"""WITH hourly AS (
+      SELECT event_type, {us} {idiv} 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS vol
+      FROM events GROUP BY event_type, {us} {idiv} 3600000000),
+    pool AS {mat}(
+      SELECT event_type, vol,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY h) AS BIGINT) AS i
+      FROM hourly),
+    st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(i) AS BIGINT) AS sx,
+             CAST(sum(vol) AS BIGINT) AS sy,
+             CAST(sum(i * vol) AS BIGINT) AS sxy,
+             CAST(sum(i * i) AS BIGINT) AS sxx
+      FROM pool WHERE i <= {pool} GROUP BY event_type),
+    fit AS (
+      SELECT event_type, n,
+             n * sxy - sx * sy AS slope_num,
+             sy * sxx - sx * sxy AS icpt_num,
+             n * sxx - sx * sx AS den
+      FROM st WHERE n >= 2)
+    SELECT event_type, n,
+           CAST(slope_num AS BIGINT) AS slope_num,
+           CAST(den AS BIGINT) AS slope_den,
+           CAST(icpt_num AS BIGINT) AS icpt_num,
+           CAST({ssplit('slope_num', 1000000)} AS BIGINT) AS slope_s6,
+           CAST({ssplit('icpt_num', 1000)} AS BIGINT) AS icpt_s3,
+           CAST({ssplit(fnum, 1000)} AS BIGINT) AS forecast_s3
+    FROM fit"""
+
+
+@_q(
+    "x_ols_trend_fit",
+    _ols_trend_sql(False),
+    "Exact-rational ORDINARY LEAST SQUARES trend per event type (r13 "
+    "— the classical fit completing the stats family beside the "
+    "robust Theil-Sen median slope, isotonic PAV, and the seasonal "
+    "decompose): slope and intercept as integer (num, den) pairs "
+    "over the canonical positive denominator n*Sxx - Sx^2, "
+    "fixed-point readings and a next-hour forecast via SIGN-SPLIT "
+    "idiv (numerators go negative; the div/floor divergence rule), "
+    "dense hour index as the design axis so wall-clock gaps don't "
+    "skew the fit.  One hourly rollup (partial-agged), one bounded "
+    "48-row-per-type pool, one aggregate.  All BIGINT + the type "
+    "string.",
+)
+def x_ols_trend_fit(spark, sf_dir):
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_ols_trend_sql(True))
+
+
 @_q(
     "x_theil_sen_trend",
     _theil_sen_sql(False),

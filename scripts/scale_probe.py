@@ -256,6 +256,7 @@ EXTRA = [
     "x_zorder_pruning",
     "x_matryoshka_curve",
     "x_pca_power_iteration",
+    "x_ols_trend_fit",
 ]
 
 
