@@ -17174,7 +17174,9 @@ def _theil_sen_sql(spark_dialect: bool, pool: int = 48) -> str:
     SELECT CAST(num AS BIGINT) AS slope_num,
            CAST(den AS BIGINT) AS slope_den,
            CAST(n AS BIGINT) AS n_pairs,
-           (num * 1000000) {idiv} den AS slope_s6
+           CASE WHEN num >= 0 THEN (num * 1000000) {idiv} den
+                ELSE -(((-num) * 1000000) {idiv} den)
+           END AS slope_s6
     FROM ranked
     WHERE rn * 2 <= n + 1 AND (rn + 1) * 2 > n + 1"""
 
