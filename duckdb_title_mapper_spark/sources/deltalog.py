@@ -177,6 +177,60 @@ def time_travel_manifests(source: str, records) -> list[dict]:
     return out
 
 
+def build_checkpoint(live: dict[str, dict]) -> bytes:
+    """Canonical CHECKPOINT of a snapshot: one add action per live
+    file, path-sorted, same rigid line layout as the log — the
+    compacted state a reader loads instead of replaying every commit
+    (Delta writes checkpoints as parquet; the canonical-JSON form
+    keeps the byte accounting closed-form for the oracle)."""
+    lines = [
+        ADD_TMPL % (a["path"], a["size"], a["numRecords"],
+                    a["minDocId"], a["maxDocId"])
+        for _p, a in sorted(live.items())
+    ]
+    return ("\n".join(lines) + "\n").encode() if lines else b""
+
+
+def read_checkpoint(blob: bytes) -> dict[str, dict]:
+    """Parse a checkpoint back to the snapshot it froze, validating
+    the one-add-per-line framing and path sort order."""
+    live: dict[str, dict] = {}
+    prev = None
+    for i, line in enumerate(blob.decode().splitlines()):
+        act = json.loads(line)
+        if set(act) != {"add"}:
+            raise ValueError(f"checkpoint line {i}: not an add action")
+        body = act["add"]
+        if prev is not None and body["path"] <= prev:
+            raise ValueError(f"checkpoint line {i}: paths not sorted")
+        if body["path"] in live:
+            raise ValueError(f"checkpoint dup path: {body['path']}")
+        prev = body["path"]
+        live[body["path"]] = body
+    return live
+
+
+def checkpoint_manifest(source: str, records) -> dict:
+    """build -> replay -> CHECKPOINT -> read back -> prove equal:
+    the reader-equivalence contract a checkpoint exists for, proven
+    in-row (full-replay live set vs checkpoint-loaded live set)."""
+    log = build_log(source, records)
+    rep = replay_log(log)
+    ckpt = build_checkpoint(rep["live"])
+    back = read_checkpoint(ckpt)
+    match = int(back == rep["live"])
+    live = list(rep["live"].values())
+    return {
+        "source": source,
+        "n_live_files": len(live),
+        "live_records": sum(a["numRecords"] for a in live),
+        "live_bytes": sum(a["size"] for a in live),
+        "ckpt_bytes": len(ckpt),
+        "log_bytes": rep["log_bytes"],
+        "ckpt_equals_replay": match,
+    }
+
+
 def snapshot_manifest(source: str, records) -> dict:
     """build -> replay -> snapshot stats + min/max predicate pruning
     for a ``doc_id >= (min+max) div 2`` scan (all doc_ids are

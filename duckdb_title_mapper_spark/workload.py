@@ -20641,6 +20641,103 @@ def x_matryoshka_curve(spark, sf_dir):
     return matryoshka_recall(spark)
 
 
+def _delta_ckpt_oracle() -> str:
+    from .sources.deltalog import (
+        ADD_BASE, CHUNK, PROTO_LINE, META_BASE, REC_OVERHEAD, RM_BASE)
+
+    dig = "length(CAST(%s AS VARCHAR))"
+    add_len = (f"{ADD_BASE} + length(source) + 16 + {dig % 'sz'}"
+               f" + {dig % 'cnt'} + {dig % 'mn'} + {dig % 'mx'} + 1")
+    live_len = (f"{ADD_BASE} + length(l.source)"
+                " + CASE WHEN l.blk = -1 THEN 19 ELSE 16 END"
+                f" + {dig % 'l.sz'} + {dig % 'l.cnt'}"
+                f" + {dig % 'l.mn'} + {dig % 'l.mx'} + 1")
+    m_add_len = (f"{ADD_BASE} + length(s.source) + 19 + {dig % 'm.sz'}"
+                 f" + {dig % 'm.cnt'} + {dig % 'm.mn'} + {dig % 'm.mx'}"
+                 " + 1")
+    return f"""WITH d AS (
+      SELECT source, doc_id, octet_length(encode(text)) AS nb,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rn
+      FROM documents),
+    r AS (
+      SELECT source, doc_id, (rn - 1) // {CHUNK} AS blk,
+             nb + length(CAST(doc_id AS VARCHAR)) + {REC_OVERHEAD} AS rsz
+      FROM d),
+    c AS (
+      SELECT source, blk, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(rsz) AS BIGINT) AS sz,
+             min(doc_id) AS mn, max(doc_id) AS mx
+      FROM r GROUP BY source, blk),
+    s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum({add_len}) AS BIGINT) AS add_bytes
+      FROM c GROUP BY source),
+    m AS (
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS cnt,
+             CAST(sum(sz) AS BIGINT) AS sz,
+             min(mn) AS mn, max(mx) AS mx
+      FROM c WHERE blk <= 1 GROUP BY source
+      HAVING count(*) = 2),
+    live AS (
+      SELECT c.source, c.blk, c.cnt, c.sz, c.mn, c.mx
+      FROM c JOIN s ON s.source = c.source
+      WHERE c.blk >= 2 OR s.n_chunks = 1
+      UNION ALL
+      SELECT source, CAST(-1 AS BIGINT) AS blk, cnt, sz, mn, mx
+      FROM m)
+    SELECT l.source,
+           CAST(count(*) AS BIGINT) AS n_live_files,
+           CAST(sum(l.cnt) AS BIGINT) AS live_records,
+           CAST(sum(l.sz) AS BIGINT) AS live_bytes,
+           CAST(sum({live_len}) AS BIGINT) AS ckpt_bytes,
+           CAST(max({len(PROTO_LINE) + 1} + {META_BASE}
+                + length(s.source) + 1 + s.add_bytes
+                + CASE WHEN s.n_chunks >= 2
+                  THEN 2 * ({RM_BASE} + length(s.source) + 16 + 1)
+                       + (SELECT {m_add_len} FROM m
+                          WHERE m.source = s.source)
+                  ELSE 0 END) AS BIGINT) AS log_bytes,
+           CAST(1 AS BIGINT) AS ckpt_equals_replay
+    FROM live l JOIN s ON s.source = l.source
+    GROUP BY l.source"""
+
+
+@_q(
+    "src_table_log_checkpoint",
+    _delta_ckpt_oracle(),
+    "Transaction-log CHECKPOINT (r13 — completing the lakehouse log "
+    "lifecycle: write -> replay -> time travel -> streaming "
+    "maintenance -> checkpoint): the final snapshot freezes into a "
+    "canonical path-sorted one-add-per-line checkpoint, is READ BACK "
+    "with framing + sort validation, and the reader-equivalence "
+    "contract (checkpoint-loaded state == full replay) is proven "
+    "in-row (ckpt_equals_replay).  Checkpoint bytes are closed-form "
+    "(the digit-ladder oracle, compact-vs-chunk path lengths split "
+    "by a blk=-1 marker).  Map-side per source; all BIGINT.",
+)
+def src_table_log_checkpoint(spark, sf_dir):
+    import pandas as pd
+
+    cols = ["source", "n_live_files", "live_records", "live_bytes",
+            "ckpt_bytes", "log_bytes", "ckpt_equals_replay"]
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "source", "doc_id", "octet_length(text) AS nb")
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .sources.deltalog import checkpoint_manifest
+
+        pdf = pdf.sort_values("doc_id")
+        recs = [(int(d), int(nb))
+                for d, nb in zip(pdf["doc_id"], pdf["nb"])]
+        return pd.DataFrame([checkpoint_manifest(pdf["source"].iloc[0],
+                                                 recs)])[cols]
+
+    schema = ("source string, " +
+              ", ".join(f"{c} bigint" for c in cols[1:]))
+    return docs.groupBy("source").applyInPandas(walk, schema)
+
+
 _STREAM_TABLE_LOG_ORACLE = """SELECT source,
        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
             % 4 AS BIGINT) AS batch_id,

@@ -257,6 +257,7 @@ EXTRA = [
     "x_matryoshka_curve",
     "x_pca_power_iteration",
     "x_ols_trend_fit",
+    "src_table_log_checkpoint",
 ]
 
 

@@ -506,3 +506,37 @@ def test_pca_power_iteration_finds_planted_direction(spark):
     cos = abs(v3 @ top) / (np.linalg.norm(v3) * np.linalg.norm(top))
     assert cos > 0.99, cos
     assert abs(ray - evals[-1]) / evals[-1] < 0.05, (ray, evals[-1])
+
+
+def test_delta_checkpoint_roundtrip_and_validation():
+    from duckdb_title_mapper_spark.sources.deltalog import (
+        CHUNK,
+        build_checkpoint,
+        build_log,
+        checkpoint_manifest,
+        read_checkpoint,
+        replay_log,
+    )
+
+    recs = [(i * 2, 11 + i % 5) for i in range(CHUNK * 3 + 1)]
+    rep = replay_log(build_log("srcC", recs))
+    ckpt = build_checkpoint(rep["live"])
+    assert read_checkpoint(ckpt) == rep["live"]
+    man = checkpoint_manifest("srcC", recs)
+    assert man["ckpt_equals_replay"] == 1
+    assert man["ckpt_bytes"] == len(ckpt)
+    assert man["live_records"] == len(recs)
+    # torn checkpoints are rejected: unsorted paths / non-add action
+    lines = ckpt.decode().splitlines()
+    bad = ("\n".join(lines[::-1]) + "\n").encode()
+    try:
+        read_checkpoint(bad)
+        raise AssertionError("unsorted checkpoint accepted")
+    except ValueError:
+        pass
+    bad2 = b'{"remove":{"path":"x"}}\n'
+    try:
+        read_checkpoint(bad2)
+        raise AssertionError("non-add checkpoint line accepted")
+    except ValueError:
+        pass
