@@ -875,3 +875,40 @@ def test_round13_plan_shapes(spark):
     lp = qs["x_label_propagation"].spark_fn(spark, SF)
     p = explain_str(lp)
     assert "l_orderkey" not in p, "label_prop rebuilt the pair join"
+
+
+def test_round13_second_wave_plan_shapes(spark):
+    """Late-round-13 ops: the checkpoint walk is the one-exchange
+    grouped Arrow shape; PCA and OLS stay pure JVM with partial
+    aggregation and pruned scans (PCA reads only vec_id+embedding,
+    OLS only event columns)."""
+    from duckdb_title_mapper_spark.plans import explain_str, shuffle_count
+    from duckdb_title_mapper_spark.workload import core_queries as all_queries
+
+    qs = all_queries()
+
+    ck = qs["src_table_log_checkpoint"].spark_fn(spark, SF)
+    p = explain_str(ck)
+    assert "FlatMapGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert shuffle_count(ck) <= 2, shuffle_count(ck)
+
+    pc = qs["x_pca_power_iteration"].spark_fn(spark, SF)
+    p = explain_str(pc)
+    assert "BatchEvalPython" not in p
+    assert has_partial_aggregation(pc)
+    assert all(set(s) <= {"vec_id", "embedding"}
+               for s in read_schema_columns(pc)), read_schema_columns(pc)
+
+    ol = qs["x_ols_trend_fit"].spark_fn(spark, SF)
+    p = explain_str(ol)
+    assert "BatchEvalPython" not in p
+    assert has_partial_aggregation(ol)
+    assert all(set(s) <= {"event_id", "ts", "user_id", "event_type",
+                          "value", "props"}
+               for s in read_schema_columns(ol)), read_schema_columns(ol)
+
+    st = qs["stream_table_log_commits"].spark_fn(spark, SF)
+    p = explain_str(st)
+    assert "BatchEvalPython" not in p
+    assert shuffle_count(st) == 0, shuffle_count(st)  # replayed metadata
