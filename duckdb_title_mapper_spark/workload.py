@@ -20813,6 +20813,444 @@ def src_table_log_time_travel(spark, sf_dir):
     return docs.groupBy("source").applyInPandas(walk, schema)
 
 
+def _assoc_rules_sql(spark_dialect: bool, minsup_denom: int = 400,
+                     topk: int = 50) -> str:
+    """Level-wise Apriori (Agrawal & Srikant, VLDB'94) over brand
+    baskets, to frequent TRIPLES, then association rules {a,b} -> c
+    with exact integer confidence (permille) and lift (basis points).
+
+    The market-basket companion to x_copurchase_pairs (pairs + lift on
+    raw part keys): here the item space is the 25-value p_brand
+    attribute, so every level of the lattice is attribute-cardinality
+    (<= 25 items / 300 pairs / 2300 triples) regardless of data size —
+    the aggregates are data-sized, the lattice relations are not.
+
+    Level-wise shape, each level exactly the Apriori algorithm:
+      L1: items with sup*denom >= n_orders (minsup = 1/denom of orders);
+      L2: pairs of L1 items counted by an ordered per-basket self-join
+          (bounded fan-out: baskets are <= 14 distinct brands, so the
+          C(k,2) blow-up is a constant, never all-pairs over rows);
+      C3: candidate triples generated from L2 join L2 on the shared
+          first item, PRUNED by the third sub-pair (the a-priori
+          closure property — candidates whose (b,c) edge is infrequent
+          never reach the counting pass);
+      L3: candidate-filtered triple counts from the ordered 3-way
+          basket self-join (bounded C(k,3) per basket).
+    Rules: the three {2}->1 rotations of each frequent triple, scored
+    conf_pm = sup_abc*1000 idiv sup_ant and lift_bp = sup_abc *
+    n_orders * 10000 idiv (sup_ant * sup_cons) — all-integer, so the
+    top-k cut (lift desc, support desc, items asc — a total key) is
+    engine-exact.  All numerators nonnegative, so idiv is safe
+    unsplit.  At 100 TB: baskets is one hash-agg of the fact join;
+    every lattice relation broadcasts.
+    """
+    if spark_dialect:
+        idiv = "div"
+        baskets = "__assoc_baskets"
+        mat = ""
+        pre = "WITH "
+    else:
+        idiv = "//"
+        baskets = "baskets"
+        mat = "MATERIALIZED "
+        pre = """WITH baskets AS MATERIALIZED (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    """
+    return f"""{pre}tot AS {mat}(
+      SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders
+      FROM {baskets}),
+    f1 AS {mat}(
+      SELECT item, CAST(count(*) AS BIGINT) AS sup
+      FROM {baskets} CROSS JOIN tot
+      GROUP BY item, n_orders
+      HAVING count(*) * {minsup_denom} >= n_orders),
+    f2 AS {mat}(
+      SELECT a.item AS ia, b.item AS ib,
+             CAST(count(*) AS BIGINT) AS sup
+      FROM {baskets} a
+      JOIN {baskets} b ON a.ok = b.ok AND a.item < b.item
+      JOIN f1 fa ON fa.item = a.item
+      JOIN f1 fb ON fb.item = b.item
+      CROSS JOIN tot
+      GROUP BY a.item, b.item, n_orders
+      HAVING count(*) * {minsup_denom} >= n_orders),
+    cand3 AS {mat}(
+      SELECT x.ia AS a, x.ib AS b, y.ib AS c
+      FROM f2 x
+      JOIN f2 y ON x.ia = y.ia AND x.ib < y.ib
+      JOIN f2 z ON z.ia = x.ib AND z.ib = y.ib),
+    f3 AS {mat}(
+      SELECT t.ia AS a, t.ib AS b, t.ic AS c,
+             CAST(count(*) AS BIGINT) AS sup
+      FROM (SELECT t1.item AS ia, t2.item AS ib, t3.item AS ic
+            FROM {baskets} t1
+            JOIN {baskets} t2 ON t2.ok = t1.ok AND t1.item < t2.item
+            JOIN {baskets} t3 ON t3.ok = t2.ok AND t2.item < t3.item
+           ) t
+      JOIN cand3 ON cand3.a = t.ia AND cand3.b = t.ib
+                AND cand3.c = t.ic
+      CROSS JOIN tot
+      GROUP BY t.ia, t.ib, t.ic, n_orders
+      HAVING count(*) * {minsup_denom} >= n_orders),
+    rules AS (
+      SELECT f3.a AS ant_a, f3.b AS ant_b, f3.c AS cons,
+             f3.sup AS sup_abc, p.sup AS sup_ant, i.sup AS sup_cons
+      FROM f3 JOIN f2 p ON p.ia = f3.a AND p.ib = f3.b
+              JOIN f1 i ON i.item = f3.c
+      UNION ALL
+      SELECT f3.a, f3.c, f3.b, f3.sup, p.sup, i.sup
+      FROM f3 JOIN f2 p ON p.ia = f3.a AND p.ib = f3.c
+              JOIN f1 i ON i.item = f3.b
+      UNION ALL
+      SELECT f3.b, f3.c, f3.a, f3.sup, p.sup, i.sup
+      FROM f3 JOIN f2 p ON p.ia = f3.b AND p.ib = f3.c
+              JOIN f1 i ON i.item = f3.a)
+    SELECT ant_a, ant_b, cons, sup_abc, sup_ant, sup_cons,
+           (sup_abc * 1000) {idiv} sup_ant AS conf_pm,
+           (sup_abc * n_orders * 10000) {idiv} (sup_ant * sup_cons)
+             AS lift_bp
+    FROM rules CROSS JOIN tot
+    ORDER BY lift_bp DESC, sup_abc DESC, ant_a ASC, ant_b ASC, cons ASC
+    LIMIT {topk}"""
+
+
+@_q(
+    "x_assoc_rules",
+    _assoc_rules_sql(False),
+    "Level-wise Apriori to frequent brand TRIPLES with genuine "
+    "candidate generation + sub-pair pruning, then association rules "
+    "{a,b} -> c in exact integer confidence permille and lift basis "
+    "points, top-50 under a total key — the frequent-itemset member "
+    "of the basket-mining family beside x_copurchase_pairs.  Item "
+    "space is attribute-cardinality (25 brands), so every lattice "
+    "relation broadcasts at any data scale; basket self-joins have "
+    "bounded per-order fan-out.  All BIGINT.",
+)
+def x_assoc_rules(spark, sf_dir):
+    from .plans.materialize import materialize as _mat
+
+    register_views(spark, sf_dir, "lineitem", "part")
+    # the basket relation feeds six consumers (tot, f1, f2 x2, f3 x3);
+    # Spark inlines CTEs per consumer, so materialize it ONCE and let
+    # the SQL reference the view (the x_hnsw_search lay/pool idiom)
+    _mat(spark.sql(
+        "SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
+    )).createOrReplaceTempView("__assoc_baskets")
+    return spark.sql(_assoc_rules_sql(True))
+
+
+def _sssp_bellman_oracle(rounds: int = 5, inf: int = 999999) -> str:
+    """Unrolled Bellman-Ford: integer edge weights 1..9 derived from
+    the md5 of the canonical 's:d' pair key (portable-hash idiom, same
+    weight in both directions), dist starts 0 at the seed (min vertex)
+    and INF elsewhere; each round takes min(own, min neighbor dist +
+    edge weight).  Every round consumes the previous dist TWICE (self
+    + relax join), so each round CTE carries AS MATERIALIZED (the
+    k-core inlining finding); pairs/edges likewise."""
+    w = ("(('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || "
+         "CAST(d AS VARCHAR)), 1, 8))::BIGINT % 9 + 1)")
+    ctes = [
+        """pairs AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+        f"""wpairs AS MATERIALIZED (
+      SELECT s, d, CAST({w} AS BIGINT) AS w FROM pairs)""",
+        """edges AS MATERIALIZED (
+      SELECT s AS a, d AS b, w FROM wpairs
+      UNION ALL SELECT d AS a, s AS b, w FROM wpairs)""",
+        """seed AS (SELECT min(a) AS sv FROM edges)""",
+        f"""d0 AS MATERIALIZED (
+      SELECT t.a AS node,
+             CASE WHEN t.a = s.sv THEN CAST(0 AS BIGINT)
+                  ELSE CAST({inf} AS BIGINT) END AS dist
+      FROM (SELECT DISTINCT a FROM edges) t CROSS JOIN seed s)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""d{r} AS MATERIALIZED (
+      SELECT p.node,
+             least(p.dist, coalesce(n.nd, CAST({inf} AS BIGINT)))
+               AS dist
+      FROM d{r - 1} p
+      LEFT JOIN (SELECT e.a AS node,
+                        CAST(min(x.dist + e.w) AS BIGINT) AS nd
+                 FROM edges e JOIN d{r - 1} x ON x.node = e.b
+                 WHERE x.dist < {inf}
+                 GROUP BY e.a) n ON n.node = p.node)""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS node_sum
+    FROM d{rounds} GROUP BY dist"""
+    )
+
+
+@_q(
+    "x_sssp_bellman",
+    _sssp_bellman_oracle(),
+    "Weighted single-source shortest paths (5 fixed Bellman-Ford "
+    "relaxation rounds from the smallest vertex) over the shared "
+    "co-purchase store, edge weights 1..9 from the md5 of the "
+    "canonical pair key — the weighted companion to x_bfs_levels' "
+    "unit-weight BFS.  Pure integer min-plus algebra, so the "
+    "distance histogram (unreached = 999999) and per-distance vertex "
+    "checksums are engine-exact.  Each round consumes the previous "
+    "dist twice (self + relax join): Spark materializes per round, "
+    "the oracle marks every round CTE AS MATERIALIZED.  At 100 TB "
+    "each round is one equi-join + one agg — the standard "
+    "distributed SSSP recipe (delta-stepping improves the constant).",
+)
+def x_sssp_bellman(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .operators.graph import build_copurchase_pairs
+    from .plans.materialize import materialize as _mat
+
+    inf = 999999
+    pairs = build_copurchase_pairs(spark, sf_dir)
+    wpairs = pairs.selectExpr(
+        "s", "d",
+        "CAST(conv(substr(md5(concat(CAST(s AS STRING), ':', "
+        "CAST(d AS STRING))), 1, 8), 16, 10) % 9 + 1 AS BIGINT) AS w")
+    edges = _mat(
+        wpairs.selectExpr("s AS a", "d AS b", "w")
+        .union(wpairs.selectExpr("d AS a", "s AS b", "w"))
+    )
+    seed = F.broadcast(edges.agg(F.min("a").alias("sv")))
+    dist = _mat(
+        edges.select("a").distinct()
+        .crossJoin(seed)
+        .selectExpr(
+            "a AS node",
+            f"CASE WHEN a = sv THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST({inf} AS BIGINT) END AS dist",
+        )
+    )
+    for _ in range(5):
+        nbr = (
+            edges.join(dist.selectExpr("node AS nb", "dist AS nd"),
+                       F.col("b") == F.col("nb"))
+            .where(F.col("nd") < inf)
+            .groupBy("a")
+            .agg(F.min(F.col("nd") + F.col("w")).cast("bigint")
+                 .alias("nd1"))
+        )
+        dist = _mat(
+            dist.join(nbr, dist.node == nbr.a, "left")
+            .selectExpr(
+                "node",
+                f"least(dist, coalesce(nd1, CAST({inf} AS BIGINT)))"
+                " AS dist",
+            )
+        )
+    return dist.groupBy("dist").agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.sum("node").cast("bigint").alias("node_sum"),
+    )
+
+
+def _deepwalk_oracle(steps: int = 4) -> str:
+    """Unrolled deterministic walks: one walk per vertex, each step
+    moves to the H(walk_id:step) % degree-th neighbor in vertex-id
+    rank order (md5 portable hash — the derandomized DeepWalk
+    sampler).  Each round relation feeds TWO consumers (next round +
+    final census union), so every round CTE carries AS MATERIALIZED;
+    the ranked edge relation is consumed every round, likewise."""
+    h = ("(('0x' || substr(md5(CAST(c.walk_id AS VARCHAR) || ':' || "
+         "'{t}'), 1, 8))::BIGINT)")
+    ctes = [
+        """pairs AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+        """redges AS MATERIALIZED (
+      SELECT a, b,
+             CAST(row_number() OVER (PARTITION BY a ORDER BY b)
+                  AS BIGINT) AS rnk,
+             CAST(count(*) OVER (PARTITION BY a) AS BIGINT) AS deg
+      FROM (SELECT s AS a, d AS b FROM pairs
+            UNION ALL SELECT d AS a, s AS b FROM pairs) e)""",
+        """w0 AS MATERIALIZED (
+      SELECT DISTINCT a AS walk_id, a AS pos FROM redges)""",
+    ]
+    for t in range(1, steps + 1):
+        ctes.append(f"""w{t} AS MATERIALIZED (
+      SELECT c.walk_id, r.b AS pos
+      FROM w{t - 1} c
+      JOIN redges r ON r.a = c.pos
+       AND r.rnk = {h.format(t=t)} % r.deg + 1)""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT {t} AS step, walk_id, pos FROM w{t}"
+        for t in range(steps + 1))
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(step AS BIGINT) AS step,
+           CAST(count(*) AS BIGINT) AS n_walks,
+           CAST(count(DISTINCT pos) AS BIGINT) AS n_distinct_pos,
+           CAST(sum(pos) AS BIGINT) AS pos_sum,
+           CAST(min(pos) AS BIGINT) AS pos_min,
+           CAST(max(pos) AS BIGINT) AS pos_max
+    FROM ({union}) allw
+    GROUP BY step"""
+    )
+
+
+@_q(
+    "x_deepwalk_corpus",
+    _deepwalk_oracle(),
+    "DeepWalk corpus generation, derandomized (Perozzi et al. 2014; "
+    "node2vec at p=q=1): one walk per vertex over the shared "
+    "co-purchase store, 4 steps, each step moving to the "
+    "H(walk_id:step) % degree-th neighbor in vertex-id rank order "
+    "(md5 portable hash) — the graph-embedding training-corpus prep "
+    "pass, made engine-exact by replacing the uniform draw with a "
+    "deterministic hash draw.  Emits the per-step walk census "
+    "(active walks, distinct positions, position checksums).  Each "
+    "round is one equi-join against the ranked edge relation — the "
+    "distributed walk shape; rounds are materialized on both sides "
+    "(two consumers: next round + census union).  All BIGINT.",
+)
+def x_deepwalk_corpus(spark, sf_dir):
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from .operators.graph import build_copurchase_pairs
+    from .plans.materialize import materialize as _mat
+
+    pairs = build_copurchase_pairs(spark, sf_dir)
+    redges = _mat(
+        pairs.selectExpr("s AS a", "d AS b")
+        .union(pairs.selectExpr("d AS a", "s AS b"))
+        .selectExpr(
+            "a", "b",
+            "CAST(row_number() OVER (PARTITION BY a ORDER BY b)"
+            " AS BIGINT) AS rnk",
+            "CAST(count(*) OVER (PARTITION BY a) AS BIGINT) AS deg",
+        )
+    )
+    cur = _mat(redges.selectExpr("a AS walk_id", "a AS pos").distinct())
+    rounds = [cur.selectExpr("CAST(0 AS BIGINT) AS step",
+                             "walk_id", "pos")]
+    for t in range(1, 5):
+        h = (f"CAST(conv(substr(md5(concat(CAST(walk_id AS STRING), "
+             f"':', '{t}')), 1, 8), 16, 10) AS BIGINT)")
+        cur = _mat(
+            cur.withColumn("pick", F.expr(h))
+            .join(redges, (F.col("pos") == F.col("a"))
+                  & (F.col("rnk") == F.col("pick") % F.col("deg") + 1))
+            .selectExpr("walk_id", "b AS pos")
+        )
+        rounds.append(cur.selectExpr(f"CAST({t} AS BIGINT) AS step",
+                                     "walk_id", "pos"))
+    allw = reduce(lambda x, y: x.union(y), rounds)
+    return allw.groupBy("step").agg(
+        F.count("*").cast("bigint").alias("n_walks"),
+        F.countDistinct("pos").cast("bigint").alias("n_distinct_pos"),
+        F.sum("pos").cast("bigint").alias("pos_sum"),
+        F.min("pos").cast("bigint").alias("pos_min"),
+        F.max("pos").cast("bigint").alias("pos_max"),
+    )
+
+
+def _mp_uintlen(expr: str) -> str:
+    """Encoded length of a minimal msgpack nonnegative int: positive
+    fixint / uint8 / uint16 / uint32 / uint64."""
+    return (f"CASE WHEN {expr} < 128 THEN 1 WHEN {expr} < 256 THEN 2 "
+            f"WHEN {expr} < 65536 THEN 3 "
+            f"WHEN {expr} < 4294967296 THEN 5 ELSE 9 END")
+
+
+def _mp_strhdr(expr: str) -> str:
+    """Header length of a msgpack str of ``expr`` UTF-8 bytes:
+    fixstr / str8 / str16 / str32."""
+    return (f"CASE WHEN {expr} < 32 THEN 1 WHEN {expr} < 256 THEN 2 "
+            f"WHEN {expr} < 65536 THEN 3 ELSE 5 END")
+
+
+def _msgpack_roundtrip_oracle() -> str:
+    # container framing: fixmap{3}(1) + "source" key(7) + "n" key(2)
+    # + "docs" key(5) + array32 header(5) = 20 fixed bytes, plus the
+    # source-string and count encodings
+    return f"""WITH d AS (
+      SELECT source, doc_id, octet_length(encode(text)) AS nb
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(nb) AS BIGINT) AS text_bytes,
+           CAST(sum(1 + {_mp_uintlen('doc_id')}
+                    + {_mp_strhdr('nb')} + nb) AS BIGINT)
+             AS record_bytes,
+           CAST(20 + {_mp_strhdr('octet_length(encode(source))')}
+                + octet_length(encode(source))
+                + {_mp_uintlen('count(*)')}
+                + sum(1 + {_mp_uintlen('doc_id')}
+                      + {_mp_strhdr('nb')} + nb) AS BIGINT)
+             AS file_bytes
+    FROM d GROUP BY source"""
+
+
+@_q(
+    "src_msgpack_roundtrip",
+    _msgpack_roundtrip_oracle(),
+    "MessagePack container walk (r13 — the compact-binary-JSON "
+    "landing format of Fluentd-style log pipelines, joining the "
+    "ingestion family beside Avro's zigzag-LEB128 and the protobuf "
+    "wire walk): per source, documents serialize in doc_id order "
+    "into a genuine msgpack container (fixmap metadata, array32 "
+    "record list, minimal uint/str encodings) and the blob is READ "
+    "BACK under the strict framing contract — key order, declared "
+    "count, strictly-rising doc_ids, exact EOF — before the "
+    "manifest is emitted.  Map-side per source (applyInPandas); the "
+    "oracle recomputes the byte accounting closed-form with the "
+    "minimal-encoding ladders (uint at 128/2^8/2^16/2^32, str at "
+    "32/2^8/2^16).  All BIGINT.",
+)
+def src_msgpack_roundtrip(spark, sf_dir):
+    """Spark-side: sources/msgpack.py (public msgpack.org spec; the
+    reference has no container-format surface)."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id",
+                                                   "text")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .sources.msgpack import (
+            build_msgpack, read_msgpack, record_len, str_len, uint_len)
+
+        pdf = pdf.sort_values("doc_id")
+        src = pdf["source"].iloc[0]
+        recs = [(int(d), t) for d, t in zip(pdf["doc_id"], pdf["text"])]
+        blob = build_msgpack(src, recs)
+        back = read_msgpack(blob)
+        if back["records"] != recs or back["source"] != src:
+            raise AssertionError("msgpack round trip diverged")
+        text_bytes = sum(len(t.encode("utf-8")) for _d, t in recs)
+        record_bytes = sum(
+            record_len(d, len(t.encode("utf-8"))) for d, t in recs)
+        srclen = len(src.encode("utf-8"))
+        framing = 20 + str_len(srclen) + uint_len(len(recs))
+        if framing + record_bytes != len(blob):
+            raise AssertionError("msgpack byte accounting diverged")
+        return pd.DataFrame(
+            {
+                "source": [src],
+                "n_records": [len(recs)],
+                "text_bytes": [text_bytes],
+                "record_bytes": [record_bytes],
+                "file_bytes": [len(blob)],
+            }
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        pack,
+        "source STRING, n_records BIGINT, text_bytes BIGINT, "
+        "record_bytes BIGINT, file_bytes BIGINT",
+    )
+
+
 GRADE_FIRST = [
     # M0 golden parity + computed-column relational surface (M0-M10, R3,
     # R7, R10-R12).  Round 4: every DECIMAL-emitting slot swapped for its

@@ -258,6 +258,11 @@ EXTRA = [
     "x_pca_power_iteration",
     "x_ols_trend_fit",
     "src_table_log_checkpoint",
+    # round-13 session-2 flagships
+    "x_assoc_rules",
+    "x_sssp_bellman",
+    "x_deepwalk_corpus",
+    "src_msgpack_roundtrip",
 ]
 
 

@@ -540,3 +540,44 @@ def test_delta_checkpoint_roundtrip_and_validation():
         raise AssertionError("non-add checkpoint line accepted")
     except ValueError:
         pass
+
+
+def test_msgpack_roundtrip_and_framing():
+    from duckdb_title_mapper_spark.sources.msgpack import (
+        build_msgpack,
+        read_msgpack,
+        record_len,
+        str_len,
+        uint_len,
+    )
+
+    # ladder boundaries: the minimal-encoding cutovers the oracle bakes in
+    for v, n in [(0, 1), (127, 1), (128, 2), (255, 2), (256, 3),
+                 (65535, 3), (65536, 5), (1 << 32, 9)]:
+        assert uint_len(v) == n, (v, n)
+    for nb, n in [(0, 1), (31, 32), (32, 34), (255, 257), (256, 259),
+                  (65535, 65538), (65536, 65541)]:
+        assert str_len(nb) == n, (nb, n)
+
+    recs = [(1, "a"), (7, "héllo"), (130, "x" * 40), (70000, "y" * 300)]
+    blob = build_msgpack("web", recs)
+    back = read_msgpack(blob)
+    assert back == {"source": "web", "n": 4, "records": recs}
+    # byte accounting: framing(20 + src-str + count) + record bytes
+    rec_bytes = sum(record_len(d, len(t.encode("utf-8")))
+                    for d, t in recs)
+    assert len(blob) == 20 + str_len(3) + uint_len(4) + rec_bytes
+
+    # strict reader: truncation, trailing bytes, count mismatch,
+    # non-monotone ids all rejected
+    for bad in [blob[:-1], blob + b"\x00"]:
+        try:
+            read_msgpack(bad)
+            raise AssertionError("malformed container accepted")
+        except ValueError:
+            pass
+    try:
+        read_msgpack(build_msgpack("s", [(5, "a"), (5, "b")]))
+        raise AssertionError("non-rising doc_ids accepted")
+    except ValueError:
+        pass
