@@ -21155,6 +21155,167 @@ def x_deepwalk_corpus(spark, sf_dir):
     )
 
 
+def _node2vec_oracle(steps: int = 4) -> str:
+    """Unrolled second-order node2vec walks (p=2, q=1/2 — integer
+    class weights return=1, common=2, forward=4 after scaling by 2):
+    step 1 is the uniform hash pick (the DeepWalk sampler); steps
+    2..T draw r = H(walk_id:t) % total_weight and select the
+    candidate whose cumulative-weight interval [cw-w, cw) contains r,
+    candidates in vertex-id rank order.  The 'common' class (prev and
+    candidate share an edge) is resolved by a LEFT JOIN against the
+    directed edge relation.  Round relations feed TWO consumers
+    (next round + census union) -> AS MATERIALIZED throughout."""
+    def h(t: int) -> str:
+        return (f"(('0x' || substr(md5(CAST(walk_id AS VARCHAR) || "
+                f"':' || '{t}'), 1, 8))::BIGINT)")
+
+    ctes = [
+        """pairs AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+        """redges AS MATERIALIZED (
+      SELECT a, b,
+             CAST(row_number() OVER (PARTITION BY a ORDER BY b)
+                  AS BIGINT) AS rnk,
+             CAST(count(*) OVER (PARTITION BY a) AS BIGINT) AS deg
+      FROM (SELECT s AS a, d AS b FROM pairs
+            UNION ALL SELECT d AS a, s AS b FROM pairs) e)""",
+        f"""w1 AS MATERIALIZED (
+      SELECT t.walk_id, t.walk_id AS prev, r.b AS cur,
+             CAST(0 AS BIGINT) AS cls
+      FROM (SELECT DISTINCT a AS walk_id FROM redges) t
+      JOIN redges r ON r.a = t.walk_id
+       AND r.rnk = {h(1)} % r.deg + 1)""",
+    ]
+    for t in range(2, steps + 1):
+        ctes.append(f"""c{t} AS (
+      SELECT c.walk_id, c.cur AS frm, r.b AS cand, r.rnk,
+             CASE WHEN r.b = c.prev THEN 1
+                  WHEN e.a IS NOT NULL THEN 2
+                  ELSE 4 END AS w
+      FROM w{t - 1} c
+      JOIN redges r ON r.a = c.cur
+      LEFT JOIN (SELECT DISTINCT a, b FROM redges) e
+        ON e.a = c.prev AND e.b = r.b)""")
+        ctes.append(f"""w{t} AS MATERIALIZED (
+      SELECT walk_id, frm AS prev, cand AS cur, CAST(w AS BIGINT) AS cls
+      FROM (SELECT walk_id, frm, cand, w,
+                   sum(w) OVER (PARTITION BY walk_id ORDER BY rnk
+                                ROWS UNBOUNDED PRECEDING) AS cw,
+                   sum(w) OVER (PARTITION BY walk_id) AS tw
+            FROM c{t}) p
+      WHERE {h(t)} % tw >= cw - w AND {h(t)} % tw < cw)""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT {t} AS step, walk_id, cur, cls FROM w{t}"
+        for t in range(1, steps + 1))
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(step AS BIGINT) AS step,
+           CAST(count(*) AS BIGINT) AS n_walks,
+           CAST(count(CASE WHEN cls = 1 THEN 1 END) AS BIGINT)
+             AS n_return,
+           CAST(count(CASE WHEN cls = 2 THEN 1 END) AS BIGINT)
+             AS n_common,
+           CAST(count(CASE WHEN cls = 4 THEN 1 END) AS BIGINT)
+             AS n_forward,
+           CAST(count(DISTINCT cur) AS BIGINT) AS n_distinct_pos,
+           CAST(sum(cur) AS BIGINT) AS pos_sum
+    FROM ({union}) allw
+    GROUP BY step"""
+    )
+
+
+@_q(
+    "x_node2vec_walks",
+    _node2vec_oracle(),
+    "Second-order node2vec walks, derandomized (Grover & Leskovec "
+    "2016; p=2, q=1/2 as integer class weights return=1 / common=2 / "
+    "forward=4): one walk per vertex over the shared co-purchase "
+    "store, 4 steps — step 1 the uniform hash pick, later steps a "
+    "cumulative-weight interval draw r = H(walk:step) % total over "
+    "rank-ordered candidates, with the 'did prev and candidate share "
+    "an edge' class resolved by an equi LEFT JOIN.  Emits the "
+    "per-step class-mix census (return/common/forward transition "
+    "counts + position checksums), certifying the bias machinery "
+    "itself.  Each step is candidate-expansion equi-joins + one "
+    "bounded window per walk — the distributed 2nd-order walk shape "
+    "(candidate volume = sum of current-position degrees, map-side "
+    "after one shuffle on the walk key).  All BIGINT.",
+)
+def x_node2vec_walks(spark, sf_dir):
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from .operators.graph import build_copurchase_pairs
+    from .plans.materialize import materialize as _mat
+
+    pairs = build_copurchase_pairs(spark, sf_dir)
+    redges = _mat(
+        pairs.selectExpr("s AS a", "d AS b")
+        .union(pairs.selectExpr("d AS a", "s AS b"))
+        .selectExpr(
+            "a", "b",
+            "CAST(row_number() OVER (PARTITION BY a ORDER BY b)"
+            " AS BIGINT) AS rnk",
+            "CAST(count(*) OVER (PARTITION BY a) AS BIGINT) AS deg",
+        )
+    )
+
+    def h(t: int) -> str:
+        return (f"CAST(conv(substr(md5(concat(CAST(walk_id AS STRING),"
+                f" ':', '{t}')), 1, 8), 16, 10) AS BIGINT)")
+
+    cur = _mat(
+        redges.selectExpr("a AS walk_id").distinct()
+        .join(redges, F.expr(f"a = walk_id AND rnk = {h(1)} % deg + 1"))
+        .selectExpr("walk_id", "walk_id AS prev", "b AS cur",
+                    "CAST(0 AS BIGINT) AS cls")
+    )
+    rounds = [cur.selectExpr("CAST(1 AS BIGINT) AS step", "walk_id",
+                             "cur", "cls")]
+    uedges = redges.select("a", "b").distinct()
+    for t in range(2, 5):
+        cand = (
+            cur.select("walk_id", "prev",
+                       F.col("cur").alias("frm"))
+            .join(redges, F.col("a") == F.col("frm"))
+            .join(uedges.selectExpr("a AS ea", "b AS eb"),
+                  (F.col("ea") == F.col("prev"))
+                  & (F.col("eb") == F.col("b")), "left")
+            .selectExpr(
+                "walk_id", "frm", "b AS cand", "rnk",
+                "CASE WHEN b = prev THEN 1 "
+                "WHEN ea IS NOT NULL THEN 2 ELSE 4 END AS w")
+        )
+        cur = _mat(
+            cand.selectExpr(
+                "walk_id", "frm", "cand", "w",
+                "sum(w) OVER (PARTITION BY walk_id ORDER BY rnk"
+                " ROWS UNBOUNDED PRECEDING) AS cw",
+                "sum(w) OVER (PARTITION BY walk_id) AS tw")
+            .where(F.expr(f"{h(t)} % tw >= cw - w"
+                          f" AND {h(t)} % tw < cw"))
+            .selectExpr("walk_id", "frm AS prev", "cand AS cur",
+                        "CAST(w AS BIGINT) AS cls")
+        )
+        rounds.append(cur.selectExpr(f"CAST({t} AS BIGINT) AS step",
+                                     "walk_id", "cur", "cls"))
+    allw = reduce(lambda x, y: x.union(y), rounds)
+    return allw.groupBy("step").agg(
+        F.count("*").cast("bigint").alias("n_walks"),
+        F.count(F.when(F.col("cls") == 1, 1)).cast("bigint")
+        .alias("n_return"),
+        F.count(F.when(F.col("cls") == 2, 1)).cast("bigint")
+        .alias("n_common"),
+        F.count(F.when(F.col("cls") == 4, 1)).cast("bigint")
+        .alias("n_forward"),
+        F.countDistinct("cur").cast("bigint").alias("n_distinct_pos"),
+        F.sum("cur").cast("bigint").alias("pos_sum"),
+    )
+
+
 def _mp_uintlen(expr: str) -> str:
     """Encoded length of a minimal msgpack nonnegative int: positive
     fixint / uint8 / uint16 / uint32 / uint64."""

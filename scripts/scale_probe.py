@@ -263,6 +263,7 @@ EXTRA = [
     "x_sssp_bellman",
     "x_deepwalk_corpus",
     "src_msgpack_roundtrip",
+    "x_node2vec_walks",
 ]
 
 
