@@ -20813,111 +20813,105 @@ def src_table_log_time_travel(spark, sf_dir):
     return docs.groupBy("source").applyInPandas(walk, schema)
 
 
-def _assoc_rules_sql(spark_dialect: bool, minsup_denom: int = 400,
-                     topk: int = 50) -> str:
-    """Level-wise Apriori (Agrawal & Srikant, VLDB'94) over brand
-    baskets, to frequent TRIPLES, then association rules {a,b} -> c
-    with exact integer confidence (permille) and lift (basis points).
-
-    The market-basket companion to x_copurchase_pairs (pairs + lift on
-    raw part keys): here the item space is the 25-value p_brand
-    attribute, so every level of the lattice is attribute-cardinality
-    (<= 25 items / 300 pairs / 2300 triples) regardless of data size —
-    the aggregates are data-sized, the lattice relations are not.
-
-    Level-wise shape, each level exactly the Apriori algorithm:
-      L1: items with sup*denom >= n_orders (minsup = 1/denom of orders);
-      L2: pairs of L1 items counted by an ordered per-basket self-join
-          (bounded fan-out: baskets are <= 14 distinct brands, so the
-          C(k,2) blow-up is a constant, never all-pairs over rows);
-      C3: candidate triples generated from L2 join L2 on the shared
-          first item, PRUNED by the third sub-pair (the a-priori
-          closure property — candidates whose (b,c) edge is infrequent
-          never reach the counting pass);
-      L3: candidate-filtered triple counts from the ordered 3-way
-          basket self-join (bounded C(k,3) per basket).
-    Rules: the three {2}->1 rotations of each frequent triple, scored
-    conf_pm = sup_abc*1000 idiv sup_ant and lift_bp = sup_abc *
-    n_orders * 10000 idiv (sup_ant * sup_cons) — all-integer, so the
-    top-k cut (lift desc, support desc, items asc — a total key) is
-    engine-exact.  All numerators nonnegative, so idiv is safe
-    unsplit.  At 100 TB: baskets is one hash-agg of the fact join;
-    every lattice relation broadcasts.
-    """
-    if spark_dialect:
-        idiv = "div"
-        baskets = "__assoc_baskets"
-        mat = ""
-        pre = "WITH "
-    else:
-        idiv = "//"
-        baskets = "baskets"
-        mat = "MATERIALIZED "
-        pre = """WITH baskets AS MATERIALIZED (
-      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
-      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
-    """
-    return f"""{pre}tot AS {mat}(
-      SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders
-      FROM {baskets}),
-    f1 AS {mat}(
-      SELECT item, CAST(count(*) AS BIGINT) AS sup
-      FROM {baskets} CROSS JOIN tot
+def _assoc_f1_sql(b: str, denom: int) -> str:
+    return f"""SELECT item, CAST(count(*) AS BIGINT) AS sup, n_orders
+      FROM {b} CROSS JOIN tot
       GROUP BY item, n_orders
-      HAVING count(*) * {minsup_denom} >= n_orders),
-    f2 AS {mat}(
-      SELECT a.item AS ia, b.item AS ib,
-             CAST(count(*) AS BIGINT) AS sup
-      FROM {baskets} a
-      JOIN {baskets} b ON a.ok = b.ok AND a.item < b.item
-      JOIN f1 fa ON fa.item = a.item
-      JOIN f1 fb ON fb.item = b.item
-      CROSS JOIN tot
-      GROUP BY a.item, b.item, n_orders
-      HAVING count(*) * {minsup_denom} >= n_orders),
-    cand3 AS {mat}(
-      SELECT x.ia AS a, x.ib AS b, y.ib AS c
-      FROM f2 x
-      JOIN f2 y ON x.ia = y.ia AND x.ib < y.ib
-      JOIN f2 z ON z.ia = x.ib AND z.ib = y.ib),
-    f3 AS {mat}(
-      SELECT t.ia AS a, t.ib AS b, t.ic AS c,
-             CAST(count(*) AS BIGINT) AS sup
-      FROM (SELECT t1.item AS ia, t2.item AS ib, t3.item AS ic
-            FROM {baskets} t1
-            JOIN {baskets} t2 ON t2.ok = t1.ok AND t1.item < t2.item
-            JOIN {baskets} t3 ON t3.ok = t2.ok AND t2.item < t3.item
-           ) t
-      JOIN cand3 ON cand3.a = t.ia AND cand3.b = t.ib
-                AND cand3.c = t.ic
-      CROSS JOIN tot
-      GROUP BY t.ia, t.ib, t.ic, n_orders
-      HAVING count(*) * {minsup_denom} >= n_orders),
-    rules AS (
-      SELECT f3.a AS ant_a, f3.b AS ant_b, f3.c AS cons,
-             f3.sup AS sup_abc, p.sup AS sup_ant, i.sup AS sup_cons
-      FROM f3 JOIN f2 p ON p.ia = f3.a AND p.ib = f3.b
-              JOIN f1 i ON i.item = f3.c
+      HAVING count(*) * {denom} >= n_orders"""
+
+
+def _assoc_f2_sql(b: str, f1: str, denom: int, hint: str = "") -> str:
+    return f"""SELECT {hint}t1.item AS ia, t2.item AS ib,
+             CAST(count(*) AS BIGINT) AS sup, fa.n_orders
+      FROM {b} t1
+      JOIN {b} t2 ON t1.ok = t2.ok AND t1.item < t2.item
+      JOIN {f1} fa ON fa.item = t1.item
+      JOIN {f1} fb ON fb.item = t2.item
+      GROUP BY t1.item, t2.item, fa.n_orders
+      HAVING count(*) * {denom} >= fa.n_orders"""
+
+
+def _assoc_f3_sql(b: str, f2: str, denom: int, hint: str = "") -> str:
+    """Apriori candidate generation (join L2 with itself on the shared
+    first item, prune by the third sub-pair — the a-priori closure
+    property) followed by the candidate-filtered triple count over the
+    ordered per-basket self-join (bounded C(k,3) fan-out)."""
+    return f"""WITH cand3 AS (
+      SELECT x.ia AS a, x.ib AS b, y.ib AS c, x.n_orders
+      FROM {f2} x
+      JOIN {f2} y ON x.ia = y.ia AND x.ib < y.ib
+      JOIN {f2} z ON z.ia = x.ib AND z.ib = y.ib)
+    SELECT {hint}t.ia AS a, t.ib AS b, t.ic AS c,
+           CAST(count(*) AS BIGINT) AS sup, cand3.n_orders
+    FROM (SELECT t1.item AS ia, t2.item AS ib, t3.item AS ic
+          FROM {b} t1
+          JOIN {b} t2 ON t2.ok = t1.ok AND t1.item < t2.item
+          JOIN {b} t3 ON t3.ok = t2.ok AND t2.item < t3.item) t
+    JOIN cand3 ON cand3.a = t.ia AND cand3.b = t.ib
+              AND cand3.c = t.ic
+    GROUP BY t.ia, t.ib, t.ic, cand3.n_orders
+    HAVING count(*) * {denom} >= cand3.n_orders"""
+
+
+def _assoc_rules_final_sql(f1: str, f2: str, f3: str, idiv: str,
+                           topk: int, hint: str = "") -> str:
+    return f"""WITH rules AS (
+      SELECT {hint}f3.a AS ant_a, f3.b AS ant_b, f3.c AS cons,
+             f3.sup AS sup_abc, p.sup AS sup_ant, i.sup AS sup_cons,
+             f3.n_orders
+      FROM {f3} f3 JOIN {f2} p ON p.ia = f3.a AND p.ib = f3.b
+                   JOIN {f1} i ON i.item = f3.c
       UNION ALL
-      SELECT f3.a, f3.c, f3.b, f3.sup, p.sup, i.sup
-      FROM f3 JOIN f2 p ON p.ia = f3.a AND p.ib = f3.c
-              JOIN f1 i ON i.item = f3.b
+      SELECT {hint}f3.a, f3.c, f3.b, f3.sup, p.sup, i.sup, f3.n_orders
+      FROM {f3} f3 JOIN {f2} p ON p.ia = f3.a AND p.ib = f3.c
+                   JOIN {f1} i ON i.item = f3.b
       UNION ALL
-      SELECT f3.b, f3.c, f3.a, f3.sup, p.sup, i.sup
-      FROM f3 JOIN f2 p ON p.ia = f3.b AND p.ib = f3.c
-              JOIN f1 i ON i.item = f3.a)
+      SELECT {hint}f3.b, f3.c, f3.a, f3.sup, p.sup, i.sup, f3.n_orders
+      FROM {f3} f3 JOIN {f2} p ON p.ia = f3.b AND p.ib = f3.c
+                   JOIN {f1} i ON i.item = f3.a)
     SELECT ant_a, ant_b, cons, sup_abc, sup_ant, sup_cons,
            (sup_abc * 1000) {idiv} sup_ant AS conf_pm,
            (sup_abc * n_orders * 10000) {idiv} (sup_ant * sup_cons)
              AS lift_bp
-    FROM rules CROSS JOIN tot
+    FROM rules
     ORDER BY lift_bp DESC, sup_abc DESC, ant_a ASC, ant_b ASC, cons ASC
     LIMIT {topk}"""
 
 
+def _assoc_rules_oracle(minsup_denom: int = 400, topk: int = 50) -> str:
+    """Level-wise Apriori (Agrawal & Srikant, VLDB'94) over brand
+    baskets to frequent TRIPLES, then association rules {a,b} -> c in
+    exact integer confidence (permille) and lift (basis points).
+
+    The item space is the 25-value p_brand attribute, so every lattice
+    level is attribute-cardinality (<= 25 items / 300 pairs / 2300
+    triples) regardless of data size.  Each lattice relation feeds
+    multiple consumers, so the oracle marks every level AS MATERIALIZED
+    (DuckDB inlines per consumer too — the k-core finding); the Spark
+    side materializes the same levels as temp views.  All numerators
+    nonnegative, so idiv is safe unsplit.  At 100 TB: baskets is one
+    hash-agg of the fact join; every lattice relation broadcasts."""
+    final = _assoc_rules_final_sql("f1", "f2", "f3", "//", topk)
+    # splice the rules CTE into the chain: final starts "WITH rules AS"
+    tail = final[len("WITH "):]
+    return f"""WITH baskets AS MATERIALIZED (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    tot AS (
+      SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders
+      FROM baskets),
+    f1 AS MATERIALIZED (
+      {_assoc_f1_sql("baskets", minsup_denom)}),
+    f2 AS MATERIALIZED (
+      {_assoc_f2_sql("baskets", "f1", minsup_denom)}),
+    f3 AS MATERIALIZED (
+      {_assoc_f3_sql("baskets", "f2", minsup_denom)}),
+    {tail}"""
+
+
 @_q(
     "x_assoc_rules",
-    _assoc_rules_sql(False),
+    _assoc_rules_oracle(),
     "Level-wise Apriori to frequent brand TRIPLES with genuine "
     "candidate generation + sub-pair pruning, then association rules "
     "{a,b} -> c in exact integer confidence permille and lift basis "
@@ -20925,20 +20919,41 @@ def _assoc_rules_sql(spark_dialect: bool, minsup_denom: int = 400,
     "of the basket-mining family beside x_copurchase_pairs.  Item "
     "space is attribute-cardinality (25 brands), so every lattice "
     "relation broadcasts at any data scale; basket self-joins have "
-    "bounded per-order fan-out.  All BIGINT.",
+    "bounded per-order fan-out.  Every lattice level is materialized "
+    "ONCE on both engines (multi-consumer relations — the k-core "
+    "inlining finding).  All BIGINT.",
 )
 def x_assoc_rules(spark, sf_dir):
     from .plans.materialize import materialize as _mat
 
     register_views(spark, sf_dir, "lineitem", "part")
-    # the basket relation feeds six consumers (tot, f1, f2 x2, f3 x3);
-    # Spark inlines CTEs per consumer, so materialize it ONCE and let
-    # the SQL reference the view (the x_hnsw_search lay/pool idiom)
+    denom, topk = 400, 50
+    # each lattice level feeds multiple consumers; Spark inlines CTEs
+    # per consumer, so materialize every level ONCE and let the next
+    # level's SQL reference the view (the x_hnsw_search lay/pool idiom)
     _mat(spark.sql(
         "SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item "
         "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
     )).createOrReplaceTempView("__assoc_baskets")
-    return spark.sql(_assoc_rules_sql(True))
+    tot = ("tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) "
+           "AS n_orders FROM __assoc_baskets)")
+    _mat(spark.sql(
+        f"WITH {tot} {_assoc_f1_sql('__assoc_baskets', denom)}"
+    )).createOrReplaceTempView("__assoc_f1")
+    # the lattice sides are attribute-cardinality (<= 300 rows) but
+    # materialized relations carry no size statistics, so hint the
+    # broadcast explicitly — the plan a 1000-executor cluster needs
+    _mat(spark.sql(
+        _assoc_f2_sql("__assoc_baskets", "__assoc_f1", denom,
+                      "/*+ BROADCAST(fa, fb) */ ")
+    )).createOrReplaceTempView("__assoc_f2")
+    _mat(spark.sql(
+        _assoc_f3_sql("__assoc_baskets", "__assoc_f2", denom,
+                      "/*+ BROADCAST(cand3) */ ")
+    )).createOrReplaceTempView("__assoc_f3")
+    return spark.sql(_assoc_rules_final_sql(
+        "__assoc_f1", "__assoc_f2", "__assoc_f3", "div", topk,
+        "/*+ BROADCAST(p, i) */ "))
 
 
 def _sssp_bellman_oracle(rounds: int = 5, inf: int = 999999) -> str:

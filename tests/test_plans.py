@@ -912,3 +912,41 @@ def test_round13_second_wave_plan_shapes(spark):
     p = explain_str(st)
     assert "BatchEvalPython" not in p
     assert shuffle_count(st) == 0, shuffle_count(st)  # replayed metadata
+
+
+def test_round13_third_wave_plan_shapes(spark):
+    """Session-2 round-13 ops: the Apriori lattice joins broadcast
+    (attribute-cardinality relations) over ONE materialized basket
+    scan; the walk/SSSP family consumes the shared co-purchase store
+    through materialized rounds (no lineitem re-join in the final
+    plan); the msgpack walk is the one-exchange grouped Arrow shape."""
+    from duckdb_title_mapper_spark.plans import explain_str, shuffle_count
+    from duckdb_title_mapper_spark.workload import core_queries as all_queries
+
+    qs = all_queries()
+
+    ar = qs["x_assoc_rules"].spark_fn(spark, SF)
+    p = explain_str(ar)
+    assert "BatchEvalPython" not in p
+    # every basket consumer reads the materialized view, never the
+    # lineitem-part join
+    assert p.count("Scan ExistingRDD") >= 3, p.count("Scan ExistingRDD")
+    assert "l_orderkey" not in p, "assoc_rules re-inlined the basket join"
+    assert broadcast_join_count(ar) >= 2, broadcast_join_count(ar)
+
+    for name in ("x_sssp_bellman", "x_deepwalk_corpus",
+                 "x_node2vec_walks"):
+        df = qs[name].spark_fn(spark, SF)
+        p = explain_str(df)
+        assert "BatchEvalPython" not in p, name
+        # rounds are materialized; the final plan aggregates stored
+        # relations instead of re-deriving the co-purchase pair join
+        assert "Scan ExistingRDD" in p, name
+        assert "l_orderkey" not in p, f"{name} rebuilt the pair join"
+        assert has_partial_aggregation(df), name
+
+    mp = qs["src_msgpack_roundtrip"].spark_fn(spark, SF)
+    p = explain_str(mp)
+    assert "FlatMapGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert shuffle_count(mp) <= 2, shuffle_count(mp)
