@@ -21331,6 +21331,213 @@ def x_node2vec_walks(spark, sf_dir):
     )
 
 
+def _als_user_step_sql(spark_dialect: bool, lam: int = 5,
+                       topk: int = 25) -> str:
+    """One exact ALS user-side update at rank 2 (Zhou et al. 2008,
+    ALS-WR; the Hu-Koren-Volinsky normal-equations shape): item
+    factors are fixed hash-initialized integer 2-vectors (md5 % 7 per
+    coordinate — the derandomized init), ratings are integer quantity
+    units (x100, exact), and each user's update solves
+    (A + lam*I) x = b with A = sum f_i f_i^T, b = sum f_i r_ui via the
+    closed-form 2x2 adjugate/determinant — so the emitted factors are
+    EXACT RATIONALS (x1_num, x2_num, den), no floating point anywhere.
+    Emits the top-k users by rated-item count (total key) with the
+    full normal-equations assembly (a11/a12/a22/b1/b2) in-row, so the
+    rows certify both the accumulation and the solve.  Plan: one
+    fact-join scan into a partial-agg groupBy(user) — the exactly
+    distributed ALS shape (the real algorithm runs this same
+    one-scan-per-side update per iteration); the item-factor relation
+    derives map-side from part.  All BIGINT; magnitudes bounded by
+    (6*7)^2 * max-rating, far inside int64."""
+    if spark_dialect:
+        def h(salt: str) -> str:
+            return (f"CAST(conv(substr(md5(concat(CAST(p_partkey AS "
+                    f"STRING), ':{salt}')), 1, 8), 16, 10) AS BIGINT)")
+    else:
+        def h(salt: str) -> str:
+            return (f"(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)"
+                    f" || ':{salt}'), 1, 8))::BIGINT)")
+    return f"""WITH ratings AS (
+      SELECT o.o_custkey AS u, l.l_partkey AS i,
+             CAST(sum(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS r
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey, l.l_partkey),
+    feat AS (
+      SELECT p_partkey AS i,
+             {h('a')} % 7 AS f1, {h('b')} % 7 AS f2
+      FROM part),
+    acc AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(f1 * f1) AS BIGINT) AS a11,
+             CAST(sum(f1 * f2) AS BIGINT) AS a12,
+             CAST(sum(f2 * f2) AS BIGINT) AS a22,
+             CAST(sum(f1 * r) AS BIGINT) AS b1,
+             CAST(sum(f2 * r) AS BIGINT) AS b2
+      FROM ratings JOIN feat ON ratings.i = feat.i
+      GROUP BY u)
+    SELECT u AS custkey, n_items, a11, a12, a22, b1, b2,
+           (a22 + {lam}) * b1 - a12 * b2 AS x1_num,
+           (a11 + {lam}) * b2 - a12 * b1 AS x2_num,
+           (a11 + {lam}) * (a22 + {lam}) - a12 * a12 AS den
+    FROM acc
+    ORDER BY n_items DESC, custkey ASC
+    LIMIT {topk}"""
+
+
+@_q(
+    "x_als_user_step",
+    _als_user_step_sql(False),
+    "One exact ALS user-side update at rank 2 (the matrix-"
+    "factorization recommender axis): fixed hash-initialized integer "
+    "item factors, per-user normal equations (A + lam*I) x = b "
+    "assembled in one partial-agg scan of the customer-part rating "
+    "join, solved closed-form by the 2x2 adjugate/determinant — "
+    "emitted factors are exact rationals (num, num, den), with the "
+    "full A/b assembly in-row.  Top-25 users by rated-item count "
+    "under a total key.  The one-scan-per-side update IS the "
+    "distributed ALS iteration shape.  All BIGINT.",
+)
+def x_als_user_step(spark, sf_dir):
+    register_views(spark, sf_dir, "lineitem", "orders", "part")
+    return spark.sql(_als_user_step_sql(True))
+
+
+def _vopt_cost(lo: str, hi: str) -> str:
+    """Integer segment cost: n-weighted SSE = n*sum(x^2) - (sum x)^2
+    over the segment ({lo}, {hi}] from prefix sums — exactly n^2 *
+    variance, the all-integer V-optimal objective (classic V-optimal
+    divides by n; weighting by n keeps the DP in int64 and preserves
+    the 'penalize wide high-variance buckets' semantics)."""
+    return (f"(({hi}.i - {lo}.i) * ({hi}.q - {lo}.q)"
+            f" - ({hi}.s - {lo}.s) * ({hi}.s - {lo}.s))")
+
+
+def _vopt_dp_round_sql(prev: str, pre: str) -> str:
+    """One DP round: dp_b(i) = min over j < i of dp_(b-1)(j) +
+    cost(j, i), argmin j kept for the backtrack, ties broken on the
+    lower boundary — a bounded all-pairs join over the
+    hour-domain relation (value-domain-sized, never data-sized)."""
+    return f"""SELECT i, s, q, c, j FROM (
+      SELECT hi.i, hi.s, hi.q,
+             lo.c + {_vopt_cost('lo', 'hi')} AS c, lo.i AS j,
+             row_number() OVER (PARTITION BY hi.i
+                 ORDER BY lo.c + {_vopt_cost('lo', 'hi')} ASC,
+                          lo.i ASC) AS rk
+      FROM {prev} lo JOIN {pre} hi ON lo.i < hi.i) t
+    WHERE rk = 1"""
+
+
+def _vopt_backtrack_sql(dps: list, pre: str) -> str:
+    """Backtrack the argmin chain from dp_B at i = n and emit one row
+    per bucket with its exact boundaries, stats, and segment cost."""
+    nb = len(dps)
+    ctes = [f"""bt{nb} AS (
+      SELECT d.i, d.j, d.c FROM {dps[nb - 1]} d
+      WHERE d.i = (SELECT max(i) FROM {pre}))"""]
+    for b in range(nb - 1, 0, -1):
+        ctes.append(f"""bt{b} AS (
+      SELECT d.i, d.j, d.c FROM {dps[b - 1]} d
+      JOIN bt{b + 1} ON d.i = bt{b + 1}.j)""")
+    arms = "\n      UNION ALL ".join(
+        f"SELECT {b} AS bucket, i, j FROM bt{b}" for b in range(1, nb + 1))
+    return f"""WITH {','.join(ctes)},
+    bkt AS ({arms})
+    SELECT CAST(bkt.bucket AS BIGINT) AS bucket,
+           CAST(bkt.j + 1 AS BIGINT) AS lo_idx,
+           CAST(bkt.i AS BIGINT) AS hi_idx,
+           CAST(bkt.i - bkt.j AS BIGINT) AS n_hours,
+           CAST(hi.s - lo.s AS BIGINT) AS sum_vol,
+           CAST(hi.q - lo.q AS BIGINT) AS sum_vol_sq,
+           CAST({_vopt_cost('lo', 'hi')} AS BIGINT) AS seg_cost,
+           (SELECT CAST(c AS BIGINT) FROM bt{nb}) AS total_cost
+    FROM bkt JOIN {pre} hi ON hi.i = bkt.i
+             JOIN {pre} lo ON lo.i = bkt.j"""
+
+
+def _vopt_histogram_oracle(buckets: int = 6) -> str:
+    us, idiv, mat = "epoch_us(ts)", "//", "MATERIALIZED "
+    ctes = [f"""hourly AS (
+      SELECT {us} {idiv} 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS vol
+      FROM events GROUP BY {us} {idiv} 3600000000)""",
+            """ser AS (
+      SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS i, vol
+      FROM hourly)""",
+            f"""pre AS {mat}(
+      SELECT i,
+             CAST(sum(vol) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS s,
+             CAST(sum(vol * vol) OVER (ORDER BY i
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS q
+      FROM ser
+      UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                       CAST(0 AS BIGINT))""",
+            f"""dp1 AS {mat}(
+      SELECT hi.i, hi.s, hi.q, {_vopt_cost('lo', 'hi')} AS c,
+             CAST(0 AS BIGINT) AS j
+      FROM pre hi JOIN pre lo ON lo.i = 0
+      WHERE hi.i > 0)"""]
+    for b in range(2, buckets + 1):
+        ctes.append(f"""dp{b} AS {mat}(
+      {_vopt_dp_round_sql(f'dp{b - 1}', 'pre')})""")
+    tail = _vopt_backtrack_sql([f"dp{b}" for b in range(1, buckets + 1)],
+                               "pre")
+    return ("WITH " + ",\n    ".join(ctes) + ",\n    "
+            + tail[len("WITH "):])
+
+
+@_q(
+    "x_vopt_histogram",
+    _vopt_histogram_oracle(),
+    "V-optimal histogram construction (Jagadish et al., VLDB'98) via "
+    "relational dynamic programming: the hourly event-volume series "
+    "is partitioned into 6 contiguous buckets minimizing the "
+    "all-integer n-weighted SSE (n*sum(x^2) - (sum x)^2 per segment, "
+    "from prefix sums), each DP round one bounded all-pairs join "
+    "over the VALUE-DOMAIN relation (720 hours — never data-sized; "
+    "the raw scan reduces to it in one partial agg), argmin "
+    "backtrack emitting per-bucket boundaries, stats, segment cost, "
+    "and the optimal total in-row.  The histogram a cost-based "
+    "optimizer or data-profiler actually builds.  DP rounds feed two "
+    "consumers (next round + backtrack) -> materialized on both "
+    "engines.  All BIGINT.",
+)
+def x_vopt_histogram(spark, sf_dir):
+    from .plans.materialize import materialize as _mat
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    us, idiv, buckets = "unix_micros(ts)", "div", 6
+    pre = _mat(spark.sql(f"""WITH hourly AS (
+      SELECT {us} {idiv} 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS vol
+      FROM events GROUP BY {us} {idiv} 3600000000),
+    ser AS (
+      SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS i, vol
+      FROM hourly)
+    SELECT i,
+           CAST(sum(vol) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS s,
+           CAST(sum(vol * vol) OVER (ORDER BY i
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS q
+    FROM ser
+    UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                     CAST(0 AS BIGINT)"""))
+    pre.createOrReplaceTempView("__vopt_pre")
+    dp = _mat(spark.sql(f"""
+      SELECT hi.i, hi.s, hi.q, {_vopt_cost('lo', 'hi')} AS c,
+             CAST(0 AS BIGINT) AS j
+      FROM __vopt_pre hi JOIN __vopt_pre lo ON lo.i = 0
+      WHERE hi.i > 0"""))
+    dp.createOrReplaceTempView("__vopt_dp1")
+    for b in range(2, buckets + 1):
+        dp = _mat(spark.sql(
+            _vopt_dp_round_sql(f"__vopt_dp{b - 1}", "__vopt_pre")))
+        dp.createOrReplaceTempView(f"__vopt_dp{b}")
+    return spark.sql(_vopt_backtrack_sql(
+        [f"__vopt_dp{b}" for b in range(1, buckets + 1)], "__vopt_pre"))
+
+
 def _mp_uintlen(expr: str) -> str:
     """Encoded length of a minimal msgpack nonnegative int: positive
     fixint / uint8 / uint16 / uint32 / uint64."""

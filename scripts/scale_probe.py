@@ -264,6 +264,8 @@ EXTRA = [
     "x_deepwalk_corpus",
     "src_msgpack_roundtrip",
     "x_node2vec_walks",
+    "x_als_user_step",
+    "x_vopt_histogram",
 ]
 
 

@@ -950,3 +950,19 @@ def test_round13_third_wave_plan_shapes(spark):
     assert "FlatMapGroupsInPandas" in p
     assert "BatchEvalPython" not in p
     assert shuffle_count(mp) <= 2, shuffle_count(mp)
+
+    al = qs["x_als_user_step"].spark_fn(spark, SF)
+    p = explain_str(al)
+    assert "BatchEvalPython" not in p
+    assert has_partial_aggregation(al)
+    # the rating join + factor join read only the key/quantity columns
+    assert all(set(s) <= {"l_orderkey", "l_partkey", "l_quantity",
+                          "o_orderkey", "o_custkey", "p_partkey"}
+               for s in read_schema_columns(al)), read_schema_columns(al)
+
+    vo = qs["x_vopt_histogram"].spark_fn(spark, SF)
+    p = explain_str(vo)
+    assert "BatchEvalPython" not in p
+    # the backtrack consumes materialized DP rounds, never the raw scan
+    assert "Scan ExistingRDD" in p
+    assert "unix_micros" not in p, "vopt re-derived the hourly rollup"

@@ -581,3 +581,85 @@ def test_msgpack_roundtrip_and_framing():
         raise AssertionError("non-rising doc_ids accepted")
     except ValueError:
         pass
+
+
+def test_vopt_histogram_dp_matches_bruteforce(spark):
+    """The relational DP must find the true optimum: brute-force all
+    C(n-1, B-1) bucket boundary placements on a small planted series
+    and compare the total n-weighted SSE; the emitted buckets must
+    reproduce their own costs and sum to the optimum."""
+    import itertools
+    import random
+
+    from duckdb_title_mapper_spark.workload import (
+        _vopt_backtrack_sql,
+        _vopt_dp_round_sql,
+    )
+
+    rng = random.Random(13)
+    vols = [rng.randint(0, 40) for _ in range(10)]
+    n, buckets = len(vols), 3
+
+    def seg_cost(lo, hi):  # python replay on (lo, hi] 1-indexed
+        xs = vols[lo:hi]
+        return len(xs) * sum(x * x for x in xs) - sum(xs) ** 2
+
+    best = min(
+        sum(seg_cost(lo, hi)
+            for lo, hi in zip((0,) + cuts, cuts + (n,)))
+        for cuts in itertools.combinations(range(1, n), buckets - 1)
+    )
+
+    pre_rows = ", ".join(
+        f"({i + 1}, {sum(vols[:i + 1])}, "
+        f"{sum(x * x for x in vols[:i + 1])})"
+        for i in range(n)) + ", (0, 0, 0)"
+    spark.sql(f"SELECT * FROM (VALUES {pre_rows}) AS t(i, s, q)"
+              ).createOrReplaceTempView("__vopt_t_pre")
+    spark.sql("""SELECT hi.i, hi.s, hi.q,
+           (hi.i - lo.i) * (hi.q - lo.q)
+             - (hi.s - lo.s) * (hi.s - lo.s) AS c,
+           CAST(0 AS BIGINT) AS j
+      FROM __vopt_t_pre hi JOIN __vopt_t_pre lo ON lo.i = 0
+      WHERE hi.i > 0""").createOrReplaceTempView("__vopt_t_dp1")
+    for b in range(2, buckets + 1):
+        spark.sql(_vopt_dp_round_sql(f"__vopt_t_dp{b - 1}",
+                                     "__vopt_t_pre")
+                  ).createOrReplaceTempView(f"__vopt_t_dp{b}")
+    rows = spark.sql(_vopt_backtrack_sql(
+        [f"__vopt_t_dp{b}" for b in range(1, buckets + 1)],
+        "__vopt_t_pre")).collect()
+    assert len(rows) == buckets
+    assert rows[0]["total_cost"] == best
+    assert sum(r["seg_cost"] for r in rows) == best
+    # emitted boundaries tile [1, n] and reproduce their own costs
+    by_b = sorted(rows, key=lambda r: r["bucket"])
+    assert by_b[0]["lo_idx"] == 1 and by_b[-1]["hi_idx"] == n
+    for prev, cur in zip(by_b, by_b[1:]):
+        assert cur["lo_idx"] == prev["hi_idx"] + 1
+    for r in by_b:
+        assert r["seg_cost"] == seg_cost(r["lo_idx"] - 1, r["hi_idx"])
+
+
+def test_als_user_step_solves_normal_equations(spark):
+    """The emitted rationals must exactly solve (A + lam*I) x = b for
+    the assembly in the same row — checked with fractions, not by
+    re-deriving the formula."""
+    from fractions import Fraction
+
+    from duckdb_title_mapper_spark.workload import _als_user_step_sql
+
+    for t in ("lineitem", "orders", "part"):
+        import duckdb_title_mapper_spark.workload as w
+
+        w.load(spark, "/root/testdata/sf0.001", t) \
+            .createOrReplaceTempView(t)
+    rows = spark.sql(_als_user_step_sql(True)).collect()
+    assert rows, "no users emitted"
+    lam = 5
+    for r in rows:
+        den = r["den"]
+        assert den > 0  # (A + lam*I) is positive definite
+        x1, x2 = Fraction(r["x1_num"], den), Fraction(r["x2_num"], den)
+        assert (r["a11"] + lam) * x1 + r["a12"] * x2 == r["b1"]
+        assert r["a12"] * x1 + (r["a22"] + lam) * x2 == r["b2"]
