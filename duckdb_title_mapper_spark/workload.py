@@ -21538,6 +21538,212 @@ def x_vopt_histogram(spark, sf_dir):
         [f"__vopt_dp{b}" for b in range(1, buckets + 1)], "__vopt_pre"))
 
 
+_GSP_W_US = 21_600_000_000  # 6h max-gap between consecutive elements
+_GSP_NUM, _GSP_DEN = 13, 100  # minsup = 13% of users
+
+
+def _gsp_f2_sql(p: str, w: int, num: int, den: int) -> str:
+    """Level-2 GSP pass: support of the 2-sequence (a -> b within the
+    max-gap window) = distinct users holding one, counted from the
+    bounded gap-join (per-user fan-out = events within the window,
+    a time-density constant — never all-pairs over history)."""
+    return f"""SELECT ta, tb, sup, n_users FROM (
+      SELECT a.t AS ta, b.t AS tb,
+             CAST(count(DISTINCT a.u) AS BIGINT) AS sup, n_users
+      FROM {p} a
+      JOIN {p} b ON a.u = b.u AND a.us < b.us
+                AND b.us - a.us <= {w}
+      CROSS JOIN (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users
+                  FROM {p}) tot
+      GROUP BY a.t, b.t, n_users) s
+    WHERE sup * {den} >= {num} * n_users"""
+
+
+def _gsp_f3_sql(p: str, f2: str, w: int, num: int, den: int) -> str:
+    """Level-3 GSP pass with genuine candidate generation — join L2
+    with itself on the shared middle element, prune by the (a, c)
+    sub-sequence (the apriori closure property holds for max-gap
+    subsequences of the same window) — then ANCHORED-POSITION
+    counting: a candidate (a, b, c) is held by a user iff some
+    b-position has an a within the window BEFORE it and a c within
+    the window AFTER it, so the count is two bounded gap-joins
+    hinged on the middle position — linear in positions x types,
+    never a triple self-join."""
+    return f"""WITH cand3 AS (
+      SELECT x.ta AS a, x.tb AS b, y.tb AS c
+      FROM {f2} x
+      JOIN {f2} y ON x.tb = y.ta
+      JOIN {f2} z ON z.ta = x.ta AND z.tb = y.tb),
+    bef AS (
+      SELECT DISTINCT b.u, b.us, b.t AS tb, a.t AS ta
+      FROM {p} b JOIN {p} a ON a.u = b.u AND a.us < b.us
+                           AND b.us - a.us <= {w}),
+    aft AS (
+      SELECT DISTINCT b.u, b.us, b.t AS tb, c.t AS tc
+      FROM {p} b JOIN {p} c ON c.u = b.u AND c.us > b.us
+                           AND c.us - b.us <= {w}),
+    tri AS (
+      SELECT DISTINCT bef.u, bef.ta, bef.tb, aft.tc
+      FROM bef JOIN aft ON bef.u = aft.u AND bef.us = aft.us
+                       AND bef.tb = aft.tb
+      JOIN cand3 ON cand3.a = bef.ta AND cand3.b = bef.tb
+                AND cand3.c = aft.tc)
+    SELECT ta, tb, tc, sup, n_users FROM (
+      SELECT ta, tb, tc, CAST(count(*) AS BIGINT) AS sup, n_users
+      FROM tri CROSS JOIN (SELECT CAST(count(DISTINCT u) AS BIGINT)
+                           AS n_users FROM {p}) tot
+      GROUP BY ta, tb, tc, n_users) s
+    WHERE sup * {den} >= {num} * n_users"""
+
+
+def _gsp_final_sql(f2: str, f3: str, idiv: str) -> str:
+    return f"""SELECT lvl, e1, e2, e3, sup, n_users,
+           (sup * 1000) {idiv} n_users AS support_pm
+    FROM (
+      SELECT CAST(2 AS BIGINT) AS lvl, ta AS e1, tb AS e2,
+             CAST(NULL AS STRING) AS e3, sup, n_users
+      FROM {f2}
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), ta, tb, tc, sup, n_users
+      FROM {f3}) allf"""
+
+
+def _gsp_oracle() -> str:
+    p, w = "p", _GSP_W_US
+    f3 = _gsp_f3_sql(p, "f2", w, _GSP_NUM, _GSP_DEN)
+    # splice: f3 starts "WITH cand3 AS" — fold its CTEs into the chain
+    f3_tail = f3[len("WITH "):]
+    tri_end = f3_tail.index("\n    SELECT ta, tb, tc, sup")
+    return f"""WITH p AS MATERIALIZED (
+      SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+      FROM events),
+    f2 AS MATERIALIZED (
+      {_gsp_f2_sql(p, w, _GSP_NUM, _GSP_DEN)}),
+    {f3_tail[:tri_end]},
+    f3 AS ({f3_tail[tri_end:]})
+    {_gsp_final_sql("f2", "f3", "//")}"""
+
+
+@_q(
+    "x_gsp_sequences",
+    _gsp_oracle(),
+    "GSP sequential-pattern mining with the max-gap constraint "
+    "(Srikant & Agrawal, EDBT'96): frequent 2- and 3-sequences of "
+    "event types where consecutive elements occur within 6 hours, "
+    "support = distinct users, minsup 13%.  Level 3 uses genuine "
+    "candidate generation (L2 join L2 on the middle element, pruned "
+    "by the (a,c) sub-sequence) and ANCHORED-POSITION counting — a "
+    "candidate is held iff some middle-element position has the "
+    "prefix type within the window before it and the suffix type "
+    "within the window after it — so counting is two bounded "
+    "gap-joins hinged on positions, linear in positions x types, "
+    "never a triple self-join.  The ordered companion to "
+    "x_assoc_rules' unordered itemset lattice.  All BIGINT.",
+)
+def x_gsp_sequences(spark, sf_dir):
+    from .plans.materialize import materialize as _mat
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    w, num, den = _GSP_W_US, _GSP_NUM, _GSP_DEN
+    _mat(spark.sql(
+        "SELECT user_id AS u, event_type AS t, unix_micros(ts) AS us "
+        "FROM events"
+    )).createOrReplaceTempView("__gsp_p")
+    _mat(spark.sql(
+        _gsp_f2_sql("__gsp_p", w, num, den)
+    )).createOrReplaceTempView("__gsp_f2")
+    _mat(spark.sql(
+        _gsp_f3_sql("__gsp_p", "__gsp_f2", w, num, den)
+    )).createOrReplaceTempView("__gsp_f3")
+    return spark.sql(_gsp_final_sql("__gsp_f2", "__gsp_f3", "div"))
+
+
+def _holt_pool_sql(spark_dialect: bool, pool: int = 48) -> str:
+    """First ``pool`` hours per event type on the dense hour index
+    (the x_ols_trend_fit pool idiom)."""
+    us = "unix_micros(ts)" if spark_dialect else "epoch_us(ts)"
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH hourly AS (
+      SELECT event_type, {us} {idiv} 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS vol
+      FROM events GROUP BY event_type, {us} {idiv} 3600000000),
+    ranked AS (
+      SELECT event_type, vol,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY h) AS BIGINT) AS i
+      FROM hourly)
+    SELECT event_type, i, vol FROM ranked WHERE i <= {pool}"""
+
+
+def _holt_recursion_sql(pool_rel: str, idiv: str, pool: int = 48) -> str:
+    """Holt's linear (double exponential) smoothing, alpha = 1/4,
+    beta = 1/8, state in s3-scaled BIGINT units with SIGN-SPLIT
+    truncating division each step (the declared integer recursion —
+    deterministic on both engines; trend can be negative, so bare
+    idiv would diverge: Spark div truncates, DuckDB // floors).
+    l_t = (y_t + 3*(l + b)) / 4;  b_t = ((l_t - l) + 7*b) / 8.
+    One recursive CTE, 5 parallel per-type chains, depth bounded by
+    the pool (48 < Spark's 100-level recursion limit)."""
+    def ssplit(num: str, d: int) -> str:
+        return (f"CASE WHEN {num} >= 0 THEN ({num}) {idiv} {d}"
+                f" ELSE -((-({num})) {idiv} {d}) END")
+
+    lnext = ssplit("p.vol * 1000 + 3 * (h.l + h.b)", 4)
+    bnext = ssplit("(t.lnext - t.l0) + 7 * t.b0", 8)
+    return f"""WITH RECURSIVE holt(event_type, i, l, b) AS (
+      SELECT event_type, CAST(1 AS BIGINT), vol * 1000,
+             CAST(0 AS BIGINT)
+      FROM {pool_rel} WHERE i = 1
+      UNION ALL
+      SELECT t.event_type, t.i, t.lnext, {bnext}
+      FROM (SELECT h.event_type, h.i + 1 AS i, {lnext} AS lnext,
+                   h.l AS l0, h.b AS b0
+            FROM holt h JOIN {pool_rel} p
+              ON p.event_type = h.event_type AND p.i = h.i + 1) t)
+    SELECT event_type, i AS at_hour, l AS level_s3, b AS trend_s3,
+           l + b AS forecast_s3
+    FROM holt WHERE i IN (24, {pool})"""
+
+
+def _holt_oracle(pool: int = 48) -> str:
+    pool_sql = _holt_pool_sql(False, pool)
+    pool_ctes = pool_sql[len("WITH "):pool_sql.index(
+        "\n    SELECT event_type, i, vol FROM ranked")]
+    pool_select = pool_sql[pool_sql.index(
+        "SELECT event_type, i, vol FROM ranked"):]
+    rec = _holt_recursion_sql("pool", "//", pool)
+    rec_tail = rec[len("WITH RECURSIVE "):]
+    return (f"WITH RECURSIVE {pool_ctes},\n"
+            f"    pool AS MATERIALIZED ({pool_select}),\n"
+            f"    {rec_tail}")
+
+
+@_q(
+    "x_holt_linear",
+    _holt_oracle(),
+    "Holt's linear trend (double exponential smoothing, alpha=1/4, "
+    "beta=1/8) over the first 48 hours per event type, as a NATIVE "
+    "recursive CTE: state (level, trend) in s3-scaled BIGINT with "
+    "sign-split truncating division each step (trend goes negative; "
+    "Spark div truncates, DuckDB // floors), so the recursion is the "
+    "declared integer dynamical system — engine-exact by "
+    "construction, no float smoothing anywhere.  Emits the state and "
+    "one-step forecast at hours 24 and 48 per type.  Five parallel "
+    "per-type chains in one recursion, depth 48 (inside Spark's "
+    "100-level recursion budget); the pool relation is materialized "
+    "on both engines (consumed at every recursion level).  Completes "
+    "the smoothing axis beside EWMA (level only) and the seasonal "
+    "decomposition.  All BIGINT.",
+)
+def x_holt_linear(spark, sf_dir):
+    from .plans.materialize import materialize as _mat
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    _mat(spark.sql(_holt_pool_sql(True))
+         ).createOrReplaceTempView("__holt_pool")
+    return spark.sql(_holt_recursion_sql("__holt_pool", "div"))
+
+
 def _mp_uintlen(expr: str) -> str:
     """Encoded length of a minimal msgpack nonnegative int: positive
     fixint / uint8 / uint16 / uint32 / uint64."""

@@ -266,6 +266,8 @@ EXTRA = [
     "x_node2vec_walks",
     "x_als_user_step",
     "x_vopt_histogram",
+    "x_gsp_sequences",
+    "x_holt_linear",
 ]
 
 

@@ -966,3 +966,17 @@ def test_round13_third_wave_plan_shapes(spark):
     # the backtrack consumes materialized DP rounds, never the raw scan
     assert "Scan ExistingRDD" in p
     assert "unix_micros" not in p, "vopt re-derived the hourly rollup"
+
+    gs = qs["x_gsp_sequences"].spark_fn(spark, SF)
+    p = explain_str(gs)
+    assert "BatchEvalPython" not in p
+    # the final union reads the materialized frequent-sequence levels,
+    # never the raw event gap-joins
+    assert "Scan ExistingRDD" in p
+    assert "unix_micros" not in p, "gsp re-derived the position scan"
+
+    hl = qs["x_holt_linear"].spark_fn(spark, SF)
+    p = explain_str(hl)
+    assert "BatchEvalPython" not in p
+    assert "UnionLoop" in p or "Recursi" in p, "holt lost the native recursion"
+    assert "unix_micros" not in p, "holt re-derived the hourly pool"

@@ -663,3 +663,42 @@ def test_als_user_step_solves_normal_equations(spark):
         x1, x2 = Fraction(r["x1_num"], den), Fraction(r["x2_num"], den)
         assert (r["a11"] + lam) * x1 + r["a12"] * x2 == r["b1"]
         assert r["a12"] * x1 + (r["a22"] + lam) * x2 == r["b2"]
+
+
+def test_holt_linear_equals_python_replay(spark):
+    """The recursive CTE must implement exactly the declared integer
+    dynamical system: replay l_t = (y + 3*(l+b)) /t 4, b_t =
+    ((l_t - l) + 7*b) /t 8 (truncating division) in Python over the
+    same pool and compare the emitted states."""
+    import duckdb_title_mapper_spark.workload as w
+
+    sf = "/root/testdata/sf0.001"
+    w.load(spark, sf, "events").createOrReplaceTempView("events")
+    pool = spark.sql(w._holt_pool_sql(True)).collect()
+    series = {}
+    for r in pool:
+        series.setdefault(r["event_type"], {})[r["i"]] = r["vol"]
+
+    def tdiv(n, d):  # truncate toward zero, the sign-split semantic
+        return n // d if n >= 0 else -((-n) // d)
+
+    expect = {}
+    for et, vols in series.items():
+        n = max(vols)
+        l, b = vols[1] * 1000, 0
+        for i in range(2, n + 1):
+            l_next = tdiv(vols[i] * 1000 + 3 * (l + b), 4)
+            b = tdiv((l_next - l) + 7 * b, 8)
+            l = l_next
+            if i in (24, 48):
+                expect[(et, i)] = (l, b, l + b)
+    got = {
+        (r["event_type"], r["at_hour"]):
+            (r["level_s3"], r["trend_s3"], r["forecast_s3"])
+        for r in w.core_queries()["x_holt_linear"].spark_fn(spark, sf)
+        .collect()
+    }
+    assert got == expect
+    # the trend state actually moves (a flat series would hide a
+    # broken beta update)
+    assert any(v[1] != 0 for v in expect.values())
