@@ -21744,6 +21744,110 @@ def x_holt_linear(spark, sf_dir):
     return spark.sql(_holt_recursion_sql("__holt_pool", "div"))
 
 
+def _mprofile_dists_sql(spark_dialect: bool, m: int = 24) -> str:
+    """All-pairs window distances for the matrix profile via the
+    DIAGONAL trick: dist^2(i, i+d) = Q_i + Q_{i+d} - 2*dot(i, i+d),
+    where dot along diagonal d is a sliding m-sum of the product
+    series x_t * x_{t+d} — so the quadratic pair space materializes
+    as sum_d (n-d) product rows + one window pass per diagonal,
+    never an m-way join.  Distances are raw integer squared L2 (the
+    z-normalized variant would be float-drift-prone; the integer form
+    is the exact declared metric).  Trivial matches excluded by
+    d >= m (the standard exclusion zone)."""
+    us = "unix_micros(ts)" if spark_dialect else "epoch_us(ts)"
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH hourly AS (
+      SELECT {us} {idiv} 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS vol
+      FROM events GROUP BY {us} {idiv} 3600000000),
+    ser AS (
+      SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS t, vol
+      FROM hourly),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ser),
+    q AS (
+      SELECT t AS i,
+             CAST(sum(vol * vol) OVER (ORDER BY t
+                  ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)
+                  AS BIGINT) AS qq,
+             CAST(count(*) OVER (ORDER BY t
+                  ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)
+                  AS BIGINT) AS win
+      FROM ser),
+    prods AS (
+      SELECT b.t - a.t AS d, a.t,
+             CAST(a.vol * b.vol AS BIGINT) AS p
+      FROM ser a JOIN ser b ON b.t - a.t >= {m}),
+    dots AS (
+      SELECT d, t AS i, t + d AS j,
+             CAST(sum(p) OVER (PARTITION BY d ORDER BY t
+                  ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)
+                  AS BIGINT) AS dot,
+             CAST(count(*) OVER (PARTITION BY d ORDER BY t
+                  ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)
+                  AS BIGINT) AS win
+      FROM prods)
+    SELECT dd.i, dd.j,
+           qi.qq + qj.qq - 2 * dd.dot AS dist2
+    FROM dots dd
+    JOIN q qi ON qi.i = dd.i AND qi.win = {m}
+    JOIN q qj ON qj.i = dd.j AND qj.win = {m}
+    WHERE dd.win = {m}"""
+
+
+def _mprofile_final_sql(dists: str) -> str:
+    """Top-3 motif pairs (global min dist^2) and top-3 discords
+    (positions whose NEAREST neighbor is farthest — max over the
+    per-position min profile), total-key tiebreaks."""
+    return f"""WITH prof AS (
+      SELECT i, CAST(min(dist2) AS BIGINT) AS prof
+      FROM (SELECT i, dist2 FROM {dists}
+            UNION ALL SELECT j AS i, dist2 FROM {dists}) both_dirs
+      GROUP BY i),
+    motifs AS (
+      SELECT CAST(1 AS BIGINT) AS is_motif, i, j, dist2 AS value,
+             row_number() OVER (ORDER BY dist2 ASC, i ASC, j ASC)
+               AS rk
+      FROM {dists}),
+    discords AS (
+      SELECT CAST(0 AS BIGINT) AS is_motif, i,
+             CAST(NULL AS BIGINT) AS j, prof AS value,
+             row_number() OVER (ORDER BY prof DESC, i ASC) AS rk
+      FROM prof)
+    SELECT is_motif, i, j, value, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT * FROM motifs WHERE rk <= 3
+          UNION ALL SELECT * FROM discords WHERE rk <= 3) t"""
+
+
+def _mprofile_oracle() -> str:
+    d = _mprofile_dists_sql(False)
+    return (f"WITH dists AS MATERIALIZED (\n{d}\n    ),\n    "
+            + _mprofile_final_sql("dists")[len("WITH "):])
+
+
+@_q(
+    "x_matrix_profile",
+    _mprofile_oracle(),
+    "Matrix profile over the hourly event-volume series (Yeh et al., "
+    "ICDM'16): for every 24-hour window, the exact integer squared-L2 "
+    "distance to its nearest non-trivial neighbor, computed by the "
+    "DIAGONAL decomposition — dist^2 = Q_i + Q_j - 2*dot with dot a "
+    "sliding m-sum of per-diagonal product series, so the pair space "
+    "is sum_d (n-d) product rows + one window pass per diagonal, "
+    "never an m-way join.  Emits the top-3 motif pairs (most-similar "
+    "windows) and top-3 discords (most-anomalous windows) under "
+    "total keys — the motif/anomaly-discovery pass of a telemetry "
+    "pipeline.  Value-domain-sized (720 hours), SF-independent like "
+    "the V-optimal DP.  All BIGINT.",
+)
+def x_matrix_profile(spark, sf_dir):
+    from .plans.materialize import materialize as _mat
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    _mat(spark.sql(_mprofile_dists_sql(True))
+         ).createOrReplaceTempView("__mprofile_dists")
+    return spark.sql(_mprofile_final_sql("__mprofile_dists"))
+
+
 def _mp_uintlen(expr: str) -> str:
     """Encoded length of a minimal msgpack nonnegative int: positive
     fixint / uint8 / uint16 / uint32 / uint64."""

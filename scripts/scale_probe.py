@@ -268,6 +268,7 @@ EXTRA = [
     "x_vopt_histogram",
     "x_gsp_sequences",
     "x_holt_linear",
+    "x_matrix_profile",
 ]
 
 

@@ -980,3 +980,11 @@ def test_round13_third_wave_plan_shapes(spark):
     assert "BatchEvalPython" not in p
     assert "UnionLoop" in p or "Recursi" in p, "holt lost the native recursion"
     assert "unix_micros" not in p, "holt re-derived the hourly pool"
+
+    mx = qs["x_matrix_profile"].spark_fn(spark, SF)
+    p = explain_str(mx)
+    assert "BatchEvalPython" not in p
+    # motif and discord arms both read the materialized distance
+    # relation, never the diagonal-product windows
+    assert "Scan ExistingRDD" in p
+    assert "unix_micros" not in p, "mprofile re-derived the dists"

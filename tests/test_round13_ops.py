@@ -702,3 +702,53 @@ def test_holt_linear_equals_python_replay(spark):
     # the trend state actually moves (a flat series would hide a
     # broken beta update)
     assert any(v[1] != 0 for v in expect.values())
+
+
+def test_matrix_profile_matches_bruteforce(spark):
+    """Diagonal-decomposition distances and the motif/discord ranking
+    must equal the naive all-pairs computation on a planted series."""
+    import random
+
+    import pandas as pd
+
+    from duckdb_title_mapper_spark.operators.standardize import _arrow_df
+    from duckdb_title_mapper_spark.workload import (
+        _mprofile_dists_sql,
+        _mprofile_final_sql,
+    )
+
+    rng = random.Random(7)
+    vols = [rng.randint(1, 6) for _ in range(12)]
+    m = 4
+    # plant vols as per-hour event counts (vol = rows in that hour)
+    ts = []
+    for h, k in enumerate(vols):
+        ts.extend(pd.Timestamp(2024, 1, 1) + pd.Timedelta(hours=h)
+                  + pd.Timedelta(seconds=s) for s in range(k))
+    _arrow_df(spark, pd.DataFrame({"ts": ts})
+              ).createOrReplaceTempView("events")
+
+    spark.sql(_mprofile_dists_sql(True, m=m)
+              ).createOrReplaceTempView("__mpt_dists")
+    got = sorted(
+        tuple(r) for r in
+        spark.sql(_mprofile_final_sql("__mpt_dists")).collect())
+
+    def dist2(i, j):  # 1-indexed window starts
+        return sum((vols[i - 1 + k] - vols[j - 1 + k]) ** 2
+                   for k in range(m))
+
+    n_win = len(vols) - m + 1
+    pairs = [(i, j, dist2(i, j)) for i in range(1, n_win + 1)
+             for j in range(1, n_win + 1) if j - i >= m]
+    prof = {}
+    for i, j, d in pairs:
+        prof[i] = min(prof.get(i, 1 << 60), d)
+        prof[j] = min(prof.get(j, 1 << 60), d)
+    motifs = sorted(pairs, key=lambda x: (x[2], x[0], x[1]))[:3]
+    discords = sorted(prof.items(), key=lambda x: (-x[1], x[0]))[:3]
+    expect = sorted(
+        [(1, i, j, d, rk + 1) for rk, (i, j, d) in enumerate(motifs)]
+        + [(0, i, None, v, rk + 1)
+           for rk, (i, v) in enumerate(discords)])
+    assert got == expect
