@@ -21848,6 +21848,64 @@ def x_matrix_profile(spark, sf_dir):
     return spark.sql(_mprofile_final_sql("__mprofile_dists"))
 
 
+def _chi2_independence_sql(spark_dialect: bool) -> str:
+    """Chi-square test of independence between event_type and
+    day-of-week, in exact integers: per cell, the deviation
+    dev = O*N - R*C (the cross-multiplied O - E, exact) and the
+    scaled contribution chi2_milli = dev^2 * 1000 idiv (N*R*C) — so
+    which cells drive the dependence is engine-exact, and the
+    classical statistic is sum(chi2_milli)/1000 up to the declared
+    truncation.  Day-of-week from the epoch-day modulus (integer,
+    portable — never the engines' dayofweek functions, which disagree
+    on week start).  Bounds: dev^2*1000 <= (N*max_O)^2*1000; at the
+    testdata scales that is ~1e17, inside int64 — at 100 TB widen the
+    square through DECIMAL(38,0) first (documented, not needed
+    here).  One partial-agg scan + two tiny margin joins."""
+    us = "unix_micros(ts)" if spark_dialect else "epoch_us(ts)"
+    idiv = "div" if spark_dialect else "//"
+    return f"""WITH cells AS (
+      SELECT event_type, {us} {idiv} 86400000000 % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM events
+      GROUP BY event_type, {us} {idiv} 86400000000 % 7),
+    rows_m AS (
+      SELECT event_type, CAST(sum(obs) AS BIGINT) AS row_tot
+      FROM cells GROUP BY event_type),
+    cols_m AS (
+      SELECT dow, CAST(sum(obs) AS BIGINT) AS col_tot
+      FROM cells GROUP BY dow),
+    tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells)
+    SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow, c.obs,
+           r.row_tot, k.col_tot, t.n,
+           c.obs * t.n - r.row_tot * k.col_tot AS dev,
+           ((c.obs * t.n - r.row_tot * k.col_tot)
+            * (c.obs * t.n - r.row_tot * k.col_tot) * 1000)
+             {idiv} (t.n * r.row_tot * k.col_tot) AS chi2_milli
+    FROM cells c
+    JOIN rows_m r ON r.event_type = c.event_type
+    JOIN cols_m k ON k.dow = c.dow
+    CROSS JOIN tot t"""
+
+
+@_q(
+    "x_chi2_independence",
+    _chi2_independence_sql(False),
+    "Chi-square independence test (event_type x day-of-week) in "
+    "exact integers: per-cell cross-multiplied deviation "
+    "dev = O*N - R*C and scaled contribution dev^2*1000 idiv "
+    "(N*R*C), so the drift-attribution report — WHICH cells drive "
+    "the dependence — is engine-exact; the classical statistic is "
+    "the milli-sum.  Completes the frequentist drift family beside "
+    "the KS two-sample test (continuous axis), the SRM guardrail "
+    "(one margin), and the exact permutation test (gold standard): "
+    "this is the categorical-contingency member.  One partial-agg "
+    "scan + two margin broadcasts.  All BIGINT.",
+)
+def x_chi2_independence(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_chi2_independence_sql(True))
+
+
 def _mp_uintlen(expr: str) -> str:
     """Encoded length of a minimal msgpack nonnegative int: positive
     fixint / uint8 / uint16 / uint32 / uint64."""

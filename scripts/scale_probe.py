@@ -269,6 +269,7 @@ EXTRA = [
     "x_gsp_sequences",
     "x_holt_linear",
     "x_matrix_profile",
+    "x_chi2_independence",
 ]
 
 
