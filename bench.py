@@ -337,6 +337,7 @@ EXTRA = [
     "x_holt_linear",
     "x_matrix_profile",
     "x_chi2_independence",
+    "stream_assoc_pairs",
 ]
 
 

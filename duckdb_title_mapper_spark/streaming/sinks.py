@@ -1337,3 +1337,129 @@ def table_log_stream(spark, sf_dir: str, parts: int = 4):
     for c in cols[1:]:
         sdf = sdf.withColumn(c, F.col(c).cast("bigint"))
     return sdf
+
+
+def _stage_baskets_by_mod(spark, sf_dir: str, parts: int = 4) -> str:
+    """Stage the distinct (order, brand) basket relation as ``parts``
+    parquet slices split by ``l_orderkey % parts`` — the split is on
+    the BASKET key, so every basket lands whole in exactly one
+    micro-batch and per-batch pair counts are SUM-mergeable across
+    batches (disjoint baskets: the pair-count monoid).  Portable
+    modulo split + pinned mtimes, the _stage_docs_by_mod discipline."""
+    import hashlib
+
+    src = os.path.realpath(f"{sf_dir}/lineitem.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    d = f"/tmp/duckdb_title_mapper_spark_stream/{tag}_basket{parts}"
+    done = f"{d}/.staged"
+    if os.path.exists(done):
+        return d
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li.createOrReplaceTempView("__stage_li")
+    pt.createOrReplaceTempView("__stage_pt")
+    baskets = spark.sql(
+        "SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item "
+        "FROM __stage_li l JOIN __stage_pt p "
+        "ON l.l_partkey = p.p_partkey")
+    os.makedirs(d, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    staged_rows = 0
+    for p in range(parts):
+        sliced = baskets.where(F.col("ok") % parts == p)
+        staged_rows += sliced.count()
+        (sliced.coalesce(1).write.mode("overwrite")
+         .parquet(f"{d}/_build_{p}"))
+        part_file = next(
+            f for f in os.listdir(f"{d}/_build_{p}")
+            if f.endswith(".parquet"))
+        os.replace(f"{d}/_build_{p}/{part_file}",
+                   f"{d}/slice_{p}.parquet")
+        shutil.rmtree(f"{d}/_build_{p}", ignore_errors=True)
+    import time as _time
+
+    base = _time.time()
+    for p in range(parts):
+        os.utime(f"{d}/slice_{p}.parquet", (base + p, base + p))
+    total = baskets.count()
+    if staged_rows != total:
+        raise AssertionError(
+            f"basket staging lost rows: staged {staged_rows} of {total}")
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+def assoc_pairs_stream(spark, sf_dir: str, parts: int = 4):
+    """STREAMING market-basket pair-support maintenance (the
+    incremental twin of x_assoc_rules' level-2 pass, and the
+    streaming store family's pair-count SUM-monoid member): each
+    micro-batch of whole baskets self-joins WITHIN the batch (the
+    basket-keyed split guarantees no pair ever crosses batches),
+    appends its per-pair counts to an idempotent per-batch store
+    (``pairs.b{id}``), and records a batch census; the final read
+    SUM-merges the store into global supports with per-pair
+    batch-coverage counts.  At-least-once retries rewrite the same
+    batch dir byte-identically.  At 100 TB each batch's pair pass is
+    the bounded per-basket fan-out join, and the store merge is one
+    hash-agg over attribute-cardinality keys — the standing
+    frequent-pattern monitor of an ingestion pipeline."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    src_dir = _stage_baskets_by_mod(spark, sf_dir, parts)
+    out = tempfile.mkdtemp(prefix="dtm_stream_assoc_")
+    chk = os.path.join(out, "chk")
+
+    def merge(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        batch_df.createOrReplaceTempView("__assoc_batch")
+        pairs = sess.sql(
+            "SELECT a.item AS ia, b.item AS ib, "
+            "CAST(count(*) AS BIGINT) AS cnt "
+            "FROM __assoc_batch a JOIN __assoc_batch b "
+            "ON a.ok = b.ok AND a.item < b.item "
+            "GROUP BY a.item, b.item")
+        (pairs.withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(out, f"pairs.b{batch_id}")))
+        n_baskets = batch_df.select("ok").distinct().count()
+        row = sess.sql(
+            f"SELECT CAST({int(batch_id)} AS BIGINT) AS batch_id,"
+            f" CAST({n_baskets} AS BIGINT) AS n_baskets")
+        (row.coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(out, f"census.b{batch_id}")))
+
+    raw = (
+        spark.readStream.schema("ok BIGINT, item STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pair_dirs = sorted(_glob.glob(os.path.join(out, "pairs.b*")))
+    census_dirs = sorted(_glob.glob(os.path.join(out, "census.b*")))
+    if not pair_dirs or not census_dirs:
+        raise RuntimeError("streaming assoc pairs produced no store")
+    store = spark.read.parquet(*pair_dirs)
+    census = spark.read.parquet(*census_dirs)
+    tot = census.agg(
+        F.sum("n_baskets").cast("bigint").alias("n_baskets"))
+    return (
+        store.groupBy("ia", "ib")
+        .agg(F.sum("cnt").cast("bigint").alias("sup"),
+             F.countDistinct("batch_id").cast("bigint")
+             .alias("n_batches"))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr("ia", "ib", "sup", "n_batches", "n_baskets",
+                    "CAST((sup * 1000) div n_baskets AS BIGINT)"
+                    " AS support_pm")
+    )

@@ -21906,6 +21906,47 @@ def x_chi2_independence(spark, sf_dir):
     return spark.sql(_chi2_independence_sql(True))
 
 
+_STREAM_ASSOC_ORACLE = """WITH baskets AS MATERIALIZED (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    tot AS (
+      SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets
+      FROM baskets),
+    pairs AS (
+      SELECT a.item AS ia, b.item AS ib, a.ok % 4 AS slice
+      FROM baskets a JOIN baskets b
+        ON a.ok = b.ok AND a.item < b.item)
+    SELECT ia, ib, CAST(count(*) AS BIGINT) AS sup,
+           CAST(count(DISTINCT slice) AS BIGINT) AS n_batches,
+           n_baskets,
+           CAST((count(*) * 1000) // n_baskets AS BIGINT)
+             AS support_pm
+    FROM pairs CROSS JOIN tot
+    GROUP BY ia, ib, n_baskets"""
+
+
+@_q(
+    "stream_assoc_pairs",
+    _STREAM_ASSOC_ORACLE,
+    "STREAMING market-basket pair-support maintenance (r13 — the "
+    "incremental twin of x_assoc_rules' level-2 pass, joining the "
+    "store family as its pair-count SUM-monoid member beside "
+    "ADD/MAX/OR/MIN/set-union): micro-batches of WHOLE baskets "
+    "(basket-keyed arrival slices, so no pair ever crosses batches) "
+    "self-join within the batch and append per-pair counts to "
+    "idempotent per-batch parquet dirs; the final read SUM-merges "
+    "the store into global supports with per-pair batch-coverage "
+    "counts.  The oracle recomputes supports and slice coverage "
+    "closed-form from the ok % 4 split.  At-least-once retries "
+    "rewrite batch dirs byte-identically.  All BIGINT.",
+)
+def stream_assoc_pairs(spark, sf_dir):
+    from .streaming.sinks import assoc_pairs_stream
+
+    register_views(spark, sf_dir, "lineitem", "part")
+    return assoc_pairs_stream(spark, sf_dir)
+
+
 def _mp_uintlen(expr: str) -> str:
     """Encoded length of a minimal msgpack nonnegative int: positive
     fixint / uint8 / uint16 / uint32 / uint64."""
