@@ -338,6 +338,7 @@ EXTRA = [
     "x_matrix_profile",
     "x_chi2_independence",
     "stream_assoc_pairs",
+    "x_shapley_attribution",
 ]
 
 

@@ -21947,6 +21947,111 @@ def stream_assoc_pairs(spark, sf_dir):
     return assoc_pairs_stream(spark, sf_dir)
 
 
+def _shapley_masks_sql(spark_dialect: bool) -> str:
+    """Per-converted-user coalition mask: channels (click=1, error=2,
+    signup=4, view=8 — alphabetical bit order) touched STRICTLY
+    before the user's first purchase (epoch-us order)."""
+    us = "unix_micros(ts)" if spark_dialect else "epoch_us(ts)"
+    eus = us.replace("ts", "e.ts")
+    return f"""WITH fp AS (
+      SELECT user_id, min({us}) AS fp_us
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id)
+    SELECT f.user_id,
+           CAST(coalesce(sum(DISTINCT
+               CASE e.event_type WHEN 'click' THEN 1
+                    WHEN 'error' THEN 2 WHEN 'signup' THEN 4
+                    WHEN 'view' THEN 8 END), 0) AS BIGINT) AS mask
+    FROM fp f
+    LEFT JOIN events e ON e.user_id = f.user_id
+      AND {eus} < f.fp_us
+      AND e.event_type <> 'purchase'
+    GROUP BY f.user_id"""
+
+
+def _shapley_v_sql(masks: str) -> str:
+    """Characteristic function over the enumerated 2^4 lattice:
+    v(S) = converted users whose touch set is contained in S."""
+    return f"""SELECT s.m,
+           CAST(count(CASE WHEN (k.mask & s.m) = k.mask THEN 1 END)
+                AS BIGINT) AS v
+    FROM (SELECT CAST(m AS BIGINT) AS m
+          FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),
+                       (9),(10),(11),(12),(13),(14),(15)) AS t(m)) s
+    CROSS JOIN {masks} k
+    GROUP BY s.m"""
+
+
+def _shapley_final_sql(v: str) -> str:
+    """phi_c = sum over S not containing c of |S|!*(3-|S)|!*(v(S+c) -
+    v(S)), scaled by 4! = 24 (weights {6,2,2,6} by popcount) — exact
+    integers; the efficiency axiom sum(phi) = 24*(v(full)-v(empty))
+    rides along in-row as the self-check."""
+    return f"""WITH subsets AS (
+      SELECT CAST(m AS BIGINT) AS m
+      FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),
+                   (9),(10),(11),(12),(13),(14),(15)) AS t(m)),
+    channels AS (
+      SELECT c, CAST(b AS BIGINT) AS bit
+      FROM (VALUES ('click', 1), ('error', 2),
+                   ('signup', 4), ('view', 8)) AS t(c, b)),
+    phi AS (
+      SELECT ch.c AS channel, ch.bit,
+             CAST(sum(
+               (CASE bit_count(s.m) WHEN 0 THEN 6 WHEN 1 THEN 2
+                     WHEN 2 THEN 2 ELSE 6 END)
+               * (v1.v - v0.v)) AS BIGINT) AS phi_x24
+      FROM channels ch
+      JOIN subsets s ON (s.m & ch.bit) = 0
+      JOIN {v} v0 ON v0.m = s.m
+      JOIN {v} v1 ON v1.m = s.m + ch.bit
+      GROUP BY ch.c, ch.bit)
+    SELECT p.channel, p.bit, p.phi_x24,
+           vf.v AS v_full, ve.v AS v_empty,
+           tot.t AS phi_total_x24,
+           CAST(24 * (vf.v - ve.v) AS BIGINT) AS efficiency_rhs
+    FROM phi p
+    CROSS JOIN (SELECT v FROM {v} WHERE m = 15) vf
+    CROSS JOIN (SELECT v FROM {v} WHERE m = 0) ve
+    CROSS JOIN (SELECT CAST(sum(phi_x24) AS BIGINT) AS t FROM phi) tot"""
+
+
+def _shapley_oracle() -> str:
+    final = _shapley_final_sql("v")
+    return (f"WITH masks AS MATERIALIZED (\n"
+            f"{_shapley_masks_sql(False)}\n    ),\n"
+            f"    v AS MATERIALIZED (\n"
+            f"{_shapley_v_sql('masks')}\n    ),\n    "
+            + final[len("WITH "):])
+
+
+@_q(
+    "x_shapley_attribution",
+    _shapley_oracle(),
+    "Exact Shapley-value channel attribution (Shapley 1953; the "
+    "marketing form of Dalessandro et al. 2012): per-user "
+    "pre-first-purchase touch sets as 4-bit coalitions, "
+    "characteristic function v(S) = converted users with touch set "
+    "contained in S over the enumerated 2^4 lattice, Shapley values "
+    "with factorial weights scaled by 4! = 24 so every value is an "
+    "exact integer, the efficiency axiom carried in-row as the "
+    "self-check.  The game-theoretic member of the attribution "
+    "family beside the positional multi-touch report.  One "
+    "partial-agg scan to user masks (materialized on both engines — "
+    "v is consumed four ways); everything after is "
+    "attribute-cardinality.  All BIGINT.",
+)
+def x_shapley_attribution(spark, sf_dir):
+    from .plans.materialize import materialize as _mat
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    _mat(spark.sql(_shapley_masks_sql(True))
+         ).createOrReplaceTempView("__shap_masks")
+    _mat(spark.sql(_shapley_v_sql("__shap_masks"))
+         ).createOrReplaceTempView("__shap_v")
+    return spark.sql(_shapley_final_sql("__shap_v"))
+
+
 def _mp_uintlen(expr: str) -> str:
     """Encoded length of a minimal msgpack nonnegative int: positive
     fixint / uint8 / uint16 / uint32 / uint64."""

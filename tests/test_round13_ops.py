@@ -752,3 +752,40 @@ def test_matrix_profile_matches_bruteforce(spark):
         + [(0, i, None, v, rk + 1)
            for rk, (i, v) in enumerate(discords)])
     assert got == expect
+
+
+def test_shapley_matches_permutation_form(spark):
+    """The subset-lattice Shapley computation must equal the
+    definitional permutation form: phi_c = mean over all 4! channel
+    orderings of the marginal contribution v(before+c) - v(before)."""
+    import itertools
+
+    import duckdb_title_mapper_spark.workload as w
+
+    sf = "/root/testdata/sf0.001"
+    w.load(spark, sf, "events").createOrReplaceTempView("events")
+    masks = [r["mask"] for r in
+             spark.sql(w._shapley_masks_sql(True)).collect()]
+
+    def v(S):
+        return sum(1 for m in masks if (m & S) == m)
+
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    expect = {}
+    for c, b in bits.items():
+        tot = 0
+        for perm in itertools.permutations(bits.values()):
+            S = 0
+            for x in perm:
+                if x == b:
+                    break
+                S |= x
+            tot += v(S | b) - v(S)
+        expect[c] = tot  # already scaled by 4! (sum over 24 perms)
+
+    got = {r["channel"]: r["phi_x24"] for r in
+           w.core_queries()["x_shapley_attribution"]
+           .spark_fn(spark, sf).collect()}
+    assert got == expect
+    # efficiency: the sum of scaled values is 24*(v(full) - v(empty))
+    assert sum(expect.values()) == 24 * (v(15) - v(0))
