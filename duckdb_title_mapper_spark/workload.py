@@ -22052,6 +22052,131 @@ def x_shapley_attribution(spark, sf_dir):
     return spark.sql(_shapley_final_sql("__shap_v"))
 
 
+_FD_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderpriority")
+
+
+def _fd_discovery_sql() -> str:
+    """Functional-dependency discovery at lattice level 1 (the TANE /
+    FDEP profiling pass; the FUNCTIONAL counterpart of
+    x_fk_discovery's inclusion dependencies): A -> B holds iff
+    |distinct A| = |distinct (A, B)|, each candidate two exact counts
+    over the distinct-pair projection; violations = the surplus pair
+    count (extra B-values some A carries).  All 20 ordered pairs over
+    5 orders columns in one UNION of grouped aggregates — at 100 TB
+    each arm is a partial-agg scan; real profilers batch arms per
+    scan, which Spark's shared-scan reuse approximates.  All BIGINT;
+    shared-dialect text."""
+    arms = []
+    for a in _FD_COLS:
+        for b in _FD_COLS:
+            if a == b:
+                continue
+            arms.append(f"""SELECT '{a}' AS det, '{b}' AS dep,
+             CAST(count(DISTINCT {a}) AS BIGINT) AS n_det,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM (SELECT DISTINCT {a}, {b} FROM orders) d_{a}_{b}""")
+    union = "\n      UNION ALL ".join(arms)
+    return f"""SELECT det, dep, n_det, n_pairs,
+           CAST(CASE WHEN n_pairs = n_det THEN 1 ELSE 0 END AS BIGINT)
+             AS holds,
+           n_pairs - n_det AS violations
+    FROM ({union}) t"""
+
+
+@_q(
+    "x_fd_discovery",
+    _fd_discovery_sql(),
+    "Functional-dependency discovery at lattice level 1 over the "
+    "orders columns: A -> B holds iff count(DISTINCT A) = "
+    "count(DISTINCT (A, B)), each candidate two exact counts over "
+    "the distinct-pair projection, violations = the surplus pair "
+    "count — the schema-profiling pass (TANE/FDEP level 1) that "
+    "complements x_fk_discovery's inclusion dependencies.  20 "
+    "ordered pairs in one union of partial-agg scans.  All BIGINT.",
+)
+def x_fd_discovery(spark, sf_dir):
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_fd_discovery_sql())
+
+
+def _diff_in_diff_sql(spark_dialect: bool) -> str:
+    """Difference-in-differences in EXACT RATIONALS: treatment =
+    user_id parity (the deterministic assignment an A/B platform
+    ships), period = first vs second half of the event-time range
+    (integer midpoint via nonneg idiv), outcome = integer event-value
+    cents (STRING-route quantized — value is DOUBLE; the direct
+    DOUBLE->DECIMAL cast is the documented cross-engine hazard).  The
+    DiD estimate (ybar_t1 - ybar_t0) - (ybar_c1 - ybar_c0) is emitted
+    as TWO exact per-arm rationals (dt_num/dt_den, dc_num/dc_den) —
+    a single fully-cross-multiplied numerator needs sum*n^3 products
+    (~1e21 at sf0.1, past int64; caught by the dual-SF check, the
+    documented value-dependent-overflow class) — plus the declared
+    fixed-point composition did_milli = milli(dt) - milli(dc), each
+    reading SIGN-SPLIT idiv (numerators are signed).  Per-arm
+    products cap at sum*n ~ 3e12: safe.  One partial-agg scan into a
+    4-cell relation."""
+    us = "unix_micros(ts)" if spark_dialect else "epoch_us(ts)"
+    idiv = "div" if spark_dialect else "//"
+
+    def milli(num: str, den: str) -> str:
+        return (f"CASE WHEN {num} >= 0 THEN (({num}) * 1000)"
+                f" {idiv} ({den})"
+                f" ELSE -((-({num})) * 1000) {idiv} ({den}) END")
+
+    dt_num = "s_t1 * n_t0 - s_t0 * n_t1"
+    dc_num = "s_c1 * n_c0 - s_c0 * n_c1"
+    return f"""WITH bounds AS (
+      SELECT min({us}) AS lo, max({us}) AS hi FROM events),
+    cells AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS treated,
+             CASE WHEN {us} >= b.lo + (b.hi - b.lo) {idiv} 2
+                  THEN 1 ELSE 0 END AS post,
+             CAST(sum(CAST(CAST(CAST(value AS STRING)
+                           AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events CROSS JOIN bounds b
+      GROUP BY user_id % 2,
+               CASE WHEN {us} >= b.lo + (b.hi - b.lo) {idiv} 2
+                    THEN 1 ELSE 0 END),
+    w AS (
+      SELECT
+        max(CASE WHEN treated = 1 AND post = 1 THEN s END) AS s_t1,
+        max(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_t1,
+        max(CASE WHEN treated = 1 AND post = 0 THEN s END) AS s_t0,
+        max(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_t0,
+        max(CASE WHEN treated = 0 AND post = 1 THEN s END) AS s_c1,
+        max(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_c1,
+        max(CASE WHEN treated = 0 AND post = 0 THEN s END) AS s_c0,
+        max(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_c0
+      FROM cells)
+    SELECT s_t1, n_t1, s_t0, n_t0, s_c1, n_c1, s_c0, n_c0,
+           {dt_num} AS dt_num, n_t1 * n_t0 AS dt_den,
+           {dc_num} AS dc_num, n_c1 * n_c0 AS dc_den,
+           {milli(dt_num, 'n_t1 * n_t0')}
+             - {milli(dc_num, 'n_c1 * n_c0')} AS did_milli_cents
+    FROM w"""
+
+
+@_q(
+    "x_diff_in_diff",
+    _diff_in_diff_sql(False),
+    "Difference-in-differences in exact rationals: treatment by "
+    "user-id parity, period split at the integer midpoint of the "
+    "event-time range, outcome in STRING-route integer cents; the "
+    "two per-arm deltas emitted as exact cross-multiplied (num, den) "
+    "pairs with a sign-split fixed-point composition "
+    "did_milli = milli(dt) - milli(dc) — the causal-inference member "
+    "of the stats family beside the A/B z-test, SRM, and the exact "
+    "permutation test.  One partial-agg scan into a 4-cell "
+    "relation.  All BIGINT.",
+)
+def x_diff_in_diff(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_diff_in_diff_sql(True))
+
+
 def _mp_uintlen(expr: str) -> str:
     """Encoded length of a minimal msgpack nonnegative int: positive
     fixint / uint8 / uint16 / uint32 / uint64."""

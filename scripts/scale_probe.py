@@ -272,6 +272,8 @@ EXTRA = [
     "x_chi2_independence",
     "stream_assoc_pairs",
     "x_shapley_attribution",
+    "x_fd_discovery",
+    "x_diff_in_diff",
 ]
 
 
