@@ -21211,7 +21211,7 @@ def _node2vec_oracle(steps: int = 4) -> str:
                   ELSE 4 END AS w
       FROM w{t - 1} c
       JOIN redges r ON r.a = c.cur
-      LEFT JOIN (SELECT DISTINCT a, b FROM redges) e
+      LEFT JOIN (SELECT a, b FROM redges) e
         ON e.a = c.prev AND e.b = r.b)""")
         ctes.append(f"""w{t} AS MATERIALIZED (
       SELECT walk_id, frm AS prev, cand AS cur, CAST(w AS BIGINT) AS cls
@@ -21290,7 +21290,10 @@ def x_node2vec_walks(spark, sf_dir):
     )
     rounds = [cur.selectExpr("CAST(1 AS BIGINT) AS step", "walk_id",
                              "cur", "cls")]
-    uedges = redges.select("a", "b").distinct()
+    # redges is already unique on (a, b): pairs are DISTINCT and the
+    # two union arms can never collide (s < d on one side, d > s on
+    # the other) — a DISTINCT here would add an exchange per step
+    uedges = redges.select("a", "b")
     for t in range(2, 5):
         cand = (
             cur.select("walk_id", "prev",
