@@ -789,3 +789,149 @@ def test_shapley_matches_permutation_form(spark):
     assert got == expect
     # efficiency: the sum of scaled values is 24*(v(full) - v(empty))
     assert sum(expect.values()) == 24 * (v(15) - v(0))
+
+
+def _sf001_baskets(spark):
+    import duckdb_title_mapper_spark.workload as w
+
+    sf = "/root/testdata/sf0.001"
+    w.register_views(spark, sf, "lineitem", "part")
+    rows = spark.sql(
+        "SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
+    ).collect()
+    baskets = {}
+    for r in rows:
+        baskets.setdefault(r["ok"], set()).add(r["item"])
+    return baskets
+
+
+def test_assoc_rules_matches_python_replay(spark):
+    """The Apriori lattice + rule scoring must equal a brute-force
+    Python count over the same baskets (semantic lock — the DuckDB
+    oracle shares the SQL shape, this replay does not)."""
+    import itertools
+
+    import duckdb_title_mapper_spark.workload as w
+
+    baskets = _sf001_baskets(spark)
+    n = len(baskets)
+    denom = 400
+
+    def sup(items):
+        return sum(1 for b in baskets.values() if set(items) <= b)
+
+    all_items = sorted({i for b in baskets.values() for i in b})
+    f1 = {i for i in all_items if sup([i]) * denom >= n}
+    f2 = {(a, b) for a, b in itertools.combinations(sorted(f1), 2)
+          if sup([a, b]) * denom >= n}
+    f3 = {}
+    for a, b, c in itertools.combinations(sorted(f1), 3):
+        if ({(a, b), (a, c), (b, c)} <= f2
+                and sup([a, b, c]) * denom >= n):
+            f3[(a, b, c)] = sup([a, b, c])
+    rules = []
+    for (a, b, c), s3 in f3.items():
+        for ant, cons in (((a, b), c), ((a, c), b), ((b, c), a)):
+            sa, sc = sup(list(ant)), sup([cons])
+            rules.append((ant[0], ant[1], cons, s3, sa, sc,
+                          s3 * 1000 // sa, s3 * n * 10000 // (sa * sc)))
+    rules.sort(key=lambda r: (-r[7], -r[3], r[0], r[1], r[2]))
+    expect = rules[:50]
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    got = [tuple(r) for r in core_queries()["x_assoc_rules"]
+           .spark_fn(spark, "/root/testdata/sf0.001").collect()]
+    assert sorted(got) == sorted(expect)
+
+
+def test_sssp_bellman_matches_python_replay(spark):
+    """5-round Bellman-Ford replay over the same weighted edges."""
+    import hashlib
+
+    baskets = _sf001_baskets(spark)  # registers lineitem/part views
+    sf = "/root/testdata/sf0.001"
+    rows = spark.sql(
+        "SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d "
+        "FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+    ).collect()
+
+    def wgt(s, d):
+        h = hashlib.md5(f"{s}:{d}".encode()).hexdigest()[:8]
+        return int(h, 16) % 9 + 1
+
+    edges = []
+    for r in rows:
+        wv = wgt(r["s"], r["d"])
+        edges.append((r["s"], r["d"], wv))
+        edges.append((r["d"], r["s"], wv))
+    nodes = sorted({a for a, _b, _w in edges})
+    INF = 999999
+    dist = {v: INF for v in nodes}
+    dist[min(nodes)] = 0
+    for _ in range(5):
+        nxt = dict(dist)
+        for a, b, wv in edges:
+            if dist[b] < INF and dist[b] + wv < nxt[a]:
+                nxt[a] = min(nxt[a], dist[b] + wv)
+        dist = nxt
+    expect = {}
+    for v, dv in dist.items():
+        c, s = expect.get(dv, (0, 0))
+        expect[dv] = (c + 1, s + v)
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    got = {r["dist"]: (r["n_nodes"], r["node_sum"])
+           for r in core_queries()["x_sssp_bellman"]
+           .spark_fn(spark, sf).collect()}
+    assert got == expect
+
+
+def test_gsp_sequences_matches_python_replay(spark):
+    """Max-gap subsequence supports replayed brute-force per user."""
+    import duckdb_title_mapper_spark.workload as w
+
+    sf = "/root/testdata/sf0.001"
+    w.load(spark, sf, "events").createOrReplaceTempView("events")
+    rows = spark.sql(
+        "SELECT user_id AS u, event_type AS t, unix_micros(ts) AS us "
+        "FROM events").collect()
+    users = {}
+    for r in rows:
+        users.setdefault(r["u"], []).append((r["us"], r["t"]))
+    W, NUM, DEN = w._GSP_W_US, w._GSP_NUM, w._GSP_DEN
+    n_users = len(users)
+    types = sorted({r["t"] for r in rows})
+
+    def holds2(evts, a, b):
+        return any(t1 == a and t2 == b and 0 < u2 - u1 <= W
+                   for u1, t1 in evts for u2, t2 in evts)
+
+    def holds3(evts, a, b, c):
+        for um, tm in evts:
+            if tm != b:
+                continue
+            if (any(t == a and 0 < um - u <= W for u, t in evts)
+                    and any(t == c and 0 < u - um <= W
+                            for u, t in evts)):
+                return True
+        return False
+
+    sup2 = {(a, b): sum(holds2(e, a, b) for e in users.values())
+            for a in types for b in types}
+    f2 = {k: v for k, v in sup2.items() if v * DEN >= NUM * n_users}
+    expect = {(2, a, b, None): v for (a, b), v in f2.items()}
+    cand3 = {(a, b, c)
+             for (a, b) in f2 for (b2, c) in f2 if b == b2
+             and (a, c) in f2}
+    for a, b, c in cand3:
+        s = sum(holds3(e, a, b, c) for e in users.values())
+        if s * DEN >= NUM * n_users:
+            expect[(3, a, b, c)] = s
+    from duckdb_title_mapper_spark.workload import core_queries
+
+    got = {(r["lvl"], r["e1"], r["e2"], r["e3"]): r["sup"]
+           for r in core_queries()["x_gsp_sequences"]
+           .spark_fn(spark, sf).collect()}
+    assert got == expect
