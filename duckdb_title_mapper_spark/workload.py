@@ -22180,6 +22180,87 @@ def x_diff_in_diff(spark, sf_dir):
     return spark.sql(_diff_in_diff_sql(True))
 
 
+def _bootstrap_ci_sql(spark_dialect: bool, reps: int = 200,
+                      pool: int = 48) -> str:
+    """Derandomized bootstrap confidence interval for the mean hourly
+    event volume: B = 200 resamples of the 48-hour pool, each index
+    drawn by the md5 portable hash (H(rep:i) % n + 1 — with
+    replacement, exactly the bootstrap resampling law but
+    deterministic), replicate SUMS kept as exact integers (the mean
+    is sum/48, a fixed denominator, so ordering sums IS ordering
+    means), and the 2.5% / 97.5% percentile bounds read off by
+    row_number over the replicate sums (ties broken by replicate id —
+    a total key).  Emits lo/hi replicate sums, the point-estimate
+    sum, and fixed-point milli means (nonneg idiv).  Plan: the pool
+    is value-domain-sized; replicates are a 200 x 48 generated
+    relation joined once against the pool — broadcast-sized at any
+    data scale."""
+    us = "unix_micros(ts)" if spark_dialect else "epoch_us(ts)"
+    idiv = "div" if spark_dialect else "//"
+    if spark_dialect:
+        gen_r = f"explode(sequence(1, {reps}))"
+        gen_i = f"explode(sequence(1, {pool}))"
+        h = ("CAST(conv(substr(md5(concat(CAST(r AS STRING), ':', "
+             "CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+    else:
+        gen_r = f"unnest(generate_series(1, {reps}))"
+        gen_i = f"unnest(generate_series(1, {pool}))"
+        h = ("(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || "
+             "CAST(i AS VARCHAR)), 1, 8))::BIGINT)")
+    mat = "" if spark_dialect else "MATERIALIZED "
+    lo_rk, hi_rk = reps * 25 // 1000 + 1, reps * 975 // 1000
+    return f"""WITH hourly AS (
+      SELECT {us} {idiv} 3600000000 AS hh,
+             CAST(count(*) AS BIGINT) AS vol
+      FROM events GROUP BY {us} {idiv} 3600000000),
+    pool AS {mat}(
+      SELECT CAST(row_number() OVER (ORDER BY hh) AS BIGINT) AS i,
+             vol
+      FROM hourly
+      ORDER BY hh LIMIT {pool}),
+    draws AS (
+      SELECT r, {h} % {pool} + 1 AS pick
+      FROM (SELECT {gen_r} AS r) rr
+      CROSS JOIN (SELECT {gen_i} AS i) ii),
+    sums AS (
+      SELECT d.r, CAST(sum(p.vol) AS BIGINT) AS s
+      FROM draws d JOIN pool p ON p.i = d.pick
+      GROUP BY d.r),
+    ranked AS (
+      SELECT r, s,
+             CAST(row_number() OVER (ORDER BY s ASC, r ASC)
+                  AS BIGINT) AS rk
+      FROM sums),
+    pt AS (SELECT CAST(sum(vol) AS BIGINT) AS s0 FROM pool)
+    SELECT lo.s AS lo_sum, hi.s AS hi_sum, pt.s0 AS point_sum,
+           (lo.s * 1000) {idiv} {pool} AS lo_mean_milli,
+           (hi.s * 1000) {idiv} {pool} AS hi_mean_milli,
+           (pt.s0 * 1000) {idiv} {pool} AS point_mean_milli,
+           CAST({reps} AS BIGINT) AS n_reps
+    FROM (SELECT s FROM ranked WHERE rk = {lo_rk}) lo
+    CROSS JOIN (SELECT s FROM ranked WHERE rk = {hi_rk}) hi
+    CROSS JOIN pt"""
+
+
+@_q(
+    "x_bootstrap_ci",
+    _bootstrap_ci_sql(False),
+    "Derandomized bootstrap 95% confidence interval for the mean "
+    "hourly event volume (Efron 1979, with the uniform draw replaced "
+    "by the md5 portable hash — with-replacement resampling made "
+    "engine-exact): 200 replicates over the 48-hour pool, replicate "
+    "sums as exact integers (fixed denominator, so sum order IS mean "
+    "order), percentile bounds by row_number with a total key.  The "
+    "resampling member of the stats family beside the exact "
+    "permutation test (enumeration), Wilson interval (closed form), "
+    "and the A/B z-test.  The 200x48 draw relation is generated, "
+    "broadcast-sized at any data scale.  All BIGINT.",
+)
+def x_bootstrap_ci(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_bootstrap_ci_sql(True))
+
+
 def _mp_uintlen(expr: str) -> str:
     """Encoded length of a minimal msgpack nonnegative int: positive
     fixint / uint8 / uint16 / uint32 / uint64."""

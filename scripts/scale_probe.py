@@ -274,6 +274,7 @@ EXTRA = [
     "x_shapley_attribution",
     "x_fd_discovery",
     "x_diff_in_diff",
+    "x_bootstrap_ci",
 ]
 
 
