@@ -22261,6 +22261,73 @@ def x_bootstrap_ci(spark, sf_dir):
     return spark.sql(_bootstrap_ci_sql(True))
 
 
+def _mann_kendall_sql(spark_dialect: bool, pool: int = 48) -> str:
+    """Mann-Kendall trend test, fully integer: S = sum of
+    sign(vol_j - vol_i) over time-ordered pairs of the first 48
+    hourly volumes per event type; the ties-corrected variance kept
+    as var18 = 18*Var(S) = n(n-1)(2n+5) - sum_t t(t-1)(2t+5) (exact
+    integer); and the 95% two-sided significance verdict decided by
+    cross-multiplication — |z| >= 1.96 iff (|S|-1)^2 * 18 * 10000 >=
+    38416 * var18 (1.96^2 = 38416/10000 exactly) — so the verdict
+    never touches a square root.  The significance twin of
+    x_theil_sen_trend's slope estimate.  Pairs are C(48,2) per type:
+    value-domain-sized."""
+    us = "unix_micros(ts)" if spark_dialect else "epoch_us(ts)"
+    idiv = "div" if spark_dialect else "//"
+    mat = "" if spark_dialect else "MATERIALIZED "
+    return f"""WITH hourly AS (
+      SELECT event_type, {us} {idiv} 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS vol
+      FROM events GROUP BY event_type, {us} {idiv} 3600000000),
+    pool AS {mat}(
+      SELECT event_type, vol,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY h) AS BIGINT) AS i
+      FROM hourly),
+    p AS {mat}(SELECT event_type, vol, i FROM pool WHERE i <= {pool}),
+    s AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.vol > a.vol THEN 1
+                           WHEN b.vol < a.vol THEN -1
+                           ELSE 0 END) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM p a JOIN p b
+        ON a.event_type = b.event_type AND a.i < b.i
+      GROUP BY a.event_type),
+    ties AS (
+      SELECT event_type,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_adj,
+             CAST(sum(t) AS BIGINT) AS n
+      FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS t
+            FROM p GROUP BY event_type, vol) g
+      GROUP BY event_type)
+    SELECT s.event_type, s.s, s.n_pairs, t.n,
+           t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_adj AS var18,
+           CAST(CASE WHEN abs(s.s) >= 1
+                 AND (abs(s.s) - 1) * (abs(s.s) - 1) * 180000
+                     >= 38416 * (t.n * (t.n - 1) * (2 * t.n + 5)
+                                 - t.tie_adj)
+                THEN 1 ELSE 0 END AS BIGINT) AS significant_95
+    FROM s JOIN ties t ON t.event_type = s.event_type"""
+
+
+@_q(
+    "x_mann_kendall",
+    _mann_kendall_sql(False),
+    "Mann-Kendall trend test over the first 48 hourly volumes per "
+    "event type, fully integer: pairwise sign sum S, ties-corrected "
+    "variance as var18 = 18*Var(S), and the 95% significance verdict "
+    "by cross-multiplication ((|S|-1)^2 * 18 * 10000 >= 38416 * "
+    "var18 — 1.96^2 exactly as a rational), so the decision never "
+    "touches a square root.  The significance twin of the Theil-Sen "
+    "robust slope.  C(48,2) pairs per type: value-domain-sized.  "
+    "All BIGINT.",
+)
+def x_mann_kendall(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_mann_kendall_sql(True))
+
+
 def _mp_uintlen(expr: str) -> str:
     """Encoded length of a minimal msgpack nonnegative int: positive
     fixint / uint8 / uint16 / uint32 / uint64."""

@@ -275,6 +275,7 @@ EXTRA = [
     "x_fd_discovery",
     "x_diff_in_diff",
     "x_bootstrap_ci",
+    "x_mann_kendall",
 ]
 
 
