@@ -1463,3 +1463,139 @@ def assoc_pairs_stream(spark, sf_dir: str, parts: int = 4):
                     "CAST((sup * 1000) div n_baskets AS BIGINT)"
                     " AS support_pm")
     )
+
+
+def _stage_events_by_hour(spark, sf_dir: str, parts: int = 4) -> str:
+    """Stage event rows as ``parts`` HOUR-ALIGNED time-contiguous
+    parquet slices: slice = quartile of the absolute hour index, so
+    every (type, hour) cell lands whole in exactly one micro-batch
+    and per-type hours arrive in time order across batches — the
+    alignment an incremental hourly-rollup consumer needs (an
+    event-time quantile split can cut an hour in half)."""
+    import hashlib
+
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    d = f"/tmp/duckdb_title_mapper_spark_stream/{tag}_hourly{parts}"
+    done = f"{d}/.staged"
+    if os.path.exists(done):
+        return d
+
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).selectExpr(
+        "event_type", "unix_micros(ts) div 3600000000 AS h")
+    ev.createOrReplaceTempView("__stage_ev_hourly")
+    sliced_all = spark.sql(f"""
+      SELECT event_type, h,
+             CAST(((h - mn) * {parts}) div (mx - mn + 1) AS INT)
+               AS slice
+      FROM __stage_ev_hourly
+      CROSS JOIN (SELECT min(h) AS mn, max(h) AS mx
+                  FROM __stage_ev_hourly) b""")
+    os.makedirs(d, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    staged_rows = 0
+    for p in range(parts):
+        sliced = sliced_all.where(F.col("slice") == p).select(
+            "event_type", "h")
+        staged_rows += sliced.count()
+        (sliced.coalesce(1).write.mode("overwrite")
+         .parquet(f"{d}/_build_{p}"))
+        part_file = next(
+            f for f in os.listdir(f"{d}/_build_{p}")
+            if f.endswith(".parquet"))
+        os.replace(f"{d}/_build_{p}/{part_file}",
+                   f"{d}/slice_{p}.parquet")
+        shutil.rmtree(f"{d}/_build_{p}", ignore_errors=True)
+    import time as _time
+
+    base = _time.time()
+    for p in range(parts):
+        os.utime(f"{d}/slice_{p}.parquet", (base + p, base + p))
+    total = ev.count()
+    if staged_rows != total:
+        raise AssertionError(
+            f"hourly staging lost rows: staged {staged_rows} of {total}")
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+def holt_stream(spark, sf_dir: str, parts: int = 4, pool: int = 48):
+    """STREAMING Holt linear smoothing (x_holt_linear's stateful
+    twin, certifying the iterative recursion across the
+    batch/streaming boundary the way stream_queue_wait certifies the
+    Lindley fold): hour-aligned time-contiguous slices replay the
+    event firehose, an ``applyInPandasWithState`` operator keyed by
+    event_type carries (hours_seen, level_s3, trend_s3) and folds the
+    integer Holt recursion l = tdiv(y*1000 + 3*(l+b), 4),
+    b = tdiv((l'-l) + 7*b, 8) over each batch's hourly counts in hour
+    order, freezing after the first ``pool`` per-type hours; the
+    final update per type must hash-match the batch recursive CTE at
+    i = 48.  Constant-width per-type state; at 100 TB this is the
+    live trend monitor beside the batch fit."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src_dir = _stage_events_by_hour(spark, sf_dir, parts)
+
+    state_schema = "i BIGINT, l BIGINT, b BIGINT"
+    out_schema = ("event_type STRING, at_hour BIGINT, "
+                  "level_s3 BIGINT, trend_s3 BIGINT, "
+                  "forecast_s3 BIGINT")
+
+    def tdiv(n, d):
+        return n // d if n >= 0 else -((-n) // d)
+
+    def fold(key, pdf_iter, state):
+        (event_type,) = key
+        i, l, b = state.get if state.exists else (0, 0, 0)
+        counts = {}
+        for pdf in pdf_iter:
+            for h in pdf["h"]:
+                counts[int(h)] = counts.get(int(h), 0) + 1
+        for h in sorted(counts):
+            if i >= pool:
+                break
+            vol = counts[h]
+            i += 1
+            if i == 1:
+                l, b = vol * 1000, 0
+            else:
+                l_next = tdiv(vol * 1000 + 3 * (l + b), 4)
+                b = tdiv((l_next - l) + 7 * b, 8)
+                l = l_next
+        state.update((i, l, b))
+        yield pd.DataFrame([{
+            "event_type": event_type, "at_hour": i,
+            "level_s3": l, "trend_s3": b, "forecast_s3": l + b,
+        }])
+
+    raw = (
+        spark.readStream.schema("event_type STRING, h BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    updates = raw.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    from .windows import run_to_memory
+
+    mem = run_to_memory(updates, mode="update")
+    from pyspark.sql.window import Window
+
+    w = F.row_number().over(
+        Window.partitionBy("event_type")
+        .orderBy(F.col("at_hour").desc()))
+    return (
+        mem.withColumn("rk", w).where(F.col("rk") == 1)
+        .select("event_type", "at_hour", "level_s3", "trend_s3",
+                "forecast_s3")
+    )

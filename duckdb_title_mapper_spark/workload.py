@@ -22328,6 +22328,33 @@ def x_mann_kendall(spark, sf_dir):
     return spark.sql(_mann_kendall_sql(True))
 
 
+def _stream_holt_oracle(pool: int = 48) -> str:
+    rec = _holt_oracle(pool)
+    return (f"SELECT event_type, at_hour, level_s3, trend_s3,"
+            f" forecast_s3 FROM (\n{rec}\n) h WHERE at_hour = {pool}")
+
+
+@_q(
+    "stream_holt",
+    _stream_holt_oracle(),
+    "STREAMING Holt linear smoothing (x_holt_linear's stateful twin "
+    "— the iterative-recursion analogue of stream_queue_wait's "
+    "Lindley certification): hour-aligned time-contiguous slices "
+    "replay the firehose, applyInPandasWithState keyed by event_type "
+    "carries (hours_seen, level_s3, trend_s3) and folds the integer "
+    "Holt recursion over each batch's hourly counts in hour order, "
+    "freezing after the first 48 per-type hours; the final update "
+    "per type must hash-match the batch recursive CTE at i = 48 — "
+    "an iterative dynamical system and its native-recursion closed "
+    "form certified against each other across the batch/streaming "
+    "boundary.  Constant-width per-type state.  All BIGINT.",
+)
+def stream_holt(spark, sf_dir):
+    from .streaming.sinks import holt_stream
+
+    return holt_stream(spark, sf_dir)
+
+
 def _mp_uintlen(expr: str) -> str:
     """Encoded length of a minimal msgpack nonnegative int: positive
     fixint / uint8 / uint16 / uint32 / uint64."""

@@ -276,6 +276,7 @@ EXTRA = [
     "x_diff_in_diff",
     "x_bootstrap_ci",
     "x_mann_kendall",
+    "stream_holt",
 ]
 
 
