@@ -344,6 +344,7 @@ EXTRA = [
     "x_bootstrap_ci",
     "x_mann_kendall",
     "stream_holt",
+    "x_cuped_adjustment",
 ]
 
 

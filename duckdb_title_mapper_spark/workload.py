@@ -22355,6 +22355,101 @@ def stream_holt(spark, sf_dir):
     return holt_stream(spark, sf_dir)
 
 
+def _cuped_sql(spark_dialect: bool, panel: int = 256) -> str:
+    """CUPED variance-reduced experiment readout (Deng et al.,
+    WSDM'13) in exact integers: per panel user (the first 256
+    user_ids — a fixed panel bounds every cross-product inside
+    int64; the unbounded covN*1000 product overflows at sf0.1, the
+    x_diff_in_diff lesson applied up front), X = pre-period and
+    Y = post-period event-value cents (STRING-route quantized),
+    treatment by user parity.  theta = Cov(X,Y)/Var(X) kept as the
+    exact integer pair (covN, varN) = (n*Sxy - Sx*Sy, n*Sxx - Sx^2),
+    read at milli precision by SIGN-SPLIT idiv; arm mean differences
+    as exact cross-multiplied rationals read at micro precision; the
+    adjusted effect is the DECLARED fixed-point composition
+    adj_micro = dy_micro - tdiv(theta_milli * dx_micro, 1000).
+    Every reading deterministic integer arithmetic — engine-exact.
+    Plan: one partial-agg scan to per-user (x, y), one 4-scalar
+    reduce."""
+    us = "unix_micros(ts)" if spark_dialect else "epoch_us(ts)"
+    idiv = "div" if spark_dialect else "//"
+
+    def ssplit(num: str, den: str) -> str:
+        return (f"CASE WHEN {num} >= 0 THEN ({num}) {idiv} ({den})"
+                f" ELSE -((-({num})) {idiv} ({den})) END")
+
+    cents = ("CAST(CAST(CAST(value AS STRING) AS DECIMAL(18,2)) * 100"
+             " AS BIGINT)")
+    theta = ssplit("covn * 1000", "varn")
+    dy = ssplit("(sy_t * n_c - sy_c * n_t) * 1000000", "n_t * n_c")
+    dx = ssplit("(sx_t * n_c - sx_c * n_t) * 1000000", "n_t * n_c")
+    return f"""WITH bounds AS (
+      SELECT min({us}) AS lo, max({us}) AS hi FROM events),
+    per_user AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS treated,
+             CAST(sum(CASE WHEN {us} <
+                           b.lo + (b.hi - b.lo) {idiv} 2
+                      THEN {cents} ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN {us} >=
+                           b.lo + (b.hi - b.lo) {idiv} 2
+                      THEN {cents} ELSE 0 END) AS BIGINT) AS y
+      FROM events CROSS JOIN bounds b
+      WHERE user_id < {panel}
+      GROUP BY user_id),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN treated = 1 THEN x ELSE 0 END)
+                  AS BIGINT) AS sx_t,
+             CAST(sum(CASE WHEN treated = 0 THEN x ELSE 0 END)
+                  AS BIGINT) AS sx_c,
+             CAST(sum(CASE WHEN treated = 1 THEN y ELSE 0 END)
+                  AS BIGINT) AS sy_t,
+             CAST(sum(CASE WHEN treated = 0 THEN y ELSE 0 END)
+                  AS BIGINT) AS sy_c
+      FROM per_user),
+    r AS (
+      SELECT n, n_t, n_c,
+             n * sxy - sx * sy AS covn,
+             n * sxx - sx * sx AS varn,
+             sx_t, sx_c, sy_t, sy_c
+      FROM st)
+    SELECT n, n_t, n_c, covn, varn,
+           {theta} AS theta_milli,
+           {dy} AS dy_micro,
+           {dx} AS dx_micro,
+           ({dy}) - {ssplit(f"({theta}) * ({dx})", "1000")}
+             AS adj_micro
+    FROM r"""
+
+
+@_q(
+    "x_cuped_adjustment",
+    _cuped_sql(False),
+    "CUPED variance-reduced experiment readout over a fixed 256-user "
+    "panel: pre-period X and post-period Y in STRING-route cents, "
+    "theta = Cov(X,Y)/Var(X) as the exact integer pair (covN, varN) "
+    "with sign-split milli reading, arm mean differences as exact "
+    "cross-multiplied rationals at micro precision, and the declared "
+    "fixed-point composition adj = dy - tdiv(theta * dx, 1000) — "
+    "the variance-reduction member of the experimentation family "
+    "beside the A/B z-test, SRM, DiD, bootstrap CI, and the exact "
+    "permutation test.  The panel bound keeps every cross-product "
+    "inside int64 (the DiD overflow lesson applied up front).  One "
+    "partial-agg scan to per-user (x, y).  All BIGINT.",
+)
+def x_cuped_adjustment(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cuped_sql(True))
+
+
 def _mp_uintlen(expr: str) -> str:
     """Encoded length of a minimal msgpack nonnegative int: positive
     fixint / uint8 / uint16 / uint32 / uint64."""

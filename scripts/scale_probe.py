@@ -277,6 +277,7 @@ EXTRA = [
     "x_bootstrap_ci",
     "x_mann_kendall",
     "stream_holt",
+    "x_cuped_adjustment",
 ]
 
 
