@@ -935,3 +935,71 @@ def test_gsp_sequences_matches_python_replay(spark):
            for r in core_queries()["x_gsp_sequences"]
            .spark_fn(spark, sf).collect()}
     assert got == expect
+
+
+def test_bootstrap_ci_matches_python_replay(spark):
+    """The hash resampling, replicate sums, and percentile picks must
+    equal a direct Python replay of the declared law."""
+    import hashlib
+
+    import duckdb_title_mapper_spark.workload as w
+
+    sf = "/root/testdata/sf0.001"
+    w.load(spark, sf, "events").createOrReplaceTempView("events")
+    pool = [r["vol"] for r in spark.sql(
+        "WITH hourly AS (SELECT unix_micros(ts) div 3600000000 AS hh,"
+        " CAST(count(*) AS BIGINT) AS vol FROM events GROUP BY 1)"
+        " SELECT vol FROM hourly ORDER BY hh LIMIT 48").collect()]
+    n, reps = len(pool), 200
+
+    def h(r, i):
+        return int(hashlib.md5(f"{r}:{i}".encode()).hexdigest()[:8],
+                   16)
+
+    sums = sorted(
+        (sum(pool[h(r, i) % n] for i in range(1, n + 1)), r)
+        for r in range(1, reps + 1))
+    lo, hi = sums[reps * 25 // 1000][0], sums[reps * 975 // 1000 - 1][0]
+    got = w.core_queries()["x_bootstrap_ci"].spark_fn(spark, sf) \
+        .collect()[0]
+    assert (got["lo_sum"], got["hi_sum"]) == (lo, hi)
+    assert got["point_sum"] == sum(pool)
+
+
+def test_mann_kendall_matches_python_replay(spark):
+    """S, the ties-corrected variance, and the cross-multiplied
+    significance verdict replayed directly."""
+    from collections import Counter
+
+    import duckdb_title_mapper_spark.workload as w
+
+    sf = "/root/testdata/sf0.001"
+    w.load(spark, sf, "events").createOrReplaceTempView("events")
+    rows = spark.sql(
+        "WITH hourly AS (SELECT event_type,"
+        " unix_micros(ts) div 3600000000 AS h,"
+        " CAST(count(*) AS BIGINT) AS vol FROM events GROUP BY 1, 2),"
+        " p AS (SELECT event_type, vol, row_number() OVER"
+        " (PARTITION BY event_type ORDER BY h) AS i FROM hourly)"
+        " SELECT event_type, vol, i FROM p WHERE i <= 48").collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append((r["i"], r["vol"]))
+    expect = {}
+    for et, pts in series.items():
+        vols = [v for _i, v in sorted(pts)]
+        n = len(vols)
+        s = sum((vols[j] > vols[i]) - (vols[j] < vols[i])
+                for i in range(n) for j in range(i + 1, n))
+        ties = Counter(vols)
+        var18 = (n * (n - 1) * (2 * n + 5)
+                 - sum(t * (t - 1) * (2 * t + 5)
+                       for t in ties.values()))
+        sig = 1 if (abs(s) >= 1
+                    and (abs(s) - 1) ** 2 * 180000 >= 38416 * var18) \
+            else 0
+        expect[et] = (s, var18, sig)
+    got = {r["event_type"]: (r["s"], r["var18"], r["significant_95"])
+           for r in w.core_queries()["x_mann_kendall"]
+           .spark_fn(spark, sf).collect()}
+    assert got == expect
