@@ -345,6 +345,7 @@ EXTRA = [
     "x_mann_kendall",
     "stream_holt",
     "x_cuped_adjustment",
+    "x_conformal_interval",
 ]
 
 

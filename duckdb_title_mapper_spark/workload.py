@@ -22450,6 +22450,83 @@ def x_cuped_adjustment(spark, sf_dir):
     return spark.sql(_cuped_sql(True))
 
 
+def _conformal_sql(spark_dialect: bool) -> str:
+    """Split-conformal prediction interval (Vovk et al.; the
+    distribution-free ML-ops guarantee) for the seasonal-naive
+    hourly forecaster, fully integer: per event type, forecast
+    yhat_i = y_{i-24} on the dense hour index; nonconformity scores
+    |y - yhat| on the CALIBRATION half (hours 25 .. 24+(n-24)/2);
+    q_hat = the ceil((n_cal+1)*0.9)-th smallest score (the
+    finite-sample-valid 90% pick, ceil via idiv identity
+    (a+b-1)/b on nonnegatives); empirical coverage on the held-out
+    test half as an exact permille.  Scores, ranks, the quantile
+    pick, and coverage counts are all integers — engine-exact.
+    Plan: one hourly rollup, one 24-lag window, one rank window per
+    type over calibration scores (value-domain-sized)."""
+    us = "unix_micros(ts)" if spark_dialect else "epoch_us(ts)"
+    idiv = "div" if spark_dialect else "//"
+    mat = "" if spark_dialect else "MATERIALIZED "
+    return f"""WITH hourly AS (
+      SELECT event_type, {us} {idiv} 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS vol
+      FROM events GROUP BY event_type, {us} {idiv} 3600000000),
+    ser AS (
+      SELECT event_type, vol,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY h) AS BIGINT) AS i
+      FROM hourly),
+    scored AS {mat}(
+      SELECT event_type, i, vol,
+             abs(vol - lag(vol, 24) OVER (PARTITION BY event_type
+                                          ORDER BY i)) AS score,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n
+      FROM ser),
+    marked AS {mat}(
+      SELECT event_type, i, score, n,
+             24 + (n - 24) {idiv} 2 AS cal_end
+      FROM scored WHERE i > 24),
+    qpick AS (
+      SELECT event_type, CAST(score AS BIGINT) AS q_hat,
+             n_cal
+      FROM (SELECT event_type, score,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                        ORDER BY score ASC, i ASC) AS BIGINT) AS rk,
+                   CAST(count(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n_cal
+            FROM marked WHERE i <= cal_end) r
+      WHERE rk = ((n_cal + 1) * 9 + 9) {idiv} 10),
+    cov AS (
+      SELECT m.event_type,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(count(CASE WHEN m.score <= q.q_hat THEN 1 END)
+                  AS BIGINT) AS covered,
+             q.q_hat, q.n_cal
+      FROM marked m JOIN qpick q ON q.event_type = m.event_type
+      WHERE m.i > m.cal_end
+      GROUP BY m.event_type, q.q_hat, q.n_cal)
+    SELECT event_type, n_cal, n_test, q_hat, covered,
+           (covered * 1000) {idiv} n_test AS coverage_pm
+    FROM cov"""
+
+
+@_q(
+    "x_conformal_interval",
+    _conformal_sql(False),
+    "Split-conformal 90% prediction interval for the seasonal-naive "
+    "hourly forecaster, fully integer: nonconformity scores "
+    "|y - y_{t-24}| on the calibration half, the finite-sample-valid "
+    "ceil((n_cal+1)*0.9) quantile pick by rank window, and held-out "
+    "empirical coverage in exact permille — the distribution-free "
+    "ML-ops guarantee beside the bootstrap CI (resampling) and "
+    "Wilson interval (parametric).  One hourly rollup + lag window "
+    "+ one rank window per type; value-domain-sized.  All BIGINT.",
+)
+def x_conformal_interval(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_conformal_sql(True))
+
+
 def _mp_uintlen(expr: str) -> str:
     """Encoded length of a minimal msgpack nonnegative int: positive
     fixint / uint8 / uint16 / uint32 / uint64."""
