@@ -22527,6 +22527,142 @@ def x_conformal_interval(spark, sf_dir):
     return spark.sql(_conformal_sql(True))
 
 
+def _diameter_sweep_oracle(rounds: int = 4, inf: int = 999) -> str:
+    """Double-BFS pseudo-diameter (the Magnien/corner-BFS sweep):
+    phase 1 BFS from the min vertex, pick the farthest REACHED vertex
+    (max finite dist, tie min node) — selected IN-PLAN as a 1-row
+    relation, never a driver collect — then phase 2 BFS from it; the
+    max finite phase-2 distance is the diameter lower bound.  Every
+    round CTE AS MATERIALIZED (two consumers)."""
+    def bfs(tag: str, seed_cte: str) -> list:
+        ctes = [f"""{tag}d0 AS MATERIALIZED (
+      SELECT t.a AS node,
+             CASE WHEN t.a = s.sv THEN CAST(0 AS BIGINT)
+                  ELSE CAST({inf} AS BIGINT) END AS dist
+      FROM (SELECT DISTINCT a FROM edges) t CROSS JOIN {seed_cte} s)"""]
+        for r in range(1, rounds + 1):
+            ctes.append(f"""{tag}d{r} AS MATERIALIZED (
+      SELECT p.node,
+             least(p.dist, coalesce(n.nd, CAST({inf} AS BIGINT)))
+               AS dist
+      FROM {tag}d{r - 1} p
+      LEFT JOIN (SELECT e.a AS node,
+                        CAST(min(x.dist) + 1 AS BIGINT) AS nd
+                 FROM edges e JOIN {tag}d{r - 1} x ON x.node = e.b
+                 GROUP BY e.a) n ON n.node = p.node)""")
+        return ctes
+
+    ctes = [
+        """pairs AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+        """edges AS MATERIALIZED (
+      SELECT s AS a, d AS b FROM pairs
+      UNION ALL SELECT d AS a, s AS b FROM pairs)""",
+        """seed1 AS (SELECT min(a) AS sv FROM edges)""",
+    ]
+    ctes += bfs("p1", "seed1")
+    ctes.append(f"""seed2 AS MATERIALIZED (
+      SELECT node AS sv FROM p1d{rounds} WHERE dist < {inf}
+      ORDER BY dist DESC, node ASC LIMIT 1)""")
+    ctes += bfs("p2", "seed2")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT (SELECT CAST(sv AS BIGINT) FROM seed1) AS seed1,
+           (SELECT CAST(sv AS BIGINT) FROM seed2) AS far_node,
+           (SELECT CAST(max(dist) AS BIGINT) FROM p1d{rounds}
+            WHERE dist < {inf}) AS far_dist,
+           (SELECT CAST(count(*) AS BIGINT) FROM p1d{rounds}
+            WHERE dist < {inf}) AS n_reached_p1,
+           CAST(max(CASE WHEN dist < {inf} THEN dist END) AS BIGINT)
+             AS diam_lb,
+           CAST(count(CASE WHEN dist < {inf} THEN 1 END) AS BIGINT)
+             AS n_reached_p2
+    FROM p2d{rounds}"""
+    )
+
+
+@_q(
+    "x_graph_diameter_sweep",
+    _diameter_sweep_oracle(),
+    "Double-BFS pseudo-diameter over the shared co-purchase store "
+    "(the corner-BFS sweep a graph profiler runs before choosing "
+    "iteration budgets): phase-1 BFS from the min vertex, the "
+    "farthest reached vertex selected IN-PLAN as a broadcast 1-row "
+    "relation (never a driver collect), phase-2 BFS from it, max "
+    "finite phase-2 distance = the diameter lower bound.  4 fixed "
+    "rounds per phase, pure min-plus integers; rounds materialized "
+    "on both engines.  All BIGINT, single row.",
+)
+def x_graph_diameter_sweep(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .operators.graph import build_copurchase_pairs
+    from .plans.materialize import materialize as _mat
+
+    inf, rounds = 999, 4
+    pairs = build_copurchase_pairs(spark, sf_dir)
+    edges = _mat(
+        pairs.selectExpr("s AS a", "d AS b")
+        .union(pairs.selectExpr("d AS a", "s AS b"))
+    )
+
+    def bfs(seed_df):
+        dist = _mat(
+            edges.select("a").distinct()
+            .crossJoin(F.broadcast(seed_df))
+            .selectExpr(
+                "a AS node",
+                f"CASE WHEN a = sv THEN CAST(0 AS BIGINT) "
+                f"ELSE CAST({inf} AS BIGINT) END AS dist",
+            )
+        )
+        for _ in range(rounds):
+            nbr = (
+                edges.join(dist.selectExpr("node AS nb", "dist AS nd"),
+                           F.col("b") == F.col("nb"))
+                .groupBy("a")
+                .agg((F.min("nd") + 1).cast("bigint").alias("nd1"))
+            )
+            dist = _mat(
+                dist.join(nbr, dist.node == nbr.a, "left")
+                .selectExpr(
+                    "node",
+                    f"least(dist, coalesce(nd1, CAST({inf} AS BIGINT)))"
+                    " AS dist",
+                )
+            )
+        return dist
+
+    seed1 = edges.agg(F.min("a").alias("sv"))
+    d1 = bfs(seed1)
+    seed2 = (
+        d1.where(F.col("dist") < inf)
+        .orderBy(F.col("dist").desc(), F.col("node").asc())
+        .limit(1).selectExpr("node AS sv")
+    )
+    seed2 = _mat(seed2)
+    d2 = bfs(seed2)
+    p1 = d1.where(F.col("dist") < inf).agg(
+        F.max("dist").cast("bigint").alias("far_dist"),
+        F.count("*").cast("bigint").alias("n_reached_p1"))
+    p2 = d2.agg(
+        F.max(F.when(F.col("dist") < inf, F.col("dist")))
+        .cast("bigint").alias("diam_lb"),
+        F.count(F.when(F.col("dist") < inf, 1))
+        .cast("bigint").alias("n_reached_p2"))
+    return (
+        F.broadcast(seed1.selectExpr("CAST(sv AS BIGINT) AS seed1"))
+        .crossJoin(F.broadcast(
+            seed2.selectExpr("CAST(sv AS BIGINT) AS far_node")))
+        .crossJoin(F.broadcast(p1))
+        .crossJoin(p2)
+        .select("seed1", "far_node", "far_dist", "n_reached_p1",
+                "diam_lb", "n_reached_p2")
+    )
+
+
 def _mp_uintlen(expr: str) -> str:
     """Encoded length of a minimal msgpack nonnegative int: positive
     fixint / uint8 / uint16 / uint32 / uint64."""

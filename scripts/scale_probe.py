@@ -279,6 +279,7 @@ EXTRA = [
     "stream_holt",
     "x_cuped_adjustment",
     "x_conformal_interval",
+    "x_graph_diameter_sweep",
 ]
 
 
