@@ -347,6 +347,7 @@ EXTRA = [
     "x_cuped_adjustment",
     "x_conformal_interval",
     "x_graph_diameter_sweep",
+    "x_offpolicy_ips",
 ]
 
 

@@ -22663,6 +22663,77 @@ def x_graph_diameter_sweep(spark, sf_dir):
     )
 
 
+def _offpolicy_ips_sql(spark_dialect: bool) -> str:
+    """Off-policy evaluation of a deterministic target policy on
+    logged bandit feedback via inverse-propensity scoring (Horvitz-
+    Thompson / Li et al. 2011), fully integer: the log is (user,
+    action = event_type, reward = value cents), the logging policy is
+    declared uniform over the 5 actions (propensity exactly 1/5 — the
+    synthetic-log assumption, documented), and the target policy
+    picks per (user, action) the max md5 hash (tie: lexicographic
+    action) — deterministic, engine-exact.  IPS value = 5 * sum of
+    matched rewards / n (one exact rational, milli reading by nonneg
+    idiv); SNIPS = matched-reward mean (constant weights cancel).
+    Emits match counts so the effective sample size is visible.
+    Plan: one partial-agg scan; the policy relation is
+    attribute-cardinality (users x 5) derived map-side."""
+    idiv = "div" if spark_dialect else "//"
+    if spark_dialect:
+        h = ("CAST(conv(substr(md5(concat(CAST(user_id AS STRING), "
+             "':', event_type)), 1, 8), 16, 10) AS BIGINT)")
+    else:
+        h = ("(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' "
+             "|| event_type), 1, 8))::BIGINT)")
+    cents = ("CAST(CAST(CAST(value AS STRING) AS DECIMAL(18,2)) * 100"
+             " AS BIGINT)")
+    mat = "" if spark_dialect else "MATERIALIZED "
+    return f"""WITH logged AS {mat}(
+      SELECT user_id, event_type AS action, {cents} AS r, {h} AS hh
+      FROM events),
+    pol AS {mat}(
+      SELECT user_id, action AS pi_action
+      FROM (SELECT user_id, action,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY hh DESC, action ASC) AS rk
+            FROM (SELECT DISTINCT user_id, action, hh
+                  FROM logged) da) rr
+      WHERE rk = 1),
+    scored AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(CASE WHEN l.action = p.pi_action THEN 1 END)
+                  AS BIGINT) AS n_matched,
+             CAST(sum(CASE WHEN l.action = p.pi_action THEN l.r
+                           ELSE 0 END) AS BIGINT) AS r_matched,
+             CAST(sum(l.r) AS BIGINT) AS r_logged
+      FROM logged l JOIN pol p ON p.user_id = l.user_id)
+    SELECT n, n_matched, r_matched, r_logged,
+           5 * r_matched AS ips_num, n AS ips_den,
+           (5 * r_matched * 1000) {idiv} n AS ips_milli_cents,
+           (r_matched * 1000) {idiv} n_matched AS snips_milli_cents,
+           (r_logged * 1000) {idiv} n AS logged_milli_cents,
+           (n_matched * 1000) {idiv} n AS match_pm
+    FROM scored"""
+
+
+@_q(
+    "x_offpolicy_ips",
+    _offpolicy_ips_sql(False),
+    "Off-policy IPS/SNIPS evaluation of a deterministic hash target "
+    "policy on logged bandit feedback (uniform logging propensity "
+    "1/5 exactly, the synthetic-log assumption): IPS value as the "
+    "exact rational 5*matched-reward/n with a milli reading, SNIPS "
+    "as the matched mean (constant weights cancel), match rate in "
+    "permille for effective-sample-size visibility — the "
+    "counterfactual-eval member of the eval family beside nDCG/MRR/"
+    "AUC (ranking) and the experimentation suite (on-policy).  One "
+    "partial-agg scan + an attribute-cardinality policy relation.  "
+    "All BIGINT.",
+)
+def x_offpolicy_ips(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_offpolicy_ips_sql(True))
+
+
 def _mp_uintlen(expr: str) -> str:
     """Encoded length of a minimal msgpack nonnegative int: positive
     fixint / uint8 / uint16 / uint32 / uint64."""

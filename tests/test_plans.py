@@ -988,3 +988,44 @@ def test_round13_third_wave_plan_shapes(spark):
     # relation, never the diagonal-product windows
     assert "Scan ExistingRDD" in p
     assert "unix_micros" not in p, "mprofile re-derived the dists"
+
+
+def test_round13_fourth_wave_plan_shapes(spark):
+    """Late session-2 ops: the stats/eval family stays pure JVM with
+    partial aggregation and pruned event scans; the diameter sweep's
+    final plan reads only materialized BFS rounds and broadcast
+    1-row seeds; the streaming Holt sink is the stateful
+    applyInPandasWithState shape."""
+    from duckdb_title_mapper_spark.plans import explain_str
+    from duckdb_title_mapper_spark.workload import core_queries as all_queries
+
+    qs = all_queries()
+    ev_cols = {"event_id", "ts", "user_id", "event_type", "value",
+               "props"}
+
+    for name in ("x_chi2_independence", "x_diff_in_diff",
+                 "x_bootstrap_ci", "x_mann_kendall",
+                 "x_cuped_adjustment", "x_conformal_interval",
+                 "x_offpolicy_ips"):
+        df = qs[name].spark_fn(spark, SF)
+        p = explain_str(df)
+        assert "BatchEvalPython" not in p, name
+        assert has_partial_aggregation(df), name
+        assert all(set(s) <= ev_cols
+                   for s in read_schema_columns(df)), (
+            name, read_schema_columns(df))
+
+    fd = qs["x_fd_discovery"].spark_fn(spark, SF)
+    p = explain_str(fd)
+    assert "BatchEvalPython" not in p
+    assert has_partial_aggregation(fd)
+
+    dm = qs["x_graph_diameter_sweep"].spark_fn(spark, SF)
+    p = explain_str(dm)
+    assert "BatchEvalPython" not in p
+    assert "Scan ExistingRDD" in p
+    assert "l_orderkey" not in p, "diameter sweep rebuilt the pair join"
+    # the scalar composition is 1-row broadcast cross joins (no equi
+    # keys, so BroadcastNestedLoopJoin IS the right operator here)
+    from duckdb_title_mapper_spark.plans import explain_str as _es
+    assert _es(dm, "simple").count("BroadcastNestedLoopJoin") >= 3
