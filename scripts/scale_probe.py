@@ -281,6 +281,7 @@ EXTRA = [
     "x_conformal_interval",
     "x_graph_diameter_sweep",
     "x_offpolicy_ips",
+    "x_psm_att",
 ]
 
 
