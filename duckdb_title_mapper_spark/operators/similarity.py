@@ -412,6 +412,31 @@ def cosine_near_dup_pairs_grouped(df, block_col: str = "label",
     )
 
 
+def _seq_sqnorm(m):
+    """Row squared norms accumulated DIMENSION-SEQUENTIALLY: the same
+    IEEE op sequence as embed_dot's index-order fold (acc = acc + x*x,
+    j = 0..d-1), vectorized over rows.  Plain ``(m**2).sum(axis=1)``
+    uses numpy's pairwise summation and drifts ulps vs the fold — the
+    cosine_near_dup_pairs_grouped precedent (r14, VERDICT r13 #5)."""
+    import numpy as np
+
+    out = np.zeros(m.shape[0])
+    for j in range(m.shape[1]):
+        out += m[:, j] * m[:, j]
+    return out
+
+
+def _seq_dot(m, c):
+    """m (n,d) x c (k,d)^T accumulated dimension-sequentially —
+    bit-identical to the SQL index-order fold on both engines."""
+    import numpy as np
+
+    out = np.zeros((m.shape[0], c.shape[0]))
+    for j in range(m.shape[1]):
+        out += np.multiply.outer(m[:, j], c[:, j])
+    return out
+
+
 def ivf_topk(df, k: int = 3, nq: int = 10, n_cells: int = 16,
              nprobe: int = 2, id_col: str = "vec_id",
              vec_col: str = "embedding", adaptive: bool = False):
@@ -422,9 +447,12 @@ def ivf_topk(df, k: int = 3, nq: int = 10, n_cells: int = 16,
     at scale the cell assignment is a map-side broadcast argmin and the
     search is an equi-join on cell id, exactly like a posting-list scan.
 
-    Rows-only in the driver gate (the seed-centroid argmin is not worth
-    a thousand-line SQL oracle; LSH carries the oracle-checked ANN) —
-    recall against brute force is asserted in tests instead.
+    EXACT-ORACLE-CHECKED since r14: every float this produces follows
+    the same IEEE op sequence as the SQL index-order fold (norms and
+    dots via ``_seq_sqnorm``/``_seq_dot``, dimension-sequential), so
+    ``ivf_numpy_twin_oracle_sql`` is a value-exact DuckDB oracle for
+    the full pipeline; recall against brute force stays asserted in
+    tests.
 
     ``adaptive=True`` derives the knobs from corpus size (the IVF
     sizing recipe: n_cells ~ sqrt(n) keeps cell lists ~sqrt(n)-sized so
@@ -442,7 +470,10 @@ def ivf_topk(df, k: int = 3, nq: int = 10, n_cells: int = 16,
     src = df.select(id_col, vec_col)
     if adaptive:
         n = src.count()
-        n_cells = max(4, math.isqrt(n))
+        # floor(sqrt(double)) — NOT math.isqrt — to mirror the oracle's
+        # floor(sqrt(CAST(n AS DOUBLE))); the two differ just below
+        # perfect squares where the double sqrt rounds up
+        n_cells = max(4, int(math.floor(math.sqrt(float(n)))))
         nprobe = max(2, n_cells // 8)
     # seed centroids in ONE job (the r1 form spent a count() + a collect()):
     # order by a content hash of the id — a deterministic pseudo-random
@@ -455,7 +486,7 @@ def ivf_topk(df, k: int = 3, nq: int = 10, n_cells: int = 16,
     cents = np.stack(
         [np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows]
     )
-    cents /= np.sqrt((cents**2).sum(axis=1))[:, None]
+    cents = cents / np.sqrt(_seq_sqnorm(cents))[:, None]
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(cents)
 
@@ -464,8 +495,8 @@ def ivf_topk(df, k: int = 3, nq: int = 10, n_cells: int = 16,
             m = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            m = m / np.sqrt((m**2).sum(axis=1))[:, None]
-            sims = m @ bc.value.T
+            m = m / np.sqrt(_seq_sqnorm(m))[:, None]
+            sims = _seq_dot(m, bc.value)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf[id_col],
@@ -483,8 +514,8 @@ def ivf_topk(df, k: int = 3, nq: int = 10, n_cells: int = 16,
             m = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            m = m / np.sqrt((m**2).sum(axis=1))[:, None]
-            sims = m @ bc.value.T
+            m = m / np.sqrt(_seq_sqnorm(m))[:, None]
+            sims = _seq_dot(m, bc.value)
             # stable sort: equal-similarity cells tie to the lowest index
             order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
             rows = {
@@ -511,7 +542,7 @@ def ivf_topk(df, k: int = 3, nq: int = 10, n_cells: int = 16,
     )
     return (
         cand.withColumn("cosine", F.expr(dot))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
     )
@@ -823,6 +854,52 @@ def ivf_certified(spark, adaptive: bool = False, k: int = 3,
               "par": f"__ivfc_{tag}_par",
               "cents": f"__ivfc_{tag}_cents",
               "queries": f"__ivfc_{tag}_queries"}))
+
+
+def ivf_numpy_twin_oracle_sql(adaptive: bool = False, k: int = 3,
+                              nq: int = 10) -> str:
+    """EXACT DuckDB oracle for the mapInPandas IVF twins ``ivf_topk``
+    (r14 — VERDICT r13 #5).  Valid because the twins' numpy math is
+    dimension-sequential (``_seq_sqnorm``/``_seq_dot``): every float
+    they produce is the same IEEE op sequence as embed_dot's
+    index-order fold, so the full pipeline — md5-seeded centroids,
+    raw-double argmax assignment, top-nprobe probe, cell equi-join,
+    exact-cosine rank — is value-exact across engines.  This is
+    ``ivf_certified_sql`` minus the brute-force certification tail,
+    emitting the twins' (query_id, neighbor_id, rank) shape."""
+    d_uc = embed_dot(False, "u.uvec", "c.cvec")
+    d_qc = embed_dot(False, "q.quvec", "c.cvec")
+    d_pa = embed_dot(False, "p.quvec", "a.uvec")
+    units = f"({_unit_rel_sql(False, 'embeddings')})"
+    par = f"({ivf_certified_par_sql(False, adaptive, 'units')})"
+    cents = f"({ivf_certified_cents_sql(False, 'par')})"
+    queries = (f"(SELECT vec_id AS query_id, uvec AS quvec FROM units"
+               f" WHERE vec_id < {nq})")
+    return f"""WITH units AS MATERIALIZED (SELECT * FROM {units} __cu),
+    par AS MATERIALIZED (SELECT * FROM {par} __cp),
+    cents AS MATERIALIZED (SELECT * FROM {cents} __cc),
+    queries AS MATERIALIZED (SELECT * FROM {queries} __cq),
+    assign AS (
+      SELECT vec_id, cell, uvec FROM (
+        SELECT u.vec_id, c.cell, u.uvec,
+               row_number() OVER (PARTITION BY u.vec_id
+                   ORDER BY {d_uc} DESC, c.cell) AS rk
+        FROM units u CROSS JOIN cents c) r
+      WHERE rk = 1),
+    probe AS (
+      SELECT query_id, quvec, cell FROM (
+        SELECT q.query_id, q.quvec, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {d_qc} DESC, c.cell) AS rk
+        FROM queries q CROSS JOIN cents c) r
+      CROSS JOIN par WHERE rk <= nprobe)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY {d_pa} DESC, a.vec_id) AS rank
+      FROM probe p JOIN assign a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id) t
+    WHERE rank <= {k}"""
 
 
 # ---------------------------------------------------------------------

@@ -889,7 +889,12 @@ def test_sssp_bellman_matches_python_replay(spark):
 
 
 def test_gsp_sequences_matches_python_replay(spark):
-    """Max-gap subsequence supports replayed brute-force per user."""
+    """Max-gap subsequence supports replayed brute-force per user.
+
+    The level-3 candidate set deliberately requires the (a, c)
+    sub-pair to be window-frequent — part of the query's declared
+    spec (see _gsp_f3_sql), NOT an apriori-closure claim (closure
+    fails for non-contiguous subsequences under a max-gap)."""
     import duckdb_title_mapper_spark.workload as w
 
     sf = "/root/testdata/sf0.001"
