@@ -282,6 +282,8 @@ EXTRA = [
     "x_graph_diameter_sweep",
     "x_offpolicy_ips",
     "x_psm_att",
+    # round 14
+    "src_table_log_vacuum",
 ]
 
 

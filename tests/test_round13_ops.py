@@ -365,6 +365,43 @@ def test_delta_log_time_travel_versions():
     assert len(time_travel_manifests("srcT", recs[:2])) == 1
 
 
+def test_delta_log_vacuum_plans():
+    """Retention semantics: h=0 protects tombstones via the
+    pre-compaction snapshot; h=1 makes the merged chunks eligible
+    with their exact byte mass; single-chunk tables never reclaim."""
+    from duckdb_title_mapper_spark.sources.deltalog import (
+        CHUNK,
+        build_log,
+        chunk_path,
+        replay_log,
+        vacuum_plans,
+    )
+
+    recs = [(i, 10 + i % 7) for i in range(CHUNK * 3)]
+    h0, h1 = vacuum_plans("srcV", recs)
+    assert (h0["horizon"], h1["horizon"]) == (0, 1)
+    assert h0["n_snapshots_retained"] == 2
+    assert h1["n_snapshots_retained"] == 1
+    # h=0 references every chunk + the compacted file
+    assert h0["n_files_referenced"] == 4
+    assert h0["n_tombstones"] == 2 and h0["n_eligible"] == 0
+    assert h0["reclaimed_bytes"] == 0
+    # h=1 references live set only; chunks 0-1 become the delete list
+    assert h1["n_files_referenced"] == 2
+    assert h1["n_eligible"] == 2
+    rep0 = replay_log({0: build_log("srcV", recs)[0]})
+    sz01 = (rep0["live"][chunk_path("srcV", 0)]["size"]
+            + rep0["live"][chunk_path("srcV", 1)]["size"])
+    assert h1["reclaimed_bytes"] == sz01
+    # conservation: compaction conserves bytes, so the final horizon's
+    # referenced mass equals the live total
+    assert h1["referenced_bytes"] == h0["referenced_bytes"] - sz01
+    # single-chunk source: one horizon, nothing tombstoned
+    (only,) = vacuum_plans("srcW", recs[:3])
+    assert (only["n_tombstones"], only["n_eligible"],
+            only["reclaimed_bytes"]) == (0, 0, 0)
+
+
 def test_delta_log_replay_rejects_torn_logs():
     """Every framing invariant the replayer claims to validate."""
     import json
