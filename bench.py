@@ -351,6 +351,8 @@ EXTRA = [
     "x_psm_att",
     # round 14
     "src_table_log_vacuum",
+    "x_priority_sample",
+    "x_knn_shapley_value",
 ]
 
 

@@ -1,0 +1,134 @@
+"""Round-14 operators: brute-force python replays of the declared laws
+(the round-13 pattern — every new op's math re-derived independently
+of both SQL dialects)."""
+
+from __future__ import annotations
+
+import hashlib
+
+SF = "/root/testdata/sf0.001"
+
+
+def _md5_32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_priority_sample_matches_python_replay(spark):
+    """Priorities, tau, and the DLT estimator replayed directly from
+    the orders parquet with decimal-exact cents."""
+    from decimal import Decimal
+
+    import duckdb_title_mapper_spark.workload as w
+
+    w.register_views(spark, SF, "orders")
+    rows = spark.sql(
+        "SELECT o_custkey AS c, CAST(CAST(o_totalprice AS STRING)"
+        " AS DECIMAL(18,2)) AS p FROM orders").collect()
+    weights: dict[int, int] = {}
+    for r in rows:
+        weights[r["c"]] = weights.get(r["c"], 0) + int(
+            Decimal(r["p"]) * 100)
+    prios = {
+        c: (wc * 4294967296) // (_md5_32(str(c)) + 1)
+        for c, wc in weights.items()
+    }
+    order = sorted(prios, key=lambda c: (-prios[c], c))
+    k = w._PRIO_K
+    assert len(order) > k, "testdata must exceed the sample size"
+    tau = prios[order[k]]
+    expect = {
+        c: (weights[c], prios[c], i + 1, max(weights[c], tau))
+        for i, c in enumerate(order[:k])
+    }
+    got = {
+        r["custkey"]: (r["w_cents"], r["prio"], r["rk"],
+                       r["est_w_cents"])
+        for r in w.core_queries()["x_priority_sample"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+    one = (w.core_queries()["x_priority_sample"]
+           .spark_fn(spark, SF).collect()[0])
+    assert one["true_total"] == sum(weights.values())
+    assert one["tau"] == tau
+
+
+def test_knn_shapley_matches_python_replay(spark):
+    """The Jia et al. recursion replayed directly (s_N = ind/N;
+    s_j = s_{j+1} + diff*min(K,j)/(K*j)) in the same sign-split
+    micro-unit truncation, ranks from exact float cosines."""
+    import math
+
+    import duckdb_title_mapper_spark.workload as w
+
+    w.register_views(spark, SF, "embeddings")
+    rows = spark.sql(
+        "SELECT vec_id, CAST(label AS BIGINT) AS label, embedding"
+        " FROM embeddings").collect()
+    vecs = {}
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        nrm = math.sqrt(sum(x * x for x in v))
+        vecs[r["vec_id"]] = ([x / nrm for x in v], r["label"])
+    K, NQ, M = w._KNNSHAP_K, w._KNNSHAP_NQ, 1_000_000
+
+    def idiv(num: int, den: int) -> int:
+        return num // den if num >= 0 else -((-num) // den)
+
+    train = sorted(i for i in vecs if i >= NQ)
+    n = len(train)
+    totals: dict[int, int] = {i: 0 for i in train}
+    for t in (i for i in vecs if i < NQ):
+        tu, tl = vecs[t]
+        ranked = sorted(
+            train,
+            key=lambda i: (-sum(a * b for a, b in zip(tu, vecs[i][0])),
+                           i),
+        )
+        ind = [1 if vecs[i][1] == tl else 0 for i in ranked]
+        s = [0] * n
+        s[n - 1] = idiv(ind[n - 1] * M, n)
+        for j in range(n - 1, 0, -1):  # j is 1-based rank of s[j-1]
+            diff = ind[j - 1] - ind[j]
+            s[j - 1] = s[j] + idiv(diff * min(K, j) * M, K * j)
+        for i, sv in zip(ranked, s):
+            totals[i] += sv
+    top = sorted(train, key=lambda i: (-totals[i], i))[:20]
+    expect = {i: totals[i] for i in top}
+    got = {
+        r["train_id"]: r["shapley_micro"]
+        for r in w.core_queries()["x_knn_shapley_value"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+    # efficiency-style sanity: each test point's scores sum to the
+    # (truncated) accuracy mass — every per-test column sums to
+    # ~ind-fraction; here just assert values are bounded by +/- M*NQ
+    assert all(abs(v) <= M * NQ for v in got.values())
+
+
+def test_delta_vacuum_query_matches_replay(spark):
+    """The declared vacuum query's rows equal deltalog.vacuum_plans
+    run directly on the per-source records."""
+    import duckdb_title_mapper_spark.workload as w
+    from duckdb_title_mapper_spark.sources.deltalog import vacuum_plans
+
+    docs = spark.sql(
+        "SELECT source, doc_id, octet_length(text) AS nb FROM "
+        "parquet.`" + SF + "/documents.parquet` ORDER BY doc_id"
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append((r["doc_id"], r["nb"]))
+    expect = []
+    for src in sorted(by_src):
+        expect.extend(
+            tuple(row[c] for c in
+                  ("source", "horizon", "n_snapshots_retained",
+                   "n_files_referenced", "referenced_bytes",
+                   "n_tombstones", "n_eligible", "reclaimed_bytes"))
+            for row in vacuum_plans(src, by_src[src]))
+    got = sorted(
+        tuple(r) for r in w.core_queries()["src_table_log_vacuum"]
+        .spark_fn(spark, SF).collect())
+    assert got == sorted(expect)
