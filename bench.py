@@ -353,6 +353,7 @@ EXTRA = [
     "src_table_log_vacuum",
     "x_priority_sample",
     "x_knn_shapley_value",
+    "x_betweenness_seeded",
 ]
 
 

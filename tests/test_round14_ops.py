@@ -107,6 +107,61 @@ def test_knn_shapley_matches_python_replay(spark):
     assert all(abs(v) <= M * NQ for v in got.values())
 
 
+def test_betweenness_matches_python_replay(spark):
+    """Horizon-bounded Brandes replayed directly: BFS sigma counts,
+    then the backward dependency with the same idiv truncation."""
+    import duckdb_title_mapper_spark.workload as w
+
+    rows = spark.sql(
+        "SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d FROM "
+        f"parquet.`{SF}/lineitem.parquet` a JOIN "
+        f"parquet.`{SF}/lineitem.parquet` b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+    ).collect()
+    adj: dict[int, set] = {}
+    for r in rows:
+        adj.setdefault(r["s"], set()).add(r["d"])
+        adj.setdefault(r["d"], set()).add(r["s"])
+    seeds = sorted(adj)[:w._BC_SEEDS]
+    L, M = w._BC_LAYERS, w._BC_M
+    totals: dict[int, list] = {}
+    for s in seeds:
+        layer = {s: 0}
+        sigma = {s: 1}
+        frontier = [s]
+        for r in range(1, L + 1):
+            nxt: dict[int, int] = {}
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in layer:
+                        nxt[v] = nxt.get(v, 0) + sigma[u]
+            for v, sg in nxt.items():
+                layer[v] = r
+                sigma[v] = sg
+            frontier = sorted(nxt)
+        delta = {v: 0 for v in layer if layer[v] == L}
+        for r in range(L - 1, 0, -1):
+            for v in [x for x in layer if layer[x] == r]:
+                delta[v] = sum(
+                    (sigma[v] * (M + delta[wn])) // sigma[wn]
+                    for wn in adj[v]
+                    if layer.get(wn) == r + 1)
+        for v, dv in delta.items():
+            acc = totals.setdefault(v, [0, 0, 0])
+            acc[0] += dv
+            acc[1] += 1
+            acc[2] = max(acc[2], dv)
+    top = sorted(totals, key=lambda v: (-totals[v][0], v))[:20]
+    expect = {v: tuple(totals[v]) for v in top}
+    got = {
+        r["node"]: (r["bc_micro"], r["n_seeds_reaching"],
+                    r["max_seed_delta"])
+        for r in w.core_queries()["x_betweenness_seeded"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
 def test_delta_vacuum_query_matches_replay(spark):
     """The declared vacuum query's rows equal deltalog.vacuum_plans
     run directly on the per-source records."""
