@@ -354,6 +354,9 @@ EXTRA = [
     "x_priority_sample",
     "x_knn_shapley_value",
     "x_betweenness_seeded",
+    "x_markov_removal_effect",
+    "x_mutual_best_matching",
+    "x_psi_drift",
 ]
 
 

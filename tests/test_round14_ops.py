@@ -107,6 +107,116 @@ def test_knn_shapley_matches_python_replay(spark):
     assert all(abs(v) <= M * NQ for v in got.values())
 
 
+def test_markov_removal_effect_matches_python_replay(spark):
+    """Journey truncation, transition counts, the 6-round absorption
+    recursion (sum-then-one-idiv), and the ppm effect replayed
+    directly from the events parquet."""
+    import duckdb_title_mapper_spark.workload as w
+
+    w.load(spark, SF, "events").createOrReplaceTempView("events")
+    rows = spark.sql(
+        "SELECT user_id AS u, event_type AS t FROM events"
+        " ORDER BY user_id, ts, event_id").collect()
+    journeys: dict[int, list] = {}
+    for r in rows:
+        journeys.setdefault(r["u"], []).append(r["t"])
+    trans: dict[tuple, int] = {}
+    for seq in journeys.values():
+        if "purchase" in seq:
+            seq = seq[: seq.index("purchase") + 1]
+        path = ["__start__"] + seq
+        if path[-1] != "purchase":
+            path.append("__end__")
+        for a, b in zip(path, path[1:]):
+            if a != "purchase":
+                trans[(a, b)] = trans.get((a, b), 0) + 1
+    rowsum: dict[str, int] = {}
+    for (a, _b), c in trans.items():
+        rowsum[a] = rowsum.get(a, 0) + c
+    channels = sorted({t for seq in journeys.values() for t in seq}
+                      - {"purchase"})
+    M, K = w._MRE_M, w._MRE_K
+
+    def absorb(rm):
+        tt = {k: c for k, c in trans.items()
+              if rm not in (k[0], k[1])}
+        p = {"purchase": M}
+        for _ in range(K):
+            nxt = {"purchase": M}
+            states = {a for a, _ in tt}
+            for s in states:
+                ssum = sum(c * p.get(b, 0)
+                           for (a, b), c in tt.items() if a == s)
+                nxt[s] = ssum // rowsum[s]
+            p = nxt
+        return p.get("__start__", 0)
+
+    base = absorb("__none__")
+    expect = {
+        c: (base, absorb(c), ((base - absorb(c)) * 1_000_000) // base)
+        for c in channels
+    }
+    got = {
+        r["channel"]: (r["p_base_micro"], r["p_removed_micro"],
+                       r["removal_effect_ppm"])
+        for r in w.core_queries()["x_markov_removal_effect"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+    assert all(0 <= rem <= b for b, rem, _e in got.values())
+
+
+def test_mutual_best_matching_matches_python_replay(spark):
+    """Greedy mutual-nearest rounds replayed directly: exact float
+    cosines, lowest-id tiebreaks, both-endpoint removal per round."""
+    import math
+
+    import duckdb_title_mapper_spark.workload as w
+
+    w.register_views(spark, SF, "embeddings")
+    rows = spark.sql(
+        "SELECT vec_id, embedding FROM embeddings").collect()
+    unit = {}
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        nrm = math.sqrt(sum(x * x for x in v))
+        unit[r["vec_id"]] = [x / nrm for x in v]
+    NL = w._MBM_NL
+    lefts = sorted(i for i in unit if i < NL)
+    rights = sorted(i for i in unit if i >= NL)
+    cos = {(l, r): sum(a * b for a, b in zip(unit[l], unit[r]))
+           for l in lefts for r in rights}
+    pref = {
+        l: sorted(rights, key=lambda r: (-cos[(l, r)], r))
+        for l in lefts
+    }
+    live_l, live_r = set(lefts), set(rights)
+    expect = {}
+    for rnd in range(1, w._MBM_ROUNDS + 1):
+        if not live_l or not live_r:
+            break
+        bestr = {l: min(live_r, key=lambda r: (-cos[(l, r)], r))
+                 for l in live_l}
+        bestl = {r: min(live_l, key=lambda l: (-cos[(l, r)], l))
+                 for r in live_r}
+        matched = [(l, r) for l, r in bestr.items()
+                   if bestl[r] == l]
+        for l, r in matched:
+            expect[(l, r)] = (rnd, pref[l].index(r) + 1)
+            live_l.discard(l)
+            live_r.discard(r)
+    got = {
+        (r["lid"], r["rid"]): (r["round"], r["pref_rank"])
+        for r in w.core_queries()["x_mutual_best_matching"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+    # one-to-one: no endpoint reused
+    ls = [l for l, _ in got]
+    rs = [r for _, r in got]
+    assert len(set(ls)) == len(ls) and len(set(rs)) == len(rs)
+
+
 def test_betweenness_matches_python_replay(spark):
     """Horizon-bounded Brandes replayed directly: BFS sigma counts,
     then the backward dependency with the same idiv truncation."""
@@ -157,6 +267,55 @@ def test_betweenness_matches_python_replay(spark):
         r["node"]: (r["bc_micro"], r["n_seeds_reaching"],
                     r["max_seed_delta"])
         for r in w.core_queries()["x_betweenness_seeded"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_psi_drift_matches_python_replay(spark):
+    """Bin membership, counts, ppm gaps, and the smoothed psi terms
+    replayed directly (same clamp/idiv/round-9 law)."""
+    from decimal import Decimal
+
+    import duckdb_title_mapper_spark.workload as w
+
+    w.load(spark, SF, "events").createOrReplaceTempView("events")
+    rows = spark.sql(
+        "SELECT CAST(CAST(CAST(value AS STRING) AS DECIMAL(18,2))"
+        " * 100 AS BIGINT) AS cents, unix_micros(ts) AS us"
+        " FROM events").collect()
+    lo = min(r["us"] for r in rows)
+    hi = max(r["us"] for r in rows)
+    mid = lo + (hi - lo) // 2
+    base = [r["cents"] for r in rows if r["us"] < mid]
+    curr = [r["cents"] for r in rows if r["us"] >= mid]
+    mn, mx = min(base), max(base)
+    import math
+
+    def bins(vals):
+        out = [0] * 10
+        for c in vals:
+            out[(min(max(c, mn), mx) - mn) * 10 // (mx - mn + 1)] += 1
+        return out
+
+    nb, nc = bins(base), bins(curr)
+    t1, t2 = len(base), len(curr)
+    expect = {}
+    for b in range(10):
+        pnum, pden = nb[b] + 1, t1 + 10
+        qnum, qden = nc[b] + 1, t2 + 10
+        dn = pnum * qden - qnum * pden
+        ppm = ((dn * 1_000_000) // (pden * qden) if dn >= 0
+               else -((-dn * 1_000_000) // (pden * qden)))
+        term = round((float(dn) / (float(pden) * qden))
+                     * math.log((float(pnum) * qden)
+                                / (float(qnum) * pden)), 9)
+        expect[b] = (nb[b], nc[b], ppm,
+                     Decimal(repr(term)).quantize(Decimal("1e-9")))
+    got = {
+        r["bin"]: (r["n_base"], r["n_curr"], r["diff_ppm"],
+                   r["psi_term"])
+        for r in w.core_queries()["x_psi_drift"]
         .spark_fn(spark, SF).collect()
     }
     assert got == expect
