@@ -290,6 +290,9 @@ EXTRA = [
     "x_markov_removal_effect",
     "x_mutual_best_matching",
     "x_psi_drift",
+    "x_regression_discontinuity",
+    "x_kaplan_meier",
+    "x_cumulative_gains",
 ]
 
 

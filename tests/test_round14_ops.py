@@ -272,6 +272,138 @@ def test_betweenness_matches_python_replay(spark):
     assert got == expect
 
 
+def test_regression_discontinuity_matches_python_replay(spark):
+    """Hash-spread running variable, bandwidth cells, exact rational
+    gap, and the sign-split milli replayed directly."""
+    from decimal import Decimal
+
+    import duckdb_title_mapper_spark.workload as w
+
+    w.load(spark, SF, "events").createOrReplaceTempView("events")
+    rows = spark.sql(
+        "SELECT user_id AS u, CAST(CAST(CAST(value AS STRING)"
+        " AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents"
+        " FROM events").collect()
+    spend: dict[int, int] = {}
+    for r in rows:
+        spend[r["u"]] = spend.get(r["u"], 0) + r["cents"]
+    cells: dict[int, list] = {100: [0, 0, 0, 0], 250: [0, 0, 0, 0]}
+    for u, cts in spend.items():
+        rr = _md5_32(str(u)) % 1000
+        for bw, cell in cells.items():
+            if 500 <= rr < 500 + bw:
+                cell[0] += 1
+                cell[1] += cts
+            elif 500 - bw <= rr < 500:
+                cell[2] += 1
+                cell[3] += cts
+    expect = {}
+    for bw, (nh, sh, nl, sl) in cells.items():
+        num, den = sh * nl - sl * nh, nh * nl
+        milli = ((num * 1000) // den if num >= 0
+                 else -((-num * 1000) // den))
+        expect[bw] = (nh, sh, nl, sl, num, den, milli)
+    got = {
+        r["bw"]: (r["n_hi"], r["s_hi"], r["n_lo"], r["s_lo"],
+                  r["gap_num"], r["gap_den"], r["gap_milli_cents"])
+        for r in w.core_queries()["x_regression_discontinuity"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+    assert all(v[0] > 0 and v[2] > 0 for v in got.values())
+
+
+def test_kaplan_meier_matches_python_replay(spark):
+    """Sessionization, censoring rule, suffix at-risk counts, and the
+    ln-sum product limit replayed directly."""
+    import math
+    from decimal import Decimal
+
+    import duckdb_title_mapper_spark.workload as w
+
+    w.load(spark, SF, "events").createOrReplaceTempView("events")
+    rows = spark.sql(
+        "SELECT user_id AS u, unix_micros(ts) AS t, event_id AS e"
+        " FROM events ORDER BY user_id, t, event_id").collect()
+    lo = min(r["t"] for r in rows)
+    hi = max(r["t"] for r in rows)
+    horizon = lo + ((hi - lo) * 9) // 10
+    sessions = []
+    cur_u, cur = None, None
+    for r in rows:
+        if r["u"] != cur_u or r["t"] - cur[-1] >= 1_800_000_000:
+            if cur is not None:
+                sessions.append(cur)
+            cur_u, cur = r["u"], []
+        cur.append(r["t"])
+    sessions.append(cur)
+    obs = [((s[-1] - s[0]) // 1_000_000, 0 if s[-1] >= horizon else 1)
+           for s in sessions]
+    times: dict[int, list] = {}
+    for dur, died in obs:
+        cell = times.setdefault(dur, [0, 0])
+        cell[died] += 1  # [c, d]
+    n_at_risk = len(obs)
+    expect = {}
+    lnsum, dead_out = 0.0, False
+    for dur in sorted(times):
+        c, d = times[dur]
+        if d > 0:
+            if d >= n_at_risk:
+                dead_out = True
+            else:
+                lnsum += math.log(float(n_at_risk - d)
+                                  / float(n_at_risk))
+            surv = (Decimal("0.000000000") if dead_out else
+                    Decimal(repr(round(math.exp(lnsum), 9)))
+                    .quantize(Decimal("1e-9")))
+            expect[dur] = (n_at_risk, d, c, surv)
+        n_at_risk -= d + c
+    got = {
+        r["dur_s"]: (r["n_at_risk"], r["d"], r["c"], r["survival"])
+        for r in w.core_queries()["x_kaplan_meier"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_cumulative_gains_matches_python_replay(spark):
+    """Decile assignment (ntile law), cumulative capture and lift ppm
+    replayed directly."""
+    import duckdb_title_mapper_spark.workload as w
+
+    w.register_views(spark, SF, "documents")
+    rows = spark.sql(
+        "SELECT n_chars, doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0"
+        " END AS y FROM documents"
+        " ORDER BY n_chars DESC, doc_id").collect()
+    n = len(rows)
+    base, rem = divmod(n, 10)
+    cells = []
+    i = 0
+    for dec in range(1, 11):
+        size = base + (1 if dec <= rem else 0)
+        chunk = rows[i:i + size]
+        i += size
+        cells.append((dec, size, sum(r["y"] for r in chunk)))
+    tot_pos = sum(p for _, _, p in cells)
+    cum_n = cum_pos = 0
+    expect = {}
+    for dec, sz, pos in cells:
+        cum_n += sz
+        cum_pos += pos
+        expect[dec] = (sz, pos, cum_n, cum_pos,
+                       cum_pos * 1_000_000 // tot_pos,
+                       cum_pos * n * 1_000_000 // (cum_n * tot_pos))
+    got = {
+        r["decile"]: (r["n"], r["pos"], r["cum_n"], r["cum_pos"],
+                      r["capture_ppm"], r["lift_ppm"])
+        for r in w.core_queries()["x_cumulative_gains"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
 def test_psi_drift_matches_python_replay(spark):
     """Bin membership, counts, ppm gaps, and the smoothed psi terms
     replayed directly (same clamp/idiv/round-9 law)."""
