@@ -360,6 +360,7 @@ EXTRA = [
     "x_regression_discontinuity",
     "x_kaplan_meier",
     "x_cumulative_gains",
+    "stream_priority_sample",
 ]
 
 

@@ -1191,6 +1191,132 @@ def topk_leaderboard_stream(spark, sf_dir: str, parts: int = 4,
         "batch_id", "rnk", "tok", "cnt")
 
 
+def priority_sample_stream(spark, sf_dir: str, parts: int = 4,
+                           k: int = 20):
+    """STREAMING priority sampling (r14 — the incremental twin of
+    ``workload.x_priority_sample``): each ORDER micro-batch computes
+    its batch-local top-(k+1) PRIORITY store plus a 1-row batch-total
+    store (both idempotent overwrites — priorities are per-item
+    constants and totals are batch-local, so at-least-once redelivery
+    rewrites identical files), and the final read merges every landed
+    store and takes the global top-(k+1).  This is exact BECAUSE
+    priority sampling is a mergeable bottom-k sketch: the top-k of a
+    union equals the top-k of the per-part top-k's, and item
+    priorities never change after arrival (items are orders with
+    fixed weights — a per-CUSTOMER stream would mutate weights and
+    break mergeability; that form needs the batch pass).  The oracle
+    recomputes the whole sample closed-form — the result is
+    arrival-order INDEPENDENT by the sketch property, which is the
+    point.  Estimator columns match the batch twin: tau = (k+1)-th
+    priority, est = greatest(w, tau), true total from the summed
+    batch totals."""
+    import glob as _glob
+
+    src_dir = _stage_orders_by_hash(spark, sf_dir, parts)
+    out = tempfile.mkdtemp(prefix="dtm_stream_prio_")
+    chk = os.path.join(out, "chk")
+    scale = 4294967296
+
+    def merge(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        batch_df.createOrReplaceTempView("__prio_batch")
+        (sess.sql(f"""
+            SELECT okey, w_cents, prio FROM (
+              SELECT okey, w_cents,
+                     (w_cents * {scale}) div
+                     (CAST(conv(substr(md5(CAST(okey AS STRING)),
+                                       1, 8), 16, 10) AS BIGINT) + 1)
+                       AS prio
+              FROM __prio_batch)
+            ORDER BY prio DESC, okey LIMIT {k + 1}""")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(out, f"top.b{batch_id}")))
+        (sess.sql("SELECT CAST(count(*) AS BIGINT) AS n,"
+                  " CAST(sum(w_cents) AS BIGINT) AS tot"
+                  " FROM __prio_batch")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(out, f"tot.b{batch_id}")))
+
+    raw = (
+        spark.readStream.schema("okey BIGINT, w_cents BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tops = sorted(_glob.glob(os.path.join(out, "top.b*")))
+    tots = sorted(_glob.glob(os.path.join(out, "tot.b*")))
+    if not tops:
+        raise RuntimeError("streaming priority sample landed nothing")
+    spark.read.parquet(*tops).createOrReplaceTempView("__prio_tops")
+    spark.read.parquet(*tots).createOrReplaceTempView("__prio_tots")
+    return spark.sql(f"""WITH r AS (
+      SELECT okey, w_cents, prio,
+             CAST(row_number() OVER (ORDER BY prio DESC, okey)
+                  AS BIGINT) AS rk
+      FROM (SELECT okey, w_cents, prio FROM __prio_tops
+            ORDER BY prio DESC, okey LIMIT {k + 1}) m),
+    tau AS (
+      SELECT CAST(coalesce(max(CASE WHEN rk = {k + 1} THEN prio END),
+                           0) AS BIGINT) AS tau FROM r),
+    tot AS (SELECT CAST(sum(tot) AS BIGINT) AS true_total
+            FROM __prio_tots)
+    SELECT r.okey, r.w_cents, CAST(r.prio AS BIGINT) AS prio, r.rk,
+           CAST(greatest(r.w_cents, t.tau) AS BIGINT) AS est_w_cents,
+           t.tau, tot.true_total
+    FROM r CROSS JOIN tau t CROSS JOIN tot
+    WHERE r.rk <= {k}""")
+
+
+def _stage_orders_by_hash(spark, sf_dir: str, parts: int = 4) -> str:
+    """Stage orders as (okey, w_cents) hash slices for the priority-
+    sample stream (the _stage_docs_src_by_mod idiom: md5-derived
+    slice so arrival order is reproducible and source-independent)."""
+    import hashlib
+    import time as _time
+
+    src = os.path.realpath(f"{sf_dir}/orders.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    d = f"/tmp/duckdb_title_mapper_spark_stream/{tag}_ordprio{parts}"
+    done = f"{d}/.staged"
+    if os.path.exists(done):
+        return d
+
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(src).selectExpr(
+        "o_orderkey AS okey",
+        "CAST(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(18,2))"
+        " * 100 AS BIGINT) AS w_cents")
+    os.makedirs(d, exist_ok=True)
+    hslice = ("conv(substr(md5(CAST(okey AS STRING)), 1, 8), 16, 10)"
+              f" % {parts}")
+    for p in range(parts):
+        sliced = orders.where(F.expr(hslice) == p)
+        (sliced.coalesce(1)
+         .write.mode("overwrite")
+         .parquet(f"{d}/_build_{p}"))
+        part_file = next(
+            f for f in os.listdir(f"{d}/_build_{p}")
+            if f.endswith(".parquet"))
+        os.replace(f"{d}/_build_{p}/{part_file}",
+                   f"{d}/slice_{p}.parquet")
+        shutil.rmtree(f"{d}/_build_{p}", ignore_errors=True)
+        # mtime-pinned arrival order (the staging idiom): slice p
+        # lands strictly after slice p-1
+        os.utime(f"{d}/slice_{p}.parquet", (1_600_000_000 + p,
+                                            1_600_000_000 + p))
+    with open(done, "w") as f:
+        f.write("ok")
+    _time.sleep(0.05)
+    return d
+
+
 def _stage_docs_src_by_mod(spark, sf_dir: str, parts: int = 4) -> str:
     """``_stage_docs_with_text_by_mod`` carrying the SOURCE column —
     the table-log stream commits per-source file stats."""

@@ -53,6 +53,38 @@ def test_priority_sample_matches_python_replay(spark):
     assert one["tau"] == tau
 
 
+def test_stream_priority_sample_matches_global_replay(spark):
+    """The streamed merge of per-batch top-(k+1) stores must equal
+    the one-shot global computation — the bottom-k mergeability
+    property the operator's exactness rests on."""
+    from decimal import Decimal
+
+    import duckdb_title_mapper_spark.workload as w
+
+    rows = spark.sql(
+        f"SELECT o_orderkey AS o, CAST(CAST(o_totalprice AS STRING)"
+        f" AS DECIMAL(18,2)) AS p"
+        f" FROM parquet.`{SF}/orders.parquet`").collect()
+    weights = {r["o"]: int(Decimal(r["p"]) * 100) for r in rows}
+    prios = {o: (wc * 4294967296) // (_md5_32(str(o)) + 1)
+             for o, wc in weights.items()}
+    order = sorted(prios, key=lambda o: (-prios[o], o))
+    k = w._PRIO_K
+    tau = prios[order[k]] if len(order) > k else 0
+    expect = {
+        o: (weights[o], prios[o], i + 1, max(weights[o], tau), tau,
+            sum(weights.values()))
+        for i, o in enumerate(order[:k])
+    }
+    got = {
+        r["okey"]: (r["w_cents"], r["prio"], r["rk"],
+                    r["est_w_cents"], r["tau"], r["true_total"])
+        for r in w.core_queries()["stream_priority_sample"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
 def test_knn_shapley_matches_python_replay(spark):
     """The Jia et al. recursion replayed directly (s_N = ind/N;
     s_j = s_{j+1} + diff*min(K,j)/(K*j)) in the same sign-split
