@@ -361,6 +361,9 @@ EXTRA = [
     "x_kaplan_meier",
     "x_cumulative_gains",
     "stream_priority_sample",
+    "x_wasserstein_drift",
+    "x_ngram_novelty_curve",
+    "x_source_entropy",
 ]
 
 

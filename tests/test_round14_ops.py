@@ -436,6 +436,97 @@ def test_cumulative_gains_matches_python_replay(spark):
     assert got == expect
 
 
+def test_wasserstein_drift_matches_python_replay(spark):
+    """The CDF-gap integral replayed directly in exact integers."""
+    import duckdb_title_mapper_spark.workload as w
+
+    w.load(spark, SF, "events").createOrReplaceTempView("events")
+    rows = spark.sql(
+        "SELECT CAST(CAST(CAST(value AS STRING) AS DECIMAL(18,2))"
+        " * 100 AS BIGINT) AS cents, unix_micros(ts) AS us"
+        " FROM events").collect()
+    lo = min(r["us"] for r in rows)
+    hi = max(r["us"] for r in rows)
+    mid = lo + (hi - lo) // 2
+    base = sorted(r["cents"] for r in rows if r["us"] < mid)
+    curr = sorted(r["cents"] for r in rows if r["us"] >= mid)
+    n1, n2 = len(base), len(curr)
+    vals = sorted(set(base) | set(curr))
+    raw = 0
+    for v, nxt in zip(vals, vals[1:]):
+        cum1 = sum(1 for x in base if x <= v)
+        cum2 = sum(1 for x in curr if x <= v)
+        raw += abs(cum1 * n2 - cum2 * n1) * (nxt - v)
+    (r0,) = (w.core_queries()["x_wasserstein_drift"]
+             .spark_fn(spark, SF).collect())
+    assert (r0["n1"], r0["n2"], r0["w1_raw"]) == (n1, n2, raw)
+    assert r0["w1_milli_cents"] == (raw * 1000) // (n1 * n2)
+
+
+def test_ngram_novelty_matches_python_replay(spark):
+    """Distinct n-gram sets per split replayed directly."""
+    import re
+
+    import duckdb_title_mapper_spark.workload as w
+
+    w.register_views(spark, SF, "documents")
+    rows = spark.sql("SELECT doc_id, lower(text) AS t"
+                     " FROM documents").collect()
+    expect = {}
+    for n in (1, 2, 4, 8):
+        tr, va = set(), set()
+        for r in rows:
+            toks = re.findall(r"\w+", r["t"])
+            grams = {" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)}
+            (va if r["doc_id"] % 2 else tr).update(grams)
+        novel = len(va - tr)
+        expect[n] = (len(va), novel, novel * 1_000_000 // len(va))
+    got = {
+        r["n"]: (r["val_distinct"], r["val_novel"], r["novelty_ppm"])
+        for r in w.core_queries()["x_ngram_novelty_curve"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_source_entropy_matches_python_replay(spark):
+    """The distinct-count-value entropy law replayed directly with
+    the same s9 quantization points."""
+    import math
+    import re
+    from collections import Counter
+    from decimal import Decimal
+
+    import duckdb_title_mapper_spark.workload as w
+
+    w.register_views(spark, SF, "documents")
+    rows = spark.sql("SELECT source, lower(text) AS t"
+                     " FROM documents").collect()
+    per_src: dict[str, Counter] = {}
+    for r in rows:
+        per_src.setdefault(r["source"], Counter()).update(
+            re.findall(r"\w+", r["t"]))
+
+    def l2nano(x: int) -> int:
+        return int(Decimal(repr(round(math.log2(float(x)), 9)))
+                   * 1_000_000_000)
+
+    expect = {}
+    for src, cnt in per_src.items():
+        n = sum(cnt.values())
+        s_nano = sum(m * c * l2nano(c)
+                     for c, m in Counter(cnt.values()).items())
+        expect[src] = (n, len(cnt), l2nano(n) - s_nano // n)
+    got = {
+        r["source"]: (r["n_tokens"], r["n_distinct"],
+                      r["entropy_nanobits"])
+        for r in w.core_queries()["x_source_entropy"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
 def test_psi_drift_matches_python_replay(spark):
     """Bin membership, counts, ppm gaps, and the smoothed psi terms
     replayed directly (same clamp/idiv/round-9 law)."""
