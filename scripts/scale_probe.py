@@ -297,6 +297,8 @@ EXTRA = [
     "x_wasserstein_drift",
     "x_ngram_novelty_curve",
     "x_source_entropy",
+    "x_calibration_ece",
+    "x_ab_power_planning",
 ]
 
 

@@ -436,6 +436,74 @@ def test_cumulative_gains_matches_python_replay(spark):
     assert got == expect
 
 
+def test_calibration_ece_matches_python_replay(spark):
+    """The pure-integer ECE identity replayed directly, including
+    the ntile decile law."""
+    import duckdb_title_mapper_spark.workload as w
+
+    w.register_views(spark, SF, "documents")
+    rows = spark.sql(
+        "SELECT least(999, n_chars div 10) AS s, doc_id,"
+        " CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y"
+        " FROM documents ORDER BY s DESC, doc_id").collect()
+    n = len(rows)
+    base, rem = divmod(n, 10)
+    expect, i, gaps, tot_n = {}, 0, 0, 0
+    cells = []
+    for b in range(1, 11):
+        size = base + (1 if b <= rem else 0)
+        chunk = rows[i:i + size]
+        i += size
+        pos = sum(r["y"] for r in chunk)
+        s_sum = sum(r["s"] for r in chunk)
+        cells.append((b, size, pos, s_sum))
+        gaps += abs(1000 * pos - s_sum)
+        tot_n += size
+    ece = gaps * 1_000_000 // (1000 * tot_n)
+    for b, size, pos, s_sum in cells:
+        expect[b] = (size, pos, s_sum, pos * 1_000_000 // size,
+                     s_sum * 1000 // size,
+                     abs(1000 * pos - s_sum), ece)
+    got = {
+        r["bin"]: (r["n"], r["pos"], r["s_sum"], r["acc_ppm"],
+                   r["conf_ppm"], r["gap_milli_x1000"], r["ece_ppm"])
+        for r in w.core_queries()["x_calibration_ece"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_ab_power_matches_python_replay(spark):
+    """The exact-rational power formula replayed with fractions —
+    ceil division must equal the true rational ceiling."""
+    from fractions import Fraction
+    from math import ceil
+
+    import duckdb_title_mapper_spark.workload as w
+
+    w.load(spark, SF, "events").createOrReplaceTempView("events")
+    cells = spark.sql(
+        "SELECT user_id, unix_micros(ts) div 3600000000 AS h,"
+        " max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+        " AS conv FROM events GROUP BY 1, 2").collect()
+    u = len(cells)
+    c = sum(r["conv"] for r in cells)
+    A = Fraction(28016 * 28016, 10**8)
+    p = Fraction(c, u)
+    expect = {}
+    for mde in (10, 20, 50, 100):
+        d = Fraction(mde, 1000)
+        expect[mde] = (u, c, c * 1_000_000 // u,
+                       ceil(A * 2 * p * (1 - p) / (d * d)))
+    got = {
+        r["mde_pp_x10"]: (r["units"], r["convs"], r["baseline_ppm"],
+                          r["n_per_arm"])
+        for r in w.core_queries()["x_ab_power_planning"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
 def test_wasserstein_drift_matches_python_replay(spark):
     """The CDF-gap integral replayed directly in exact integers."""
     import duckdb_title_mapper_spark.workload as w
