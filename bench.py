@@ -366,6 +366,7 @@ EXTRA = [
     "x_source_entropy",
     "x_calibration_ece",
     "x_ab_power_planning",
+    "x_multiclass_f1",
 ]
 
 

@@ -436,6 +436,61 @@ def test_cumulative_gains_matches_python_replay(spark):
     assert got == expect
 
 
+def test_multiclass_f1_matches_python_replay(spark):
+    """The ppm metric identities replayed against a direct confusion
+    tally, including the never-predicted-class guard and the
+    declared truncated-macro law."""
+    import re
+
+    import duckdb_title_mapper_spark.workload as w
+
+    w.register_views(spark, SF, "documents")
+    rows = spark.sql("SELECT doc_id, lang, lower(text) AS t"
+                     " FROM documents").collect()
+    sig = {"en": "the|a|of|to|and", "es": "el|la|de|que|los",
+           "fr": "le|la|les|des|une", "de": "der|die|das|und|ein"}
+    prec = ["en", "es", "fr", "de"]
+    pairs = []
+    for r in rows:
+        votes = {l: len(re.findall(rf"\b({p})\b", r["t"]))
+                 for l, p in sig.items()}
+        best = max(votes.values())
+        pred = ("und" if best == 0 else
+                next(l for l in prec if votes[l] == best))
+        pairs.append((r["lang"], pred))
+    classes = sorted({a for a, _ in pairs})
+    stats = {}
+    for c in classes:
+        tp = sum(1 for a, p in pairs if a == c and p == c)
+        fp = sum(1 for a, p in pairs if p == c and a != c)
+        fn = sum(1 for a, p in pairs if a == c and p != c)
+        stats[c] = (tp, fp, fn)
+    stp = sum(v[0] for v in stats.values())
+    sfp = sum(v[1] for v in stats.values())
+    sfn = sum(v[2] for v in stats.values())
+    micro = 2 * stp * 1_000_000 // (2 * stp + sfp + sfn)
+    f1s = {c: (0 if 2 * tp + fp + fn == 0
+               else 2 * tp * 1_000_000 // (2 * tp + fp + fn))
+           for c, (tp, fp, fn) in stats.items()}
+    macro = sum(f1s.values()) // len(classes)
+    expect = {
+        c: (tp, fp, fn,
+            0 if tp + fp == 0 else tp * 1_000_000 // (tp + fp),
+            0 if tp + fn == 0 else tp * 1_000_000 // (tp + fn),
+            f1s[c], micro, macro)
+        for c, (tp, fp, fn) in stats.items()
+    }
+    got = {
+        r["cls"]: (r["tp"], r["fp"], r["fn"], r["precision_ppm"],
+                   r["recall_ppm"], r["f1_ppm"], r["micro_f1_ppm"],
+                   r["macro_f1_ppm"])
+        for r in w.core_queries()["x_multiclass_f1"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+    assert "zh" in got and got["zh"][3] == 0  # never-predicted guard
+
+
 def test_calibration_ece_matches_python_replay(spark):
     """The pure-integer ECE identity replayed directly, including
     the ntile decile law."""
