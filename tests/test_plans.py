@@ -1029,3 +1029,62 @@ def test_round13_fourth_wave_plan_shapes(spark):
     # keys, so BroadcastNestedLoopJoin IS the right operator here)
     from duckdb_title_mapper_spark.plans import explain_str as _es
     assert _es(dm, "simple").count("BroadcastNestedLoopJoin") >= 3
+
+
+def test_round14_plan_shapes(spark):
+    """Round-14 locks: redges-store consumers read the parquet store
+    (never the lineitem self-join or the union+windows derivation);
+    the new stats/eval ops stay pure JVM with partial aggregation;
+    betweenness builds only on materialized rounds and equi-joins
+    (no BroadcastNestedLoopJoin anywhere in its tail)."""
+    from duckdb_title_mapper_spark.plans import explain_str
+    from duckdb_title_mapper_spark.workload import (
+        core_queries as all_queries)
+
+    qs = all_queries()
+
+    # store consumers: no pair rebuild, no in-plan ranking windows
+    for name in ("x_bfs_levels", "x_label_propagation"):
+        df = qs[name].spark_fn(spark, SF)
+        p = explain_str(df)
+        assert "BatchEvalPython" not in p, name
+        assert "l_orderkey" not in p, f"{name} rebuilt the pair join"
+        assert "row_number" not in p, f"{name} re-derived the ranking"
+
+    bc = qs["x_betweenness_seeded"].spark_fn(spark, SF)
+    p = explain_str(bc)
+    assert "BatchEvalPython" not in p
+    assert "l_orderkey" not in p, "betweenness rebuilt the pair join"
+    assert "BroadcastNestedLoopJoin" not in p, (
+        "betweenness tail must stay equi-join only")
+
+    # integer stats/eval ops: JVM-side, partial-agged, pruned scans
+    from duckdb_title_mapper_spark.plans import (
+        has_partial_aggregation, read_schema_columns)
+
+    doc_cols = {"doc_id", "source", "lang", "n_chars", "text"}
+    for name, cols in (
+        ("x_wasserstein_drift", None),
+        ("x_regression_discontinuity", None),
+        ("x_ab_power_planning", None),
+        ("x_cumulative_gains", doc_cols),
+        ("x_calibration_ece", doc_cols),
+        ("x_multiclass_f1", doc_cols),
+        ("x_source_entropy", doc_cols),
+    ):
+        df = qs[name].spark_fn(spark, SF)
+        p = explain_str(df)
+        assert "BatchEvalPython" not in p, name
+        assert has_partial_aggregation(df), name
+        if cols is not None:
+            assert all(set(s) <= cols
+                       for s in read_schema_columns(df)), (
+                name, read_schema_columns(df))
+
+    # priority sample: the take must happen pre-materialization (the
+    # tail reads a 21-row ExistingRDD + two 1-row broadcast scalars)
+    ps = qs["x_priority_sample"].spark_fn(spark, SF)
+    p = explain_str(ps)
+    assert "BatchEvalPython" not in p
+    assert "Scan ExistingRDD" in p
+    assert "o_orderkey" not in p, "tail must not rescan orders"
