@@ -367,6 +367,7 @@ EXTRA = [
     "x_calibration_ece",
     "x_ab_power_planning",
     "x_multiclass_f1",
+    "x_slo_burn_alerts",
 ]
 
 
