@@ -368,6 +368,8 @@ EXTRA = [
     "x_ab_power_planning",
     "x_multiclass_f1",
     "x_slo_burn_alerts",
+    "x_sprt_sequential",
+    "x_rolling_origin_backtest",
 ]
 
 

@@ -436,6 +436,76 @@ def test_cumulative_gains_matches_python_replay(spark):
     assert got == expect
 
 
+def test_sprt_sequential_matches_python_replay(spark):
+    """The cumulative LLR, stopping rule, and decision replayed with
+    the same 4-constant nano quantization."""
+    import math
+    from decimal import Decimal
+
+    import duckdb_title_mapper_spark.workload as w
+
+    w.load(spark, SF, "events").createOrReplaceTempView("events")
+    rows = spark.sql(
+        "SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        " AS x FROM events ORDER BY unix_micros(ts), event_id"
+    ).collect()
+
+    def nano(v: float) -> int:
+        return int(Decimal(repr(round(v, 9))) * 1_000_000_000)
+
+    c1 = nano(math.log(25.0 / 15))
+    c2 = nano(math.log(75.0 / 85))
+    b1 = nano(math.log(19.0))
+    b0 = nano(-math.log(19.0))
+    k = 0
+    stop = None
+    for n, r in enumerate(rows, 1):
+        k += r["x"]
+        llr = k * c1 + (n - k) * c2
+        if llr >= b1 or llr <= b0:
+            stop = (n, k, llr, int(llr >= b1), len(rows))
+            break
+    assert stop is not None, "testdata must cross a boundary"
+    (got,) = (w.core_queries()["x_sprt_sequential"]
+              .spark_fn(spark, SF).collect())
+    assert (got["stop_n"], got["k_at_stop"], got["llr_nano_at_stop"],
+            got["accept_h1"], got["fixed_horizon_n"]) == stop
+    # sequential testing must beat the fixed horizon on this stream
+    assert got["stop_n"] < got["fixed_horizon_n"]
+
+
+def test_rolling_origin_backtest_matches_python_replay(spark):
+    """Dense hour indexing, fold windows, and per-fold integer MAE
+    replayed directly."""
+    import duckdb_title_mapper_spark.workload as w
+
+    w.load(spark, SF, "events").createOrReplaceTempView("events")
+    rows = spark.sql(
+        "SELECT event_type AS t,"
+        " CAST(date_trunc('hour', ts) AS BIGINT) div 3600 AS h,"
+        " count(*) AS n FROM events GROUP BY 1, 2").collect()
+    h0 = min(r["h"] for r in rows)
+    vol = {(r["t"], r["h"] - h0): r["n"] for r in rows}
+    expect = {}
+    for k in range(1, 5):
+        origin = 24 + 12 * k
+        for t in {r["t"] for r in rows}:
+            errs = [abs(vol[(t, i)] - vol[(t, i - 24)])
+                    for i in range(origin, origin + 12)
+                    if (t, i) in vol and (t, i - 24) in vol]
+            if errs:
+                s = sum(errs)
+                expect[(k, t)] = (len(errs), s,
+                                  s * 1000 // len(errs))
+    got = {
+        (r["fold"], r["event_type"]):
+            (r["n_eval"], r["total_abs_err"], r["mae_milli"])
+        for r in w.core_queries()["x_rolling_origin_backtest"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
 def test_slo_burn_alerts_matches_python_replay(spark):
     """Window membership, burn rates, and the cross-multiplied alert
     law replayed directly."""
