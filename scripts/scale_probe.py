@@ -303,6 +303,7 @@ EXTRA = [
     "x_slo_burn_alerts",
     "x_sprt_sequential",
     "x_rolling_origin_backtest",
+    "x_temporal_reachability",
 ]
 
 

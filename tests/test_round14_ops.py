@@ -436,6 +436,63 @@ def test_cumulative_gains_matches_python_replay(spark):
     assert got == expect
 
 
+def test_temporal_reachability_matches_python_replay(spark):
+    """Foremost-arrival relaxation replayed brute-force, plus the
+    semantic point: temporal reach must be <= static reach (paths
+    must be time-non-decreasing)."""
+    import duckdb_title_mapper_spark.workload as w
+
+    rows = spark.sql(
+        "SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d,"
+        " CAST(unix_date(CAST(o.o_orderdate AS DATE)) AS BIGINT)"
+        " AS day"
+        f" FROM parquet.`{SF}/lineitem.parquet` a"
+        f" JOIN parquet.`{SF}/lineitem.parquet` b"
+        " ON a.l_orderkey = b.l_orderkey"
+        " AND a.l_partkey < b.l_partkey"
+        f" JOIN parquet.`{SF}/orders.parquet` o"
+        " ON o.o_orderkey = a.l_orderkey").collect()
+    edges: dict[int, list] = {}
+    nodes = set()
+    for r in rows:
+        edges.setdefault(r["s"], []).append((r["d"], r["day"]))
+        edges.setdefault(r["d"], []).append((r["s"], r["day"]))
+        nodes.update((r["s"], r["d"]))
+    seed = min(nodes)
+    INF = w._TR_INF
+    arr = {v: (0 if v == seed else INF) for v in nodes}
+    expect = {}
+
+    def snap(rnd):
+        reached = [a for a in arr.values() if a < INF]
+        expect[rnd] = (len(reached), sum(reached),
+                       max(reached) if reached else None)
+
+    snap(0)
+    for rnd in range(1, w._TR_ROUNDS + 1):
+        nxt = dict(arr)
+        for v, av in arr.items():
+            if av >= INF:
+                continue
+            for u, day in edges.get(v, ()):
+                if day >= av and day < nxt[u]:
+                    nxt[u] = day
+        arr = nxt
+        snap(rnd)
+    got = {
+        r["round"]: (r["n_reached"], r["arr_day_sum"],
+                     r["arr_day_max"])
+        for r in w.core_queries()["x_temporal_reachability"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+    # static BFS reach at the same depth is an upper bound
+    static = {seed}
+    for _ in range(w._TR_ROUNDS):
+        static |= {u for v in static for u, _d in edges.get(v, ())}
+    assert got[w._TR_ROUNDS][0] <= len(static)
+
+
 def test_sprt_sequential_matches_python_replay(spark):
     """The cumulative LLR, stopping rule, and decision replayed with
     the same 4-constant nano quantization."""
