@@ -371,6 +371,8 @@ EXTRA = [
     "x_sprt_sequential",
     "x_rolling_origin_backtest",
     "x_temporal_reachability",
+    "x_max_coverage_sources",
+    "x_quantile_normalize",
 ]
 
 

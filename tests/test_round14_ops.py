@@ -436,6 +436,74 @@ def test_cumulative_gains_matches_python_replay(spark):
     assert got == expect
 
 
+def test_max_coverage_matches_python_replay(spark):
+    """The greedy max-coverage picks, gains, and cumulative coverage
+    replayed directly over the shingle sets."""
+    import re
+
+    import duckdb_title_mapper_spark.workload as w
+
+    w.register_views(spark, SF, "documents")
+    rows = spark.sql("SELECT source, lower(text) AS t"
+                     " FROM documents").collect()
+    per_src: dict[str, set] = {}
+    for r in rows:
+        toks = re.findall(r"\w+", r["t"])
+        if len(toks) >= 4:
+            per_src.setdefault(r["source"], set()).update(
+                " ".join(toks[i:i + 4])
+                for i in range(len(toks) - 3))
+    total = len(set().union(*per_src.values()))
+    covered: set = set()
+    expect = {}
+    for rnd in range(1, w._MAXCOV_K + 1):
+        gains = {s: len(g - covered) for s, g in per_src.items()}
+        if not any(gains.values()) and not gains:
+            break
+        pick = min(gains, key=lambda s: (-gains[s], s))
+        covered |= per_src[pick]
+        expect[rnd] = (pick, gains[pick], len(covered), total)
+    got = {
+        r["round"]: (r["picked_source"], r["marginal_gain"],
+                     r["covered_distinct"], r["total_distinct"])
+        for r in w.core_queries()["x_max_coverage_sources"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+    # submodularity: marginal gains are non-increasing
+    gains = [v[1] for _, v in sorted(got.items())]
+    assert gains == sorted(gains, reverse=True)
+
+
+def test_quantile_normalize_matches_python_replay(spark):
+    """The ceil rank-mapping law replayed directly; the normalized
+    per-source distributions must be pooled-quantile aligned."""
+    import duckdb_title_mapper_spark.workload as w
+
+    w.register_views(spark, SF, "documents")
+    rows = spark.sql("SELECT doc_id, source, n_chars"
+                     " FROM documents").collect()
+    pool = sorted((r["n_chars"], r["doc_id"]) for r in rows)
+    pool_vals = [v for v, _ in pool]
+    n = len(pool)
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(
+            (r["n_chars"], r["doc_id"]))
+    expect = {}
+    for src, docs in by_src.items():
+        ns = len(docs)
+        for rank, (v, did) in enumerate(sorted(docs), 1):
+            pr = (rank * n + ns - 1) // ns
+            expect[did] = (src, v, pool_vals[pr - 1])
+    got = {
+        r["doc_id"]: (r["source"], r["n_chars"], r["norm_chars"])
+        for r in w.core_queries()["x_quantile_normalize"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
 def test_temporal_reachability_matches_python_replay(spark):
     """Foremost-arrival relaxation replayed brute-force, plus the
     semantic point: temporal reach must be <= static reach (paths
