@@ -306,6 +306,8 @@ EXTRA = [
     "x_temporal_reachability",
     "x_max_coverage_sources",
     "x_quantile_normalize",
+    "x_fairness_audit",
+    "x_sequential_halving",
 ]
 
 

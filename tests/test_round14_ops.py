@@ -436,6 +436,90 @@ def test_cumulative_gains_matches_python_replay(spark):
     assert got == expect
 
 
+def test_fairness_audit_matches_python_replay(spark):
+    """Parity/TPR/FPR ppm and the across-group gaps replayed
+    directly, including the median-threshold rank pick."""
+    import duckdb_title_mapper_spark.workload as w
+
+    w.register_views(spark, SF, "documents")
+    rows = spark.sql("SELECT doc_id, source, lang, n_chars"
+                     " FROM documents").collect()
+    pool = sorted((r["n_chars"], r["doc_id"]) for r in rows)
+    n = len(pool)
+    thr = next(v for i, (v, _d) in enumerate(pool, 1)
+               if i * 2 <= n and (i + 1) * 2 > n)
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r["source"], []).append(
+            (int(r["n_chars"] >= thr), int(r["lang"] == "en")))
+    rates = {}
+    for src, obs in groups.items():
+        gn = len(obs)
+        npp = sum(yh for yh, _y in obs)
+        npos = sum(y for _yh, y in obs)
+        tp = sum(1 for yh, y in obs if yh and y)
+        fp = sum(1 for yh, y in obs if yh and not y)
+        rates[src] = (gn, npp * 1_000_000 // gn,
+                      tp * 1_000_000 // npos if npos else 0,
+                      fp * 1_000_000 // (gn - npos)
+                      if gn - npos else 0)
+    gaps = tuple(max(v[i] for v in rates.values())
+                 - min(v[i] for v in rates.values())
+                 for i in (1, 2, 3))
+    expect = {s: v + gaps for s, v in rates.items()}
+    got = {
+        r["source"]: (r["n"], r["ppr_ppm"], r["tpr_ppm"],
+                      r["fpr_ppm"], r["parity_gap_ppm"],
+                      r["tpr_gap_ppm"], r["fpr_gap_ppm"])
+        for r in w.core_queries()["x_fairness_audit"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_sequential_halving_matches_python_replay(spark):
+    """The race replayed directly: budgets, exact rates, halving
+    survivors, and the single winner."""
+    import duckdb_title_mapper_spark.workload as w
+
+    w.load(spark, SF, "events").createOrReplaceTempView("events")
+    rows = spark.sql(
+        "SELECT event_type AS arm,"
+        " CAST(CAST(CAST(value AS STRING) AS DECIMAL(18,2)) * 100"
+        " AS BIGINT) AS cents, unix_micros(ts) AS us, event_id AS e"
+        " FROM events").collect()
+    pool = sorted((r["cents"], r["e"]) for r in rows)
+    n = len(pool)
+    thr = next(v for i, (v, _e) in enumerate(pool, 1)
+               if i * 2 <= n and (i + 1) * 2 > n)
+    per_arm: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["us"], r["e"])):
+        per_arm.setdefault(r["arm"], []).append(
+            int(r["cents"] >= thr))
+    alive = sorted(per_arm)
+    expect = {}
+    for rnd, (budget, keep) in enumerate(
+            ((32, 3), (64, 2), (128, 1)), 1):
+        stats = {}
+        for a in alive:
+            o = per_arm[a][:budget]
+            stats[a] = (len(o), sum(o),
+                        sum(o) * 1_000_000 // len(o))
+        ranked = sorted(stats, key=lambda a: (-stats[a][2], a))
+        for rk, a in enumerate(ranked, 1):
+            expect[(rnd, a)] = stats[a] + (rk, int(rk <= keep))
+        alive = ranked[:keep]
+    got = {
+        (r["round"], r["arm"]): (r["n"], r["wins"], r["rate_ppm"],
+                                 r["rk"], r["survives"])
+        for r in w.core_queries()["x_sequential_halving"]
+        .spark_fn(spark, SF).collect()
+    }
+    assert got == expect
+    assert sum(1 for (rnd, _a), v in got.items()
+               if rnd == 3 and v[4] == 1) == 1  # exactly one winner
+
+
 def test_max_coverage_matches_python_replay(spark):
     """The greedy max-coverage picks, gains, and cumulative coverage
     replayed directly over the shingle sets."""
