@@ -375,6 +375,9 @@ EXTRA = [
     "x_quantile_normalize",
     "x_fairness_audit",
     "x_sequential_halving",
+    # round 15
+    "x_mutual_best_blocked",
+    "stream_psi_drift",
 ]
 
 

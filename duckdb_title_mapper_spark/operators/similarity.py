@@ -111,6 +111,23 @@ def lsh_bucket_expr(spark_dialect: bool, col: str,
     return "(" + " + ".join(bits) + ")"
 
 
+def band_bucket_expr(spark_dialect: bool, col: str, band: int,
+                     planes_per_band: int = 8, dim: int = DIM) -> str:
+    """Bucket id for ONE band of the banded OR-construction: band ``b``
+    uses hyperplanes ``b*planes_per_band .. (b+1)*planes_per_band - 1``,
+    so distinct bands hash with DISJOINT plane sets (the LSH recall
+    amplifier: a pair is a candidate if it collides in ANY band).
+    Sign of the projection is normalization-invariant, so this runs on
+    the raw embedding."""
+    bits = []
+    for j in range(planes_per_band):
+        p = band * planes_per_band + j
+        lit = _plane_literal(spark_dialect, hyperplane(p, dim))
+        proj = embed_dot(spark_dialect, col, lit)
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
 def lsh_buckets_sql(spark_dialect: bool, num_planes: int = NUM_PLANES) -> str:
     bucket = lsh_bucket_expr(spark_dialect, "embedding", num_planes)
     return f"SELECT vec_id, label, {bucket} AS bucket FROM embeddings"

@@ -439,6 +439,86 @@ def anomaly_baseline_stream(spark, sf_dir: str, window: str = "1 hour",
     )
 
 
+def psi_drift_stream(spark, sf_dir: str, window: str = "1 day",
+                     watermark: str = "2 days"):
+    """Online PSI drift monitoring (VERDICT r14 #6): the baseline bin
+    histogram is batch-trained on the FIRST HALF of event time (the
+    x_psi_drift split) — 10 equal-width bins of the baseline cents
+    range with +1/+10 Laplace smoothing — and each live tumbling
+    window's value distribution is scored against it: per (window,
+    bin) the integer proportion gap diff_ppm and the classical
+    (p-q)*ln(p/q) psi term (round-9 decimal absorber, the
+    x_psi_drift idiom).
+
+    Scale shape: the baseline is 10 rows + two scalar bounds
+    (broadcast / literal — no stream-side shuffle beyond the windowed
+    count's own state); the per-window histogram is ONE streaming agg
+    with 10 conditional counts (a second groupBy would be an illegal
+    second streaming aggregation), exploded to rows post-agg."""
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_events
+
+    cents = ("CAST(CAST(CAST(value AS STRING) AS DECIMAL(18,2)) * 100"
+             " AS BIGINT)")
+    hist = load_events(spark, sf_dir)
+    ev = hist.selectExpr(f"{cents} AS cents", "unix_micros(ts) AS us")
+    span = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi")).first()
+    mid = span["lo"] + (span["hi"] - span["lo"]) // 2  # 1-row bounded
+    basev = ev.where(F.col("us") < mid).select("cents")
+    b = basev.agg(F.min("cents").alias("mn"),
+                  F.max("cents").alias("mx")).first()
+    mn, mx = int(b["mn"]), int(b["mx"])  # 1-row bounded: bin literals
+    bin_expr = (f"(least(greatest(cents, {mn}), {mx}) - {mn}) * 10"
+                f" div ({mx} - {mn} + 1)")
+    grid = spark.range(10).selectExpr("CAST(id AS BIGINT) AS bin")
+    bcnt = (basev.selectExpr(f"{bin_expr} AS bin")
+            .groupBy("bin").agg(F.count("*").cast("long").alias("nb")))
+    baseline = (grid.join(bcnt, "bin", "left")
+                .selectExpr("bin",
+                            "CAST(coalesce(nb, 0) AS BIGINT) AS n_base"))
+    t1 = basev.count()  # baseline total (scalar)
+
+    win = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .selectExpr("ts", f"{cents} AS cents")
+        .selectExpr("ts", f"{bin_expr} AS bin")
+        .groupBy(F.window("ts", window))
+        .agg(F.count("*").cast("long").alias("tw"),
+             *[F.count(F.when(F.col("bin") == k, 1)).cast("long")
+               .alias(f"n{k}") for k in range(10)])
+        .select(
+            F.unix_timestamp("window.start").cast("long")
+            .alias("window_s"),
+            "tw",
+            F.explode(F.array(*[
+                F.struct(F.lit(k).cast("long").alias("bin"),
+                         F.col(f"n{k}").alias("n_curr"))
+                for k in range(10)])).alias("cell"))
+        .select("window_s", F.col("cell.bin").alias("bin"),
+                F.col("cell.n_curr").alias("n_curr"), "tw")
+    )
+    dn = f"((n_base + 1) * (tw + 10) - (n_curr + 1) * ({t1} + 10))"
+    qd = f"(({t1} + 10) * (tw + 10))"
+    return (
+        win.join(F.broadcast(baseline), "bin")
+        .selectExpr(
+            "CAST(window_s AS BIGINT) AS window_s",
+            "CAST(bin AS BIGINT) AS bin",
+            "n_base", "n_curr",
+            f"CAST(CASE WHEN {dn} >= 0"
+            f" THEN ({dn} * 1000000) div {qd}"
+            f" ELSE -((-{dn} * 1000000) div {qd}) END AS BIGINT)"
+            " AS diff_ppm",
+            f"CAST(round((CAST({dn} AS DOUBLE)"
+            f" / (CAST({t1} + 10 AS DOUBLE) * (tw + 10)))"
+            f" * ln((CAST(n_base + 1 AS DOUBLE) * (tw + 10))"
+            f" / (CAST(n_curr + 1 AS DOUBLE) * ({t1} + 10))), 9)"
+            " AS DECIMAL(12,9)) AS psi_term")
+    )
+
+
 def _stage_sentinel_dir(spark, sf_dir: str, ts_t: str) -> str:
     """Staged events dir PLUS TWO far-future two-row sentinel files
     (each holding one 'view' and one 'purchase' row, both marked by the
