@@ -378,6 +378,7 @@ EXTRA = [
     # round 15
     "x_mutual_best_blocked",
     "stream_psi_drift",
+    "x_assortativity",
 ]
 
 
