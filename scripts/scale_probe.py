@@ -312,6 +312,13 @@ EXTRA = [
     "x_mutual_best_blocked",
     "stream_psi_drift",
     "x_assortativity",
+    "x_louvain_rounds",
+    "x_harmonic_centrality",
+    "x_team_draft_interleave",
+    "x_dsir_weights",
+    "x_query_likelihood_lm",
+    "x_mann_whitney_u",
+    "x_anova_oneway",
 ]
 
 

@@ -1088,3 +1088,57 @@ def test_round14_plan_shapes(spark):
     assert "BatchEvalPython" not in p
     assert "Scan ExistingRDD" in p
     assert "o_orderkey" not in p, "tail must not rescan orders"
+
+
+def test_round15_plan_shapes(spark):
+    """Round-15 locks: the quantile-normalize ADVICE fix must plan an
+    equi hash join (the r14 mixed-side idiv expression planned
+    BroadcastNestedLoopJoin); the LSH-blocked matcher must never
+    cross-join; the graph additions ride the redges store with
+    equi-join-only tails; the new stats/retrieval ops stay JVM-side
+    with partial aggregation."""
+    from duckdb_title_mapper_spark.plans import (
+        explain_str, has_partial_aggregation)
+    from duckdb_title_mapper_spark.workload import (
+        core_queries as all_queries)
+
+    qs = all_queries()
+
+    # ADVICE r14: target rank computed pre-join -> pure equi join
+    qn = qs["x_quantile_normalize"].spark_fn(spark, SF)
+    p = explain_str(qn)
+    assert "BroadcastNestedLoopJoin" not in p, (
+        "quantile-normalize regressed to the non-equi join")
+    assert "CartesianProduct" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p)
+
+    # blocked mutual-best: bucket equi joins only, never a cross join
+    mb = qs["x_mutual_best_blocked"].spark_fn(spark, SF)
+    p = explain_str(mb)
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    # graph additions: store-backed (no pair rebuild), equi-join tails
+    # (louvain's BroadcastNestedLoopJoin Cross nodes are its 1-row m2 /
+    # snapshot scalar handoffs — the sanctioned pattern — so only the
+    # data-sized-join locks apply there)
+    for name in ("x_assortativity", "x_louvain_rounds",
+                 "x_harmonic_centrality"):
+        df = qs[name].spark_fn(spark, SF)
+        p = explain_str(df)
+        assert "BatchEvalPython" not in p, name
+        assert "l_orderkey" not in p, f"{name} rebuilt the pair join"
+        assert "CartesianProduct" not in p, name
+        if name != "x_louvain_rounds":
+            assert "BroadcastNestedLoopJoin" not in p, name
+
+    # stats / retrieval / selection ops: JVM-side, partial-agged
+    for name in ("x_mann_whitney_u", "x_anova_oneway",
+                 "x_query_likelihood_lm", "x_dsir_weights",
+                 "x_team_draft_interleave"):
+        df = qs[name].spark_fn(spark, SF)
+        p = explain_str(df)
+        assert "BatchEvalPython" not in p, name
+        assert has_partial_aggregation(df), name
+        assert "CartesianProduct" not in p, name
