@@ -319,6 +319,9 @@ EXTRA = [
     "x_query_likelihood_lm",
     "x_mann_whitney_u",
     "x_anova_oneway",
+    "x_mcnemar_paired",
+    "x_naive_bayes_model",
+    "x_allen_interval_census",
 ]
 
 
