@@ -96,3 +96,452 @@ def test_blocked_candidates_are_bucket_bounded(spark):
         _mutual_best_blocked_pairs_sql(True, "__mbb_lsh_test2")).count()
     n_full = 60 * 60
     assert n_cand < n_full / 4
+
+
+# ---------------------------------------------------------------------------
+# Python replays of the round-15 battery (the r13/r14 pattern: every new
+# op's declared law re-derived independently of both SQL dialects).
+# ---------------------------------------------------------------------------
+
+import hashlib
+import math
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+SF = "/root/testdata/sf0.001"
+
+
+def _nano(v: float) -> int:
+    """The round-9 absorber + 1e9 scale, replayed (r14 idiom)."""
+    return int(Decimal(repr(round(v, 9))) * 1_000_000_000)
+
+
+def _q9(v: float, scale: str = "1e-9") -> Decimal:
+    """The exact STRING s9 route replayed: shortest repr, HALF_UP."""
+    return Decimal(repr(v)).quantize(Decimal(scale), rounding=ROUND_HALF_UP)
+
+
+def _copurchase_directed(spark):
+    """Directed edge list of the sf0.001 co-purchase graph (both
+    orientations of the DISTINCT s < d pair relation)."""
+    rows = spark.sql(
+        f"SELECT l_orderkey AS o, l_partkey AS p"
+        f" FROM parquet.`{SF}/lineitem.parquet`").collect()
+    by_order: dict[int, set] = {}
+    for r in rows:
+        by_order.setdefault(r["o"], set()).add(r["p"])
+    pairs = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                pairs.add((a, b))
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return edges
+
+
+def _docs(spark):
+    return spark.sql(
+        f"SELECT doc_id, text, lang, source, n_chars"
+        f" FROM parquet.`{SF}/documents.parquet`").collect()
+
+
+def test_harmonic_centrality_matches_python_bfs(spark):
+    """Seeded multi-source BFS to horizon 4: n_reached, sum_dist and
+    the lcm-cleared hc_x12 ladder, replayed with a dict BFS."""
+    import duckdb_title_mapper_spark.workload as w
+
+    edges = _copurchase_directed(spark)
+    adj: dict[int, list] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    seeds = sorted(adj)[:8]
+    ladder = {1: 12, 2: 6, 3: 4, 4: 3}
+    expect = {}
+    for s in seeds:
+        dist = {s: 0}
+        frontier = [s]
+        for d in range(1, 5):
+            nxt = {v for u in frontier for v in adj.get(u, ())
+                   if v not in dist}
+            for v in nxt:
+                dist[v] = d
+            frontier = sorted(nxt)
+        expect[s] = (len(dist) - 1,
+                     sum(dist.values()),
+                     sum(ladder[d] for d in dist.values() if d))
+    got = {r["s"]: (r["n_reached"], r["sum_dist"], r["hc_x12"])
+           for r in w.core_queries()["x_harmonic_centrality"]
+           .spark_fn(spark, SF).collect()}
+    assert got == expect
+
+
+def test_louvain_rounds_matches_python_replay(spark):
+    """Synchronous integer-gain Louvain moves, 4 rounds: community
+    count and the exact modularity rational per round."""
+    import duckdb_title_mapper_spark.workload as w
+
+    edges = _copurchase_directed(spark)
+    deg: dict[int, int] = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    m2 = len(edges)
+    comm = {n: n for n in deg}
+    expect = {}
+
+    def snapshot(r, comm):
+        st: dict[int, int] = {}
+        for n, c in comm.items():
+            st[c] = st.get(c, 0) + deg[n]
+        same = sum(1 for a, b in edges if comm[a] == comm[b])
+        sum_d2 = sum(v * v for v in st.values())
+        expect[r] = (len(set(comm.values())), same, sum_d2,
+                     m2 * same - sum_d2, m2 * m2)
+
+    snapshot(0, comm)
+    for r in range(1, 5):
+        st: dict[int, int] = {}
+        for n, c in comm.items():
+            st[c] = st.get(c, 0) + deg[n]
+        kic: dict[int, dict] = {n: {} for n in deg}
+        for a, b in edges:
+            c = comm[b]
+            kic[a][c] = kic[a].get(c, 0) + 1
+        new = {}
+        for n in deg:
+            cand = dict(kic[n])
+            cand.setdefault(comm[n], 0)
+            best = None
+            for c, k in cand.items():
+                score = m2 * k - deg[n] * (
+                    st[c] - (deg[n] if c == comm[n] else 0))
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c)
+            new[n] = best[1]
+        comm = new
+        snapshot(r, comm)
+    got = {r["round"]: (r["n_comms"], r["same_edges"], r["sum_d2"],
+                        r["q_num"], r["q_den"])
+           for r in w.core_queries()["x_louvain_rounds"]
+           .spark_fn(spark, SF).collect()}
+    assert got == expect
+
+
+def test_team_draft_matches_python_replay(spark):
+    """Team-draft interleaving: ranker construction, fewer-picks /
+    md5-coin drafting, click attribution — full greedy replay."""
+    import duckdb_title_mapper_spark.workload as w
+
+    docs = _docs(spark)
+    by_q: dict[str, list] = {}
+    for d in docs:
+        by_q.setdefault(d["source"], []).append(d)
+    expect = {}
+    for q, ds in by_q.items():
+        rank_a = [d["doc_id"] for d in
+                  sorted(ds, key=lambda d: (-d["n_chars"], d["doc_id"]))]
+        rank_b = [d["doc_id"] for d in
+                  sorted(ds, key=lambda d: (
+                      hashlib.md5(d["text"].encode()).hexdigest(),
+                      d["doc_id"]))]
+        lang = {d["doc_id"]: d["lang"] for d in ds}
+        selected: dict[int, str] = {}
+        for i in range(1, 7):
+            na = sum(1 for t in selected.values() if t == "A")
+            nb = len(selected) - na
+            if na < nb:
+                team = "A"
+            elif nb < na:
+                team = "B"
+            else:
+                team = ("A" if hashlib.md5(f"{q}:{i}".encode())
+                        .hexdigest()[0] < "8" else "B")
+            pool = rank_a if team == "A" else rank_b
+            pick = next((d for d in pool if d not in selected), None)
+            if pick is not None:
+                selected[pick] = team
+        ca = sum(1 for d, t in selected.items()
+                 if t == "A" and lang[d] == "en")
+        cb = sum(1 for d, t in selected.items()
+                 if t == "B" and lang[d] == "en")
+        expect[q] = (ca, cb, (ca > cb) - (cb > ca))
+    got = {r["source"]: (r["clicks_a"], r["clicks_b"], r["winner"])
+           for r in w.core_queries()["x_team_draft_interleave"]
+           .spark_fn(spark, SF).collect()}
+    assert got == expect
+
+
+def test_dsir_weights_matches_python_replay(spark):
+    """Hashed unigram+bigram buckets, Laplace log ratios at nano,
+    per-doc integer sums."""
+    import duckdb_title_mapper_spark.workload as w
+
+    feats = []  # (doc_id, tgt, bkt)
+    for d in _docs(spark):
+        toks = re.findall(r"\w+", d["text"].lower())
+        tgt = 1 if d["lang"] == "en" else 0
+        grams = list(toks)
+        if len(toks) >= 2:
+            grams += [f"{toks[i]} {toks[i + 1]}"
+                      for i in range(len(toks) - 1)]
+        for g in grams:
+            bkt = int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % 64
+            feats.append((d["doc_id"], tgt, bkt))
+    big_t = sum(1 for _, t, _b in feats if t == 1)
+    big_r = len(feats)
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for _, t, b in feats:
+        cr[b] = cr.get(b, 0) + 1
+        if t == 1:
+            ct[b] = ct.get(b, 0) + 1
+    lr = {b: _nano(math.log(
+        float((ct.get(b, 0) + 1) * (big_r + 64))
+        / (float(cr[b] + 1) * (big_t + 64)))) for b in cr}
+    expect: dict[int, list] = {}
+    for doc, _t, b in feats:
+        e = expect.setdefault(doc, [0, 0])
+        e[0] += 1
+        e[1] += lr[b]
+    expect = {k: tuple(v) for k, v in expect.items()}
+    got = {r["doc_id"]: (r["n_feats"], r["logw_nano"])
+           for r in w.core_queries()["x_dsir_weights"]
+           .spark_fn(spark, SF).collect()}
+    assert got == expect
+
+
+def test_query_likelihood_matches_python_replay(spark):
+    """Dirichlet QL decomposition: per-term nano logs, integer doc
+    scores, the deterministic top-20 boundary."""
+    import duckdb_title_mapper_spark.workload as w
+
+    terms = ("spark", "window", "merge")
+    tok = []
+    for d in _docs(spark):
+        for t in re.findall(r"\w+", d["text"].lower()):
+            tok.append((d["doc_id"], t))
+    csz = len(tok)
+    dl: dict[int, int] = {}
+    cf: dict[str, int] = {}
+    tf: dict[tuple, int] = {}
+    for doc, t in tok:
+        dl[doc] = dl.get(doc, 0) + 1
+        if t in terms:
+            cf[t] = cf.get(t, 0) + 1
+            tf[(doc, t)] = tf.get((doc, t), 0) + 1
+    scored: dict[int, list] = {}
+    for (doc, t), f in tf.items():
+        s = scored.setdefault(doc, [0, 0])
+        s[0] += 1
+        s[1] += _nano(math.log(1 + float(f * csz) / (100.0 * cf[t])))
+    for doc, s in scored.items():
+        s[1] += 3 * _nano(math.log(100.0 / (dl[doc] + 100)))
+    top = sorted(scored.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20]
+    expect = [(doc, s[0], s[1]) for doc, s in top]
+    got = [(r["doc_id"], r["n_matched"], r["score_s9"])
+           for r in w.core_queries()["x_query_likelihood_lm"]
+           .spark_fn(spark, SF).collect()]
+    assert got == expect
+
+
+def test_mann_whitney_matches_python_replay(spark):
+    """Midrank decomposition, tie correction, the z^2 IEEE expression
+    and its STRING-route quantization."""
+    import duckdb_title_mapper_spark.workload as w
+
+    vals = [(d["n_chars"], 1 if d["lang"] == "en" else 0)
+            for d in _docs(spark)]
+    dv: dict[int, list] = {}
+    for v, g in vals:
+        e = dv.setdefault(v, [0, 0])
+        e[0] += 1
+        e[1] += g
+    strt, r1_x2, tie = 1, 0, 0
+    n1 = sum(g for _, g in vals)
+    n = len(vals)
+    for v in sorted(dv):
+        cnt, cnt1 = dv[v]
+        r1_x2 += cnt1 * (2 * strt + cnt - 1)
+        tie += cnt * cnt * cnt - cnt
+        strt += cnt
+    n2 = n - n1
+    u_x2 = r1_x2 - n1 * (n1 + 1)
+    a = r1_x2 - n1 * (n1 + 1) - n1 * n2
+    z2 = (float(a) * a * 3 * n * (n - 1)) / (
+        float(n1) * n2 * (n * n * n - n - tie))
+    row = (w.core_queries()["x_mann_whitney_u"]
+           .spark_fn(spark, SF).collect())
+    assert len(row) == 1
+    r = row[0]
+    assert (r["n1"], r["n2"], r["u_x2"], r["tie_sum"]) == (
+        n1, n2, u_x2, tie)
+    assert Decimal(str(r["z2_q"])) == _q9(z2)
+    assert r["significant"] == (1 if z2 > 3.8416 else 0)
+
+
+def test_anova_matches_python_replay(spark):
+    """Balanced-design integer SSB/SSW and the exact F rational."""
+    import duckdb_title_mapper_spark.workload as w
+
+    g: dict[str, list] = {}
+    for d in _docs(spark):
+        e = g.setdefault(d["source"], [0, 0, 0])
+        e[0] += 1
+        e[1] += d["n_chars"]
+        e[2] += d["n_chars"] * d["n_chars"]
+    k = len(g)
+    n = sum(e[0] for e in g.values())
+    s = sum(e[1] for e in g.values())
+    q = sum(e[2] for e in g.values())
+    sq2 = sum(e[1] * e[1] for e in g.values())
+    sizes = [e[0] for e in g.values()]
+    f_num = (k * sq2 - s * s) * (n - k)
+    f_den = (n * q - k * sq2) * (k - 1)
+    r = (w.core_queries()["x_anova_oneway"]
+         .spark_fn(spark, SF).collect())[0]
+    assert (r["k"], r["n"], r["balanced"]) == (
+        k, n, 1 if min(sizes) == max(sizes) else 0)
+    assert (r["ssb_xn"], r["ssw_xn"], r["f_num"], r["f_den"]) == (
+        k * sq2 - s * s, n * q - k * sq2, f_num, f_den)
+    assert Decimal(str(r["f_q"])) == _q9(float(f_num) / f_den)
+
+
+def _langid_predict(text: str) -> str:
+    sig = {"en": "the|a|of|to|and", "es": "el|la|de|que|los",
+           "fr": "le|la|les|des|une", "de": "der|die|das|und|ein"}
+    votes = {lang: len(re.findall(rf"\b({w})\b", text.lower()))
+             for lang, w in sig.items()}
+    mx = max(votes.values())
+    if mx == 0:
+        return "und"
+    for lang in ("en", "es", "fr", "de"):
+        if votes[lang] == mx:
+            return lang
+
+
+def test_mcnemar_matches_python_replay(spark):
+    """Discordant counts, continuity-corrected chi2 rational and the
+    cross-multiplied 0.05 decision, replayed from the raw text."""
+    import duckdb_title_mapper_spark.workload as w
+
+    b = c = acc_a = acc_b = n = 0
+    for d in _docs(spark):
+        a_ok = _langid_predict(d["text"]) == d["lang"]
+        b_ok = d["lang"] == "en"
+        n += 1
+        acc_a += a_ok
+        acc_b += b_ok
+        b += a_ok and not b_ok
+        c += b_ok and not a_ok
+    cn = 0 if b + c == 0 else max(abs(b - c) - 1, 0) ** 2
+    r = (w.core_queries()["x_mcnemar_paired"]
+         .spark_fn(spark, SF).collect())[0]
+    assert (r["n"], r["acc_a"], r["acc_b"], r["only_a_correct"],
+            r["only_b_correct"], r["chi_num"], r["chi_den"],
+            r["significant"]) == (
+        n, acc_a, acc_b, b, c, cn, b + c,
+        1 if 625 * cn > 2401 * (b + c) else 0)
+
+
+def test_naive_bayes_matches_python_replay(spark):
+    """Floored vocabulary, Laplace grid log-probs at nano, priors."""
+    import duckdb_title_mapper_spark.workload as w
+
+    toks = []
+    nd: dict[str, int] = {}
+    for d in _docs(spark):
+        nd[d["lang"]] = nd.get(d["lang"], 0) + 1
+        for t in re.findall(r"\w+", d["text"].lower()):
+            toks.append((d["lang"], t))
+    corpus: dict[str, int] = {}
+    for _, t in toks:
+        corpus[t] = corpus.get(t, 0) + 1
+    vocab = {t for t, cnt in corpus.items() if cnt >= 20}
+    v = len(vocab)
+    cnt: dict[tuple, int] = {}
+    ctot: dict[str, int] = {}
+    for lang, t in toks:
+        if t in vocab:
+            cnt[(lang, t)] = cnt.get((lang, t), 0) + 1
+            ctot[lang] = ctot.get(lang, 0) + 1
+    classes = sorted(nd)
+    big_n = sum(nd.values())
+    expect = {}
+    for lang in classes:
+        for t in vocab:
+            k = cnt.get((lang, t), 0)
+            expect[(lang, t)] = (k, _nano(math.log(
+                float(k + 1) / (ctot.get(lang, 0) + v))))
+        expect[(lang, "__prior__")] = (nd[lang], _nano(math.log(
+            float(nd[lang]) / big_n)))
+    got = {(r["lang"], r["token"]): (r["cnt"], r["logp_nano"])
+           for r in w.core_queries()["x_naive_bayes_model"]
+           .spark_fn(spark, SF).collect()}
+    assert got == expect
+
+
+def test_allen_census_matches_python_replay(spark):
+    """Sessionization, promo-window construction, the ordered 13-way
+    CASE ladder — full census replay in integer micros."""
+    import duckdb_title_mapper_spark.workload as w
+
+    w.load(spark, SF, "events").createOrReplaceTempView("events")
+    rows = spark.sql(
+        "SELECT user_id AS u, unix_micros(ts) AS us FROM events"
+    ).collect()
+    by_u: dict[int, list] = {}
+    for r in rows:
+        by_u.setdefault(r["u"], []).append(r["us"])
+    day = 86_400_000_000
+    sessions = []
+    for u, ts in by_u.items():
+        ts.sort()
+        s1 = e1 = ts[0]
+        for t in ts[1:]:
+            if t - e1 > 1_800_000_000:
+                sessions.append((s1, e1))
+                s1 = t
+            e1 = t
+        sessions.append((s1, e1))
+    days = {us // day for _, ts in by_u.items() for us in ts}
+    wins = {d: (d * day + 32_400_000_000, d * day + 54_000_000_000)
+            for d in days}
+
+    def classify(s1, e1, s2, e2):
+        if e1 < s2:
+            return "before"
+        if e1 == s2:
+            return "meets"
+        if s1 < s2 and e1 > s2 and e1 < e2:
+            return "overlaps"
+        if s1 < s2 and e1 == e2:
+            return "finished_by"
+        if s1 < s2 and e1 > e2:
+            return "contains"
+        if s1 == s2 and e1 < e2:
+            return "starts"
+        if s1 == s2 and e1 == e2:
+            return "equals"
+        if s1 == s2 and e1 > e2:
+            return "started_by"
+        if s1 > s2 and e1 < e2:
+            return "during"
+        if s1 > s2 and e1 == e2:
+            return "finishes"
+        if s1 < e2 and e1 > e2:
+            return "overlapped_by"
+        if s1 == e2:
+            return "met_by"
+        return "after"
+
+    census: dict[str, int] = {}
+    for s1, e1 in sessions:
+        d = s1 // day
+        if d in wins:
+            rel = classify(s1, e1, *wins[d])
+            census[rel] = census.get(rel, 0) + 1
+    got = {r["relation"]: r["n_pairs"]
+           for r in w.core_queries()["x_allen_interval_census"]
+           .spark_fn(spark, SF).collect()}
+    assert got == census
