@@ -322,6 +322,9 @@ EXTRA = [
     "x_mcnemar_paired",
     "x_naive_bayes_model",
     "x_allen_interval_census",
+    "x_good_turing_smoothing",
+    "x_katz_centrality",
+    "x_link_prediction_topk",
 ]
 
 

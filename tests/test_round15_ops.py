@@ -545,3 +545,86 @@ def test_allen_census_matches_python_replay(spark):
            for r in w.core_queries()["x_allen_interval_census"]
            .spark_fn(spark, SF).collect()}
     assert got == census
+
+
+def test_good_turing_matches_python_replay(spark):
+    """Bigram count-of-counts, exact r* rationals, unseen-mass row."""
+    import duckdb_title_mapper_spark.workload as w
+
+    cnt: dict[str, int] = {}
+    for d in _docs(spark):
+        ts = re.findall(r"\w+", d["text"].lower())
+        for i in range(len(ts) - 1):
+            g = f"{ts[i]} {ts[i + 1]}"
+            cnt[g] = cnt.get(g, 0) + 1
+    cc: dict[int, int] = {}
+    for r in cnt.values():
+        cc[r] = cc.get(r, 0) + 1
+    n_tokens = sum(r * n for r, n in cc.items())
+    n1 = cc.get(1, 0)
+    expect = {}
+    for r, n_r in cc.items():
+        if r <= 15:
+            n_r1 = cc.get(r + 1, 0)
+            num = (r + 1) * n_r1
+            expect[r] = (n_r, n_r1, num, n_r, num * 1_000_000 // n_r)
+    expect[0] = (n_tokens, n1, n1, n_tokens,
+                 n1 * 1_000_000 // n_tokens)
+    got = {r["r"]: (r["n_r"], r["n_r1"], r["rstar_num"],
+                    r["rstar_den"], r["rstar_ppm"])
+           for r in w.core_queries()["x_good_turing_smoothing"]
+           .spark_fn(spark, SF).collect()}
+    assert got == expect
+
+
+def test_katz_centrality_matches_python_replay(spark):
+    """The 8^t-scaled integer Katz recurrence, 4 hops, top-25."""
+    import duckdb_title_mapper_spark.workload as w
+
+    edges = _copurchase_directed(spark)
+    adj: dict[int, list] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    s = {n: 1 for n in adj}
+    for t in range(1, 5):
+        s = {n: 8 ** t + sum(s[v] for v in nbrs)
+             for n, nbrs in adj.items()}
+    top = sorted(s.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    expect = [(n, sv, len(adj[n])) for n, sv in top]
+    got = [(r["node"], r["katz_x4096"], r["deg"])
+           for r in w.core_queries()["x_katz_centrality"]
+           .spark_fn(spark, SF).collect()]
+    assert got == expect
+
+
+def test_link_prediction_matches_python_replay(spark):
+    """Rank-16 truncated wedges, anti-join, Jaccard ppm with true
+    degrees, STRING-s9 resource-allocation nano sums, top-50."""
+    import duckdb_title_mapper_spark.workload as w
+
+    edges = _copurchase_directed(spark)
+    eset = set(edges)
+    adj: dict[int, list] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    deg = {n: len(v) for n, v in adj.items()}
+    cand: dict[tuple, list] = {}
+    for z, nbrs in adj.items():
+        trunc = sorted(nbrs)[:16]
+        ra = int(_q9(1.0 / deg[z]) * 1_000_000_000)
+        for i, u in enumerate(trunc):
+            for v in trunc[i + 1:]:
+                if (u, v) not in eset:
+                    e = cand.setdefault((u, v), [0, 0])
+                    e[0] += 1
+                    e[1] += ra
+    top = sorted(cand.items(),
+                 key=lambda kv: (-kv[1][0], kv[0]))[:50]
+    expect = [(u, v, c[0], deg[u], deg[v],
+               c[0] * 1_000_000 // (deg[u] + deg[v] - c[0]), c[1])
+              for (u, v), c in top]
+    got = [(r["u"], r["v"], r["cn"], r["deg_u"], r["deg_v"],
+            r["jaccard_ppm"], r["ra_nano"])
+           for r in w.core_queries()["x_link_prediction_topk"]
+           .spark_fn(spark, SF).collect()]
+    assert got == expect
