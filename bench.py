@@ -392,6 +392,7 @@ EXTRA = [
     "x_good_turing_smoothing",
     "x_katz_centrality",
     "x_link_prediction_topk",
+    "x_boruvka_msf",
 ]
 
 

@@ -628,3 +628,62 @@ def test_link_prediction_matches_python_replay(spark):
            for r in w.core_queries()["x_link_prediction_topk"]
            .spark_fn(spark, SF).collect()]
     assert got == expect
+
+
+def test_boruvka_msf_matches_python_replay(spark):
+    """Full Boruvka replay with TRUE (fully flattened) contraction:
+    the fixed-round SQL trajectory must match round for round, and
+    the final forest must be the maximum spanning tree (n-1 edges,
+    one component) — proving the 3-jump flattening lost nothing on
+    this graph."""
+    import duckdb_title_mapper_spark.workload as w
+
+    rows = spark.sql(
+        f"SELECT l_orderkey AS o, l_partkey AS p"
+        f" FROM parquet.`{SF}/lineitem.parquet`").collect()
+    by_order: dict[int, list] = {}
+    for r in rows:
+        by_order.setdefault(r["o"], []).append(r["p"])
+    # weight counts LINE pairs (duplicate parts in one order multiply)
+    wpairs: dict[tuple, int] = {}
+    for parts in by_order.values():
+        for i, a in enumerate(parts):
+            for b in parts[i + 1:]:
+                lo, hi = min(a, b), max(a, b)
+                if lo != hi:
+                    wpairs[(lo, hi)] = wpairs.get((lo, hi), 0) + 1
+    nodes = {n for ab in wpairs for n in ab}
+    comp = {n: n for n in nodes}
+    forest: set = set()
+    expect = {}
+    for r in range(1, 5):
+        best: dict[int, tuple] = {}
+        for (a, b), wt in wpairs.items():
+            for u, v in ((a, b), (b, a)):
+                cu, cv = comp[u], comp[v]
+                if cu != cv:
+                    key = (-wt, a, b)
+                    if cu not in best or key < best[cu][0]:
+                        best[cu] = (key, cv, a, b, wt)
+        for _k, _cv, a, b, wt in best.values():
+            forest.add((a, b, wt))
+        # exact union-find contraction (full flattening)
+        parent = {c: t[1] for c, t in best.items()}
+        for c, t in best.items():
+            if parent.get(t[1]) == c and c < t[1]:
+                parent[c] = c
+
+        def root(c):
+            while parent.get(c, c) != c:
+                c = parent[c]
+            return c
+
+        comp = {n: root(comp[n]) for n in nodes}
+        expect[r] = (len(set(comp.values())), len(forest),
+                     sum(wt for _a, _b, wt in forest))
+    got = {r["round"]: (r["n_comps"], r["n_forest_edges"],
+                        r["forest_w"])
+           for r in w.core_queries()["x_boruvka_msf"]
+           .spark_fn(spark, SF).collect()}
+    assert got == expect
+    assert got[4][0] == 1 and got[4][1] == len(nodes) - 1
