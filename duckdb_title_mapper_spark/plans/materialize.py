@@ -58,3 +58,24 @@ def release(df, mode: str | None = None):
     its only copy of the data, so ``local`` is a deliberate no-op."""
     if (mode or materialize_mode()) == "reliable":
         df.unpersist()
+
+
+def materialize_adaptive(df):
+    """Adaptive-then-checkpoint materialization for SMALL multi-join
+    relations (r15, x_boruvka_msf): plain ``materialize`` in ``local``
+    mode executes the plan down the NON-adaptive ``.rdd`` path, where
+    a component-domain plan of several joins pays seconds in static
+    SortMergeJoin stages even on a handful of rows; plain persist
+    keeps lineage and iterative self-join lineage explodes the
+    optimizer within two rounds.  So: persist -> count (the real work
+    runs under AQE with exact stats and broadcast conversions), then
+    ``materialize`` of the now-trivial cached-scan plan (cuts
+    lineage), then unpersist.  In ``reliable`` mode this degrades
+    gracefully to persist+count (lineage kept, as that mode wants)."""
+    if materialize_mode() == "reliable":
+        return materialize(df)
+    df.persist()
+    df.count()
+    out = materialize(df)
+    df.unpersist()
+    return out

@@ -327,6 +327,7 @@ EXTRA = [
     "x_link_prediction_topk",
     "x_boruvka_msf",
     "x_seq_pattern_support",
+    "x_stable_matching_gs",
 ]
 
 

@@ -733,3 +733,62 @@ def test_seq_pattern_support_matches_python_replay(spark):
            for r in w.core_queries()["x_seq_pattern_support"]
            .spark_fn(spark, SF).collect()}
     assert got == expect
+
+
+def test_stable_matching_matches_sequential_gale_shapley(spark):
+    """The parallel 8-round SQL must produce exactly the textbook
+    SEQUENTIAL Gale-Shapley matching (the man-optimal stable matching
+    is unique, so any converged deferred-acceptance schedule agrees),
+    with the declared preference order and zero blocking pairs."""
+    import duckdb_title_mapper_spark.workload as w
+
+    rows = spark.sql(
+        f"SELECT vec_id, embedding"
+        f" FROM parquet.`{SF}/embeddings.parquet`").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in rows}
+    unit = {}
+    for i, v in vecs.items():
+        # mirror the SQL: per-component double division by sqrt(dot)
+        unit[i] = v / math.sqrt(float(v @ v))
+    lids = sorted(i for i in unit if i < 40)
+    rids = sorted(i for i in unit if i >= 40)
+    pref = {}
+    cos = {}
+    for l in lids:
+        scored = []
+        for r in rids:
+            # index-order fold, like the SQL aggregate
+            c = 0.0
+            for x, y in zip(unit[l], unit[r]):
+                c += float(x) * float(y)
+            cos[(l, r)] = c
+            scored.append((-c, r))
+        scored.sort()
+        pref[l] = [r for _c, r in scored[:4]]
+    # sequential textbook GS
+    nxt = {l: 0 for l in lids}
+    engaged_r: dict[int, int] = {}
+    free = list(lids)
+    while free:
+        l = free.pop(0)
+        if nxt[l] >= len(pref[l]):
+            continue
+        r = pref[l][nxt[l]]
+        nxt[l] += 1
+        cur = engaged_r.get(r)
+        if cur is None:
+            engaged_r[r] = l
+        elif (-cos[(l, r)], l) < (-cos[(cur, r)], cur):
+            engaged_r[r] = l
+            free.append(cur)
+        else:
+            free.append(l)
+    expect_pairs = {(l, r) for r, l in engaged_r.items()}
+    got = w.core_queries()["x_stable_matching_gs"] \
+        .spark_fn(spark, SF).collect()
+    got_pairs = {(r["lid"], r["rid"]) for r in got}
+    assert got_pairs == expect_pairs
+    assert all(r["n_blocking"] == 0 for r in got)
+    for r in got:
+        assert pref[r["lid"]][r["pref_rank"] - 1] == r["rid"]
