@@ -395,6 +395,8 @@ EXTRA = [
     "x_boruvka_msf",
     "x_seq_pattern_support",
     "x_stable_matching_gs",
+    "x_ktruss_peel",
+    "x_markov_entropy_rate",
 ]
 
 

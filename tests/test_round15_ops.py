@@ -792,3 +792,65 @@ def test_stable_matching_matches_sequential_gale_shapley(spark):
     assert all(r["n_blocking"] == 0 for r in got)
     for r in got:
         assert pref[r["lid"]][r["pref_rank"] - 1] == r["rid"]
+
+
+def test_ktruss_peel_matches_python_replay(spark):
+    """Three peel rounds replayed with set-based triangle counting."""
+    import duckdb_title_mapper_spark.workload as w
+
+    edges = {(a, b) for a, b in _copurchase_directed(spark) if a < b}
+    expect = {}
+    cur = set(edges)
+    for r in range(1, 4):
+        adj: dict[int, set] = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+        sup: dict[tuple, int] = {}
+        n_tri = 0
+        for a, b in cur:
+            for c in adj.get(a, set()) & adj.get(b, set()):
+                n_tri += 1
+                for e in ((a, b), (b, c), (a, c)):
+                    sup[e] = sup.get(e, 0) + 1
+        nxt = {e for e in cur if sup.get(e, 0) >= 2}
+        expect[r] = (len(nxt), len(cur) - len(nxt), n_tri)
+        cur = nxt
+    got = {r["round"]: (r["n_edges"], r["n_removed"],
+                        r["n_triangles"])
+           for r in w.core_queries()["x_ktruss_peel"]
+           .spark_fn(spark, SF).collect()}
+    assert got == expect
+
+
+def test_markov_entropy_rate_matches_python_replay(spark):
+    """Transition counts, conditional ppm, nano log-probs and the
+    integer entropy-rate composition replayed from the raw stream."""
+    import duckdb_title_mapper_spark.workload as w
+
+    w.load(spark, SF, "events").createOrReplaceTempView("events")
+    rows = spark.sql(
+        "SELECT user_id AS u, event_type AS t, unix_micros(ts) AS us,"
+        " event_id AS e FROM events").collect()
+    by_u: dict[int, list] = {}
+    for r in rows:
+        by_u.setdefault(r["u"], []).append((r["us"], r["e"], r["t"]))
+    c: dict[tuple, int] = {}
+    for evs in by_u.values():
+        evs.sort()
+        for (_u1, _e1, a), (_u2, _e2, b) in zip(evs, evs[1:]):
+            c[(a, b)] = c.get((a, b), 0) + 1
+    cs: dict[str, int] = {}
+    for (a, _b), n in c.items():
+        cs[a] = cs.get(a, 0) + n
+    t_total = sum(c.values())
+    lnp = {k: _nano(math.log(float(n) / cs[k[0]]))
+           for k, n in c.items()}
+    h_nano = (-sum(c[k] * lnp[k] for k in c)) // t_total
+    expect = {k: (c[k], cs[k[0]], c[k] * 1_000_000 // cs[k[0]],
+                  lnp[k], h_nano, t_total) for k in c}
+    got = {(r["s"], r["t"]): (r["c_st"], r["c_s"], r["p_ppm"],
+                              r["lnp_nano"], r["h_nano"],
+                              r["t_total"])
+           for r in w.core_queries()["x_markov_entropy_rate"]
+           .spark_fn(spark, SF).collect()}
+    assert got == expect
