@@ -397,6 +397,7 @@ EXTRA = [
     "x_stable_matching_gs",
     "x_ktruss_peel",
     "x_markov_entropy_rate",
+    "x_luby_mis",
 ]
 
 

@@ -854,3 +854,41 @@ def test_markov_entropy_rate_matches_python_replay(spark):
            for r in w.core_queries()["x_markov_entropy_rate"]
            .spark_fn(spark, SF).collect()}
     assert got == expect
+
+
+def test_luby_mis_matches_python_replay(spark):
+    """Luby rounds replayed with the same md5 coins; also asserts the
+    invariants (independence of the accumulated set, and maximality
+    over the removed region)."""
+    import duckdb_title_mapper_spark.workload as w
+
+    edges = _copurchase_directed(spark)
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    live = set(adj)
+    mis_total: set = set()
+    expect = {}
+
+    def pri(v, r):
+        h = int(hashlib.md5(f"{v}:{r}".encode()).hexdigest()[:8], 16)
+        return h * 1048576 + v
+
+    for r in range(1, 5):
+        this = {v for v in live
+                if all(pri(v, r) < pri(u, r)
+                       for u in adj[v] & live)}
+        removed = this | {u for v in this for u in adj[v]}
+        live = live - removed
+        mis_total |= this
+        expect[r] = (len(this), len(mis_total), len(live))
+    got = {r["round"]: (r["n_new"], r["n_mis_total"], r["n_live"])
+           for r in w.core_queries()["x_luby_mis"]
+           .spark_fn(spark, SF).collect()}
+    assert got == expect
+    # independence: no two MIS nodes adjacent
+    assert not any(u in adj[v] for v in mis_total for u in mis_total)
+    # maximality over the removed region: every removed non-MIS node
+    # has an MIS neighbor
+    removed_all = set(adj) - live - mis_total
+    assert all(adj[v] & mis_total for v in removed_all)
