@@ -1142,3 +1142,42 @@ def test_round15_plan_shapes(spark):
         assert "BatchEvalPython" not in p, name
         assert has_partial_aggregation(df), name
         assert "CartesianProduct" not in p, name
+
+
+def test_round15b_plan_shapes(spark):
+    """Second round-15 batch: the graph/matching/mining additions stay
+    store-backed equi-join plans with no Python rows and no
+    data-sized cartesian products; the k-truss census and Good-Turing
+    collapse partial-agg; Katz's lazy chain holds whole-stage
+    codegen; Boruvka's component joins broadcast (the hint is
+    load-bearing — its absence replans multi-second static SMJs)."""
+    from duckdb_title_mapper_spark.plans import (
+        explain_str, has_partial_aggregation)
+    from duckdb_title_mapper_spark.workload import (
+        core_queries as all_queries)
+
+    qs = all_queries()
+
+    for name in ("x_katz_centrality", "x_link_prediction_topk",
+                 "x_good_turing_smoothing", "x_seq_pattern_support",
+                 "x_markov_entropy_rate", "x_mcnemar_paired",
+                 "x_naive_bayes_model", "x_allen_interval_census"):
+        df = qs[name].spark_fn(spark, SF)
+        p = explain_str(df)
+        assert "BatchEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert has_partial_aggregation(df), name
+
+    # katz/link-pred ride the redges store — never the pair rebuild
+    for name in ("x_katz_centrality", "x_link_prediction_topk"):
+        p = explain_str(qs[name].spark_fn(spark, SF))
+        assert "l_orderkey" not in p, f"{name} rebuilt the pair join"
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+    # boruvka: the contraction joins must BROADCAST the jump map
+    # (stat-less LogicalRDDs otherwise static-plan SortMergeJoins)
+    from duckdb_title_mapper_spark.workload import (
+        _boruvka_contract_sql, _boruvka_jump_sql, _boruvka_ptr_sql)
+    assert "BROADCAST" in _boruvka_contract_sql("ce", "j")
+    assert "BROADCAST" in _boruvka_jump_sql("p")
+    assert "BROADCAST" in _boruvka_ptr_sql("b")
