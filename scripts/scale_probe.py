@@ -331,6 +331,7 @@ EXTRA = [
     "x_ktruss_peel",
     "x_markov_entropy_rate",
     "x_luby_mis",
+    "x_dft_period_power",
 ]
 
 

@@ -892,3 +892,39 @@ def test_luby_mis_matches_python_replay(spark):
     # has an MIS neighbor
     removed_all = set(adj) - live - mis_total
     assert all(adj[v] & mis_total for v in removed_all)
+
+
+def test_dft_period_power_matches_python_replay(spark):
+    """Goertzel projections replayed with the identical per-term
+    micro quantization and integer sums."""
+    import duckdb_title_mapper_spark.workload as w
+
+    w.load(spark, SF, "events").createOrReplaceTempView("events")
+    rows = spark.sql(
+        "SELECT unix_micros(ts) div 3600000000 AS h, count(*) AS v"
+        " FROM events GROUP BY unix_micros(ts) div 3600000000"
+    ).collect()
+    vol = {r["h"]: r["v"] for r in rows}
+    n, s, h0 = len(vol), sum(vol.values()), min(vol)
+
+    def micro(x: float) -> int:
+        return int(Decimal(repr(round(x, 6))) * 1_000_000)
+
+    expect = {}
+    for p in (6, 12, 24, 168):
+        sc = ss = 0
+        for h, v in vol.items():
+            ti = h - h0
+            amp = float(n * v - s) / n
+            arg = (2 * math.pi * ti) / p
+            sc += micro(amp * math.cos(arg))
+            ss += micro(amp * math.sin(arg))
+        power = round((float(sc) / 1000000) * (float(sc) / 1000000)
+                      + (float(ss) / 1000000) * (float(ss) / 1000000),
+                      3)
+        expect[p] = (sc, ss, int(Decimal(repr(power)) * 1000))
+    got = {r["period_h"]: (r["s_cos_micro"], r["s_sin_micro"],
+                           r["power_milli"])
+           for r in w.core_queries()["x_dft_period_power"]
+           .spark_fn(spark, SF).collect()}
+    assert got == expect
