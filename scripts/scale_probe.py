@@ -332,6 +332,7 @@ EXTRA = [
     "x_markov_entropy_rate",
     "x_luby_mis",
     "x_dft_period_power",
+    "x_ccf_leadlag",
 ]
 
 

@@ -928,3 +928,40 @@ def test_dft_period_power_matches_python_replay(spark):
            for r in w.core_queries()["x_dft_period_power"]
            .spark_fn(spark, SF).collect()}
     assert got == expect
+
+
+def test_ccf_leadlag_matches_python_replay(spark):
+    """Mean-cleared covariance numerators and the milli-absorbed
+    normalized r replayed per lag."""
+    import duckdb_title_mapper_spark.workload as w
+
+    w.load(spark, SF, "events").createOrReplaceTempView("events")
+    rows = spark.sql(
+        "SELECT event_type AS et, unix_micros(ts) div 3600000000 AS h"
+        " FROM events WHERE event_type IN ('view', 'purchase')"
+    ).collect()
+    xs: dict[int, int] = {}
+    ys: dict[int, int] = {}
+    hours = set()
+    for r in rows:
+        hours.add(r["h"])
+        d = xs if r["et"] == "view" else ys
+        d[r["h"]] = d.get(r["h"], 0) + 1
+    n = len(hours)
+    sx = sum(xs.values())
+    sy = sum(ys.values())
+    dx = sum((n * xs.get(h, 0) - sx) ** 2 for h in hours)
+    dy = sum((n * ys.get(h, 0) - sy) ** 2 for h in hours)
+    expect = {}
+    for k in range(-6, 7):
+        num = sum((n * xs.get(h, 0) - sx) * (n * ys.get(h + k, 0) - sy)
+                  for h in hours if h + k in hours)
+        terms = sum(1 for h in hours if h + k in hours)
+        r_m = int(Decimal(repr(round(
+            float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy))),
+            3))) * 1000)
+        expect[k] = (num, terms, r_m)
+    got = {r["lag_h"]: (r["num_n2"], r["n_terms"], r["r_milli"])
+           for r in w.core_queries()["x_ccf_leadlag"]
+           .spark_fn(spark, SF).collect()}
+    assert got == expect
