@@ -160,23 +160,111 @@ def final_sql(union_src: str) -> str:
     WHERE l.max_dup_pow2 >= 8"""
 
 
-def suffix_dup_spans(spark):
+# ---------------------------------------------------------------------------
+# shared level-32 store (r15 optimization)
+# ---------------------------------------------------------------------------
+
+L32_VIEW = "__suffix_l32"
+RET16_VIEW = "__suffix_ret16"
+_L32_CACHE: dict = {}
+
+
+def build_suffix_l32(spark, sf_dir: str, force: bool = False):
+    """Build (or fetch) the parquet-backed LEVEL-32 suffix-class store
+    and register it as ``__suffix_l32`` (+ the level-8/16 retiree
+    slice as ``__suffix_ret16``).
+
+    r15 optimization (guide §1.2 — remove repeated passes): FOUR
+    queries ran the identical base -> led8 -> l16 -> led16 -> l32
+    doubling chain per run (x_suffix_dup_spans as its ladder prefix;
+    x_suffix_dup_extract / x_suffix_dedup_apply / x_suffix_dup_flow
+    in full) — five window passes over every corpus position each.
+    Same cross-query shared-state shape as graph.build_copurchase_
+    pairs (the sanctioned pattern): parquet under a versioned /tmp
+    dir keyed by (applicationId, sf_dir) — survives bench.py's
+    clearCache, recomputed per session/run, never across runs.
+    ``x_suffix_dup_spans`` owns the build cost (force=True, it runs
+    first in the bench order); the other three cache-hit.
+
+    ``__suffix_ret16`` carries the positions that retire at levels 8
+    and 16 (suffix too short for the next doubling) — only the spans
+    ladder consumes them; storing the slice lets spans resume the
+    ladder from level 32 without re-deriving the lower levels."""
+    import hashlib
+    import os
+
+    from ..plans.materialize import materialize
+
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    cached = _L32_CACHE.get(key)
+    if cached is not None and not force:
+        cached[0].createOrReplaceTempView(L32_VIEW)
+        cached[1].createOrReplaceTempView(RET16_VIEW)
+        return cached[0], cached[1]
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{os.path.realpath(sf_dir)}"
+        .encode()
+    ).hexdigest()[:16]
+    version = (cached[2] + 1) if cached is not None else 0
+    base_dir = "/tmp/duckdb_title_mapper_spark_suffix"
+    path = f"{base_dir}/{tag}.v{version}"
+    # base has a SINGLE consumer here (led8's window), so it fuses
+    # into led8's materialization instead of its own checkpoint
+    spark.sql(base_sql(True)).createOrReplaceTempView("__sfxb_live_8")
+    led8 = materialize(spark.sql(led_sql(8, "__sfxb_live_8")))
+    led8.createOrReplaceTempView("__sfxb_led_8")
+    spark.sql(double_sql(16, "__sfxb_led_8")) \
+        .createOrReplaceTempView("__sfxb_live_16")
+    led16 = materialize(spark.sql(led_sql(16, "__sfxb_live_16")))
+    led16.createOrReplaceTempView("__sfxb_led_16")
+    spark.sql(double_sql(32, "__sfxb_led_16")) \
+        .write.mode("overwrite").parquet(f"{path}/l32")
+    spark.sql(
+        f"SELECT {_RETIRE_COLS} FROM __sfxb_led_8 WHERE c2 IS NULL"
+        f" UNION ALL "
+        f"SELECT {_RETIRE_COLS} FROM __sfxb_led_16 WHERE c2 IS NULL"
+    ).write.mode("overwrite").parquet(f"{path}/ret16")
+    l32 = spark.read.parquet(f"{path}/l32")
+    ret16 = spark.read.parquet(f"{path}/ret16")
+    _L32_CACHE[key] = (l32, ret16, version)
+    if cached is not None:
+        from ..plans.tmpstore import defer_rmtree
+
+        defer_rmtree(f"{base_dir}/{tag}.v{cached[2]}")
+    l32.createOrReplaceTempView(L32_VIEW)
+    ret16.createOrReplaceTempView(RET16_VIEW)
+    return l32, ret16
+
+
+def suffix_dup_spans(spark, sf_dir: str | None = None):
     """Driver-loop prefix doubling over the registered ``documents``
     view; one materialization per round (the graph-loop discipline).
     The led relations stay materialized until the final union (each
-    feeds both the next level and a retired slice); only the base is
-    released once its sole consumer is cut."""
+    feeds both the next level and a retired slice).
+
+    With ``sf_dir`` given, the level-32 prefix of the ladder comes
+    from the shared parquet store (built here, force=True — this
+    query owns the build cost; extract/apply/flow cache-hit) and the
+    ladder resumes at level 32.  Without it (unit tests), the
+    original fully-inline chain runs."""
     from ..plans.materialize import materialize, release
 
-    base = materialize(spark.sql(base_sql(True)))
-    live = base
     retired = []
-    for k in LADDER[:-1]:
+    if sf_dir is not None:
+        l32, ret16 = build_suffix_l32(spark, sf_dir, force=True)
+        live = l32
+        start = LADDER.index(32)
+        retired.append(ret16.selectExpr(*_RETIRE_COLS.split(", ")))
+    else:
+        base = materialize(spark.sql(base_sql(True)))
+        live = base
+        start = 0
+    for k in LADDER[start:-1]:
         vl = f"__sfx_led_{k}"
         live.createOrReplaceTempView(f"__sfx_live_{k}")
         led = materialize(spark.sql(led_sql(k, f"__sfx_live_{k}")))
         led.createOrReplaceTempView(vl)
-        if k == LADDER[0]:
+        if k == LADDER[0] and sf_dir is None:
             release(base)
         retired.append(
             spark.sql(
@@ -217,7 +305,24 @@ def suffix_oracle_sql() -> str:
     return f"WITH {chain},\n    fin AS ({final_sql('u')})\n    SELECT * FROM fin"
 
 
-def extract_sql(spark_dialect: bool) -> str:
+_L32_CHAIN = """l8 AS ({base}),
+    led8 AS ({led8}),
+    l16 AS ({l16}),
+    led16 AS ({led16}),
+    l32 AS ({l32})"""
+
+
+def _l32_chain(spark_dialect: bool) -> str:
+    return _L32_CHAIN.format(
+        base=base_sql(spark_dialect),
+        led8=led_sql(8, "l8"),
+        l16=double_sql(16, "led8"),
+        led16=led_sql(16, "l16"),
+        l32=double_sql(32, "led16"),
+    )
+
+
+def extract_sql(spark_dialect: bool, l32_rel: str | None = None) -> str:
     """The Lee-et-al CUT LIST companion to ``suffix_dup_spans``: the
     top-100 distinct duplicated 32-char substrings corpus-wide, WITH
     their content — what a dedup pass would actually remove.  Runs
@@ -230,15 +335,12 @@ def extract_sql(spark_dialect: bool) -> str:
     back to documents.  Ties broken (occ DESC, cls ASC) — membership
     and order never touch a float."""
     idiv = "div" if spark_dialect else "//"
-    return f"""WITH l8 AS ({base_sql(spark_dialect)}),
-    led8 AS ({led_sql(8, 'l8')}),
-    l16 AS ({double_sql(16, 'led8')}),
-    led16 AS ({led_sql(16, 'l16')}),
-    l32 AS ({double_sql(32, 'led16')}),
-    cl AS (
+    src = l32_rel or "l32"
+    chain = "" if l32_rel else f"{_l32_chain(spark_dialect)},\n    "
+    return f"""WITH {chain}cl AS (
       SELECT cls, CAST(count(*) AS BIGINT) AS occ,
              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-      FROM l32 GROUP BY cls HAVING count(*) >= 2),
+      FROM {src} GROUP BY cls HAVING count(*) >= 2),
     top AS (
       SELECT cls, occ, n_docs,
              CAST(row_number() OVER (ORDER BY occ DESC, cls)
@@ -252,7 +354,7 @@ def extract_sql(spark_dialect: bool) -> str:
     FROM top t JOIN documents d ON d.doc_id = t.cls {idiv} 4294967296"""
 
 
-def _apply_l32_sql(spark_dialect: bool) -> str:
+def _apply_l32_sql(spark_dialect: bool, l32_rel: str | None = None) -> str:
     """Level-32 chain (base + two doubling rounds), single-consumer.
 
     Interval merge note (ADVICE r12): ``brk`` fires when pos > the
@@ -263,16 +365,13 @@ def _apply_l32_sql(spark_dialect: bool) -> str:
     ``ks <= ke`` in apply_final_sql — so the split is a representation
     detail, kept stable to preserve the declared queries' interval
     relation."""
-    return f"""WITH l8 AS ({base_sql(spark_dialect)}),
-    led8 AS ({led_sql(8, 'l8')}),
-    l16 AS ({double_sql(16, 'led8')}),
-    led16 AS ({led_sql(16, 'l16')}),
-    l32 AS ({double_sql(32, 'led16')}),
-    rm AS (
+    src = l32_rel or "l32"
+    chain = "" if l32_rel else f"{_l32_chain(spark_dialect)},\n    "
+    return f"""WITH {chain}rm AS (
       SELECT doc_id, n_chars, pos FROM (
         SELECT doc_id, n_chars, pos, key, cls,
                count(*) OVER (PARTITION BY cls) AS occ
-        FROM l32) z
+        FROM {src}) z
       WHERE occ > 1 AND key <> cls),
     x AS (
       SELECT doc_id, n_chars, pos, pos + 31 AS e,
@@ -338,7 +437,7 @@ def apply_oracle_sql() -> str:
     {fin[5:]}"""
 
 
-def flow_sql(spark_dialect: bool) -> str:
+def flow_sql(spark_dialect: bool, l32_rel: str | None = None) -> str:
     """Cross-source duplication FLOW matrix: for every duplicated
     32-char window, the class representative's source (the earliest
     arrival — where the content 'originates' under the keep-first
@@ -348,16 +447,13 @@ def flow_sql(spark_dialect: bool) -> str:
     self-flows.  Level-32 chain single-consumer; two broadcastable
     joins back to documents decode sources for both ends."""
     idiv = "div" if spark_dialect else "//"
-    return f"""WITH l8 AS ({base_sql(spark_dialect)}),
-    led8 AS ({led_sql(8, 'l8')}),
-    l16 AS ({double_sql(16, 'led8')}),
-    led16 AS ({led_sql(16, 'l16')}),
-    l32 AS ({double_sql(32, 'led16')}),
-    e AS (
+    src = l32_rel or "l32"
+    chain = "" if l32_rel else f"{_l32_chain(spark_dialect)},\n    "
+    return f"""WITH {chain}e AS (
       SELECT doc_id, cls, cls {idiv} 4294967296 AS rep_doc
       FROM (SELECT doc_id, cls, key,
                    count(*) OVER (PARTITION BY cls) AS occ
-            FROM l32) z
+            FROM {src}) z
       WHERE occ > 1 AND key <> cls)
     SELECT rd.source AS rep_source, dd.source AS dup_source,
            CAST(count(*) AS BIGINT) AS n_windows,
