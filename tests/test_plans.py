@@ -978,8 +978,15 @@ def test_round13_third_wave_plan_shapes(spark):
     hl = qs["x_holt_linear"].spark_fn(spark, SF)
     p = explain_str(hl)
     assert "BatchEvalPython" not in p
-    assert "UnionLoop" in p or "Recursi" in p, "holt lost the native recursion"
-    assert "unix_micros" not in p, "holt re-derived the hourly pool"
+    # r15: the 48-level recursive CTE (one tiny join job per level)
+    # became ONE ordered array fold — no UnionLoop, no per-level
+    # shuffles; the replay test locks the integer recurrence itself
+    assert "UnionLoop" not in p, "holt regressed to per-level recursion"
+    assert "aggregate(" in p, "holt lost the array-fold form"
+    # pool derivation (hourly agg + rank window + fold groupBy) plans
+    # inline now — a handful of key-partitioned exchanges, never 48
+    # per-level jobs
+    assert p.count("Exchange") <= 5, "holt fold grew extra shuffles"
 
     mx = qs["x_matrix_profile"].spark_fn(spark, SF)
     p = explain_str(mx)
