@@ -170,9 +170,15 @@ def oracle_sql() -> str:
     {fin[5:]}"""
 
 
-def unigram_estep(spark):
+def unigram_estep(spark, sf_dir: str | None = None):
     """Spark side: materialize the three multi-consumer relations
-    once (plans/materialize), then run the final aggregation."""
+    once (plans/materialize), then run the final aggregation.  With
+    ``sf_dir``, the relations come from the shared store (this query
+    OWNS the level-1 build, force=True); without it (unit tests) the
+    original inline chain runs."""
+    if sf_dir is not None:
+        build_unigram_store(spark, sf_dir, level=1, force=True)
+        return spark.sql(final_sql("__unist_ab1", "__unist_vocab1", True))
     from ..plans.materialize import materialize
 
     spans = materialize(
@@ -259,7 +265,10 @@ def viterbi_oracle_sql() -> str:
     {viterbi_sql('spans', 'vocab')}"""
 
 
-def unigram_segment(spark):
+def unigram_segment(spark, sf_dir: str | None = None):
+    if sf_dir is not None:
+        build_unigram_store(spark, sf_dir, level=1)  # cache-hit
+        return spark.sql(viterbi_sql("__unist_spans", "__unist_vocab1"))
     from ..plans.materialize import materialize
 
     spans = materialize(
@@ -312,9 +321,14 @@ def oracle2_sql() -> str:
     {fin2[5:]}"""
 
 
-def unigram_estep2(spark):
+def unigram_estep2(spark, sf_dir: str | None = None):
     """Spark side: the iteration-1 chain materialized, the octave
-    M-step, then the second lattice + E-step."""
+    M-step, then the second lattice + E-step.  With ``sf_dir``, the
+    iteration-1 prefix cache-hits the store and this query OWNS the
+    level-2 build."""
+    if sf_dir is not None:
+        build_unigram_store(spark, sf_dir, level=2, force=True)
+        return spark.sql(final_sql("__unist_ab2", "__unist_vocab2", True))
     from ..plans.materialize import materialize
 
     spans = materialize(
@@ -575,15 +589,26 @@ def apply_pruned_oracle_sql() -> str:
     {apply_pruned_sql('vit2', 'vit3')}"""
 
 
-def unigram_apply_pruned(spark):
+def unigram_apply_pruned(spark, sf_dir: str | None = None):
     """Spark side: the prune chain under fresh __unia_* view names,
-    then both Viterbi decodes and the per-word join."""
+    then both Viterbi decodes and the per-word join.  With ``sf_dir``
+    the whole prune chain cache-hits the store and only vocab3 + the
+    two decodes + the join run here."""
     from ..plans.materialize import materialize
 
     def mat(name, sql):
         df = materialize(spark.sql(sql))
         df.createOrReplaceTempView(name)
         return df
+
+    if sf_dir is not None:
+        build_unigram_store(spark, sf_dir, level=3)  # cache-hit
+        mat("__unia_vocab3", vocab3_sql("__unist_prune"))
+        mat("__unia_vit2",
+            viterbi_min_sql("__unist_spans", "__unist_vocab2"))
+        mat("__unia_vit3",
+            viterbi_min_sql("__unist_spans", "__unia_vocab3"))
+        return spark.sql(apply_pruned_sql("__unia_vit2", "__unia_vit3"))
 
     mat("__unia_spans",
         f"WITH words AS ({words_sql(True)}) {spans_sql('words')}")
@@ -602,12 +627,16 @@ def unigram_apply_pruned(spark):
     return spark.sql(apply_pruned_sql("__unia_vit2", "__unia_vit3"))
 
 
-def unigram_prune(spark):
+def unigram_prune(spark, sf_dir: str | None = None):
     """Spark side of the prune step: the estep2 chain with fresh view
     names (per-name caching rule), then counterfactual lattices ->
     loss -> prune decision.  Each multi-consumer relation is
     materialized once; the 21 exclusion arms re-scan only the
-    materialized ab2."""
+    materialized ab2.  With ``sf_dir`` the estep2 prefix cache-hits
+    the store and this query OWNS the level-3 (prune) build."""
+    if sf_dir is not None:
+        levels = build_unigram_store(spark, sf_dir, level=3, force=True)
+        return levels[3]["prune"]
     from ..plans.materialize import materialize
 
     spans = materialize(
@@ -633,3 +662,107 @@ def unigram_prune(spark):
     loss = materialize(spark.sql(loss_sql("__unip_excl", True)))
     loss.createOrReplaceTempView("__unip_loss")
     return spark.sql(prune_sql("__unip_fin2", "__unip_loss"))
+
+
+# ---------------------------------------------------------------------------
+# shared EM-chain store (r15 optimization)
+# ---------------------------------------------------------------------------
+
+_UNIST_CACHE: dict = {}
+
+# level 1: spans / vocab1 / ab1 (the iteration-1 lattice inputs)
+# level 2: fin1 / vocab2 / ab2 / fin2 (the full 2-iteration EM chain)
+# level 3: prune (the counterfactual-loss prune decision)
+_LEVEL_RELS = {1: ("spans", "vocab1", "ab1"),
+               2: ("fin1", "vocab2", "ab2", "fin2"),
+               3: ("prune",)}
+
+
+def build_unigram_store(spark, sf_dir: str, level: int = 1,
+                        force: bool = False):
+    """Build (or fetch) the parquet-backed unigram EM-chain store and
+    register every built relation as ``__unist_<name>``.
+
+    r15 optimization (guide §1.2 — remove repeated passes): FIVE
+    queries re-derived overlapping prefixes of the same deterministic
+    chain per run (estep: spans..ab1; segment: spans+vocab1; estep2:
+    spans..fin2; prune: ..+excl/loss; apply_pruned: the whole thing
+    plus two Viterbi decodes — 13 materializations).  Same
+    cross-query shared-state shape as graph.build_copurchase_pairs:
+    parquet under a versioned /tmp dir keyed by (applicationId,
+    sf_dir), rebuilt per session/run, never across runs.  Ownership
+    follows bench order: x_unigram_lm_estep owns level 1 (force),
+    x_unigram_lm_estep2 level 2, x_unigram_prune_step level 3;
+    consumers cache-hit.  ``force`` rebuilds only the TOP requested
+    level (lower levels rebuild only if missing — their content is
+    deterministic, so a newer lower level never invalidates a built
+    higher one)."""
+    import hashlib
+    import os
+
+    from ..plans.materialize import materialize
+
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    st = _UNIST_CACHE.setdefault(key, {"levels": {}, "ver": {}})
+    tag = hashlib.md5(f"{key[0]}:{key[1]}".encode()).hexdigest()[:16]
+    base = "/tmp/duckdb_title_mapper_spark_unigram"
+
+    def _reg(lv):
+        for name, df in st["levels"][lv].items():
+            df.createOrReplaceTempView(f"__unist_{name}")
+
+    def _w(lv, name, df):
+        path = f"{base}/{tag}.l{lv}.v{st['ver'][lv]}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        rdf = spark.read.parquet(path)
+        st["levels"].setdefault(lv, {})[name] = rdf
+        rdf.createOrReplaceTempView(f"__unist_{name}")
+        return rdf
+
+    def _bump(lv):
+        old = st["ver"].get(lv)
+        st["ver"][lv] = (old + 1) if old is not None else 0
+        st["levels"].pop(lv, None)
+        if old is not None:
+            from ..plans.tmpstore import defer_rmtree
+
+            defer_rmtree(f"{base}/{tag}.l{lv}.v{old}")
+
+    if 1 not in st["levels"] or (force and level == 1):
+        _bump(1)
+        _w(1, "spans", spark.sql(
+            f"WITH words AS ({words_sql(True)}) {spans_sql('words')}"))
+        _w(1, "vocab1", spark.sql(vocab_sql("__unist_spans")))
+        _w(1, "ab1", spark.sql(ab_sql("__unist_spans", "__unist_vocab1")))
+    else:
+        _reg(1)
+    if level >= 2:
+        if 2 not in st["levels"] or (force and level == 2):
+            _bump(2)
+            # fin1 has no downstream consumer outside this level
+            # (only vocab2 derives from it) — checkpoint, don't store
+            fin1 = materialize(spark.sql(
+                final_sql("__unist_ab1", "__unist_vocab1", True)))
+            fin1.createOrReplaceTempView("__unist_fin1")
+            _w(2, "vocab2", spark.sql(vocab2_sql("__unist_fin1")))
+            _w(2, "ab2", spark.sql(
+                ab_sql("__unist_spans", "__unist_vocab2")))
+            _w(2, "fin2", spark.sql(
+                final_sql("__unist_ab2", "__unist_vocab2", True)))
+        else:
+            _reg(2)
+    if level >= 3:
+        if 3 not in st["levels"] or (force and level == 3):
+            _bump(3)
+            # excl/loss are prune-internal: single downstream consumer
+            # each beyond the prune relation, so they materialize
+            # locally and only the decision relation is stored
+            excl = materialize(spark.sql(excl_sql("__unist_ab2")))
+            excl.createOrReplaceTempView("__unist_excl")
+            loss = materialize(spark.sql(loss_sql("__unist_excl", True)))
+            loss.createOrReplaceTempView("__unist_loss")
+            _w(3, "prune", spark.sql(
+                prune_sql("__unist_fin2", "__unist_loss")))
+        else:
+            _reg(3)
+    return st["levels"]
