@@ -819,8 +819,12 @@ def test_round12_plan_shapes(spark):
     u2 = qs["x_unigram_lm_estep2"].spark_fn(spark, SF)
     p = explain_str(u2)
     assert "BatchEvalPython" not in p
-    # 26 arms over the materialized iteration-2 lattice + vocab2
-    assert p.count("Scan ExistingRDD") >= 20, p.count("Scan ExistingRDD")
+    # 26 arms over the materialized iteration-2 lattice + vocab2 —
+    # r15: served from the shared parquet EM-chain store
+    n_mat_scans = (p.count("Scan ExistingRDD")
+                   + p.count("duckdb_title_mapper_spark_unigram"))
+    assert n_mat_scans >= 20, n_mat_scans
+    assert "regexp_extract_all" not in p, "estep2 re-derived the words scan"
 
     tk = qs["stream_topk_leaderboard"].spark_fn(spark, SF)
     p = explain_str(tk)
