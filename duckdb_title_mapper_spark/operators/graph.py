@@ -383,8 +383,12 @@ def label_propagation_rounds(edges_df, src: str = "src", dst: str = "dst",
         .withColumn("label", F.col("node").cast("bigint"))
     )
     for _ in range(rounds):
+        # r15: broadcast (mode-gated) the vertex-sized label relation —
+        # the lazy chain otherwise sort-merge-joins the edge relation
+        # every round; the labels subplan was already executed once per
+        # consumer, so the broadcast build adds no extra recompute
         counts = (
-            edges.join(labels, edges.b == labels.node)
+            edges.join(_maybe_broadcast(labels), edges.b == labels.node)
             .groupBy(edges.a, labels.label)
             .agg(F.count("*").cast("bigint").alias("c"))
         )
@@ -443,8 +447,12 @@ def hits_fixed_point(edges_df, src: str = "src", dst: str = "dst",
         # of chaining goes exponential (the x_bpe_train / r7 kcore CTE
         # trap, measured 43 s -> ~2 s here).  Materialize per half; the
         # relation is vertex-sized, not edge-sized.
+        # r15: broadcast (mode-gated) the vertex-sized score relation
+        # into the edge-scale join — static plans otherwise sort the
+        # edge relation every half-round
         raw = _mat(
-            edges.join(scores, edges[join_on] == scores.id)
+            edges.join(_maybe_broadcast(scores),
+                       edges[join_on] == scores.id)
             .groupBy(out_key)
             .agg(F.sum("v").alias("s"))
             .select(F.col(out_key).alias("id"), "s")
