@@ -670,12 +670,10 @@ def unigram_prune(spark, sf_dir: str | None = None):
 
 _UNIST_CACHE: dict = {}
 
-# level 1: spans / vocab1 / ab1 (the iteration-1 lattice inputs)
-# level 2: fin1 / vocab2 / ab2 / fin2 (the full 2-iteration EM chain)
-# level 3: prune (the counterfactual-loss prune decision)
-_LEVEL_RELS = {1: ("spans", "vocab1", "ab1"),
-               2: ("fin1", "vocab2", "ab2", "fin2"),
-               3: ("prune",)}
+# Store levels: 1 = spans / vocab1 / ab1 (the iteration-1 lattice
+# inputs); 2 = vocab2 / ab2 / fin2 (the full 2-iteration EM chain --
+# fin1 is a build-internal localCheckpoint, never written to the
+# store); 3 = prune (the counterfactual-loss prune decision).
 
 
 def build_unigram_store(spark, sf_dir: str, level: int = 1,
@@ -705,7 +703,9 @@ def build_unigram_store(spark, sf_dir: str, level: int = 1,
     key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
     st = _UNIST_CACHE.setdefault(key, {"levels": {}, "ver": {}})
     tag = hashlib.md5(f"{key[0]}:{key[1]}".encode()).hexdigest()[:16]
-    base = "/tmp/duckdb_title_mapper_spark_unigram"
+    from ..plans.tmpstore import store_root
+
+    base = store_root("unigram")
 
     def _reg(lv):
         for name, df in st["levels"][lv].items():

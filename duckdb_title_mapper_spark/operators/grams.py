@@ -140,7 +140,9 @@ def build_census(spark, sf_dir: str, force: bool = False):
         .encode()
     ).hexdigest()[:16]
     version = (cached[1] + 1) if cached is not None else 0
-    base = "/tmp/duckdb_title_mapper_spark_census"
+    from ..plans.tmpstore import store_root
+
+    base = store_root("census")
     path = f"{base}/{tag}.v{version}"
     spark.sql(census_sql(True)).write.mode("overwrite").parquet(path)
     df = spark.read.parquet(path)

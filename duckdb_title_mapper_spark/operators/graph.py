@@ -96,7 +96,20 @@ def connected_components(edges_df, src: str = "src", dst: str = "dst",
         # new-vs-old equi join + count.  Every in-repo caller's ids
         # are < 2^40 with < 2^20 vertices, so the sum stays far
         # inside int64 (no wrap, monotonicity exact).
-        label_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        probe = new_labels.agg(
+            F.sum("label"), F.max("label"), F.count("*")
+        ).collect()[0]
+        label_sum, label_max, n_vertices = probe[0], probe[1], probe[2]
+        if prev_sum is None and label_max * n_vertices >= 2**62:
+            # non-ANSI sum wraps silently; the monotone-stall probe is
+            # only exact while sum(label) provably fits int64 (r15
+            # ADVICE).  Labels only decrease, so checking the FIRST
+            # round's (max, count) bounds every later round too.
+            raise ValueError(
+                "connected_components convergence probe needs "
+                f"max(label) * n_vertices < 2^62 (got {label_max} * "
+                f"{n_vertices}); re-key vertex ids before calling"
+            )
         changed = 0 if label_sum == prev_sum else 1
         prev_sum = label_sum
         if labels is not new_labels:
@@ -523,7 +536,9 @@ def build_copurchase_redges(spark, sf_dir: str, force: bool = False):
         .encode()
     ).hexdigest()[:16]
     version = (cached[1] + 1) if cached is not None else 0
-    base = "/tmp/duckdb_title_mapper_spark_redges"
+    from ..plans.tmpstore import store_root
+
+    base = store_root("redges")
     path = f"{base}/{tag}.v{version}"
     (
         pairs.selectExpr("s AS a", "d AS b")
@@ -575,7 +590,9 @@ def build_copurchase_pairs(spark, sf_dir: str, force: bool = False):
         .encode()
     ).hexdigest()[:16]
     version = (cached[1] + 1) if cached is not None else 0
-    base = "/tmp/duckdb_title_mapper_spark_copurchase"
+    from ..plans.tmpstore import store_root
+
+    base = store_root("copurchase")
     path = f"{base}/{tag}.v{version}"
     spark.sql(COPURCHASE_PAIRS_SQL).write.mode("overwrite").parquet(path)
     df = spark.read.parquet(path)

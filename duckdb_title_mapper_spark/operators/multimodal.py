@@ -1224,7 +1224,9 @@ def build_media_meta(spark, sf_dir: str, lane: str, force: bool = False):
         return cached[0]
     tag = hashlib.md5(":".join(map(str, key)).encode()).hexdigest()[:16]
     version = (cached[1] + 1) if cached is not None else 0
-    base = "/tmp/duckdb_title_mapper_spark_media_meta"
+    from ..plans.tmpstore import store_root
+
+    base = store_root("media_meta")
     path = f"{base}/{tag}.v{version}"
     builders[lane]().write.mode("overwrite").parquet(path)
     df = spark.read.parquet(path)

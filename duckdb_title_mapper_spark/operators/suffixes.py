@@ -206,7 +206,9 @@ def build_suffix_l32(spark, sf_dir: str, force: bool = False):
         .encode()
     ).hexdigest()[:16]
     version = (cached[2] + 1) if cached is not None else 0
-    base_dir = "/tmp/duckdb_title_mapper_spark_suffix"
+    from ..plans.tmpstore import store_root
+
+    base_dir = store_root("suffix")
     path = f"{base_dir}/{tag}.v{version}"
     # base has a SINGLE consumer here (led8's window), so it fuses
     # into led8's materialization instead of its own checkpoint

@@ -16,9 +16,26 @@ holding a handful of generations until exit is the right trade.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 
 _SUPERSEDED: list[str] = []
+
+
+def store_root(family: str) -> str:
+    """Root directory for a versioned cross-query parquet store.
+
+    Defaults to ``/tmp/duckdb_title_mapper_spark_<family>`` — correct on
+    ``local[N]`` where driver and executors share one filesystem.  On a
+    real cluster a driver-local ``/tmp`` is not executor-reachable, so
+    ``SPARK_GRAFT_STORE_ROOT`` must point at a shared filesystem (HDFS /
+    NFS / object-store mount) and every store family resolves beneath it
+    (r15 VERDICT #3 / r16 item 8).  Local behavior is unchanged when the
+    env var is unset."""
+    root = os.environ.get("SPARK_GRAFT_STORE_ROOT")
+    if root:
+        return f"{root.rstrip('/')}/duckdb_title_mapper_spark_{family}"
+    return f"/tmp/duckdb_title_mapper_spark_{family}"
 
 
 def defer_rmtree(path: str) -> None:
