@@ -73,77 +73,19 @@ def materialize_adaptive(df):
     lineage), then unpersist.  In ``reliable`` mode this degrades
     gracefully to persist+count (lineage kept, as that mode wants).
 
-    r16 (guide §1.2/§2.4): when the just-counted relation is TINY
-    (<= SPARK_GRAFT_VALUES_MAX rows, default 1024, and exactly
-    representable — integral/boolean/plain-string columns), re-emit it
-    as a SQL ``VALUES`` literal instead of checkpointing: consumers
-    then read a LocalRelation — no checkpoint job, no scan stage, a
-    known-tiny size so every downstream join broadcasts without hints,
-    and zero risk of the checkpointed-UNION constraint crash.  The
-    gate is the MEASURED row count, so it is scale-adaptive by
-    construction (a billion-row round never takes this path), and the
-    driver-side collect is bounded by the same constant.  Values are
-    rendered exactly (integers verbatim, strings only from a safe
-    alphabet — anything else falls back to the checkpoint path)."""
+    r16 note: a VALUES-literal fast path for tiny counted relations
+    (collect + re-emit as a LocalRelation instead of checkpointing)
+    was implemented and A/B'd here, then REVERTED: the per-mat
+    driver-side collect + parse is additive latency that no execution
+    saving reliably offsets — the adaptive count already gives AQE
+    exact stats, so tiny sides broadcast either way.  Two independent
+    env-toggle interleaved A/Bs: x_boruvka_msf 1.08x then 0.97x
+    (noise-flat), x_luby_mis 0.985x then 0.884x (consistently WORSE,
+    means 4.25 vs 5.02 s).  Kept the checkpoint path."""
     if materialize_mode() == "reliable":
         return materialize(df)
     df.persist()
-    n = df.count()
-    out = None
-    if n <= _values_max_rows():
-        out = _values_relation(df)
-    if out is None:
-        out = materialize(df)
+    df.count()
+    out = materialize(df)
     df.unpersist()
     return out
-
-
-_VALUES_TYPES = {
-    "bigint": "BIGINT", "int": "INT", "smallint": "SMALLINT",
-    "tinyint": "TINYINT", "string": "STRING", "boolean": "BOOLEAN",
-}
-_SAFE_IDENT = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
-_SAFE_STR = __import__("re").compile(r"^[A-Za-z0-9_ .,:;|/@#+-]*$")
-
-
-def _values_max_rows() -> int:
-    return int(os.environ.get("SPARK_GRAFT_VALUES_MAX", "1024"))
-
-
-def _values_relation(df):
-    """``df`` (already persisted and counted) as a ``VALUES``-literal
-    DataFrame with identical column names/types, or ``None`` when any
-    column type/value falls outside the exactly-renderable subset."""
-    dts = df.dtypes
-    if not dts or any(t not in _VALUES_TYPES for _, t in dts) or any(
-            not _SAFE_IDENT.match(c) for c, _ in dts):
-        return None
-    spark = df.sparkSession
-    casts = ", ".join(
-        f"CAST(c{i} AS {_VALUES_TYPES[t]}) AS {name}"
-        for i, (name, t) in enumerate(dts))
-    rows = df.collect()
-    if not rows:
-        nulls = ", ".join(
-            f"CAST(NULL AS {_VALUES_TYPES[t]}) AS {name}"
-            for name, t in dts)
-        return spark.sql(f"SELECT {nulls} WHERE 1 = 0")
-    lits = []
-    for row in rows:
-        cells = []
-        for v, (_, t) in zip(row, dts):
-            if v is None:
-                cells.append("NULL")
-            elif t == "string":
-                if not _SAFE_STR.match(v):
-                    return None
-                cells.append(f"'{v}'")
-            elif t == "boolean":
-                cells.append("true" if v else "false")
-            else:
-                cells.append(str(int(v)))
-        lits.append("(" + ", ".join(cells) + ")")
-    inner = ", ".join(f"c{i}" for i in range(len(dts)))
-    return spark.sql(
-        f"SELECT {casts} FROM (VALUES {', '.join(lits)})"
-        f" AS t({inner})")

@@ -960,10 +960,7 @@ def test_round13_third_wave_plan_shapes(spark):
         assert "BatchEvalPython" not in p, name
         # rounds are materialized; the final plan aggregates stored
         # relations instead of re-deriving the co-purchase pair join
-        # (r16: a tiny final state may come back as a VALUES-literal
-        # LocalTableScan — materialized even harder than a checkpoint)
-        assert ("Scan ExistingRDD" in p
-                or "LocalTableScan" in p), name
+        assert "Scan ExistingRDD" in p, name
         assert "l_orderkey" not in p, f"{name} rebuilt the pair join"
         assert has_partial_aggregation(df), name
 
